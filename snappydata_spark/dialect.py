@@ -1,0 +1,90 @@
+"""SQL dialect pre-parser for the reference's extensions over Spark SQL.
+
+The reference extends the grammar with PUT INTO (SnappyParser.scala:
+1173-1176, putValuesOperation :1220-1247), UPDATE (:1177-1197), DELETE
+(:1198-1206) and TRUNCATE TABLE (SnappyDDLParser.scala:627).  Spark 3 SQL
+already parses UPDATE/DELETE but only executes them on v2 tables, so we
+intercept all four statement heads with a light regex pre-parser and route
+them to the mutation layer; every other statement passes through untouched
+to spark.sql (the dialect is a superset, like the reference).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Statement:
+    kind: str  # put | update | delete | truncate | insert_select | passthrough
+    table: str = ""
+    where: str | None = None
+    assignments: dict = field(default_factory=dict)
+    source_sql: str | None = None
+    source_df: object = None
+
+
+_PUT = re.compile(r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.I | re.S)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
+)
+_TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
+_INSERT_SELECT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
+)
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split `a = expr1, b = expr2` at top-level commas."""
+    out: dict[str, str] = {}
+    depth = 0
+    cur = []
+    parts = []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out[col.strip().lower()] = expr.strip()
+    return out
+
+
+def split_statement(text: str) -> Statement:
+    m = _PUT.match(text)
+    if m:
+        body = m.group(2).strip()
+        if body.upper().startswith("SELECT"):
+            return Statement("put", table=m.group(1), source_sql=body)
+        # VALUES (...) [, (...)] — let Spark parse it as an inline table
+        return Statement("put", table=m.group(1), source_sql=f"SELECT * FROM {body}")
+    m = _UPDATE.match(text)
+    if m:
+        return Statement(
+            "update",
+            table=m.group(1),
+            assignments=_split_assignments(m.group(2)),
+            where=m.group(3),
+        )
+    m = _DELETE.match(text)
+    if m:
+        return Statement("delete", table=m.group(1), where=m.group(2))
+    m = _TRUNCATE.match(text)
+    if m:
+        return Statement("truncate", table=m.group(1))
+    m = _INSERT_SELECT.match(text)
+    if m:
+        return Statement("insert_select", table=m.group(1), source_sql=m.group(2))
+    return Statement("passthrough")

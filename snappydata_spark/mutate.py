@@ -1,0 +1,86 @@
+"""Mutation semantics: PUT INTO (upsert), UPDATE, DELETE, deleteFrom.
+
+The reference plans PUT INTO on a column table as: inner-join source to
+target on the key columns → update the matched rows, insert the rest
+(ColumnTableBulkOps.transformPutPlan, internal/ColumnTableBulkOps.scala:46-120;
+ColumnPutIntoExec.scala:26).  UPDATE/DELETE are declarative with key columns
+injected into the plan (AnalyzeMutableOperations, SnappySessionState.scala:
+542-700); physical writes are column deltas / delete bitmaps — a storage
+trick we do NOT port.  Our engine expresses the same *semantics* as pure
+DataFrame rewrites (usable standalone and by the CDC sink), and applies them
+to managed tables by copy-on-write parquet rewrite + atomic directory swap.
+
+Scale note: these rewrites are shuffle-on-key joins.  At 100 TB the target
+side stays fully distributed (no collect); with the managed table bucketed
+on the key columns the join shuffles only the (small) source side, and the
+rewrite only rewrites matched buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _key_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def put_into_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Upsert semantics of PUT INTO: rows of `target` whose key is absent
+    from `source`, plus all rows of `source` (source wins on key match).
+
+    Mirrors ColumnTableBulkOps.transformPutPlan:46-120 — update matched
+    rows with source values, insert unmatched source rows.  Like the
+    reference, duplicate keys *within* source are passed through as-is
+    (the sink layer conflates, not put itself — SnappySinkCallback.scala:
+    286-309).
+    """
+    if not keys:
+        raise ValueError("PUT INTO requires key columns (PrePutCheck)")
+    cols = target.columns
+    keep = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    return keep.select(*cols).unionByName(source.select(*cols))
+
+
+def update_df(
+    target: DataFrame, where: Column | str, assignments: dict[str, Column | str]
+) -> DataFrame:
+    """UPDATE t SET c = expr [WHERE pred] as a pure rewrite.
+
+    Semantics of parser update (SnappyParser.scala:1177-1197): every row
+    matching `where` gets the assignments applied; others pass through.
+    Assignments may reference the pre-update row (standard SQL UPDATE
+    semantics) — all CASE branches evaluate against the input row.
+    """
+    pred = F.expr(where) if isinstance(where, str) else where
+    out = target
+    exprs = []
+    for c in target.columns:
+        if c in assignments:
+            a = assignments[c]
+            new = F.expr(a) if isinstance(a, str) else a
+            exprs.append(F.when(pred, new).otherwise(F.col(c)).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return out.select(*exprs)
+
+
+def delete_df(target: DataFrame, where: Column | str) -> DataFrame:
+    """DELETE FROM t WHERE pred as a pure rewrite (keep non-matching)."""
+    pred = F.expr(where) if isinstance(where, str) else where
+    # null predicate == not deleted (SQL three-valued logic)
+    return target.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def delete_from_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """`df.write.deleteFrom(table)` semantics (SnappyImplicits.scala:209-222):
+    delete target rows whose key tuple appears in `source`."""
+    if not keys:
+        raise ValueError("deleteFrom requires key columns")
+    return target.join(source.select(*keys).distinct(), on=keys, how="left_anti").select(
+        *target.columns
+    )

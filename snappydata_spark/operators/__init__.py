@@ -1,0 +1,12 @@
+"""Operator inventory (SURVEY.md §2) — importing this package populates
+the QUERIES/ORACLES registries used by __spark_entry__ and bench.py."""
+
+from snappydata_spark.operators.registry import QUERIES, ORACLES, register
+
+# Each import registers its queries.
+from snappydata_spark.operators import tpch  # noqa: F401
+from snappydata_spark.operators import analytic  # noqa: F401
+from snappydata_spark.operators import events  # noqa: F401
+from snappydata_spark.operators import dml  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

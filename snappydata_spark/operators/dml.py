@@ -1,0 +1,129 @@
+"""Mutation-operator correctness queries (PUT INTO / UPDATE / DELETE /
+deleteFrom — SURVEY.md §2.8).
+
+Each query builds a deterministic target+source from the testdata, applies
+the pure mutation rewrite from snappydata_spark.mutate, and returns an
+aggregate fingerprint of the mutated table; the oracle states the same
+semantics in ANSI SQL.  This puts the reference's distinctive DML surface
+(ColumnTableBulkOps.transformPutPlan:46-120, ColumnUpdateExec,
+ColumnDeleteExec, SnappyImplicits deleteFrom:209-222) under the driver's
+hash-compare gate without needing a mutable store in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark import mutate
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+@register(
+    "dml_put_into_upsert",
+    oracle="""
+WITH source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderdate, '9-RETOUCHED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0),
+merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM source)
+SELECT o_orderpriority, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderpriority
+""",
+)
+def dml_put_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUT INTO = update-matched + insert-unmatched on the key columns."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    target = t["orders"]
+    source = (
+        target.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", F.lit("9-RETOUCHED"))
+    )
+    merged = mutate.put_into_df(target, source, keys=["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "dml_update_where",
+    oracle="""
+WITH updated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' AND o_totalprice < 5000
+              THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders)
+SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+FROM updated GROUP BY o_orderstatus
+""",
+)
+def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE orders SET o_totalprice = o_totalprice * 1.1
+       WHERE o_orderstatus = 'O' AND o_totalprice < 5000."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    updated = mutate.update_df(
+        t["orders"],
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 5000),
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    return updated.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "dml_delete_where",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+WHERE NOT (l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05)
+GROUP BY l_returnflag
+""",
+)
+def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM lineitem WHERE l_shipdate < '1996-01-01' AND
+    l_discount > 0.05 — survivors aggregated."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    kept = mutate.delete_df(
+        t["lineitem"],
+        (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05),
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@register(
+    "dml_delete_from_keys",
+    oracle="""
+SELECT COUNT(*) AS remaining, COUNT(DISTINCT c_nationkey) AS nations
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_totalprice > 40000 AND o.o_custkey = c.c_custkey)
+""",
+)
+def dml_delete_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.write.deleteFrom(customer): delete customers whose key appears
+    in a high-value-orders DataFrame (key-join delete)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big_spenders = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 40000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    kept = mutate.delete_from_df(t["customer"], big_spenders, keys=["c_custkey"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("remaining"),
+        F.countDistinct("c_nationkey").alias("nations"),
+    )

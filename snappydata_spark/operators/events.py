@@ -1,0 +1,190 @@
+"""Time-series / event-stream operators over the `events` table.
+
+The reference's streaming SQL (SURVEY.md §2.9) runs windowed aggregates
+over event feeds; these are the batch-equivalent shapes (the same plans a
+Structured Streaming query compiles to per micro-batch), plus the CDC
+conflation semantics of the snappysink (SnappySinkCallback.scala:286-309)
+expressed as a pure query so the correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+@register(
+    "ev_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY hour_start, event_type
+""",
+)
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling processing-window aggregate (WINDOW (DURATION n SECONDS)
+    grammar SnappyParser.scala:552-557 → date_trunc/event-time window)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "ev_sliding_window",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY h)
+SELECT h, cnt,
+       SUM(cnt) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS cnt_3h_window
+FROM hourly
+""",
+)
+def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (WINDOW (DURATION d, SLIDE s) — WindowPhysicalPlan
+    applies DStream.window; batch equivalent = frame over pre-aggregated
+    panels, which keeps the shuffle on the tiny hourly rollup)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy("h").rowsBetween(-2, 0)
+    return hourly.select(
+        "h", "cnt", F.sum("cnt").over(w).alias("cnt_3h_window")
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_no
+  FROM flagged)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch shape of session_window /
+    applyInPandasWithState custom stateful ops): lag → session-start flag →
+    cumulative sum → per-session rollup.  Single shuffle on user_id; all
+    window passes reuse that partitioning."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = t["events"].withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "ev_top_users",
+    oracle="""
+SELECT user_id, COUNT(*) AS purchases, ROUND(SUM(value), 2) AS total_spend
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_spend DESC, user_id
+LIMIT 10
+""",
+)
+def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 2).alias("total_spend"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ev_cdc_conflate",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ROUND(value, 2) AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def ev_cdc_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC conflation: keep the LAST event per key, and drop keys whose
+    last event is a delete — the per-batch dedup/conflate semantics of the
+    snappysink (SnappySinkCallback.scala:286-309, 'error' standing in for
+    the DELETE _eventType).  The streaming sink (streaming/sink.py) reuses
+    this exact shape per micro-batch."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "ev_approx_distinct_users",
+)
+def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL — the reference's inherited approximate
+    aggregate, SURVEY.md §2.4).  Rows-only check: HLL estimates differ
+    across engines by design; exactness is covered by agg_distinct."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

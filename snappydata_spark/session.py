@@ -1,0 +1,250 @@
+"""SnappySession facade over pyspark.sql.SparkSession.
+
+Mirrors the reference's Python API surface (python/pyspark/sql/snappy/
+snappysession.py:26-138: createTable, truncateTable, dropTable, insert,
+put, update, delete) plus sql() with the dialect extras (PUT INTO — parser
+rule SnappyParser.scala:1173-1176 — and UPDATE/DELETE against managed
+tables) and the plan cache with normalized literals (SnappySession.scala:
+2584-2683 — the one lifecycle feature Catalyst lacks; here it is a
+normalized-SQL → DataFrame map, which in Spark saves re-parse/re-analysis
+for repeated parameterized queries).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from snappydata_spark.catalog import Catalog, TableMeta
+from snappydata_spark import mutate
+from snappydata_spark.plans.cache import PlanCache
+from snappydata_spark.dialect import split_statement
+
+
+def get_spark(
+    app_name: str = "snappydata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """SparkSession tuned for this engine.
+
+    Local defaults mirror the bench harness; on a real cluster the same
+    builder is used with master unset (taken from spark-submit) and
+    shuffle partitions sized to ~2-3× total cores.  AQE stays on in both:
+    it re-plans skew joins and coalesces small shuffle partitions at 100 TB.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if master or not SparkSession.getActiveSession():
+        builder = builder.master(master or f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class SnappySession:
+    """The user-facing engine session (reference: SnappySession.scala)."""
+
+    def __init__(self, spark: SparkSession | None = None, store_dir: str | None = None):
+        self.spark = spark or get_spark()
+        self.catalog = Catalog(store_dir)
+        self.plan_cache = PlanCache()
+
+    # ------------------------------------------------------------------ DDL
+
+    def create_table(
+        self,
+        name: str,
+        schema: StructType | str | None = None,
+        provider: str = "column",
+        options: dict | None = None,
+        df: DataFrame | None = None,
+        overwrite: bool = False,
+    ) -> None:
+        """CREATE TABLE ... USING COLUMN/ROW OPTIONS(...) [AS SELECT]
+        (SnappyDDLParser.createTable:301; SnappySession.createTable:1055-1363).
+        """
+        name = name.lower()
+        if self.catalog.exists(name):
+            if not overwrite:
+                raise ValueError(f"table {name} already exists")
+            self.catalog.drop(name)
+        meta = TableMeta.from_options(name, provider, options)
+        self.catalog.save_meta(meta)
+        if df is None and schema is not None:
+            if isinstance(schema, str):
+                df = self.spark.createDataFrame([], schema)
+            else:
+                df = self.spark.createDataFrame([], schema)
+        if df is not None:
+            self._write(df, meta, mode="overwrite")
+        self._refresh_view(name)
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        name = name.lower()
+        if not self.catalog.exists(name) and not if_exists:
+            raise ValueError(f"table {name} does not exist")
+        self.catalog.drop(name)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+    def truncate_table(self, name: str) -> None:
+        """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812)."""
+        meta = self.catalog.load_meta(name.lower())
+        empty = self.spark.createDataFrame([], self.table(name).schema)
+        self._write(empty, meta, mode="overwrite")
+        self._refresh_view(name)
+
+    def create_external_table(
+        self, name: str, path: str, fmt: str = "parquet", options: dict | None = None
+    ) -> DataFrame:
+        """createExternalTable (SnappySession.scala:1076-1127) — any Spark
+        datasource registered in the catalog; we register a temp view."""
+        reader = self.spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+        df.createOrReplaceTempView(name.lower())
+        return df
+
+    def list_tables(self) -> list[str]:
+        return self.catalog.list_tables()
+
+    def key_columns(self, name: str) -> list[str]:
+        """getKeyColumns (SnappySession.scala:1512)."""
+        return self.catalog.load_meta(name.lower()).key_columns
+
+    # ------------------------------------------------------------------ read
+
+    def table(self, name: str) -> DataFrame:
+        name = name.lower()
+        if self.catalog.exists(name):
+            df = self.spark.read.parquet(self.catalog.data_path(name))
+            meta = self.catalog.load_meta(name)
+            if meta.replicate:
+                # REPLICATE tables join broadcast-side (StoreUtils REPLICATE
+                # option; replicated-table local join SnappyStrategies:330-343)
+                df = F.broadcast(df)
+            return df
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------------ DML
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        """INSERT INTO (append) — SnappySession.insert:1990-2029."""
+        meta = self.catalog.load_meta(name.lower())
+        self._write(df, meta, mode="append")
+        self._refresh_view(name)
+
+    def put(self, name: str, df: DataFrame) -> None:
+        """PUT INTO (upsert on key_columns) — SnappySession.put:2031-2117."""
+        meta = self.catalog.load_meta(name.lower())
+        keys = meta.key_columns or meta.partition_by
+        result = mutate.put_into_df(self.table(name), df, keys)
+        self._rewrite(result, meta)
+
+    def update(self, name: str, where, assignments: dict) -> None:
+        """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100."""
+        meta = self.catalog.load_meta(name.lower())
+        result = mutate.update_df(self.table(name), where, assignments)
+        self._rewrite(result, meta)
+
+    def delete(self, name: str, where) -> None:
+        """DELETE FROM t WHERE ... — SnappySession.delete:2119."""
+        meta = self.catalog.load_meta(name.lower())
+        result = mutate.delete_df(self.table(name), where)
+        self._rewrite(result, meta)
+
+    def delete_from(self, name: str, df: DataFrame) -> None:
+        """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
+        meta = self.catalog.load_meta(name.lower())
+        keys = meta.key_columns or meta.partition_by
+        result = mutate.delete_from_df(self.table(name), df, keys)
+        self._rewrite(result, meta)
+
+    # ------------------------------------------------------------------ SQL
+
+    def sql(self, text: str) -> DataFrame | None:
+        """Dialect-aware sql(): PUT INTO / UPDATE / DELETE / TRUNCATE on
+        managed tables are dispatched to the mutation layer; everything else
+        goes to spark.sql via the plan cache (normalized-literal keyed,
+        mirroring ParamLiteral tokenization SnappyParser.scala:226-261)."""
+        stmt = split_statement(text)
+        if stmt.kind == "put":
+            src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
+            self.put(stmt.table, src)
+            return None
+        if stmt.kind == "update":
+            self.update(stmt.table, stmt.where or F.lit(True), stmt.assignments)
+            return None
+        if stmt.kind == "delete":
+            self.delete(stmt.table, stmt.where or F.lit(True))
+            return None
+        if stmt.kind == "truncate":
+            self.truncate_table(stmt.table)
+            return None
+        if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
+            self.insert(stmt.table, self.spark.sql(stmt.source_sql))
+            return None
+        return self.plan_cache.get_or_build(self.spark, text)
+
+    # ------------------------------------------------------------------ io
+
+    def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
+        """PARTITION_BY/BUCKETS → cluster data by key hash before write so
+        files are key-clustered (the Spark-side analogue of bucket layout;
+        at scale this is what makes key-pruned reads and co-located joins
+        possible)."""
+        if meta.partition_by and meta.buckets:
+            df = df.repartition(meta.buckets, *meta.partition_by)
+        elif meta.partition_by:
+            df = df.repartition(*meta.partition_by)
+        df.write.mode(mode).parquet(self.catalog.data_path(meta.name))
+
+    def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
+        """Copy-on-write: materialize to a fresh dir then atomic swap —
+        the semantics (not storage trick) of column deltas/delete bitmaps
+        (ColumnDeltaEncoder.scala / ColumnDeleteEncoder.scala)."""
+        tmp = self.catalog.data_path(meta.name) + ".tmp-" + uuid.uuid4().hex[:8]
+        df = result
+        if meta.partition_by and meta.buckets:
+            df = df.repartition(meta.buckets, *meta.partition_by)
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.catalog.data_path(meta.name)
+        old = final + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+        self._refresh_view(meta.name)
+
+    def _refresh_view(self, name: str) -> None:
+        name = name.lower()
+        if self.catalog.exists(name):
+            try:
+                self.spark.read.parquet(
+                    self.catalog.data_path(name)
+                ).createOrReplaceTempView(name)
+            except Exception:
+                pass  # empty table with no files yet
