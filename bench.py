@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Query set mirrors BASELINE.md's anchors: the 16-20× quickstart shape
+(group-by-avg over a ~100-distinct key), TPC-H Q1 (scan-agg), Q3
+(join-agg-topk), Q6 (selective filter-agg), plus the heavier operator
+families (windows, sessionization, dedup fingerprint) so regressions in
+any family show up per-round in BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q01_pricing_summary",
+    "tpch_q03_shipping_priority",
+    "tpch_q05_local_supplier",
+    "tpch_q06_forecast_revenue",
+    "tpch_q09_product_profit",
+    "tpch_q18_large_orders",
+    "win_topk_per_group",
+    "ev_sessionize",
+    "ev_tumbling_window",
+    "agg_cube",
+]
+
+
+def quickstart_groupby_avg(spark, sf_dir):
+    """The reference's 16-20× quickstart benchmark shape
+    (docs/quickstart/performance_apache_spark.md: select sym, avg(id)
+    group by sym over ~100 distinct keys) — here: avg order price per
+    custkey%100 over orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy((F.col("o_custkey") % 100).alias("sym"))
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+    )
+
+
+def main() -> None:
+    from snappydata_spark import get_spark
+    from snappydata_spark.operators import QUERIES
+
+    spark = get_spark("bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    # warm the JVM/IO once (reference quickstart does 3 warmups; one is
+    # enough to amortize class-loading for a relative comparison)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    extra = {"quickstart_groupby_avg": quickstart_groupby_avg}
+    for name in HEADLINE + list(extra):
+        fn = extra.get(name) or QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # forces full execution without driver-side collect
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
