@@ -1,0 +1,176 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 M6).
+
+All five families — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — as DataFrame transformations built from pure Catalyst
+expressions (functions/text.py, functions/vector.py).
+
+Scale design: every family is map-side signature computation followed by
+exactly ONE shuffle on a blocking key (fingerprint / LSH band / SimHash
+byte-band / prefix block / label block).  No quadratic joins over the full
+corpus: candidate pairs are generated per-block and blocks are bounded.
+That is the shape that survives 100 TB — the all-pairs work happens only
+within hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from snappydata_spark.functions import text as T
+from snappydata_spark.functions import vector as V
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the full-content fingerprint: keep the min-id doc
+    per fingerprint (hash-groupBy — one shuffle on the md5 key)."""
+    fp = T.fingerprint(F.col(text_col)).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: shingle → minhash signature (map-side) →
+    explode band hashes → self-join per (band, band_hash) bucket.
+    Returns candidate pairs (doc1 < doc2, distinct)."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        T.minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 32-bit simhash (map-side) → byte-band blocking
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4 bytes is equal) →
+    in-bucket pairs filtered on exact hamming distance."""
+    sh = df.select(F.col(id_col), T.simhash32(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "sh", "b.band", "b.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_tokens: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard within prefix blocks: block on the first
+    `block_tokens` tokens (cheap key), compute exact Jaccard over distinct
+    shingle sets only within a block."""
+    docs = df.select(
+        F.col(id_col),
+        T.prefix_fingerprint(F.col(text_col), block_tokens).alias("blk"),
+        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    top_per_block: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-dup: within a blocking column (cluster/label/
+    LSH bucket), rank pairs by cosine and keep the top candidates."""
+    from pyspark.sql import Window as W
+
+    a = df.select(
+        F.col(id_col).alias("v1"), F.col(block_col).alias("blk"), F.col(vec_col).alias("e1")
+    )
+    b = df.select(
+        F.col(id_col).alias("v2"), F.col(block_col).alias("blk2"), F.col(vec_col).alias("e2")
+    )
+    pairs = a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("v1") < F.col("v2"))).select(
+        "blk",
+        "v1",
+        "v2",
+        F.round(V.cosine(F.col("e1"), F.col("e2")), 4).alias("cos"),
+    )
+    w = W.partitionBy("blk").orderBy(F.col("cos").desc(), F.col("v1"), F.col("v2"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_per_block
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis column builders — all pure Catalyst expressions (no
+Python UDFs: everything stays inside whole-stage codegen, so these run at
+parquet-scan speed over 100 TB of documents).
+
+Families: tokenization, quality metrics, language-ID (marker heuristic),
+document fingerprinting, shingling, MinHash signatures, SimHash — the
+text side of a training-data pipeline (SURVEY.md §7 M6).
+
+Cross-engine determinism: every hash is md5-derived (identical bytes in
+Spark and DuckDB), so each operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# marker-word votes for the language-ID heuristic, checked in a fixed
+# priority order (deterministic argmax)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "las", "y"),
+    "zh": ("de", "shi", "bu", "le"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(col)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(t)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: enough tokens, not
+    stopword-soup, plausible word lengths — the cheap pre-filter stage of
+    a training-data pipeline."""
+    tc = token_count(col).cast("double")
+    return (
+        0.4 * F.least(F.lit(1.0), tc / 50.0)
+        + 0.3 * (1.0 - stopword_ratio(col))
+        + 0.3 * F.least(F.lit(1.0), avg_token_len(col) / 6.0)
+    )
+
+
+def _count_in(t: Column, markers: tuple[str, ...]) -> Column:
+    # helper (not an inline default-arg lambda: PySpark infers higher-order
+    # lambda arity from the signature, so extra params break it)
+    return F.size(F.filter(t, lambda x: x.isin(*markers)))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language vote; ties resolve in LANG_MARKERS order."""
+    t = tokens(col)
+    votes = {
+        lang: _count_in(t, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*votes.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((votes[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapse + lowercase — canonical form for fingerprints."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Full-document content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_text(col))
+
+
+def prefix_fingerprint(col: Column, n_tokens: int = 3) -> Column:
+    """Fingerprint of the first n tokens — the cheap blocking key."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-token shingles (the unit set for Jaccard / MinHash)."""
+    t = tokens(col)
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — must special-case
+    # docs shorter than n tokens to an empty shingle set
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+
+
+def hash32(col: Column, seed: str) -> Column:
+    """Deterministic 32-bit hash identical in Spark and DuckDB:
+    first 8 hex chars of md5(seed || value) as an unsigned int."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: per seed, min over shingle hashes.  At scale this
+    is a pure map-side computation — no shuffle until band grouping."""
+    sh = shingles(col, shingle_n)
+
+    def _min_hash(seed: str) -> Column:
+        # closure, not a default-arg lambda: a 2-param lambda would make
+        # PySpark pass the array index as the second argument
+        return F.array_min(F.transform(sh, lambda s: hash32(s, seed)))
+
+    return F.array(*[_min_hash(f"mh{i}~") for i in range(num_hashes)])
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into band hashes: array of (band_idx, band_hash)
+    structs; docs sharing any band hash are near-dup candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over the distinct token set: per bit, majority vote
+    of token-hash bits; near-dup docs land at small hamming distance."""
+    toks = F.array_distinct(tokens(col))
+    h = F.transform(toks, lambda x: hash32(x, "sh~"))
+
+    def _vote(bit: int) -> Column:
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (F.shiftright(x, bit).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return out

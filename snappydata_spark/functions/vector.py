@@ -1,0 +1,74 @@
+"""Vector/embedding column builders — pure Catalyst expressions over
+array<float> columns (F.zip_with / F.aggregate), computed in double.
+
+These are the JVM-side primitives for similarity search and
+embedding-based dedup; no Python crosses the row boundary, so a 100 TB
+embedding table scans at parquet speed.  (A Pandas-UDF/numpy batch path
+would win only for very high dimensions; at 64-1024 dims the codegen'd
+fold is competitive and avoids Arrow transfer entirely.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def lsh_hyperplane_bucket(v: Column, num_planes: int, dims: int) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern over pseudo-random
+    hyperplanes).  Hyperplane components are md5-derived uniforms in
+    [-1, 1] — deterministic and reproducible in plain SQL, so the bucketed
+    scale path has an exact oracle.  Bucket = sum of sign bits."""
+    out = F.lit(0).cast("long")
+    dv = _as_double(v)
+    for p in range(num_planes):
+        comps = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"plane{p}~{d}")), 1, 8), 16, 10
+                    ).cast("double")
+                    / F.lit(float(2**31))
+                    - 1.0
+                )
+                for d in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(dv, comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return out

@@ -8,5 +8,7 @@ from snappydata_spark.operators import tpch  # noqa: F401
 from snappydata_spark.operators import analytic  # noqa: F401
 from snappydata_spark.operators import events  # noqa: F401
 from snappydata_spark.operators import dml  # noqa: F401
+from snappydata_spark.operators import textops  # noqa: F401
+from snappydata_spark.operators import dedup_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

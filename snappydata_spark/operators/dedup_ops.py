@@ -1,0 +1,288 @@
+"""Dedup + similarity-search operator queries (SURVEY.md §7 M6).
+
+Each near-dup query runs over an augmented corpus = documents UNION a
+perturbed copy of each document (id + 1_000_000, one extra token) so the
+candidate generation provably *recalls* real near-duplicates — with the
+original all-distinct corpus the result sets would be trivially empty.
+The DuckDB oracles rebuild the identical md5-derived signatures, so the
+hash compare checks the full pipeline (shingle → signature → banding →
+pair join), not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark import dedup
+from snappydata_spark.functions import text as T
+from snappydata_spark.functions import vector as V
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# corpus with perturbed near-dup copies (one extra token per copy)
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz' FROM documents)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    copies = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+# ----------------------------------------------------------------- exact
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_TOKS}[1:2], ' ')) AS fp
+  FROM documents),
+g AS (SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM fp GROUP BY fp)
+SELECT COUNT(*) AS n_groups,
+       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS dup_groups,
+       SUM(n_copies) AS total_docs,
+       SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS removable
+FROM g
+""".replace("{_TOKS}", _TOKS),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a prefix fingerprint (2 tokens —
+    full-text fingerprints are all-distinct in this corpus; the blocking
+    key makes real groups).  Summary row: groups / dup groups / removable."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    groups = (
+        t["documents"]
+        .select("doc_id", T.prefix_fingerprint(F.col("text"), 2).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    dup = F.col("n_copies") > 1
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(dup, 1).otherwise(0)).alias("dup_groups"),
+        F.sum("n_copies").alias("total_docs"),
+        F.sum(F.when(dup, F.col("n_copies") - 1).otherwise(0)).alias("removable"),
+    )
+
+
+# ----------------------------------------------------------------- minhash+LSH
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min([('0x' || substr(md5('mh{i}~' || s), 1, 8))::UBIGINT for s in sh])"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_CORPUS_SQL},
+tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              [t[x] || ' ' || t[x+1] || ' ' || t[x+2] for x in range(1, len(t) - 1)]
+                  AS sh
+       FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs over
+    the perturbed corpus — each doc should pair with its near-dup copy."""
+    return dedup.minhash_lsh_candidates(
+        _corpus(spark, sf_dir), num_hashes=16, bands=4
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+def _simhash_expr_sql() -> str:
+    """DuckDB expression mirroring functions/text.simhash32."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_aggregate([((h >> {b}) & 1) * 2 - 1 for h in hs], 'sum') > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+tok AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM corpus),
+hashed AS (SELECT doc_id,
+                  [('0x' || substr(md5('sh~' || x), 1, 8))::BIGINT for x in t] AS hs
+           FROM tok),
+sh AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+{_simhash_expr_sql()}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) over the perturbed corpus.
+    Spark side blocks on byte-bands (pigeonhole) so it never goes
+    quadratic; the oracle states the same result set quadratically."""
+    return dedup.simhash_candidates(_corpus(spark, sf_dir), max_hamming=3)
+
+
+# ----------------------------------------------------------------- ngram jaccard
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+WITH {CORPUS},
+tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              md5(array_to_string(t[1:2], ' ')) AS blk,
+              list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
+                             for x in range(1, len(t) - 1)]) AS sh
+       FROM tok),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, jaccard FROM pairs WHERE jaccard >= 0.5
+""".replace("{CORPUS}", _CORPUS_SQL).replace("{_TOKS}", _TOKS),
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 within 2-token prefix blocks."""
+    return dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), shingle_n=3, threshold=0.5, block_tokens=2
+    )
+
+
+# ----------------------------------------------------------------- embedding cosine
+
+_COS_SQL = """
+list_aggregate([a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE
+                for x in range(1, len(a.embedding) + 1)], 'sum')
+/ (sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in a.embedding], 'sum'))
+   * sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in b.embedding], 'sum')))
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
+         ROUND({_COS_SQL}, 4) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id),
+ranked AS (
+  SELECT blk, v1, v2, cos,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY cos DESC, v1, v2) AS rn
+  FROM pairs)
+SELECT blk, v1, v2, cos, rn FROM ranked WHERE rn <= 3
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-3 most-similar pairs per label
+    block (label stands in for an ANN cluster / LSH bucket id)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return dedup.embedding_near_dups(t["embeddings"], top_per_block=3)
+
+
+# ----------------------------------------------------------------- similarity search
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id,
+       ROUND(list_aggregate([q.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE
+                             for x in range(1, len(q.embedding) + 1)], 'sum')
+             / (sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in q.embedding], 'sum'))
+                * sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in b.embedding], 'sum'))), 4)
+           AS cos
+FROM embeddings b, q
+WHERE b.vec_id <> 0
+ORDER BY cos DESC, b.vec_id
+LIMIT 10
+""",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the query vector,
+    map-side cosine fold, TakeOrderedAndProject top-k — the exact-recall
+    reference an IVF/LSH path is measured against."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _lsh_bucket_sql(num_planes: int = 6) -> str:
+    projs = ", ".join(
+        f"""list_aggregate([embedding[x]::DOUBLE *
+            (('0x' || substr(md5('plane{p}~' || (x - 1)::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 2147483648.0 - 1.0)
+            for x in range(1, len(embedding) + 1)], 'sum') AS proj{p}"""
+        for p in range(num_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(num_planes)
+    )
+    return f"""
+WITH proj AS (SELECT vec_id, {projs} FROM embeddings)
+SELECT bucket, COUNT(*) AS n_vectors
+FROM (SELECT vec_id, {bucket} AS bucket FROM proj)
+GROUP BY bucket
+"""
+
+
+@register("sim_lsh_buckets", oracle=_lsh_bucket_sql())
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the scale path for ANN: search
+    only within a bucket).  Hyperplanes are md5-derived, so the bucket
+    assignment is exactly reproducible in the oracle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            V.lsh_hyperplane_bucket(F.col("embedding"), num_planes=6, dims=64).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

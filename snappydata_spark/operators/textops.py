@@ -1,0 +1,155 @@
+"""Text-analysis operator queries over the documents table (SURVEY.md §7
+M6: token counting, quality scoring, language-ID, fingerprinting).
+
+All Spark-side logic is pure Catalyst expressions (functions/text.py); the
+DuckDB oracles restate the identical arithmetic, so values hash-match
+exactly (md5-derived hashes are byte-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark.functions import text as T
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_STOP = "('the', 'a', 'and', 'of', 'to', 'in')"
+
+
+@register(
+    "txt_token_metrics",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, n_chars, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS token_count,
+       ROUND(list_aggregate([length(x) for x in t], 'sum')::DOUBLE / len(t), 4)
+           AS avg_token_len,
+       ROUND(len([x for x in t if x in {_STOP}])::DOUBLE / len(t), 4)
+           AS stopword_ratio,
+       n_chars
+FROM tok
+""",
+)
+def txt_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — the token-counting stage of a
+    training-data pipeline (whitespace tokenizer)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("token_count"),
+        F.round(T.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        "n_chars",
+    )
+
+
+@register(
+    "txt_quality_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+m AS (SELECT doc_id, lang,
+             len(t)::DOUBLE AS tc,
+             list_aggregate([length(x) for x in t], 'sum')::DOUBLE / len(t) AS atl,
+             len([x for x in t if x in {_STOP}])::DOUBLE / len(t) AS swr
+      FROM tok)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(0.4 * least(1.0, tc / 50.0)
+                 + 0.3 * (1.0 - swr)
+                 + 0.3 * least(1.0, atl / 6.0)), 4) AS avg_quality
+FROM m GROUP BY lang
+""",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring aggregated per language — the cheap
+    quality pre-filter stage."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("lang", T.quality_score(F.col("text")).alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def _langid_oracle() -> str:
+    votes = ", ".join(
+        f"len([x for x in t if x in {tuple(m)}]) AS v_{lang}"
+        for lang, m in T.LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in T.LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN v_{lang} = best AND best > 0 THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+v AS (SELECT doc_id, lang, {votes} FROM tok),
+g AS (SELECT doc_id, lang,
+             CASE {whens} ELSE 'und' END AS lang_guess
+      FROM (SELECT *, {best} AS best FROM v))
+SELECT lang, lang_guess, COUNT(*) AS cnt
+FROM g GROUP BY lang, lang_guess
+"""
+
+
+@register("txt_lang_id", oracle=_langid_oracle())
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic → confusion matrix against the
+    labeled lang column.  (The synthetic corpus shares one vocabulary, so
+    the heuristic mostly votes 'en' — the operator under test is the
+    deterministic classifier, not its accuracy.)"""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("lang", T.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       md5(array_to_string({_TOKS}[1:3], ' ')) AS prefix_fp
+FROM documents
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + prefix fingerprints (rolling-hash analogue: md5 over
+    normalized text; prefix fp is the cheap blocking key)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.prefix_fingerprint(F.col("text"), 3).alias("prefix_fp"),
+    )
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(text::BLOB) AS byte_len,
+       md5(text) AS content_md5,
+       substr(source, 4) AS source_id
+FROM documents
+""",
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: treat document text as an opaque binary
+    payload column (the image/audio pattern — sources/multimodal.py) and
+    compute byte-level metadata JVM-side."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        F.length(F.col("text").cast("binary")).alias("byte_len"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.substring("source", 4, 100).alias("source_id"),
+    )
