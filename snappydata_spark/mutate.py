@@ -21,12 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _key_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
+def _anti_on_keys(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """target rows whose key tuple does NOT appear in source, with
+    null-safe key equality (a NULL key is a matchable value, as in the
+    reference's store PK semantics)."""
+    marked = source.select(
+        *[F.col(k).alias(f"__src_{k}") for k in keys]
+    ).distinct()
     cond = None
     for k in keys:
-        c = left[k].eqNullSafe(right[k])
+        c = target[k].eqNullSafe(marked[f"__src_{k}"])
         cond = c if cond is None else cond & c
-    return cond
+    return target.join(marked, cond, "left_anti")
 
 
 def put_into_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -42,7 +48,7 @@ def put_into_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFr
     if not keys:
         raise ValueError("PUT INTO requires key columns (PrePutCheck)")
     cols = target.columns
-    keep = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    keep = _anti_on_keys(target, source, keys)
     return keep.select(*cols).unionByName(source.select(*cols))
 
 
@@ -81,6 +87,4 @@ def delete_from_df(target: DataFrame, source: DataFrame, keys: list[str]) -> Dat
     delete target rows whose key tuple appears in `source`."""
     if not keys:
         raise ValueError("deleteFrom requires key columns")
-    return target.join(source.select(*keys).distinct(), on=keys, how="left_anti").select(
-        *target.columns
-    )
+    return _anti_on_keys(target, source, keys).select(*target.columns)

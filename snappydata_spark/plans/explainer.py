@@ -23,11 +23,20 @@ def physical_plan(df: DataFrame) -> str:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded — those are the cheap kind for small dims)."""
+    exchanges excluded — those are the cheap kind for small dims).
+    Counts formatted-explain Exchange blocks whose Arguments are hash/
+    range/single partitionings (i.e. real shuffles)."""
     plan = physical_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
-        re.findall(r"\bExchange rangepartitioning", plan)
-    )
+    n = 0
+    for block in re.finditer(
+        r"\(\d+\) Exchange\n(.*?)(?=\n\(\d+\)|\Z)", plan, flags=re.S
+    ):
+        if re.search(
+            r"Arguments: (hashpartitioning|rangepartitioning|SinglePartition)",
+            block.group(1),
+        ):
+            n += 1
+    return n
 
 
 def broadcast_join_count(df: DataFrame) -> int:
@@ -44,7 +53,7 @@ def scan_pushdown_info(df: DataFrame) -> list[dict]:
     plan = physical_plan(df)
     out = []
     for scan in re.finditer(
-        r"Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, flags=re.S
+        r"\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, flags=re.S
     ):
         block = scan.group(0)
         pushed = re.search(r"PushedFilters: \[(.*?)\]", block)

@@ -1,0 +1,10 @@
+from snappydata_spark.streaming.sink import SnappySink, EVENT_INSERT, EVENT_UPDATE, EVENT_DELETE
+from snappydata_spark.streaming.sources import stream_reader
+
+__all__ = [
+    "SnappySink",
+    "stream_reader",
+    "EVENT_INSERT",
+    "EVENT_UPDATE",
+    "EVENT_DELETE",
+]

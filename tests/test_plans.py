@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB design checks (SURVEY.md §4):
+filters reach the parquet scan, small dims broadcast, bucketed joins elide
+the shuffle (CollapseCollocatedPlans / LinkPartitionsToBuckets intent)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappydata_spark.plans import (
+    exchange_count,
+    scan_pushdown_info,
+)
+from snappydata_spark.plans.explainer import (
+    broadcast_join_count,
+    physical_plan,
+)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    from snappydata_spark.operators.tpch import q06
+
+    scans = scan_pushdown_info(q06(spark, sf_dir))
+    assert scans, "no parquet scan found in plan"
+    pushed = scans[0]["pushed_filters"]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # column pruning: only the needed columns are read
+    assert "l_returnflag" not in scans[0]["read_schema"]
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    from snappydata_spark.operators.tpch import q05
+
+    df = q05(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2  # customer + supplier-side dims
+    # only shuffles allowed: lineitem⋈orders join and the final group-by
+    assert exchange_count(df) <= 3
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    from snappydata_spark.operators.tpch import q01
+
+    df = q01(spark, sf_dir)
+    assert exchange_count(df) == 1  # partial agg → exchange → final agg
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """The reference's colocated-join claim (LINEITEM colocate_with ORDERS
+    ⇒ no exchange, CollapseCollocatedPlans SnappyStrategies.scala:768-826)
+    reproduced Spark-first: both sides bucketed on the join key ⇒
+    SortMergeJoin without any hashpartitioning exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        line = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        line.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
+        orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        n_exchanges = exchange_count(j)
+        assert n_exchanges == 0, physical_plan(j)
+        assert j.count() > 0
+        # contrast: the plain (non-bucketed) join must shuffle both sides
+        plain = line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert exchange_count(plain) == 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_dedup_minhash_no_cartesian(spark, sf_dir):
+    from snappydata_spark.operators.dedup_ops import dedup_minhash
+
+    plan = physical_plan(dedup_minhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from snappydata_spark.operators.tpch import q03
+
+    plan = physical_plan(q03(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT n

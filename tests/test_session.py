@@ -1,0 +1,80 @@
+"""SnappySession facade: DDL/DML lifecycle, SQL dialect, plan cache
+(reference API surface python/pyspark/sql/snappy/snappysession.py:26-138)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def loaded(snappy, sf_dir):
+    orders = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snappy.create_table(
+        "t_orders",
+        options={"key_columns": "o_orderkey", "partition_by": "o_orderkey", "buckets": 4},
+        df=orders,
+    )
+    return snappy, orders.count()
+
+
+def test_create_insert_truncate_drop(loaded):
+    sn, n = loaded
+    assert sn.table("t_orders").count() == n
+    assert "t_orders" in sn.list_tables()
+    assert sn.key_columns("t_orders") == ["o_orderkey"]
+    sn.insert("t_orders", sn.table("t_orders").limit(10))
+    assert sn.table("t_orders").count() == n + 10
+    sn.truncate_table("t_orders")
+    assert sn.table("t_orders").count() == 0
+    sn.drop_table("t_orders")
+    assert "t_orders" not in sn.list_tables()
+
+
+def test_put_update_delete_api(loaded):
+    sn, n = loaded
+    src = sn.table("t_orders").limit(5).withColumn("o_totalprice", F.lit(123.45))
+    sn.put("t_orders", src)
+    assert sn.table("t_orders").count() == n
+    assert sn.table("t_orders").filter(F.col("o_totalprice") == 123.45).count() == 5
+    sn.update("t_orders", "o_totalprice = 123.45", {"o_totalprice": "999.0"})
+    assert sn.table("t_orders").filter(F.col("o_totalprice") == 999.0).count() == 5
+    sn.delete("t_orders", "o_totalprice = 999.0")
+    assert sn.table("t_orders").count() == n - 5
+
+
+def test_sql_dialect_put_update_delete(loaded):
+    sn, n = loaded
+    sn.sql("UPDATE t_orders SET o_totalprice = 1.0 WHERE o_orderkey < 10")
+    low = sn.table("t_orders").filter("o_orderkey < 10").collect()
+    assert all(r.o_totalprice == 1.0 for r in low)
+    sn.sql("DELETE FROM t_orders WHERE o_orderkey < 10")
+    assert sn.table("t_orders").filter("o_orderkey < 10").count() == 0
+    before = sn.table("t_orders").count()
+    sn.sql("PUT INTO t_orders SELECT * FROM t_orders WHERE o_orderkey < 100")
+    assert sn.table("t_orders").count() == before  # pure upsert, no growth
+
+
+def test_sql_passthrough_and_plan_cache(snappy, sf_dir):
+    snappy.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_v"
+    )
+    a = snappy.sql("SELECT count(*) AS c FROM nation_v WHERE n_regionkey = 0").collect()
+    b = snappy.sql("SELECT count(*) AS c FROM nation_v WHERE n_regionkey = 1").collect()
+    total = snappy.sql("SELECT count(*) AS c FROM nation_v").collect()[0].c
+    assert a[0].c + b[0].c <= total
+    assert snappy.plan_cache.hits >= 1
+
+
+def test_delete_from_api(loaded):
+    sn, n = loaded
+    doomed = sn.table("t_orders").select("o_orderkey").limit(7)
+    sn.delete_from("t_orders", doomed)
+    assert sn.table("t_orders").count() == n - 7
+
+
+def test_create_table_overwrite_guard(snappy, sf_dir):
+    df = snappy.spark.range(3)
+    snappy.create_table("dup_t", df=df)
+    with pytest.raises(ValueError):
+        snappy.create_table("dup_t", df=df)
+    snappy.create_table("dup_t", df=df.withColumn("y", F.lit(1)), overwrite=True)
+    assert "y" in snappy.table("dup_t").columns

@@ -1,0 +1,138 @@
+"""CDC sink semantic matrix — mirrors SnappyStoreSinkProviderSuite.scala:
+72-286 (insert/update/delete events, within-batch conflation, keyless
+insert, keyed put, duplicate-batch idempotency)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappydata_spark.streaming import (
+    SnappySink,
+    EVENT_DELETE,
+    EVENT_INSERT,
+    EVENT_UPDATE,
+)
+from snappydata_spark.streaming.sink import conflate_events
+
+
+@pytest.fixture()
+def sink_env(snappy):
+    base = snappy.spark.createDataFrame(
+        [(1, "one", 1.0), (2, "two", 2.0)], "k int, v string, x double"
+    )
+    snappy.create_table("cdc_t", options={"key_columns": "k"}, df=base)
+    sink = SnappySink(snappy, "cdc_t", query_name="q1")
+    return snappy, sink
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, x double, _eventType int")
+
+
+def test_cdc_insert_update_delete(sink_env):
+    sn, sink = sink_env
+    sink(
+        _batch(
+            sn.spark,
+            [
+                (3, "three", 3.0, EVENT_INSERT),   # new key → insert
+                (1, "ONE", 1.5, EVENT_UPDATE),     # existing → update
+                (2, None, 0.0, EVENT_DELETE),      # existing → delete
+            ],
+        ),
+        batch_id=0,
+    )
+    got = {(r.k, r.v) for r in sn.table("cdc_t").collect()}
+    assert got == {(1, "ONE"), (3, "three")}
+
+
+def test_cdc_conflation_keeps_last_event(sink_env):
+    sn, sink = sink_env
+    # same key: insert then two updates within one batch → single upsert
+    # with the LAST payload (reference :286-309)
+    sink(
+        _batch(
+            sn.spark,
+            [
+                (5, "v1", 1.0, EVENT_INSERT),
+                (5, "v2", 2.0, EVENT_UPDATE),
+                (5, "v3", 3.0, EVENT_UPDATE),
+            ],
+        ),
+        batch_id=0,
+    )
+    rows = sn.table("cdc_t").filter(F.col("k") == 5).collect()
+    assert len(rows) == 1 and rows[0].v == "v3"
+
+
+def test_cdc_insert_then_delete_conflates_to_delete(sink_env):
+    sn, sink = sink_env
+    sink(
+        _batch(
+            sn.spark,
+            [(7, "temp", 1.0, EVENT_INSERT), (7, "temp", 1.0, EVENT_DELETE)],
+        ),
+        batch_id=0,
+    )
+    assert sn.table("cdc_t").filter(F.col("k") == 7).count() == 0
+
+
+def test_duplicate_batch_skipped(sink_env):
+    sn, sink = sink_env
+    b = _batch(sn.spark, [(9, "nine", 9.0, EVENT_INSERT)])
+    sink(b, batch_id=1)
+    # re-deliver same batch id with different payload — must be ignored
+    sink(_batch(sn.spark, [(9, "NINE-2", 0.0, EVENT_INSERT)]), batch_id=1)
+    rows = sn.table("cdc_t").filter(F.col("k") == 9).collect()
+    assert len(rows) == 1 and rows[0].v == "nine"
+
+
+def test_no_event_type_keyed_put(sink_env):
+    sn, sink = sink_env
+    plain = sn.spark.createDataFrame([(1, "replaced", 10.0)], "k int, v string, x double")
+    sink(plain, batch_id=0)
+    rows = sn.table("cdc_t").filter(F.col("k") == 1).collect()
+    assert len(rows) == 1 and rows[0].v == "replaced"
+
+
+def test_no_event_type_keyless_insert(snappy):
+    base = snappy.spark.createDataFrame([(1, "a")], "k int, v string")
+    snappy.create_table("plain_t", df=base)  # no key_columns
+    sink = SnappySink(snappy, "plain_t", query_name="q2")
+    sink(snappy.spark.createDataFrame([(1, "a")], "k int, v string"), batch_id=0)
+    assert snappy.table("plain_t").count() == 2  # append, not upsert
+
+
+def test_conflate_events_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k int, v string, seq int"
+    )
+    out = conflate_events(df, ["k"], order_col="seq").collect()
+    assert {(r.k, r.v) for r in out} == {(1, "b"), (2, "c")}
+
+
+def test_streaming_end_to_end_file_source(snappy, tmp_path):
+    """Real Structured Streaming path: file source → foreachBatch(SnappySink)."""
+    import json
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 100, "v": "s1", "x": 1.0, "_eventType": EVENT_INSERT},
+                {"k": 100, "v": "s2", "x": 2.0, "_eventType": EVENT_UPDATE},
+            ]
+        )
+    )
+    base = snappy.spark.createDataFrame([(0, "seed", 0.0)], "k int, v string, x double")
+    snappy.create_table("stream_t", options={"key_columns": "k"}, df=base)
+    sink = SnappySink(snappy, "stream_t", query_name="q3")
+    stream = (
+        snappy.spark.readStream.schema("k int, v string, x double, _eventType int")
+        .json(str(src_dir))
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in snappy.table("stream_t").collect()}
+    assert got == {(0, "seed"), (100, "s2")}
