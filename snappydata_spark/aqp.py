@@ -1,0 +1,142 @@
+"""AQP-lite: stratified sample tables + error-bounded aggregates + topk.
+
+Reference surface (the aqp implementation jar is absent in the reference
+checkout — semantics documented in docs/sde/*.md and the API hooks in
+core):
+
+- CREATE SAMPLE TABLE ... OPTIONS (qcs 'c1,c2', fraction '0.01')
+  (SnappySession.createSampleTable:872-936): stratified sample keyed on
+  the query-column-set, queries transparently rerouted.
+- `WITH ERROR <fraction>` queries return estimates with error bounds
+  (docs/sde/running_queries.md:4-31): absolute_error / relative_error /
+  lower_bound / upper_bound per aggregate.
+- createApproxTSTopK (SnappySession:958-1026): time-windowed approximate
+  top-k (CMS-backed in the reference).
+
+Spark-first: the sample is a materialized `sampleBy` DataFrame with a
+per-stratum observed count; estimates scale by the per-stratum inverse
+sampling ratio (Horvitz-Thompson), and error bounds come from the normal
+approximation (closed-form CLT, the same approach SDE documents for
+sum/avg/count).  Top-k uses exact per-bucket groupBy over the sample —
+at scale the sample is small, so this stays cheap where the full-data
+top-k would shuffle the world.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+Z_95 = 1.959963984540054  # 95% two-sided normal quantile
+
+
+class SampleTable:
+    """A stratified sample with the metadata needed for estimation."""
+
+    def __init__(self, sample: DataFrame, qcs: list[str], fractions: dict, base_count: int):
+        self.sample = sample
+        self.qcs = qcs
+        self.fractions = fractions
+        self.base_count = base_count
+
+
+def create_sample_table(
+    df: DataFrame, qcs: list[str], fraction: float, seed: int = 42
+) -> SampleTable:
+    """Stratified sample on the query column set (qcs): every stratum keeps
+    ~fraction of its rows (sampleBy), so group-bys ON the qcs columns stay
+    representative even for rare strata — the point of SDE's qcs option."""
+    key = qcs[0] if len(qcs) == 1 else None
+    if key is None:
+        df = df.withColumn("__stratum", F.concat_ws("§", *[F.col(c) for c in qcs]))
+        key = "__stratum"
+    strata = [r[0] for r in df.select(key).distinct().collect()]
+    fractions = {s: fraction for s in strata}
+    sample = df.sampleBy(key, fractions, seed=seed)
+    if "__stratum" in sample.columns:
+        sample = sample.drop("__stratum")
+    return SampleTable(sample, qcs, fractions, df.count())
+
+
+def approx_agg(
+    st: SampleTable,
+    group_cols: list[str],
+    value_col: str,
+    agg: str = "sum",
+    confidence: float = 0.95,
+) -> DataFrame:
+    """Error-bounded aggregate over the sample (WITH ERROR semantics).
+
+    Returns estimate, absolute_error (half-width of the CI), relative_error,
+    lower_bound, upper_bound — the four SDE error functions
+    (docs/sde/running_queries.md)."""
+    if confidence != 0.95:
+        raise NotImplementedError("only 95% confidence implemented")
+    s = st.sample
+    # per-group sample moments
+    v = F.col(value_col)
+    g = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("s_sum"),
+        F.avg(value_col).alias("s_avg"),
+        F.coalesce(F.var_samp(value_col), F.lit(0.0)).alias("s_var"),
+        F.sum(v * v).alias("s_sum2"),
+    )
+    # uniform stratum fraction ⇒ scale-up factor is 1/f for every group
+    f = next(iter(st.fractions.values()))
+    inv = 1.0 / f
+    if agg == "sum":
+        # Horvitz-Thompson under Bernoulli sampling:
+        # est = (1/f) Σy,  Var̂ = ((1-f)/f²) Σy²  — the Σy² term carries the
+        # randomness of the realized sample count, not just value spread
+        est = F.col("s_sum") * inv
+        se = F.sqrt(F.col("s_sum2") * (1.0 - f)) * inv
+    elif agg == "avg":
+        est = F.col("s_avg")
+        se = F.sqrt(F.col("s_var") / F.col("n"))
+    elif agg == "count":
+        est = F.col("n") * inv
+        # y ≡ 1 in the HT formula: Var̂ = n (1-f)/f²
+        se = F.sqrt(F.col("n") * (1.0 - f)) * inv
+    else:
+        raise ValueError(f"agg {agg!r} not supported (sum/avg/count)")
+    abs_err = F.lit(Z_95) * se
+    return g.select(
+        *group_cols,
+        F.round(est, 4).alias("estimate"),
+        F.round(abs_err, 4).alias("absolute_error"),
+        F.round(abs_err / F.abs(est), 6).alias("relative_error"),
+        F.round(est - abs_err, 4).alias("lower_bound"),
+        F.round(est + abs_err, 4).alias("upper_bound"),
+    )
+
+
+def approx_topk_time(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    k: int = 10,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Time-windowed top-k (createApproxTSTopK analogue): per tumbling
+    time bucket, the k most frequent keys.  The reference backs this with
+    a count-min sketch + StreamSummary; over a bounded sample / stream
+    window the exact per-bucket groupBy is the Spark-native equivalent
+    (same output contract: (window, key, estimated count))."""
+    from pyspark.sql import Window as W
+
+    bucketed = df.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("w").orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        bucketed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("cnt"),
+            F.col("rank"),
+        )
+    )

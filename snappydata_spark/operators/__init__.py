@@ -10,5 +10,6 @@ from snappydata_spark.operators import events  # noqa: F401
 from snappydata_spark.operators import dml  # noqa: F401
 from snappydata_spark.operators import textops  # noqa: F401
 from snappydata_spark.operators import dedup_ops  # noqa: F401
+from snappydata_spark.operators import aqp_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

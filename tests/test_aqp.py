@@ -1,0 +1,97 @@
+"""AQP statistical contracts: stratified sampling preserves strata, the
+95% CI covers the true value, top-k matches exact computation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappydata_spark import aqp
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_stratified_sample_covers_all_strata(lineitem):
+    st = aqp.create_sample_table(lineitem, ["l_returnflag"], 0.2)
+    strata = {r[0] for r in lineitem.select("l_returnflag").distinct().collect()}
+    sampled = {r[0] for r in st.sample.select("l_returnflag").distinct().collect()}
+    assert sampled == strata
+
+
+def test_sum_estimate_within_bounds(lineitem):
+    st = aqp.create_sample_table(lineitem, ["l_returnflag"], 0.3)
+    est = {
+        r.l_returnflag: r
+        for r in aqp.approx_agg(
+            st, ["l_returnflag"], "l_extendedprice", "sum"
+        ).collect()
+    }
+    true = {
+        r.l_returnflag: r.s
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    covered = sum(
+        1
+        for flag, r in est.items()
+        if r.lower_bound <= true[flag] <= r.upper_bound
+    )
+    # 95% CI over 3 strata: allow one miss
+    assert covered >= len(est) - 1
+    for flag, r in est.items():
+        assert r.relative_error < 0.2
+
+
+def test_avg_estimate_close(lineitem):
+    st = aqp.create_sample_table(lineitem, ["l_returnflag"], 0.3)
+    est = {
+        r.l_returnflag: r.estimate
+        for r in aqp.approx_agg(st, ["l_returnflag"], "l_quantity", "avg").collect()
+    }
+    true = {
+        r.l_returnflag: r.a
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("a"))
+        .collect()
+    }
+    for flag in true:
+        assert est[flag] == pytest.approx(true[flag], rel=0.1)
+
+
+def test_count_estimate(lineitem):
+    st = aqp.create_sample_table(lineitem, ["l_linestatus"], 0.3)
+    est = aqp.approx_agg(st, ["l_linestatus"], "l_quantity", "count").collect()
+    true = {
+        r.l_linestatus: r.c
+        for r in lineitem.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in est:
+        assert r.estimate == pytest.approx(true[r.l_linestatus], rel=0.15)
+
+
+def test_topk_matches_exact(spark, sf_dir):
+    from snappydata_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    topk = aqp.approx_topk_time(events, "event_type", "ts", k=1, window="1 hour")
+    # rank-1 rows must be the true per-hour max
+    exact = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("h")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    j = topk.join(exact, topk.window_start == exact.h)
+    assert j.filter(F.col("cnt") != F.col("max_cnt")).count() == 0
+
+
+def test_multi_column_qcs(lineitem):
+    st = aqp.create_sample_table(lineitem, ["l_returnflag", "l_linestatus"], 0.2)
+    assert "__stratum" not in st.sample.columns
+    combos_base = lineitem.select("l_returnflag", "l_linestatus").distinct().count()
+    combos_sample = st.sample.select("l_returnflag", "l_linestatus").distinct().count()
+    assert combos_sample == combos_base
