@@ -11,5 +11,7 @@ from snappydata_spark.operators import dml  # noqa: F401
 from snappydata_spark.operators import textops  # noqa: F401
 from snappydata_spark.operators import dedup_ops  # noqa: F401
 from snappydata_spark.operators import aqp_ops  # noqa: F401
+from snappydata_spark.operators import tpch2  # noqa: F401
+from snappydata_spark.operators import sqlfeatures  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,253 @@
+"""SQL-feature breadth: set-op ALL variants, posexplode/lateral view,
+math/regexp/array/conditional function families, UDF registration
+(SURVEY.md §2.7, §2.10, §2.11)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+@register(
+    "setop_all_variants",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS cnt FROM (
+  (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+   UNION ALL
+   SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 9500
+) GROUP BY c_nationkey
+""",
+)
+def setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / EXCEPT ALL (multiset semantics — each occurrence in the
+    right side cancels ONE occurrence on the left)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    left = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select("c_nationkey")
+        .unionAll(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey"))
+    )
+    minus = c.filter(F.col("c_acctbal") > 9500).select("c_nationkey")
+    return left.exceptAll(minus).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "lateral_posexplode",
+    oracle="""
+SELECT doc_id, x - 1 AS pos, t[x] AS token
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 20),
+     UNNEST(range(1, len(t) + 1)) AS u(x)
+""",
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode (grammar SnappyParser.scala:1137-1151) —
+    position-preserving token explosion."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+        )
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_linenumber,
+       ROUND(SUM(sqrt(l_quantity)), 4) AS sum_sqrt,
+       ROUND(SUM(pow(l_discount, 2)), 6) AS sum_sq,
+       ROUND(SUM(abs(l_extendedprice - 1000)), 2) AS sum_absdev,
+       ROUND(SUM(ln(l_quantity)), 4) AS sum_ln,
+       SUM(CAST(floor(l_extendedprice / 100) AS BIGINT)) AS sum_floor,
+       SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS sum_ceil,
+       SUM(CAST(l_orderkey AS BIGINT) % 97) AS sum_mod
+FROM lineitem
+GROUP BY l_linenumber
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (inherited registry §2.10)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_linenumber")
+        .agg(
+            F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_sq"),
+            F.round(F.sum(F.abs(F.col("l_extendedprice") - 1000)), 2).alias(
+                "sum_absdev"
+            ),
+            F.round(F.sum(F.log(F.col("l_quantity"))), 4).alias("sum_ln"),
+            F.sum(F.floor(F.col("l_extendedprice") / 100).cast("long")).alias(
+                "sum_floor"
+            ),
+            F.sum(F.ceil(F.col("l_quantity") / 7).cast("long")).alias("sum_ceil"),
+            F.sum(F.col("l_orderkey").cast("long") % 97).alias("sum_mod"),
+        )
+    )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+       regexp_matches(c_name, '^Customer#0+[0-9]+$') AS well_formed,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled
+FROM customer WHERE c_custkey < 100
+""",
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract / match-test / global replace."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("name_num"),
+            F.col("c_name").rlike(r"^Customer#0+[0-9]+$").alias("well_formed"),
+            F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("devoweled"),
+        )
+    )
+
+
+@register(
+    "scalar_conditional_funcs",
+    oracle="""
+SELECT o_orderstatus,
+       SUM(CASE WHEN coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'),
+                              'UNSPECIFIED') = 'UNSPECIFIED'
+                THEN 1 ELSE 0 END) AS unspecified_cnt,
+       ROUND(SUM(greatest(o_totalprice, 10000.0)), 2) AS sum_floor_10k,
+       ROUND(SUM(least(o_totalprice, 50000.0)), 2) AS sum_cap_50k
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / GREATEST / LEAST."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    unspec = F.coalesce(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+        F.lit("UNSPECIFIED"),
+    )
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(unspec == "UNSPECIFIED", 1).otherwise(0)).alias(
+                "unspecified_cnt"
+            ),
+            F.round(
+                F.sum(F.greatest(F.col("o_totalprice"), F.lit(10000.0))), 2
+            ).alias("sum_floor_10k"),
+            F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(50000.0))), 2).alias(
+                "sum_cap_50k"
+            ),
+        )
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(embedding[1]::DOUBLE, 4) AS first_val,
+       ROUND(list_aggregate([v::DOUBLE for v in embedding[1:8]], 'sum'), 4)
+           AS head_sum,
+       ROUND(list_max([v::DOUBLE for v in embedding]), 4) AS max_val,
+       ROUND(list_min([v::DOUBLE for v in embedding]), 4) AS min_val
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column: size / index /
+    slice-fold / max / min (§1.2 nested types)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at(dbl, 1), 4).alias("first_val"),
+            F.round(
+                F.aggregate(
+                    F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x
+                ),
+                4,
+            ).alias("head_sum"),
+            F.round(F.array_max(dbl), 4).alias("max_val"),
+            F.round(F.array_min(dbl), 4).alias("min_val"),
+        )
+    )
+
+
+@register(
+    "udf_python_registered",
+    oracle="""
+SELECT o_orderstatus, ROUND(SUM(ROUND(o_totalprice * 0.07, 2)), 2) AS total_tax
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION surface (SnappyDDLParser.createFunction:765-795) →
+    spark.udf.register.  Deliberately a slow-path row UDF: the point is
+    the registration contract; the pandas variant below is the fast path."""
+
+    def tax(p: float) -> float:
+        return round(p * 0.07, 2) if p is not None else None
+
+    spark.udf.register("py_tax", tax, DoubleType())
+    t = load_tables(spark, sf_dir, ("orders",))
+    t["orders"].createOrReplaceTempView("orders_udf_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, ROUND(SUM(py_tax(o_totalprice)), 2) AS total_tax
+        FROM orders_udf_v GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+SELECT o_orderstatus, ROUND(SUM(ROUND(o_totalprice * 0.07, 2)), 2) AS total_tax
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf — the 10-100× faster path for
+    unavoidable Python (SURVEY.md scale stance)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def pd_tax(p: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # half-away-from-zero to match SQL ROUND (pandas .round is
+        # half-even and would drift from the oracle on .xx5 boundaries)
+        return np.floor(p * 0.07 * 100 + 0.5) / 100
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum(pd_tax(F.col("o_totalprice"))), 2).alias("total_tax"))
+    )

@@ -1,0 +1,201 @@
+"""Second wave of TPC-H-style queries (Q8/Q11/Q13/Q17/Q20 shapes adapted
+to the reduced schema — citations are the reference's TPCH_Queries.scala
+getQuery8/11/13/17/20)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q08_market_share",
+    oracle="""
+WITH sales AS (
+  SELECT YEAR(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA')
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM sales GROUP BY o_year
+""",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market share (getQuery8): conditional-sum ratio by year."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    sales = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(asia), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(F.sum(target) / F.sum("volume"), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY l_suppkey, l_partkey)
+SELECT l_suppkey, l_partkey, ROUND(value, 2) AS value
+FROM sp
+WHERE value > (SELECT SUM(value) * 0.00008 FROM sp)
+""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (getQuery11, lineitem standing in for partsupp):
+    groups above a global-total threshold (uncorrelated scalar subquery)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    sp = (
+        t["lineitem"]
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    threshold = sp.agg((F.sum("value") * 0.00008).alias("thr"))
+    return (
+        sp.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_suppkey", "l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (getQuery13): left-outer join with join-condition filter
+    (not WHERE — null-extension must survive), double aggregation."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    c_orders = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (getQuery17): correlated scalar subquery over the fact
+    table → expressed as a pre-aggregated per-part average joined back
+    (the decorrelated plan Catalyst produces for the SQL form)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    part_avg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#3")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("avg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey
+  HAVING SUM(l.l_quantity) > 100)
+""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (getQuery20): nested IN subqueries → semi-join chain
+    with group-having in the middle."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    shippers = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(shippers, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
