@@ -17,12 +17,18 @@ from dataclasses import dataclass, field
 
 @dataclass
 class Statement:
-    kind: str  # put | update | delete | truncate | insert_select | passthrough
+    kind: str  # put | update | delete | truncate | insert_select |
+    #            create_table | create_sample | create_index | drop_index |
+    #            drop_table | passthrough
     table: str = ""
     where: str | None = None
     assignments: dict = field(default_factory=dict)
     source_sql: str | None = None
     source_df: object = None
+    provider: str = "column"
+    options: dict = field(default_factory=dict)
+    schema_sql: str | None = None
+    if_not_exists: bool = False
 
 
 _PUT = re.compile(r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.I | re.S)
@@ -36,6 +42,36 @@ _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
 _INSERT_SELECT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
 )
+# CREATE TABLE t (schema)? USING column|row [OPTIONS (...)] [AS SELECT ...]
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(\(.*?\))?\s*USING\s+(COLUMN|ROW)\s*"
+    r"(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*)?$",
+    re.I | re.S,
+)
+_CREATE_SAMPLE = re.compile(
+    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(\w+)\s+ON\s+(\w+)\s*"
+    r"OPTIONS\s*\((.*?)\)\s*$",
+    re.I | re.S,
+)
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)",
+    re.I | re.S,
+)
+_DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+
+
+def _parse_options(text: str | None) -> dict:
+    """OPTIONS (k 'v', k2 'v2') or (k='v') — the reference accepts both."""
+    out: dict[str, str] = {}
+    if not text:
+        return out
+    for m in re.finditer(r"(\w+)\s*(?:=|\s)\s*'([^']*)'", text):
+        out[m.group(1).lower()] = m.group(2)
+    return out
 
 
 def _split_assignments(text: str) -> dict[str, str]:
@@ -63,6 +99,39 @@ def _split_assignments(text: str) -> dict[str, str]:
 
 
 def split_statement(text: str) -> Statement:
+    m = _CREATE_SAMPLE.match(text)
+    if m:
+        return Statement(
+            "create_sample", table=m.group(1), source_sql=m.group(2),
+            options=_parse_options(m.group(3)),
+        )
+    m = _CREATE_TABLE.match(text)
+    if m:
+        name, schema_sql, provider, opts, as_select = m.groups()
+        return Statement(
+            "create_table",
+            table=name,
+            schema_sql=schema_sql.strip("() \n") if schema_sql else None,
+            provider=provider.lower(),
+            options=_parse_options(opts),
+            source_sql=re.sub(r"^AS\s+", "", as_select, flags=re.I) if as_select else None,
+            if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
+        )
+    m = _CREATE_INDEX.match(text)
+    if m:
+        return Statement(
+            "create_index", table=m.group(2),
+            options={"index": m.group(1), "columns": m.group(3)},
+        )
+    m = _DROP_INDEX.match(text)
+    if m:
+        return Statement("drop_index", options={"index": m.group(1)})
+    m = _DROP_TABLE.match(text)
+    if m:
+        return Statement(
+            "drop_table", table=m.group(1),
+            if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
+        )
     m = _PUT.match(text)
     if m:
         body = m.group(2).strip()

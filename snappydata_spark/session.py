@@ -77,6 +77,14 @@ class SnappySession:
         self.spark = spark or get_spark()
         self.catalog = Catalog(store_dir)
         self.plan_cache = PlanCache()
+        # index registry: name → (table, columns). Indexes are metadata in
+        # this engine (reference createIndex SnappyDDLParser:519): parquet
+        # row-group min/max stats + key-clustered layout provide the
+        # skipping; the registry records intent and drives sort-on-write.
+        self._indexes: dict[str, tuple[str, list[str]]] = {}
+        # disambiguates bucketed catalog-table names across SnappySession
+        # instances sharing one SparkSession (e.g. test fixtures)
+        self._session_id = uuid.uuid4().hex[:8]
 
     # ------------------------------------------------------------------ DDL
 
@@ -112,6 +120,8 @@ class SnappySession:
         name = name.lower()
         if not self.catalog.exists(name) and not if_exists:
             raise ValueError(f"table {name} does not exist")
+        if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._cat_name(name)}")
         self.catalog.drop(name)
         try:
             self.spark.catalog.dropTempView(name)
@@ -149,8 +159,11 @@ class SnappySession:
     def table(self, name: str) -> DataFrame:
         name = name.lower()
         if self.catalog.exists(name):
-            df = self.spark.read.parquet(self.catalog.data_path(name))
             meta = self.catalog.load_meta(name)
+            if self._is_bucketed(meta):
+                df = self.spark.table(self._cat_name(name))
+            else:
+                df = self.spark.read.parquet(self.catalog.data_path(name))
             if meta.replicate:
                 # REPLICATE tables join broadcast-side (StoreUtils REPLICATE
                 # option; replicated-table local join SnappyStrategies:330-343)
@@ -200,6 +213,28 @@ class SnappySession:
         goes to spark.sql via the plan cache (normalized-literal keyed,
         mirroring ParamLiteral tokenization SnappyParser.scala:226-261)."""
         stmt = split_statement(text)
+        if stmt.kind == "create_table":
+            if self.catalog.exists(stmt.table) and stmt.if_not_exists:
+                return None
+            df = self.spark.sql(stmt.source_sql) if stmt.source_sql else None
+            self.create_table(
+                stmt.table,
+                schema=stmt.schema_sql if df is None else None,
+                provider=stmt.provider,
+                options=stmt.options,
+                df=df,
+            )
+            return None
+        if stmt.kind == "create_sample":
+            return self._create_sample_table(stmt.table, stmt.source_sql, stmt.options)
+        if stmt.kind == "create_index":
+            return self._create_index(stmt.table, stmt.options)
+        if stmt.kind == "drop_index":
+            self._indexes.pop(stmt.options["index"].lower(), None)
+            return None
+        if stmt.kind == "drop_table" and self.catalog.exists(stmt.table):
+            self.drop_table(stmt.table, if_exists=stmt.if_not_exists)
+            return None
         if stmt.kind == "put":
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
             self.put(stmt.table, src)
@@ -218,42 +253,118 @@ class SnappySession:
             return None
         return self.plan_cache.get_or_build(self.spark, text)
 
+    # ----------------------------------------------------------- sample/index
+
+    def _create_sample_table(self, name: str, base_table: str, options: dict):
+        """CREATE SAMPLE TABLE s ON t OPTIONS (qcs 'c1,c2', fraction '0.02')
+        (SnappySession.createSampleTable:872-936): materialize the
+        stratified sample as a managed table tagged with AQP metadata."""
+        from snappydata_spark import aqp
+
+        qcs = [c.strip().lower() for c in options.get("qcs", "").split(",") if c.strip()]
+        fraction = float(options.get("fraction", 0.01))
+        if not qcs:
+            raise ValueError("CREATE SAMPLE TABLE requires a qcs option")
+        base = self.table(base_table)
+        st = aqp.create_sample_table(base, qcs, fraction)
+        self.create_table(
+            name,
+            provider="sample",
+            options={
+                "base_table": base_table.lower(),
+                "qcs": ",".join(qcs),
+                "fraction": str(fraction),
+            },
+            df=st.sample,
+            overwrite=True,
+        )
+        return None
+
+    def create_sample_table(self, name: str, base_table: str, qcs, fraction: float):
+        opts = {"qcs": ",".join(qcs) if not isinstance(qcs, str) else qcs,
+                "fraction": str(fraction)}
+        return self._create_sample_table(name, base_table, opts)
+
+    def approx_agg(self, sample_table: str, group_cols, value_col, agg="sum"):
+        """WITH ERROR query path against a registered sample table."""
+        from snappydata_spark import aqp
+
+        meta = self.catalog.load_meta(sample_table.lower())
+        fraction = float(meta.options["fraction"])
+        qcs = meta.options["qcs"].split(",")
+        st = aqp.SampleTable(self.table(sample_table), qcs, {"*": fraction}, -1)
+        return aqp.approx_agg(st, list(group_cols), value_col, agg)
+
+    def _create_index(self, table: str, options: dict):
+        cols = [c.strip().lower() for c in options["columns"].split(",")]
+        self._indexes[options["index"].lower()] = (table.lower(), cols)
+        return None
+
+    def list_indexes(self) -> dict:
+        return dict(self._indexes)
+
     # ------------------------------------------------------------------ io
 
+    def _is_bucketed(self, meta: TableMeta) -> bool:
+        return bool(meta.partition_by and meta.buckets)
+
+    def _cat_name(self, name: str) -> str:
+        """Spark-catalog identifier for a bucketed managed table (the
+        bucketing spec lives in the session catalog, which is what lets
+        EnsureRequirements elide the shuffle on colocated joins)."""
+        return f"snappy_managed_{self._session_id}_{name.lower()}"
+
     def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
-        """PARTITION_BY/BUCKETS → cluster data by key hash before write so
-        files are key-clustered (the Spark-side analogue of bucket layout;
-        at scale this is what makes key-pruned reads and co-located joins
-        possible)."""
-        if meta.partition_by and meta.buckets:
-            df = df.repartition(meta.buckets, *meta.partition_by)
-        elif meta.partition_by:
-            df = df.repartition(*meta.partition_by)
-        df.write.mode(mode).parquet(self.catalog.data_path(meta.name))
+        """PARTITION_BY + BUCKETS → a real bucketed catalog table
+        (bucketBy on the partition keys: Catalyst then knows
+        HashPartitioning, so joins/aggs on those keys need no exchange —
+        the CollapseCollocatedPlans / COLOCATE_WITH semantics of the
+        reference, SnappyStrategies.scala:768-826).  Unbucketed tables are
+        plain parquet dirs."""
+        if self._is_bucketed(meta):
+            writer = (
+                df.repartition(meta.buckets, *meta.partition_by)
+                .write.format("parquet")
+                .bucketBy(meta.buckets, *meta.partition_by)
+                .sortBy(*meta.partition_by)
+                .mode(mode)
+            )
+            writer.saveAsTable(self._cat_name(meta.name))
+        else:
+            df.write.mode(mode).parquet(self.catalog.data_path(meta.name))
 
     def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
-        """Copy-on-write: materialize to a fresh dir then atomic swap —
-        the semantics (not storage trick) of column deltas/delete bitmaps
-        (ColumnDeltaEncoder.scala / ColumnDeleteEncoder.scala)."""
-        tmp = self.catalog.data_path(meta.name) + ".tmp-" + uuid.uuid4().hex[:8]
-        df = result
-        if meta.partition_by and meta.buckets:
-            df = df.repartition(meta.buckets, *meta.partition_by)
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.catalog.data_path(meta.name)
-        old = final + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
+        """Copy-on-write: materialize to a fresh dir then swap — the
+        semantics (not storage trick) of column deltas/delete bitmaps
+        (ColumnDeltaEncoder.scala / ColumnDeleteEncoder.scala).  The tmp
+        materialization also breaks the read-your-own-target cycle of
+        overwrite-while-reading."""
+        tmp = self.catalog.table_path(meta.name) + "/rewrite-" + uuid.uuid4().hex[:8]
+        result.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.parquet(tmp)
+        if self._is_bucketed(meta):
+            self._write(staged, meta, mode="overwrite")
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            final = self.catalog.data_path(meta.name)
+            old = final + ".old-" + uuid.uuid4().hex[:8]
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
         self._refresh_view(meta.name)
 
     def _refresh_view(self, name: str) -> None:
         name = name.lower()
         if self.catalog.exists(name):
+            meta = self.catalog.load_meta(name)
             try:
-                self.spark.read.parquet(
-                    self.catalog.data_path(name)
-                ).createOrReplaceTempView(name)
+                if self._is_bucketed(meta):
+                    self.spark.catalog.refreshTable(self._cat_name(name))
+                    self.spark.table(self._cat_name(name)).createOrReplaceTempView(name)
+                else:
+                    self.spark.read.parquet(
+                        self.catalog.data_path(name)
+                    ).createOrReplaceTempView(name)
             except Exception:
                 pass  # empty table with no files yet
