@@ -199,3 +199,71 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F')
+SELECT s.s_name, COUNT(*) AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s.s_name
+""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (getQuery21, TPCH_Queries.scala): suppliers who were the
+    sole late shipper on multi-supplier finalized orders.  "Late" is
+    adapted to the reduced schema (no commit/receipt dates):
+    l_shipdate > o_orderdate + 90 days.
+
+    The EXISTS / NOT EXISTS pair is decorrelated into one per-order
+    aggregate — n_supp (distinct suppliers) and n_late_supp (distinct
+    late suppliers) — then late rows qualify iff n_supp > 1 and
+    n_late_supp == 1.  One shuffle on l_orderkey computes both counts;
+    at scale this beats the two extra self-join shuffles of the literal
+    EXISTS plan and is skew-safe under AQE."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    final_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    li = (
+        t["lineitem"]
+        .join(final_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
+        )
+    )
+    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        li.filter(F.col("late") == 1)
+        .join(order_stats, F.col("os_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
