@@ -62,6 +62,32 @@ _DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$"
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
 )
+# ALTER TABLE t ADD [COLUMN] c TYPE | DROP [COLUMN] c
+# (SnappyDDLParser.alterTable:697; API SnappySession.alterTable:1634)
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\s,]+?)\s*;?\s*$",
+    re.I,
+)
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$", re.I
+)
+# CREATE TABLE t LIKE s (SnappyDDLParser.createTableLike:349)
+_CREATE_LIKE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+LIKE\s+(\w+)\s*;?\s*$",
+    re.I,
+)
+
+# Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
+# → the partition id of the row (the Spark-native analogue of the server
+# id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
+_DSID = re.compile(r"\bDSID\s*\(\s*\)", re.I)
+_CURRENT_SCHEMA = re.compile(r"\bCURRENT_SCHEMA\b(?:\s*\(\s*\))?", re.I)
+
+
+def rewrite_builtins(text: str) -> str:
+    text = _DSID.sub("spark_partition_id()", text)
+    text = _CURRENT_SCHEMA.sub("current_database()", text)
+    return text
 
 
 def _parse_options(text: str | None) -> dict:
@@ -131,6 +157,23 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "drop_table", table=m.group(1),
             if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
+        )
+    m = _CREATE_LIKE.match(text)
+    if m:
+        return Statement(
+            "create_table_like", table=m.group(1), source_sql=m.group(2),
+            if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
+        )
+    m = _ALTER_ADD.match(text)
+    if m:
+        return Statement(
+            "alter_add", table=m.group(1),
+            options={"column": m.group(2), "type": m.group(3).strip()},
+        )
+    m = _ALTER_DROP.match(text)
+    if m:
+        return Statement(
+            "alter_drop", table=m.group(1), options={"column": m.group(2)}
         )
     m = _PUT.match(text)
     if m:

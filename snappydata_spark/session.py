@@ -24,7 +24,7 @@ from pyspark.sql.types import StructType
 from snappydata_spark.catalog import Catalog, TableMeta
 from snappydata_spark import mutate
 from snappydata_spark.plans.cache import PlanCache
-from snappydata_spark.dialect import split_statement
+from snappydata_spark.dialect import rewrite_builtins, split_statement
 
 
 def get_spark(
@@ -147,6 +147,53 @@ class SnappySession:
         df.createOrReplaceTempView(name.lower())
         return df
 
+    def alter_table(
+        self, name: str, add: dict | None = None, drop: list | None = None
+    ) -> None:
+        """ALTER TABLE ADD/DROP COLUMN (SnappyDDLParser.alterTable:697;
+        API SnappySession.alterTable:1634).  Schema evolution on an
+        immutable columnar layout = one full rewrite — at scale this is a
+        metadata-only op on formats with schema evolution (Parquet merge
+        schema / Delta); we rewrite to keep single-format reads simple."""
+        name = name.lower()
+        meta = self.catalog.load_meta(name)
+        df = self.table(name)
+        for col, sql_type in (add or {}).items():
+            df = df.withColumn(col.lower(), F.lit(None).cast(sql_type))
+        for col in drop or []:
+            if col.lower() in meta.key_columns:
+                raise ValueError(f"cannot drop key column {col}")
+            df = df.drop(col.lower())
+        self._rewrite(df, meta)
+
+    def create_table_like(self, name: str, source: str) -> None:
+        """CREATE TABLE t LIKE s (SnappyDDLParser.createTableLike:349):
+        clone schema + layout options, no data."""
+        src_meta = self.catalog.load_meta(source.lower())
+        empty = self.spark.createDataFrame([], self.table(source).schema)
+        options = dict(src_meta.options)
+        if src_meta.key_columns:
+            options["key_columns"] = ",".join(src_meta.key_columns)
+        if src_meta.partition_by:
+            options["partition_by"] = ",".join(src_meta.partition_by)
+        if src_meta.buckets:
+            options["buckets"] = str(src_meta.buckets)
+        if src_meta.colocate_with:
+            options["colocate_with"] = src_meta.colocate_with
+        if src_meta.replicate:
+            options["replicate"] = "true"
+        self.create_table(name, provider=src_meta.provider, options=options, df=empty)
+
+    def cache_table(self, name: str) -> None:
+        """CACHE TABLE (SnappyDDLParser cache:917) — pin the managed
+        table's view into Spark's columnar cache (the in-memory column-
+        batch analogue: InMemoryTableScanExec does the stat-skipping the
+        reference's ColumnTableScan does)."""
+        self.spark.catalog.cacheTable(name.lower())
+
+    def uncache_table(self, name: str) -> None:
+        self.spark.catalog.uncacheTable(name.lower())
+
     def list_tables(self) -> list[str]:
         return self.catalog.list_tables()
 
@@ -235,6 +282,16 @@ class SnappySession:
         if stmt.kind == "drop_table" and self.catalog.exists(stmt.table):
             self.drop_table(stmt.table, if_exists=stmt.if_not_exists)
             return None
+        if stmt.kind == "create_table_like":
+            if self.catalog.exists(stmt.table) and stmt.if_not_exists:
+                return None
+            return self.create_table_like(stmt.table, stmt.source_sql)
+        if stmt.kind == "alter_add":
+            self.alter_table(stmt.table, add={stmt.options["column"]: stmt.options["type"]})
+            return None
+        if stmt.kind == "alter_drop":
+            self.alter_table(stmt.table, drop=[stmt.options["column"]])
+            return None
         if stmt.kind == "put":
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
             self.put(stmt.table, src)
@@ -251,7 +308,7 @@ class SnappySession:
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
             self.insert(stmt.table, self.spark.sql(stmt.source_sql))
             return None
-        return self.plan_cache.get_or_build(self.spark, text)
+        return self.plan_cache.get_or_build(self.spark, rewrite_builtins(text))
 
     # ----------------------------------------------------------- sample/index
 

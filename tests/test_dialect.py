@@ -81,3 +81,53 @@ def test_index_registry(snappy):
     assert snappy.list_indexes() == {"idx1": ("idx_t", ["k"])}
     snappy.sql("DROP INDEX idx1")
     assert snappy.list_indexes() == {}
+
+
+def test_parse_alter_and_like():
+    s = split_statement("ALTER TABLE t ADD COLUMN c DECIMAL(10,2)")
+    assert s.kind == "alter_add" and s.options == {"column": "c", "type": "DECIMAL(10,2)"}
+    s = split_statement("ALTER TABLE t DROP COLUMN c")
+    assert s.kind == "alter_drop" and s.options["column"] == "c"
+    s = split_statement("CREATE TABLE t2 LIKE t1")
+    assert s.kind == "create_table_like" and s.table == "t2" and s.source_sql == "t1"
+
+
+def test_alter_table_lifecycle(snappy):
+    snappy.sql("CREATE TABLE alt_t (k INT, v STRING) USING COLUMN OPTIONS (key_columns 'k')")
+    snappy.insert("alt_t", snappy.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    snappy.sql("ALTER TABLE alt_t ADD COLUMN score DOUBLE")
+    assert snappy.table("alt_t").columns == ["k", "v", "score"]
+    assert snappy.table("alt_t").filter("score IS NULL").count() == 2
+    snappy.sql("ALTER TABLE alt_t DROP COLUMN v")
+    assert snappy.table("alt_t").columns == ["k", "score"]
+    with pytest.raises(ValueError):
+        snappy.alter_table("alt_t", drop=["k"])  # key column protected
+    snappy.drop_table("alt_t")
+
+
+def test_create_table_like(snappy):
+    snappy.sql(
+        "CREATE TABLE src_t (k INT, v STRING) USING COLUMN "
+        "OPTIONS (key_columns 'k', partition_by 'k', buckets '4')"
+    )
+    snappy.sql("CREATE TABLE dst_t LIKE src_t")
+    assert snappy.table("dst_t").columns == ["k", "v"]
+    assert snappy.table("dst_t").count() == 0
+    assert snappy.key_columns("dst_t") == ["k"]
+    snappy.drop_table("dst_t")
+    snappy.drop_table("src_t")
+
+
+def test_builtin_function_rewrites(snappy):
+    row = snappy.sql("SELECT DSID() AS d, CURRENT_SCHEMA AS s").collect()[0]
+    assert row.d >= 0
+    assert isinstance(row.s, str)
+
+
+def test_cache_uncache(snappy):
+    snappy.sql("CREATE TABLE ch_t USING COLUMN AS SELECT 1 AS x")
+    snappy.cache_table("ch_t")
+    assert snappy.spark.catalog.isCached("ch_t")
+    snappy.uncache_table("ch_t")
+    assert not snappy.spark.catalog.isCached("ch_t")
+    snappy.drop_table("ch_t")
