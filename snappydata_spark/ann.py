@@ -1,0 +1,120 @@
+"""IVF-style approximate nearest neighbor search over embedding columns.
+
+The reference has no vector search (SURVEY.md §2 marks range/as-of/vector
+ops "not implemented"); this is part of the training-data-pipeline surface
+this engine adds as first-class.  Design:
+
+- **Coarse quantizer**: a small set of centroid vectors (trained offline
+  with KMeans, or any deterministic sample).  Centroids are broadcast —
+  they are tiny (C × dims floats) even when the base table is 100 TB.
+- **Assignment (index build)**: every vector gets the cell of its nearest
+  centroid.  Two paths: a pure-DataFrame path (explode over broadcast
+  centroids + max_by argmax — one shuffle on vec_id, oracle-checkable)
+  and a vectorized `mapInPandas` path (numpy matmul per Arrow batch —
+  zero shuffle, the path you run at scale).
+- **Search**: rank centroids by similarity to the query, probe the top
+  `nprobe` cells, brute-force cosine only within the probed cells.  Cell
+  membership is a semi-join against a broadcast probe list, so the scan
+  prunes to ~nprobe/C of the data before any expensive math.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from snappydata_spark.functions import vector as V
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) via DataFrame argmax over broadcast centroids.
+
+    centroids: DataFrame[cid: long, ce: array<float>].  Ties break to the
+    lowest cid (max_by on (cos, -cid)) so results are deterministic and
+    reproducible in ANSI SQL.
+    """
+    cc = emb.select(id_col, vec_col).join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        V.cosine(F.col(vec_col), F.col("ce")).alias("cc"),
+    )
+    return cc.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("neg"))).alias(
+            "cell"
+        )
+    )
+
+
+def ivf_assign_vectorized(
+    emb: DataFrame,
+    centroid_rows: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: per-batch numpy matmul against the centroid matrix —
+    no shuffle, no per-centroid row explosion.  `centroid_rows` is the
+    collected [(cid, vector), ...] list (tiny; ships in the task closure
+    exactly like a broadcast)."""
+    import numpy as np
+
+    cids = [int(c) for c, _ in centroid_rows]
+    mat = np.array([v for _, v in centroid_rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ mat.T
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "cell": [cids[i] for i in best]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell long"
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine within the `nprobe` cells nearest the query.
+
+    query: single-row DataFrame[qe: array<float>].  The probe list and
+    the query vector are broadcast; the only large-side work is a
+    semi-join prune followed by map-side cosine + TakeOrderedAndProject.
+    """
+    probe = (
+        centroids.join(F.broadcast(query))
+        .select("cid", V.cosine(F.col("ce"), F.col("qe")).alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"))
+    )
+    candidates = emb.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
+    return (
+        candidates.join(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(V.cosine(F.col(vec_col), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -286,3 +286,57 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Hand-rolled cosine in DuckDB SQL, same fold order as V.cosine
+    (left-to-right double sum) so floats match bit-for-bit."""
+    return f"""(list_aggregate([{a}[x]::DOUBLE * {b}[x]::DOUBLE
+                 for x in range(1, len({a}) + 1)], 'sum')
+        / (sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in {a}], 'sum'))
+           * sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in {b}], 'sum'))))"""
+
+
+_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id % 31 = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cc AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS cc
+       FROM embeddings e, cent c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM cc) WHERE rn = 1),
+probe AS (SELECT cid AS cell FROM
+    (SELECT c.cid, {_cos_sql('c.ce', 'q.qe')} AS qc FROM cent c, q)
+    ORDER BY qc DESC, cid LIMIT 4)
+SELECT e.vec_id, ROUND({_cos_sql('e.embedding', 'q.qe')}, 4) AS cos
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.cell = a.cell
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_SQL)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (snappydata_spark.ann): deterministic sample centroids
+    (vec_id % 31 == 1 stands in for an offline KMeans), argmax cell
+    assignment, probe the 4 nearest cells, brute-force only inside them.
+    The pruning ratio (nprobe/C) is what makes this the 100 TB path —
+    candidates shrink before any per-pair math."""
+    from snappydata_spark import ann
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign = ann.ivf_assign(emb, cent)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return ann.ivf_search(
+        emb.filter(F.col("vec_id") != 0), assign, cent, query, k=10, nprobe=4
+    )
