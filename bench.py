@@ -48,6 +48,23 @@ def quickstart_groupby_avg(spark, sf_dir):
     )
 
 
+def plan_cache_repeat(spark, sf_dir):
+    """Repeated parameterized-query latency (BASELINE.md anchor; the
+    reference's plan-cache/TokenizationTest shape): 20 runs of the same
+    query with different literals through the literal-normalizing plan
+    cache.  Returns total wall as a pseudo-DataFrame-less timing — bench
+    main special-cases it."""
+    from snappydata_spark import SnappySession
+
+    sn = SnappySession(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("bench_orders")
+    for i in range(20):
+        sn.sql(
+            f"SELECT o_orderpriority, COUNT(*) AS n FROM bench_orders "
+            f"WHERE o_totalprice > {1000 + i} GROUP BY o_orderpriority"
+        ).count()
+
+
 def main() -> None:
     from snappydata_spark import get_spark
     from snappydata_spark.operators import QUERIES
@@ -68,6 +85,11 @@ def main() -> None:
         n = df.count()  # forces full execution without driver-side collect
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    t0 = time.time()
+    plan_cache_repeat(spark, SF_DIR)
+    timings["plan_cache_20_repeats"] = round(time.time() - t0, 3)
+    print(f"# plan_cache_20_repeats: {timings['plan_cache_20_repeats']}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
