@@ -352,6 +352,41 @@ class SnappySession:
         st = aqp.SampleTable(self.table(sample_table), qcs, {"*": fraction}, -1)
         return aqp.approx_agg(st, list(group_cols), value_col, agg)
 
+    # ------------------------------------------------------------- functions
+
+    def create_function(self, name: str, fn, return_type="string", pandas: bool = False):
+        """CREATE FUNCTION (SnappyDDLParser.createFunction:765-795) — the
+        Python-engine analogue of the reference's jar-backed UDF1..UDF22
+        classes: register a Python callable (or a vectorized pandas UDF,
+        the fast path: Arrow batches, ~10-100× row-at-a-time) under a SQL
+        name for use in any sql() query."""
+        if pandas:
+            from pyspark.sql.functions import pandas_udf
+
+            udf = pandas_udf(fn, returnType=return_type)
+            self.spark.udf.register(name, udf)
+        else:
+            self.spark.udf.register(name, fn, return_type)
+        return name
+
+    def drop_function(self, name: str) -> None:
+        """DROP FUNCTION (SnappyDDLParser.dropFunction:796).  Spark has no
+        unregister API — rebind to a tombstone that fails loudly."""
+        def _dropped(*_args):
+            raise RuntimeError(f"function {name} was dropped")
+
+        self.spark.udf.register(name, _dropped, "string")
+
+    def exec_python(self, code: str, **bindings):
+        """EXEC SCALA analogue (interpretCode SnappyDDLParser.scala:
+        476-517): run a Python code block with `session` and `spark` in
+        scope; the block's `result` variable (a DataFrame) is returned.
+        Driver-side only — the block itself must build distributed plans,
+        not loop over data."""
+        scope = {"session": self, "spark": self.spark, **bindings}
+        exec(code, scope)  # noqa: S102 — the reference feature IS eval-a-block
+        return scope.get("result")
+
     def _create_index(self, table: str, options: dict):
         cols = [c.strip().lower() for c in options["columns"].split(",")]
         self._indexes[options["index"].lower()] = (table.lower(), cols)

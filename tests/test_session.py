@@ -78,3 +78,24 @@ def test_create_table_overwrite_guard(snappy, sf_dir):
         snappy.create_table("dup_t", df=df)
     snappy.create_table("dup_t", df=df.withColumn("y", F.lit(1)), overwrite=True)
     assert "y" in snappy.table("dup_t").columns
+
+
+def test_create_function_and_exec_python(snappy):
+    snappy.create_function("twice_len", lambda s: len(s) * 2 if s else 0, "int")
+    row = snappy.sql("SELECT twice_len('abc') AS n").collect()[0]
+    assert row.n == 6
+
+    import pandas as pd
+    snappy.create_function("vec_sq", lambda s: s * s, "double", pandas=True)
+    row = snappy.sql("SELECT vec_sq(CAST(3.0 AS DOUBLE)) AS sq").collect()[0]
+    assert row.sq == 9.0
+
+    df = snappy.exec_python(
+        "result = spark.range(5).selectExpr('id * 2 AS d')"
+    )
+    assert [r.d for r in df.collect()] == [0, 2, 4, 6, 8]
+
+    snappy.drop_function("twice_len")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        snappy.sql("SELECT twice_len('abc') AS n").collect()

@@ -87,3 +87,68 @@ def test_sessionize_stream_gap_splits(spark, stream_dir):
     assert (t0 + 10_000, t0 + 10_000, 1) in u1
     u2 = [(r.session_start, r.n_events) for r in rows if r.u == "u2"]
     assert (t0, 1) in u2
+
+
+def test_windowed_cq_with_watermark_and_late_data(spark, stream_dir):
+    """WINDOW (DURATION ...) CQ equivalent (windowed_counts): tumbling
+    event-time windows with a watermark; an event arriving (in a later
+    batch) an hour behind the watermark must be dropped.
+
+    NOTE: runs as a live micro-batch stream (processingTime trigger,
+    second file written after the first batch commits) — under
+    trigger(availableNow) Spark treats files present at start as one
+    initial backlog and does not apply the watermark filter to them.
+    """
+    import time
+
+    from snappydata_spark.streaming.sources import windowed_counts
+
+    t0 = 1_700_000_000
+    _write_batch(stream_dir, "b0.json", [
+        {"k": "a", "ts": t0 + 5}, {"k": "a", "ts": t0 + 15},
+        {"k": "b", "ts": t0 + 65},
+    ])
+    stream = stream_reader(
+        spark, "file_stream", schema="k string, ts long",
+        format="json", path=stream_dir,
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    result = windowed_counts(stream, "ts", "1 minute", None, "1 minute", "k")
+    q = (
+        result.writeStream.format("memory").queryName("cq_out")
+        .outputMode("update").trigger(processingTime="250 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM cq_out").count() >= 2:
+                break
+            time.sleep(0.25)
+        # watermark is now t0+65-60; this event is an hour late → dropped
+        _write_batch(stream_dir, "b1.json", [
+            {"k": "a", "ts": t0 - 3600}, {"k": "b", "ts": t0 + 70},
+        ])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            done = any(
+                p["stateOperators"] and p["stateOperators"][0].get(
+                    "numRowsDroppedByWatermark", 0) >= 1
+                for p in q.recentProgress
+            )
+            if done:
+                break
+            time.sleep(0.25)
+        assert done, [p["stateOperators"] for p in q.recentProgress]
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT k, CAST(window.start AS LONG) AS ws, cnt FROM cq_out"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[(r.k, r.ws)] = r.cnt
+    win0 = t0 - t0 % 60
+    assert latest[("a", win0)] == 2
+    assert latest[("b", win0 + 60)] == 2
+    # the hour-late event must not have produced its (pre-watermark) window
+    late_windows = [k for k in latest if k[0] == "a" and k[1] < win0]
+    assert late_windows == []
