@@ -251,3 +251,107 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.round(F.sum(pd_tax(F.col("o_totalprice"))), 2).alias("total_tax"))
     )
+
+
+@register(
+    "join_types_matrix",
+    oracle="""
+WITH big AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 60),
+     dim AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10)
+SELECT 'full' AS join_kind, COUNT(*) AS n,
+       COUNT(c_custkey) AS left_rows, COUNT(n_name) AS right_rows
+FROM big FULL OUTER JOIN dim ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'anti', COUNT(*), COUNT(c_custkey), 0
+FROM big ANTI JOIN dim ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'cross', COUNT(*), COUNT(c_custkey), COUNT(n_name)
+FROM big CROSS JOIN dim
+""",
+)
+def join_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type coverage beyond the TPC-H set (parser joinType rule
+    SnappyParser.scala:701-713): FULL OUTER (null-extended both sides),
+    LEFT ANTI, CROSS — counted so the matrix is one hashable row each."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    big = t["customer"].filter(F.col("c_custkey") <= 60).select(
+        "c_custkey", "c_nationkey"
+    )
+    dim = t["nation"].filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name"
+    )
+    on = F.col("c_nationkey") == F.col("n_nationkey")
+
+    def counted(kind, df, with_right=True):
+        right = (
+            F.count("n_name") if with_right else F.lit(0).cast("long")
+        )
+        return df.agg(
+            F.lit(kind).alias("join_kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_custkey").alias("left_rows"),
+            right.alias("right_rows"),
+        )
+
+    full = counted("full", big.join(dim, on, "full_outer"))
+    anti = counted("anti", big.join(dim, on, "left_anti"), with_right=False)
+    cross = counted("cross", big.crossJoin(dim))
+    return full.unionAll(anti).unionAll(cross)
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+SELECT o_orderpriority, metric, ROUND(val, 2) AS val FROM (
+  SELECT o_orderpriority,
+         ROUND(AVG(o_totalprice), 2) AS avg_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price,
+         ROUND(MIN(o_totalprice), 2) AS min_price
+  FROM orders GROUP BY o_orderpriority)
+UNPIVOT (val FOR metric IN (avg_price, max_price, min_price))
+""",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long; the inverse of the PIVOT grammar
+    SnappyParser.scala:1152-1165) via DataFrame.unpivot."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["avg_price", "max_price", "min_price"],
+        "metric",
+        "val",
+    ).select("o_orderpriority", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_acctbal > 9000
+""",
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery straight through the SQL entry point —
+    Catalyst decorrelates it to a left-outer aggregate join
+    (RewriteCorrelatedScalarSubquery, inherited by the reference and us)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("sq_customer")
+    t["orders"].createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """SELECT c_custkey, c_acctbal,
+                  (SELECT COUNT(*) FROM sq_orders o
+                   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           FROM sq_customer c
+           WHERE c_acctbal > 9000"""
+    )

@@ -413,17 +413,26 @@ class SnappySession:
         the CollapseCollocatedPlans / COLOCATE_WITH semantics of the
         reference, SnappyStrategies.scala:768-826).  Unbucketed tables are
         plain parquet dirs."""
+        # COMPRESSION option (ExternalStoreUtils.scala:88-105; batch codecs
+        # CompressionCodecId.scala LZ4/SNAPPY) → parquet codec per table
+        codec = str(meta.options.get("compression", "snappy")).lower()
+        codec = {"lz4": "lz4", "snappy": "snappy", "none": "uncompressed"}.get(
+            codec, codec
+        )
         if self._is_bucketed(meta):
             writer = (
                 df.repartition(meta.buckets, *meta.partition_by)
                 .write.format("parquet")
+                .option("compression", codec)
                 .bucketBy(meta.buckets, *meta.partition_by)
                 .sortBy(*meta.partition_by)
                 .mode(mode)
             )
             writer.saveAsTable(self._cat_name(meta.name))
         else:
-            df.write.mode(mode).parquet(self.catalog.data_path(meta.name))
+            df.write.mode(mode).option("compression", codec).parquet(
+                self.catalog.data_path(meta.name)
+            )
 
     def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
         """Copy-on-write: materialize to a fresh dir then swap — the

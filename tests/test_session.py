@@ -99,3 +99,23 @@ def test_create_function_and_exec_python(snappy):
     import pytest as _pt
     with _pt.raises(Exception):
         snappy.sql("SELECT twice_len('abc') AS n").collect()
+
+
+def test_compression_option(snappy, tmp_path):
+    import glob
+    df = snappy.spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    snappy.create_table("gz_t", options={"compression": "gzip"}, df=df)
+    files = glob.glob(snappy.catalog.data_path("gz_t") + "/*.parquet")
+    assert files and all(".gz.parquet" in f for f in files)
+    snappy.drop_table("gz_t")
+
+
+def test_external_table_formats(snappy, tmp_path, sf_dir):
+    src = snappy.spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for fmt, opts in [("csv", {"header": "true", "inferSchema": "true"}),
+                      ("json", {}), ("orc", {})]:
+        path = str(tmp_path / f"ext_{fmt}")
+        src.write.format(fmt).options(**({"header": "true"} if fmt == "csv" else {})).save(path)
+        df = snappy.create_external_table(f"ext_{fmt}", path, fmt=fmt, options=opts)
+        assert df.count() == 25
+        assert snappy.sql(f"SELECT COUNT(*) AS n FROM ext_{fmt}").collect()[0].n == 25
