@@ -1,0 +1,94 @@
+"""As-of / range join queries over the events table (snappydata_spark.
+timeseries).  The reference lacks these operators (SURVEY.md §2.3 "Range/
+as-of joins: not implemented"); its TAQ trades/quotes benchmark
+(TAQTest.scala) is the shape asof_join serves.
+
+DuckDB oracles use native ASOF JOIN / inequality joins, so the hash
+compare proves the union+window and bucket-refine plans implement the
+exact textbook semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark import timeseries
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+@register(
+    "ts_asof_click_to_view",
+    oracle="""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id, c.user_id,
+       v.event_id AS view_id,
+       CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_sec
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def ts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click attaches the latest view of the
+    same user at-or-before it (the trades→quotes TAQ shape).  One
+    shuffle on user_id, window scan, no candidate-pair blow-up."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = timeseries.asof_join(
+        clicks, views, on="ts", by=("user_id",),
+        right_cols={"event_id": "view_id", "ts": "view_ts"},
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "view_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias("lag_sec"),
+    )
+
+
+@register(
+    "ts_range_join_error_clicks",
+    oracle="""
+WITH errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, COUNT(c.ts) AS n_clicks_10m
+FROM errs e
+LEFT JOIN clicks c
+  ON c.user_id = e.user_id
+ AND epoch(c.ts) >= epoch(e.ts)
+ AND epoch(c.ts) < epoch(e.ts) + 600
+GROUP BY e.event_id, e.user_id
+""",
+)
+def ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 10 minutes after each error, per user —
+    bucket-refined equi-join (fan-out bounded by bucket width), then a
+    group-count.  Left join semantics recovered by re-joining the error
+    spine so zero-click errors keep a row."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = timeseries.range_join(
+        errs, clicks, by=("user_id",), left_ts="ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=600,
+    )
+    counts = pairs.groupBy(
+        F.col("l.event_id").alias("event_id"), F.col("l.user_id").alias("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_clicks_10m"))
+    return (
+        errs.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks_10m", F.lit(0)).alias("n_clicks_10m"),
+        )
+    )
