@@ -77,6 +77,16 @@ _CREATE_LIKE = re.compile(
     re.I,
 )
 
+# CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
+# (SnappyDDLParser.createPolicy:392-418; RowLevelSecurity rule
+# SnappySessionState.scala:422 injects the filter into read plans)
+_CREATE_POLICY = re.compile(
+    r"^\s*CREATE\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+FOR\s+SELECT"
+    r"(?:\s+TO\s+(\w+))?\s+USING\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_POLICY = re.compile(r"^\s*DROP\s+POLICY\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
+
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
 # → the partition id of the row (the Spark-native analogue of the server
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
@@ -175,6 +185,15 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "alter_drop", table=m.group(1), options={"column": m.group(2)}
         )
+    m = _CREATE_POLICY.match(text)
+    if m:
+        return Statement(
+            "create_policy", table=m.group(2), where=m.group(4).strip(),
+            options={"policy": m.group(1), "user": (m.group(3) or "").lower()},
+        )
+    m = _DROP_POLICY.match(text)
+    if m:
+        return Statement("drop_policy", options={"policy": m.group(1)})
     m = _PUT.match(text)
     if m:
         body = m.group(2).strip()

@@ -82,6 +82,11 @@ class SnappySession:
         # row-group min/max stats + key-clustered layout provide the
         # skipping; the registry records intent and drives sort-on-write.
         self._indexes: dict[str, tuple[str, list[str]]] = {}
+        # row-level security: policy name → (table, filter SQL, user)
+        # (createPolicy SnappyDDLParser:392-418; filter injected at read
+        # like the RowLevelSecurity rule, SnappySessionState.scala:422)
+        self._policies: dict[str, tuple[str, str, str]] = {}
+        self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
         # instances sharing one SparkSession (e.g. test fixtures)
         self._session_id = uuid.uuid4().hex[:8]
@@ -131,7 +136,7 @@ class SnappySession:
     def truncate_table(self, name: str) -> None:
         """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812)."""
         meta = self.catalog.load_meta(name.lower())
-        empty = self.spark.createDataFrame([], self.table(name).schema)
+        empty = self.spark.createDataFrame([], self._read_table(name).schema)
         self._write(empty, meta, mode="overwrite")
         self._refresh_view(name)
 
@@ -157,7 +162,7 @@ class SnappySession:
         schema / Delta); we rewrite to keep single-format reads simple."""
         name = name.lower()
         meta = self.catalog.load_meta(name)
-        df = self.table(name)
+        df = self._read_table(name)
         for col, sql_type in (add or {}).items():
             df = df.withColumn(col.lower(), F.lit(None).cast(sql_type))
         for col in drop or []:
@@ -204,6 +209,13 @@ class SnappySession:
     # ------------------------------------------------------------------ read
 
     def table(self, name: str) -> DataFrame:
+        """Policy-filtered read (SELECT path).  Mutations use
+        _read_table: the reference's policies apply FOR SELECT only — a
+        filtered mutation read would silently drop the invisible rows on
+        copy-on-write rewrite."""
+        return self._apply_policies(name.lower(), self._read_table(name))
+
+    def _read_table(self, name: str) -> DataFrame:
         name = name.lower()
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
@@ -218,6 +230,12 @@ class SnappySession:
             return df
         return self.spark.table(name)
 
+    def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
+        for table, filter_sql, user in self._policies.values():
+            if table == name and (not user or user == self.current_user):
+                df = df.filter(filter_sql)
+        return df
+
     # ------------------------------------------------------------------ DML
 
     def insert(self, name: str, df: DataFrame) -> None:
@@ -230,26 +248,26 @@ class SnappySession:
         """PUT INTO (upsert on key_columns) — SnappySession.put:2031-2117."""
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
-        result = mutate.put_into_df(self.table(name), df, keys)
+        result = mutate.put_into_df(self._read_table(name), df, keys)
         self._rewrite(result, meta)
 
     def update(self, name: str, where, assignments: dict) -> None:
         """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100."""
         meta = self.catalog.load_meta(name.lower())
-        result = mutate.update_df(self.table(name), where, assignments)
+        result = mutate.update_df(self._read_table(name), where, assignments)
         self._rewrite(result, meta)
 
     def delete(self, name: str, where) -> None:
         """DELETE FROM t WHERE ... — SnappySession.delete:2119."""
         meta = self.catalog.load_meta(name.lower())
-        result = mutate.delete_df(self.table(name), where)
+        result = mutate.delete_df(self._read_table(name), where)
         self._rewrite(result, meta)
 
     def delete_from(self, name: str, df: DataFrame) -> None:
         """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
-        result = mutate.delete_from_df(self.table(name), df, keys)
+        result = mutate.delete_from_df(self._read_table(name), df, keys)
         self._rewrite(result, meta)
 
     # ------------------------------------------------------------------ SQL
@@ -291,6 +309,17 @@ class SnappySession:
             return None
         if stmt.kind == "alter_drop":
             self.alter_table(stmt.table, drop=[stmt.options["column"]])
+            return None
+        if stmt.kind == "create_policy":
+            self._policies[stmt.options["policy"].lower()] = (
+                stmt.table.lower(), stmt.where, stmt.options["user"]
+            )
+            self._refresh_view(stmt.table)
+            return None
+        if stmt.kind == "drop_policy":
+            p = self._policies.pop(stmt.options["policy"].lower(), None)
+            if p:
+                self._refresh_view(p[0])
             return None
         if stmt.kind == "put":
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
@@ -462,10 +491,9 @@ class SnappySession:
             try:
                 if self._is_bucketed(meta):
                     self.spark.catalog.refreshTable(self._cat_name(name))
-                    self.spark.table(self._cat_name(name)).createOrReplaceTempView(name)
+                    df = self.spark.table(self._cat_name(name))
                 else:
-                    self.spark.read.parquet(
-                        self.catalog.data_path(name)
-                    ).createOrReplaceTempView(name)
+                    df = self.spark.read.parquet(self.catalog.data_path(name))
+                self._apply_policies(name, df).createOrReplaceTempView(name)
             except Exception:
                 pass  # empty table with no files yet

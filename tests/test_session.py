@@ -119,3 +119,27 @@ def test_external_table_formats(snappy, tmp_path, sf_dir):
         df = snappy.create_external_table(f"ext_{fmt}", path, fmt=fmt, options=opts)
         assert df.count() == 25
         assert snappy.sql(f"SELECT COUNT(*) AS n FROM ext_{fmt}").collect()[0].n == 25
+
+
+def test_row_level_security_policy(snappy):
+    df = snappy.spark.createDataFrame(
+        [(1, "acme", 10.0), (2, "acme", 20.0), (3, "other", 30.0)],
+        "k int, org string, x double",
+    )
+    snappy.create_table("rls_t", options={"key_columns": "k"}, df=df)
+    snappy.sql("CREATE POLICY p_acme ON rls_t FOR SELECT USING (org = 'acme')")
+    assert snappy.table("rls_t").count() == 2
+    assert snappy.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n == 2
+    # mutations see through the policy: update must not drop hidden rows
+    snappy.update("rls_t", F.col("k") == 1, {"x": F.lit(11.0)})
+    snappy.sql("DROP POLICY p_acme")
+    assert snappy.table("rls_t").count() == 3
+    assert snappy.table("rls_t").filter("k = 1").collect()[0].x == 11.0
+    # per-user policy only binds the matching user
+    snappy.sql("CREATE POLICY p_u ON rls_t FOR SELECT TO alice USING (k < 3)")
+    assert snappy.table("rls_t").count() == 3
+    snappy.current_user = "alice"
+    assert snappy.table("rls_t").count() == 2
+    snappy.current_user = ""
+    snappy.sql("DROP POLICY p_u")
+    snappy.drop_table("rls_t")
