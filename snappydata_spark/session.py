@@ -381,6 +381,14 @@ class SnappySession:
         st = aqp.SampleTable(self.table(sample_table), qcs, {"*": fraction}, -1)
         return aqp.approx_agg(st, list(group_cols), value_col, agg)
 
+    def prepare(self, text: str) -> "PreparedStatement":
+        """Prepared statement with `?` positional parameters (the JDBC
+        entry's setPreparedQuery flow, SnappyParser.scala:74-87: `?` binds
+        a ParamLiteral; re-execution re-binds values into the cached
+        plan).  Here: `?` → Spark named parameters over one parse-stable
+        template."""
+        return PreparedStatement(self, text)
+
     # ------------------------------------------------------------- functions
 
     def create_function(self, name: str, fn, return_type="string", pandas: bool = False):
@@ -497,3 +505,24 @@ class SnappySession:
                 self._apply_policies(name, df).createOrReplaceTempView(name)
             except Exception:
                 pass  # empty table with no files yet
+
+
+class PreparedStatement:
+    """`?`-parameterized statement (SnappyParser.scala:74-87 prepared-query
+    flow).  The template is parsed once per distinct shape by Spark's
+    parameterized sql(); execute(*params) re-binds new values."""
+
+    def __init__(self, session: SnappySession, text: str):
+        self.session = session
+        parts = text.split("?")
+        self.n_params = len(parts) - 1
+        self.template = "".join(
+            p + (f":p{i}" if i < self.n_params else "")
+            for i, p in enumerate(parts)
+        )
+
+    def execute(self, *params) -> DataFrame:
+        if len(params) != self.n_params:
+            raise ValueError(f"expected {self.n_params} params, got {len(params)}")
+        args = {f"p{i}": v for i, v in enumerate(params)}
+        return self.session.spark.sql(self.template, args=args)

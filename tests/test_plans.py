@@ -88,3 +88,15 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
     plan = physical_plan(q03(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT n
+
+
+def test_prepared_statement(snappy):
+    snappy.spark.range(100).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView(
+        "prep_t"
+    )
+    ps = snappy.prepare("SELECT COUNT(*) AS n FROM prep_t WHERE k < ? AND v >= ?")
+    assert ps.execute(10, 0).collect()[0].n == 10
+    assert ps.execute(50, 40).collect()[0].n == 30
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ps.execute(1)
