@@ -65,6 +65,58 @@ def plan_cache_repeat(spark, sf_dir):
         ).count()
 
 
+def colocated_join_delta(spark, sf_dir):
+    """Measure the colocation win directly (the reference's marquee
+    layout: LINEITEM colocate_with ORDERS, TPCHColumnPartitionedTable):
+    the same join-agg over plain parquet vs bucketed managed tables.
+    Returns (plain_sec, colocated_sec)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snappydata_spark import SnappySession
+
+    sn = SnappySession(spark, store_dir=tempfile.mkdtemp(prefix="bench_coloc_"))
+    line = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    buckets = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sn.create_table(
+        "bc_orders",
+        options={"partition_by": "o_orderkey", "buckets": buckets},
+        df=orders,
+    )
+    sn.create_table(
+        "bc_lineitem",
+        options={
+            "partition_by": "l_orderkey",
+            "buckets": buckets,
+            "colocate_with": "bc_orders",
+        },
+        df=line,
+    )
+
+    def q(l, o):
+        return (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        q(line, orders).count()
+        plain = round(time.time() - t0, 3)
+        t0 = time.time()
+        q(sn.table("bc_lineitem"), sn.table("bc_orders")).count()
+        coloc = round(time.time() - t0, 3)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        sn.drop_table("bc_lineitem")
+        sn.drop_table("bc_orders")
+    return plain, coloc
+
+
 def main() -> None:
     from snappydata_spark import get_spark
     from snappydata_spark.operators import QUERIES
@@ -90,6 +142,11 @@ def main() -> None:
     plan_cache_repeat(spark, SF_DIR)
     timings["plan_cache_20_repeats"] = round(time.time() - t0, 3)
     print(f"# plan_cache_20_repeats: {timings['plan_cache_20_repeats']}s", file=sys.stderr)
+
+    plain, coloc = colocated_join_delta(spark, SF_DIR)
+    timings["join_agg_plain_parquet"] = plain
+    timings["join_agg_colocated_buckets"] = coloc
+    print(f"# colocated join: plain={plain}s bucketed={coloc}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
