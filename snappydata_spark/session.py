@@ -202,6 +202,53 @@ class SnappySession:
     def list_tables(self) -> list[str]:
         return self.catalog.list_tables()
 
+    def describe(self, name: str) -> DataFrame:
+        """DESCRIBE (SnappyDDLParser.describe:889): schema plus the
+        engine's layout options as trailing metadata rows."""
+        name = name.lower()
+        df = self._read_table(name)
+        rows = [(f.name, f.dataType.simpleString(), str(f.nullable)) for f in df.schema]
+        if self.catalog.exists(name):
+            meta = self.catalog.load_meta(name)
+            rows += [
+                ("# provider", meta.provider, ""),
+                ("# key_columns", ",".join(meta.key_columns), ""),
+                ("# partition_by", ",".join(meta.partition_by), ""),
+                ("# buckets", str(meta.buckets), ""),
+                ("# colocate_with", meta.colocate_with, ""),
+                ("# replicate", str(meta.replicate).lower(), ""),
+            ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable string"
+        )
+
+    def show_tables(self) -> DataFrame:
+        """SHOW TABLES (SnappyParser.show:1249-1293) — managed + temp."""
+        managed = {(t, "managed") for t in self.catalog.list_tables()}
+        temps = {
+            (t.name.lower(), "temp")
+            for t in self.spark.catalog.listTables()
+            if t.tableType == "TEMPORARY"
+        }
+        rows = sorted(managed | (temps - {(n, "temp") for n, _ in managed}))
+        return self.spark.createDataFrame(rows, "table_name string, table_type string")
+
+    def analyze_table(self, name: str) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS (SnappyDDLParser.analyze:
+        1306): row count + on-disk bytes recorded into table metadata
+        (Catalyst reads parquet sizes natively for broadcast decisions;
+        these stats serve the user/describe surface)."""
+        name = name.lower()
+        meta = self.catalog.load_meta(name)
+        n = self._read_table(name).count()
+        size = 0
+        for root, _dirs, files in os.walk(self.catalog.table_path(name)):
+            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        meta.options["row_count"] = str(n)
+        meta.options["size_bytes"] = str(size)
+        self.catalog.save_meta(meta)
+        return {"row_count": n, "size_bytes": size}
+
     def key_columns(self, name: str) -> list[str]:
         """getKeyColumns (SnappySession.scala:1512)."""
         return self.catalog.load_meta(name.lower()).key_columns

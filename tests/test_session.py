@@ -143,3 +143,20 @@ def test_row_level_security_policy(snappy):
     snappy.current_user = ""
     snappy.sql("DROP POLICY p_u")
     snappy.drop_table("rls_t")
+
+
+def test_describe_show_analyze(snappy):
+    snappy.create_table(
+        "ds_t",
+        options={"key_columns": "k", "partition_by": "k", "buckets": "4"},
+        df=snappy.spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    desc = {r.col_name: r.data_type for r in snappy.describe("ds_t").collect()}
+    assert desc["k"] == "int" and desc["v"] == "string"
+    assert desc["# key_columns"] == "k" and desc["# buckets"] == "4"
+    names = {r.table_name for r in snappy.show_tables().collect()}
+    assert "ds_t" in names
+    stats = snappy.analyze_table("ds_t")
+    assert stats["row_count"] == 1 and stats["size_bytes"] > 0
+    assert snappy.catalog.load_meta("ds_t").options["row_count"] == "1"
+    snappy.drop_table("ds_t")

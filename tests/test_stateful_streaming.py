@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from snappydata_spark.streaming.stateful import running_totals, sessionize_stream
 from snappydata_spark.streaming.sources import stream_reader
@@ -152,3 +153,49 @@ def test_windowed_cq_with_watermark_and_late_data(spark, stream_dir):
     # the hour-late event must not have produced its (pre-watermark) window
     late_windows = [k for k in latest if k[0] == "a" and k[1] < win0]
     assert late_windows == []
+
+
+def test_stream_stream_join_time_bounded(spark, stream_dir):
+    """Stream-stream inner join with watermarks + time-range condition
+    (the structured-streaming capability superseding the reference's
+    DStream CQ joins): clicks join views of the same user within the
+    preceding 10 minutes."""
+    import os
+
+    t0 = 1_700_000_000
+    clicks_dir = os.path.join(stream_dir, "clicks"); os.makedirs(clicks_dir)
+    views_dir = os.path.join(stream_dir, "views"); os.makedirs(views_dir)
+    _write_batch(clicks_dir, "c0.json", [
+        {"u": "u1", "cts": t0 + 300, "cid": 1},
+        {"u": "u1", "cts": t0 + 5000, "cid": 2},   # no view within 10 min
+        {"u": "u2", "cts": t0 + 100, "cid": 3},
+    ])
+    _write_batch(views_dir, "v0.json", [
+        {"u": "u1", "vts": t0 + 100, "vid": 10},
+        {"u": "u2", "vts": t0 + 90, "vid": 11},
+        {"u": "u2", "vts": t0 + 4000, "vid": 12},  # after the click
+    ])
+    clicks = stream_reader(
+        spark, "file_stream", schema="u string, cts long, cid long",
+        format="json", path=clicks_dir,
+    ).selectExpr("u", "CAST(cts AS TIMESTAMP) AS cts", "cid") \
+     .withWatermark("cts", "1 hour")
+    views = stream_reader(
+        spark, "file_stream", schema="u string, vts long, vid long",
+        format="json", path=views_dir,
+    ).selectExpr("u AS vu", "CAST(vts AS TIMESTAMP) AS vts", "vid") \
+     .withWatermark("vts", "1 hour")
+    joined = clicks.join(
+        views,
+        (clicks.u == views.vu)
+        & (views.vts <= clicks.cts)
+        & (views.vts >= clicks.cts - F.expr("INTERVAL 10 MINUTES")),
+    ).select("cid", "vid")
+    import pyspark.sql.functions as F2
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    pairs = sorted((r.cid, r.vid) for r in spark.sql("SELECT * FROM ssj_out").collect())
+    assert pairs == [(1, 10), (3, 11)]
