@@ -87,6 +87,12 @@ _CREATE_POLICY = re.compile(
 )
 _DROP_POLICY = re.compile(r"^\s*DROP\s+POLICY\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
 
+# SET snappydata.* = v (SnappyDDLParser set:932; config keys
+# Literals.scala:122-310) — intercepted so engine knobs reach the session
+_SET_CONF = re.compile(
+    r"^\s*SET\s+((?:snappydata|spark)\.[\w.]+)\s*=\s*(.+?)\s*;?\s*$", re.I
+)
+
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
 # → the partition id of the row (the Spark-native analogue of the server
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
@@ -194,6 +200,11 @@ def split_statement(text: str) -> Statement:
     m = _DROP_POLICY.match(text)
     if m:
         return Statement("drop_policy", options={"policy": m.group(1)})
+    m = _SET_CONF.match(text)
+    if m:
+        return Statement(
+            "set_conf", options={"key": m.group(1), "value": m.group(2)}
+        )
     m = _PUT.match(text)
     if m:
         body = m.group(2).strip()

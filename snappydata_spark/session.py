@@ -86,6 +86,7 @@ class SnappySession:
         # (createPolicy SnappyDDLParser:392-418; filter injected at read
         # like the RowLevelSecurity rule, SnappySessionState.scala:422)
         self._policies: dict[str, tuple[str, str, str]] = {}
+        self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
         # instances sharing one SparkSession (e.g. test fixtures)
@@ -368,6 +369,9 @@ class SnappySession:
             if p:
                 self._refresh_view(p[0])
             return None
+        if stmt.kind == "set_conf":
+            self.set_conf(stmt.options["key"], stmt.options["value"])
+            return None
         if stmt.kind == "put":
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
             self.put(stmt.table, src)
@@ -427,6 +431,35 @@ class SnappySession:
         qcs = meta.options["qcs"].split(",")
         st = aqp.SampleTable(self.table(sample_table), qcs, {"*": fraction}, -1)
         return aqp.approx_agg(st, list(group_cols), value_col, agg)
+
+    def set_conf(self, key: str, value) -> None:
+        """Engine config surface (Literals.scala:122-310, SET DDL :932).
+        Reference knobs map to their Spark-native equivalent where one
+        exists; store-format-only knobs are recorded but inert (the
+        columnar format is parquet).  spark.* keys pass through."""
+        key_l = key.lower()
+        value = str(value).strip().strip("'\"")
+        if key_l == "snappydata.sql.plancaching":
+            self.plan_cache.enabled = value.lower() == "true"
+        elif key_l == "snappydata.sql.plancachesize":
+            self.plan_cache.max_size = int(value)
+        elif key_l == "snappydata.sql.hashjoinsize":
+            # gate for hash-build joins (default 100 MB) → Spark's
+            # broadcast-build threshold, the same "small enough to build
+            # a hash table" decision
+            self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", value)
+        elif key_l == "snappydata.column.batchsize":
+            # column-batch target size (default 24m) → scan split size
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", value)
+        elif key_l.startswith("snappydata."):
+            # recorded-but-inert store knobs (maxDeltaRows, compression
+            # codec ids, eviction...) — visible via get_conf
+            self._engine_confs[key_l] = value
+        else:
+            self.spark.conf.set(key, value)
+
+    def get_conf(self, key: str, default=None):
+        return self._engine_confs.get(key.lower(), default)
 
     def prepare(self, text: str) -> "PreparedStatement":
         """Prepared statement with `?` positional parameters (the JDBC

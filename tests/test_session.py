@@ -160,3 +160,16 @@ def test_describe_show_analyze(snappy):
     assert stats["row_count"] == 1 and stats["size_bytes"] > 0
     assert snappy.catalog.load_meta("ds_t").options["row_count"] == "1"
     snappy.drop_table("ds_t")
+
+
+def test_engine_conf_surface(snappy):
+    snappy.sql("SET snappydata.sql.planCaching = false")
+    assert snappy.plan_cache.enabled is False
+    snappy.sql("SET snappydata.sql.planCaching = true")
+    assert snappy.plan_cache.enabled is True
+    old = snappy.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    snappy.sql("SET snappydata.sql.hashJoinSize = 52428800")
+    assert snappy.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "52428800"
+    snappy.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    snappy.sql("SET snappydata.column.maxDeltaRows = 5000")
+    assert snappy.get_conf("snappydata.column.maxDeltaRows") == "5000"
