@@ -153,3 +153,43 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
         F.substring("source", 4, 100).alias("source_id"),
     )
+
+
+def _mm_decode_sql() -> str:
+    bytes_expr = ", ".join(
+        f"ROUND(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 6)"
+        for i in range(8)
+    )
+    return f"""
+SELECT doc_id AS item_id,
+       octet_length(text::BLOB) AS byte_len,
+       [{bytes_expr}] AS feature
+FROM documents WHERE doc_id < 100
+"""
+
+
+@register("mm_decode_features", oracle=_mm_decode_sql())
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal decode stage (sources/multimodal.decode_images:
+    Arrow-batched mapInPandas, stub codec) hash-checked end-to-end: the
+    md5-derived fake features are bit-reproducible in the oracle, so the
+    compare proves the Python-worker plumbing (schema, batch iteration,
+    null handling), not just row counts."""
+    from snappydata_spark.sources import multimodal as mm
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    payloads = (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.lit("image").alias("modality"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    decoded = mm.decode_images(payloads)
+    return decoded.select(
+        "item_id",
+        "byte_len",
+        F.transform(F.col("feature"), lambda x: F.round(x, 6)).alias("feature"),
+    )
