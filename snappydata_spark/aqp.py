@@ -41,22 +41,52 @@ class SampleTable:
         self.base_count = base_count
 
 
+WEIGHT_COL = "snappy_sampler_weightage"  # the reference's hidden weight column
+
+
 def create_sample_table(
-    df: DataFrame, qcs: list[str], fraction: float, seed: int = 42
+    df: DataFrame,
+    qcs: list[str],
+    fraction: float,
+    seed: int = 42,
+    min_stratum_rows: int = 0,
 ) -> SampleTable:
-    """Stratified sample on the query column set (qcs): every stratum keeps
-    ~fraction of its rows (sampleBy), so group-bys ON the qcs columns stay
-    representative even for rare strata — the point of SDE's qcs option."""
-    key = qcs[0] if len(qcs) == 1 else None
-    if key is None:
-        df = df.withColumn("__stratum", F.concat_ws("§", *[F.col(c) for c in qcs]))
-        key = "__stratum"
-    strata = [r[0] for r in df.select(key).distinct().collect()]
-    fractions = {s: fraction for s in strata}
-    sample = df.sampleBy(key, fractions, seed=seed)
-    if "__stratum" in sample.columns:
-        sample = sample.drop("__stratum")
-    return SampleTable(sample, qcs, fractions, df.count())
+    """Stratified sample on the query column set (qcs).
+
+    Scale design: NO driver-side strata enumeration (a distinct+collect
+    on the qcs would be a 100 TB bottleneck for high-cardinality qcs).
+    One window over qcs computes stratum totals; each row keeps via a
+    deterministic per-row hash draw (< fraction) OR a per-stratum random
+    rank floor (`min_stratum_rows`, SDE's strataReservoirSize: rare
+    strata always retain a reservoir).  The realized per-stratum weight
+    (total/kept) rides along as the reference's hidden
+    snappy_sampler_weightage column, making estimates exact
+    Horvitz-Thompson regardless of floor effects.  Hash draws (not
+    rand()) keep task retries consistent; identical duplicate rows share
+    a draw — documented bias, negligible for analytic payloads."""
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) for c in df.columns]
+    u = (
+        F.pmod(F.xxhash64(F.struct(*cols), F.lit(seed)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    w = W.partitionBy(*qcs)
+    rn = F.row_number().over(w.orderBy(u, *cols))
+    kept = (
+        df.withColumn("__u", u)
+        .withColumn("__total", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", rn)
+        .filter((F.col("__u") < fraction) | (F.col("__rn") <= min_stratum_rows))
+    )
+    sample = (
+        kept.withColumn(
+            WEIGHT_COL,
+            F.col("__total") / F.count(F.lit(1)).over(w),
+        )
+        .drop("__u", "__total", "__rn")
+    )
+    return SampleTable(sample, qcs, {"*": fraction}, -1)
 
 
 def approx_agg(
@@ -74,18 +104,26 @@ def approx_agg(
     if confidence != 0.95:
         raise NotImplementedError("only 95% confidence implemented")
     s = st.sample
-    # per-group sample moments
+    # per-group sample moments; realized weights when the sample carries
+    # the weightage column (exact HT under reservoir floors), else the
+    # nominal uniform fraction
     v = F.col(value_col)
+    weighted = WEIGHT_COL in s.columns
+    sum_w = (
+        F.sum(WEIGHT_COL) if weighted else F.count(F.lit(1)) / next(iter(st.fractions.values()))
+    )
     g = s.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
+        sum_w.alias("sum_w"),
         F.sum(value_col).alias("s_sum"),
         F.avg(value_col).alias("s_avg"),
         F.coalesce(F.var_samp(value_col), F.lit(0.0)).alias("s_var"),
         F.sum(v * v).alias("s_sum2"),
     )
-    # uniform stratum fraction ⇒ scale-up factor is 1/f for every group
-    f = next(iter(st.fractions.values()))
-    inv = 1.0 / f
+    # per-group realized sampling ratio f = n / Σw  (uniform-fraction
+    # samples reduce to the nominal f)
+    f = F.col("n") / F.col("sum_w")
+    inv = F.col("sum_w") / F.col("n")
     if agg == "sum":
         # Horvitz-Thompson under Bernoulli sampling:
         # est = (1/f) Σy,  Var̂ = ((1-f)/f²) Σy²  — the Σy² term carries the
@@ -96,7 +134,7 @@ def approx_agg(
         est = F.col("s_avg")
         se = F.sqrt(F.col("s_var") / F.col("n"))
     elif agg == "count":
-        est = F.col("n") * inv
+        est = F.col("sum_w")
         # y ≡ 1 in the HT formula: Var̂ = n (1-f)/f²
         se = F.sqrt(F.col("n") * (1.0 - f)) * inv
     else:

@@ -403,7 +403,10 @@ class SnappySession:
         if not qcs:
             raise ValueError("CREATE SAMPLE TABLE requires a qcs option")
         base = self.table(base_table)
-        st = aqp.create_sample_table(base, qcs, fraction)
+        st = aqp.create_sample_table(
+            base, qcs, fraction,
+            min_stratum_rows=int(options.get("stratareservoirsize", 0)),
+        )
         self.create_table(
             name,
             provider="sample",

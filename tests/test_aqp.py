@@ -95,3 +95,32 @@ def test_multi_column_qcs(lineitem):
     combos_base = lineitem.select("l_returnflag", "l_linestatus").distinct().count()
     combos_sample = st.sample.select("l_returnflag", "l_linestatus").distinct().count()
     assert combos_sample == combos_base
+
+
+def test_strata_reservoir_floor(spark, sf_dir):
+    """strataReservoirSize: rare strata must keep at least the reservoir
+    rows even when fraction alone would drop them entirely."""
+    from snappydata_spark import aqp
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    st = aqp.create_sample_table(
+        lineitem, ["l_returnflag"], fraction=0.001, min_stratum_rows=5
+    )
+    per_stratum = {
+        r.l_returnflag: r.n
+        for r in st.sample.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()
+    }
+    base_strata = {r.l_returnflag for r in lineitem.select("l_returnflag").distinct().collect()}
+    assert set(per_stratum) == base_strata          # no stratum lost
+    assert all(n >= 5 for n in per_stratum.values())
+    # weights make the count estimate exact per stratum
+    est = {
+        r.l_returnflag: r.estimate
+        for r in aqp.approx_agg(st, ["l_returnflag"], "l_quantity", "count").collect()
+    }
+    true = {
+        r.l_returnflag: r.n
+        for r in lineitem.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()
+    }
+    for k in true:
+        assert est[k] == pytest.approx(true[k], rel=1e-6)
