@@ -300,8 +300,13 @@ class SnappySession:
         self._rewrite(result, meta)
 
     def update(self, name: str, where, assignments: dict) -> None:
-        """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100."""
+        """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100.
+        Key columns are immutable under UPDATE (the reference rejects
+        SET on a key column; change-of-key is a DELETE + PUT)."""
         meta = self.catalog.load_meta(name.lower())
+        bad = [c for c in assignments if c.lower() in meta.key_columns]
+        if bad:
+            raise ValueError(f"cannot UPDATE key column(s) {bad} of {name}")
         result = mutate.update_df(self._read_table(name), where, assignments)
         self._rewrite(result, meta)
 

@@ -86,3 +86,17 @@ def test_delete_from_keys(spark, target):
 def test_update_string_expressions(spark, target):
     out = mutate.update_df(target, "k = 1", {"x": "x + 5"}).orderBy("k").collect()
     assert out[0].x == 15.0 and out[1].x == 20.0
+
+
+def test_update_key_column_forbidden(snappy):
+    snappy.create_table(
+        "ku_t", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    import pyspark.sql.functions as F
+    with pytest.raises(ValueError, match="key column"):
+        snappy.update("ku_t", F.lit(True), {"k": F.lit(9)})
+    # via SQL dialect too
+    with pytest.raises(ValueError, match="key column"):
+        snappy.sql("UPDATE ku_t SET k = 9 WHERE v = 'a'")
+    snappy.drop_table("ku_t")
