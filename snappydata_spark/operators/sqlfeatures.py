@@ -212,7 +212,12 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registration contract; the pandas variant below is the fast path."""
 
     def tax(p: float) -> float:
-        return round(p * 0.07, 2) if p is not None else None
+        # half-away-from-zero to match SQL ROUND (Python's round() is
+        # half-even and drifts from the oracle on .xx5 boundaries —
+        # surfaced at sf0.1, invisible at sf0.01)
+        import math
+
+        return math.floor(p * 0.07 * 100 + 0.5) / 100 if p is not None else None
 
     spark.udf.register("py_tax", tax, DoubleType())
     t = load_tables(spark, sf_dir, ("orders",))
