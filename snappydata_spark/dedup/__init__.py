@@ -43,9 +43,14 @@ def minhash_lsh_candidates(
     explode band hashes → self-join per (band, band_hash) bucket.
     Returns candidate pairs (doc1 < doc2, distinct)."""
     rows = num_hashes // bands
-    sig = df.select(
+    # two projections: base shingle hashes (one md5 per shingle) then the
+    # affine minhash family — see functions/text.shingle_hashes for why
+    # this split is a ~num_hashes× cost difference
+    sig = df.withColumn(
+        "__hs", T.shingle_hashes(F.col(text_col), shingle_n)
+    ).select(
         F.col(id_col),
-        T.minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        T.minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         F.col(id_col), F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b")
@@ -72,10 +77,14 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup: 32-bit simhash (map-side) → byte-band blocking
-    (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4 bytes is equal) →
-    in-bucket pairs filtered on exact hamming distance."""
-    sh = df.select(F.col(id_col), T.simhash32(F.col(text_col)).alias("sh"))
+    """SimHash near-dup: 60-bit simhash (map-side, one md5 per token) →
+    15-bit-band blocking (pigeonhole: hamming ≤ 3 ⇒ at least one of the
+    4 bands is equal) → in-bucket pairs filtered on exact hamming
+    distance.  60 bits keeps the candidate set near-linear where 32-bit
+    simhash goes quadratic on shared-vocabulary corpora."""
+    sh = df.withColumn("__th", T.token_hashes(F.col(text_col))).select(
+        F.col(id_col), T.simhash_from_hashes(F.col("__th")).alias("sh")
+    )
     bands = sh.select(
         F.col(id_col),
         F.col("sh"),
@@ -84,8 +93,8 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("sh"), 8 * i)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("sh"), 15 * i)
+                        .bitwiseAND(F.lit(32767))
                         .alias("byte"),
                     )
                     for i in range(4)

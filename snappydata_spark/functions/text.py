@@ -118,17 +118,40 @@ def hash32(col: Column, seed: str) -> Column:
     )
 
 
+MINHASH_MOD = 2147483647  # 2^31 - 1
+
+
+def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
+    """ONE md5-derived base hash per shingle.  The expensive digest runs
+    once; the minhash family derives from it by cheap affine rehashes
+    (minhash_from_hashes).  Keep this in its OWN projection (withColumn)
+    before fanning out to the per-seed mins: CollapseProject will not
+    inline a non-cheap alias referenced many times, so the digest is
+    computed once per shingle instead of num_hashes times — this is a
+    ~16× difference in signature build cost."""
+    return F.transform(shingles(col, shingle_n), lambda s: hash32(s, "mh~"))
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from base shingle hashes: sig[i] = min over
+    shingles of (h·aᵢ + bᵢ) mod (2³¹−1) — the standard affine hash
+    family; products stay < 2³⁸ so BIGINT arithmetic is exact in both
+    Spark and the SQL oracle."""
+
+    def _min_hash(i: int) -> Column:
+        a, b = 2 * i + 1, 12582917 * i + 1
+        return F.array_min(
+            F.transform(hs, lambda h: (h * a + b) % F.lit(MINHASH_MOD))
+        )
+
+    return F.array(*[_min_hash(i) for i in range(num_hashes)])
+
+
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: per seed, min over shingle hashes.  At scale this
-    is a pure map-side computation — no shuffle until band grouping."""
-    sh = shingles(col, shingle_n)
-
-    def _min_hash(seed: str) -> Column:
-        # closure, not a default-arg lambda: a 2-param lambda would make
-        # PySpark pass the array index as the second argument
-        return F.array_min(F.transform(sh, lambda s: hash32(s, seed)))
-
-    return F.array(*[_min_hash(f"mh{i}~") for i in range(num_hashes)])
+    """MinHash signature as a single expression (convenience; the
+    two-stage shingle_hashes → minhash_from_hashes form is the fast
+    path — see shingle_hashes)."""
+    return minhash_from_hashes(shingle_hashes(col, shingle_n), num_hashes)
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -150,11 +173,28 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash32(col: Column) -> Column:
-    """32-bit SimHash over the distinct token set: per bit, majority vote
-    of token-hash bits; near-dup docs land at small hamming distance."""
+SIMHASH_BITS = 60  # 15 md5 hex chars — fits signed 64-bit in both engines
+
+
+def token_hashes(col: Column, hex_chars: int = 15) -> Column:
+    """ONE md5-derived hash per distinct token (hex_chars·4 bits).  Keep
+    in its own projection before the per-bit votes (same CollapseProject
+    rationale as shingle_hashes — otherwise the digest recomputes once
+    per output bit)."""
     toks = F.array_distinct(tokens(col))
-    h = F.transform(toks, lambda x: hash32(x, "sh~"))
+    return F.transform(
+        toks,
+        lambda x: F.conv(
+            F.substring(F.md5(F.concat(F.lit("sh~"), x)), 1, hex_chars), 16, 10
+        ).cast("long"),
+    )
+
+
+def simhash_from_hashes(h: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from per-token hashes: per bit, majority vote of token-hash
+    bits; near-dup docs land at small hamming distance.  60 bits (vs the
+    classic 32) keeps unrelated template-generated docs apart — with 32
+    bits the candidate pair set goes quadratic on synthetic corpora."""
 
     def _vote(bit: int) -> Column:
         return F.aggregate(
@@ -165,8 +205,14 @@ def simhash32(col: Column) -> Column:
         )
 
     out = F.lit(0).cast("long")
-    for b in range(32):
+    for b in range(bits):
         out = out + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0)
         )
     return out
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash as a single expression (compat; prefer the
+    two-stage token_hashes → simhash_from_hashes form)."""
+    return simhash_from_hashes(token_hashes(col, 8), bits=32)

@@ -81,8 +81,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
+    # one md5 per shingle + affine rehash family — mirrors
+    # functions/text.shingle_hashes / minhash_from_hashes exactly
     sig_items = ", ".join(
-        f"list_min([('0x' || substr(md5('mh{i}~' || s), 1, 8))::UBIGINT for s in sh])"
+        f"list_min([(h * {2 * i + 1} + {12582917 * i + 1}) % 2147483647 for h in hs])"
         for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
@@ -101,7 +103,10 @@ sh AS (SELECT doc_id,
               [t[x] || ' ' || t[x+1] || ' ' || t[x+2] for x in range(1, len(t) - 1)]
                   AS sh
        FROM tok WHERE len(t) >= 3),
-sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+hs AS (SELECT doc_id,
+              [('0x' || substr(md5('mh~' || s), 1, 8))::BIGINT for s in sh] AS hs
+       FROM sh),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs),
 bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM bands a JOIN bands b
@@ -121,16 +126,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- simhash
 
 def _simhash_expr_sql() -> str:
-    """DuckDB expression mirroring functions/text.simhash32."""
+    """DuckDB expression mirroring functions/text.token_hashes +
+    simhash_from_hashes (60-bit)."""
     bit_terms = " + ".join(
         f"(CASE WHEN list_aggregate([((h >> {b}) & 1) * 2 - 1 for h in hs], 'sum') > 0"
         f" THEN {1 << b}::BIGINT ELSE 0 END)"
-        for b in range(32)
+        for b in range(60)
     )
     return f"""
 tok AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM corpus),
 hashed AS (SELECT doc_id,
-                  [('0x' || substr(md5('sh~' || x), 1, 8))::BIGINT for x in t] AS hs
+                  [('0x' || substr(md5('sh~' || x), 1, 15))::BIGINT for x in t] AS hs
            FROM tok),
 sh AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed)
 """
