@@ -92,3 +92,36 @@ def ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clicks_10m", F.lit(0)).alias("n_clicks_10m"),
         )
     )
+
+
+@register(
+    "ts_asof_forward_tolerance",
+    oracle="""
+WITH errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     purchases AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id,
+       CASE WHEN p.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(e.ts) <= 3600
+            THEN p.event_id END AS next_purchase_id
+FROM errs e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+""",
+)
+def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: the next purchase of the same user
+    at-or-after each error, nulled when more than an hour out — the
+    "did the user recover" funnel shape.  Same single-shuffle
+    union+window plan, scanned in descending time order."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = timeseries.asof_join(
+        errs, purchases, on="ts", by=("user_id",), direction="forward",
+        tolerance=3600, right_cols={"event_id": "next_purchase_id"},
+    )
+    return joined.select("event_id", "user_id", "next_purchase_id")

@@ -199,3 +199,31 @@ def test_stream_stream_join_time_bounded(spark, stream_dir):
     q.awaitTermination(120)
     pairs = sorted((r.cid, r.vid) for r in spark.sql("SELECT * FROM ssj_out").collect())
     assert pairs == [(1, 10), (3, 11)]
+
+
+def test_rate_stream_provider(spark):
+    """rate_stream provider smoke: the registry maps legacy stream-table
+    providers to structured sources; rate generates rows locally."""
+    stream = stream_reader(spark, "rate_stream", rowsPerSecond=100)
+    q = (
+        stream.selectExpr("value % 10 AS k")
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("rate_out")
+        .outputMode("complete").trigger(processingTime="200 milliseconds").start()
+    )
+    import time
+    deadline = time.time() + 30
+    try:
+        while time.time() < deadline:
+            if spark.sql("SELECT SUM(count) AS n FROM rate_out").collect()[0].n or 0 >= 10:
+                break
+            time.sleep(0.3)
+        total = spark.sql("SELECT COALESCE(SUM(count), 0) AS n FROM rate_out").collect()[0].n
+        assert total > 0
+    finally:
+        q.stop()
+
+
+def test_unknown_stream_provider_rejected(spark):
+    with pytest.raises(ValueError, match="not available"):
+        stream_reader(spark, "twitter_stream")
