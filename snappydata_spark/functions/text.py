@@ -216,3 +216,25 @@ def simhash32(col: Column) -> Column:
     """32-bit SimHash as a single expression (compat; prefer the
     two-stage token_hashes → simhash_from_hashes form)."""
     return simhash_from_hashes(token_hashes(col, 8), bits=32)
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_pieces(col: Column) -> Column:
+    """BPE-ish piece split (letters / digit runs / punctuation runs — the
+    coarse pre-tokenization GPT-style BPE applies before merges).  Kept to
+    an ASCII class pattern so Java regex (Spark) and RE2 (oracle) agree."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def rolling_fingerprint(col: Column, k: int = 5) -> Column:
+    """Rolling-hash document fingerprint: hash every k-char gram, keep the
+    minimum (the 1-fingerprint case of winnowing; robust to edits outside
+    the minimizing gram, unlike whole-document md5).  Map-side only."""
+    n = F.length(col)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.substring(col, i, k))
+    return F.array_min(F.transform(grams, lambda g: hash32(g, "fp~")))

@@ -193,3 +193,50 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         F.transform(F.col("feature"), lambda x: F.round(x, 6)).alias("feature"),
     )
+
+
+@register(
+    "txt_bpe_pieces",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_pieces,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs
+FROM documents WHERE doc_id < 200
+""",
+)
+def txt_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece counting (functions/text.bpe_ish_pieces): the
+    letters/digits/punct pre-tokenization split, counted per doc."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(T.bpe_ish_pieces(F.col("text"))).alias("n_pieces"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+            ).alias("n_number_runs"),
+        )
+    )
+
+
+@register(
+    "txt_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_min([('0x' || substr(md5('fp~' || substr(text, x, 5)), 1, 8))::BIGINT
+                 for x in range(1, len(text) - 3)]) AS fp
+FROM documents WHERE len(text) >= 5 AND doc_id < 200
+""",
+)
+def txt_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (functions/text.rolling_fingerprint):
+    min over hashed 5-char grams — winnowing's 1-fingerprint case,
+    stable under edits away from the minimizing gram."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .filter((F.length("text") >= 5) & (F.col("doc_id") < 200))
+        .select("doc_id", T.rolling_fingerprint(F.col("text"), 5).alias("fp"))
+    )

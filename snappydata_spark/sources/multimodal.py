@@ -106,6 +106,42 @@ def decode_images(df: DataFrame, batch_size: int = 256, dim: int = 8) -> DataFra
     return df.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, batch_size: int = 256
+) -> DataFrame:
+    """Resize stage (stub codec): emits the original payload metadata plus
+    the target geometry and a deterministic fake resized payload (md5 of
+    payload + geometry — a real build calls PIL .resize and re-encodes).
+    Pure map-side: partitioning and batch shape identical to production."""
+    schema = StructType(
+        [
+            StructField("item_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("resized_payload", BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geo = f"{width}x{height}".encode()
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "item_id": chunk["item_id"],
+                        "width": width,
+                        "height": height,
+                        "resized_payload": [
+                            hashlib.md5(p + geo).digest() if p is not None else None
+                            for p in chunk["payload"]
+                        ],
+                    }
+                )
+
+    return df.filter(F.col("modality") == "image").mapInPandas(gen, schema=schema)
+
+
 def extract_audio_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Audio path shares the decode plumbing (stub codec, real schema)."""
     return decode_images(df.filter(F.col("modality") == "audio"), dim=dim)

@@ -62,3 +62,24 @@ def test_video_frame_sampling_explodes(media):
 def test_partition_parallelism_preserved(media, spark):
     out = decode_images(media.repartition(4))
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_resize_images_stage(spark):
+    from snappydata_spark.sources.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"imgbytes1")), (2, "audio", bytearray(b"aud")),
+         (3, "image", None)],
+        "item_id long, modality string, payload binary",
+    )
+    out = resize_images(df, width=64, height=64).collect()
+    by_id = {r.item_id: r for r in out}
+    assert set(by_id) == {1, 3}                 # audio filtered out
+    assert by_id[1].width == 64 and by_id[1].height == 64
+    assert by_id[1].resized_payload is not None
+    assert by_id[3].resized_payload is None     # null payload propagates
+    # deterministic: same payload+geometry → same fake bytes
+    out2 = resize_images(df, width=64, height=64).collect()
+    assert {r.item_id: bytes(r.resized_payload) if r.resized_payload else None
+            for r in out2} == {r.item_id: bytes(r.resized_payload) if r.resized_payload else None
+                               for r in out}
