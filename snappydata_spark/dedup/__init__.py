@@ -183,3 +183,66 @@ def embedding_near_dups(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= top_per_block
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 20
+) -> DataFrame:
+    """Cluster candidate pairs into connected components: returns
+    (node, cluster) where cluster = min node id reachable.
+
+    Iterative min-label propagation (the standard large-graph CC in
+    Spark): each round joins labels across edges and keeps the min —
+    O(diameter) rounds, each one shuffle on node id.  Near-dup clusters
+    have tiny diameters (pairs/triangles), so this converges in 2-3
+    rounds; `max_iter` bounds adversarial chains.  Driver work per round
+    is one count (the convergence check) — no data is collected."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min label among its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a.alias("node"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_one_per_cluster(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup resolution: drop every clustered doc except the cluster
+    representative (min id).  Docs not in any candidate pair pass
+    through untouched."""
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -79,7 +79,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------- minhash+LSH
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     # one md5 per shingle + affine rehash family — mirrors
     # functions/text.shingle_hashes / minhash_from_hashes exactly
@@ -96,8 +96,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {_CORPUS_SQL},
+    return f"""{_CORPUS_SQL},
 tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
 sh AS (SELECT doc_id,
               [t[x] || ' ' || t[x+1] || ' ' || t[x+2] for x in range(1, len(t) - 1)]
@@ -107,11 +106,15 @@ hs AS (SELECT doc_id,
               [('0x' || substr(md5('mh~' || s), 1, 8))::BIGINT for s in sh] AS hs
        FROM sh),
 sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-"""
+bands AS ({band_selects}),
+mh_pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"WITH {_minhash_ctes(num_hashes, bands)}\nSELECT doc1, doc2 FROM mh_pairs"
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -345,4 +348,61 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return ann.ivf_search(
         emb.filter(F.col("vec_id") != 0), assign, cent, query, k=10, nprobe=4
+    )
+
+
+# -------------------------------------------------------- cluster + keep-one
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+          UNION SELECT doc2, doc1 FROM mh_pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a)
+SELECT node, cluster FROM labels
+""",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → connected components (iterative min-label
+    propagation, dedup.connected_components) — the clustering step that
+    turns pairwise near-dup hits into keep-one groups.  The oracle
+    computes the same components with a recursive transitive-closure CTE,
+    so the fixpoint itself is hash-verified."""
+    pairs = dedup.minhash_lsh_candidates(_corpus(spark, sf_dir), num_hashes=16, bands=4)
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "dedup_keep_one_per_cluster",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+          UNION SELECT doc2, doc1 FROM mh_pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a)
+SELECT COUNT(*) AS n_kept, COUNT(DISTINCT doc_id) AS n_distinct
+FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster)
+""",
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: cluster the candidates, keep only
+    each cluster's min-id representative plus all unclustered docs."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.keep_one_per_cluster(corpus, clusters)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("doc_id").alias("n_distinct"),
     )

@@ -82,3 +82,27 @@ def test_quality_score_bounded(spark, sf_dir):
         F.min("q").alias("lo"), F.max("q").alias("hi")
     ).collect()[0]
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_connected_components_chain(spark):
+    """A long chain has diameter >> 1: min-label must propagate end to
+    end, not just one hop."""
+    from snappydata_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 20)],
+        "doc1 bigint, doc2 bigint",
+    )
+    labels = {r.node: r.cluster for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_keep_one_per_cluster(spark):
+    from snappydata_spark import dedup
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc1 bigint, doc2 bigint")
+    clusters = dedup.connected_components(pairs)
+    kept = sorted(r.doc_id for r in dedup.keep_one_per_cluster(docs, clusters).collect())
+    # clusters {1,2,3} keep 1; {5,6} keep 5; 4 untouched
+    assert kept == [1, 4, 5]
