@@ -33,6 +33,9 @@ HEADLINE = [
     "ev_sessionize",
     "ev_tumbling_window",
     "agg_cube",
+    "ts_asof_click_to_view",
+    "sim_ivf_topk",
+    "txt_quality_score",
 ]
 
 

@@ -462,3 +462,25 @@ def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["lineitem"].sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont).  At 100 TB you'd switch to percentile_approx
+    (t-digest, mergeable partials) — exact percentile sorts per group."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )

@@ -100,3 +100,23 @@ def test_prepared_statement(snappy):
     import pytest as _pt
     with _pt.raises(ValueError):
         ps.execute(1)
+
+
+def test_join_hints_passthrough(snappy, sf_dir):
+    """Spark 3 join hints (the reference's --+ joinType() comment hints,
+    QueryHint Literals.scala:405-511) flow through session.sql."""
+    spark = snappy.spark
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("h_nation")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("h_customer")
+    from snappydata_spark.plans.explainer import physical_plan
+
+    merged = snappy.sql(
+        "SELECT /*+ MERGE(n) */ COUNT(*) AS n "
+        "FROM h_customer c JOIN h_nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    assert "SortMergeJoin" in physical_plan(merged)
+    bcast = snappy.sql(
+        "SELECT /*+ BROADCAST(n) */ COUNT(*) AS n "
+        "FROM h_customer c JOIN h_nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    assert "BroadcastHashJoin" in physical_plan(bcast)
