@@ -190,6 +190,25 @@ class SnappySession:
             options["replicate"] = "true"
         self.create_table(name, provider=src_meta.provider, options=options, df=empty)
 
+    def compact_table(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Compact a managed table's small files (the maintenance op
+        copy-on-write appends need: every insert adds files; scans slow
+        down as file count grows).  Rewrites to ceil(bytes/target) files
+        — bucketed tables re-bucket instead (bucket count fixes their
+        layout).  Returns the resulting file count."""
+        name = name.lower()
+        meta = self.catalog.load_meta(name)
+        df = self._read_table(name)
+        if not self._is_bucketed(meta):
+            stats = self.analyze_table(name)
+            n_files = max(1, -(-stats["size_bytes"] // target_file_bytes))
+            df = df.repartition(n_files)
+        self._rewrite(df, meta)
+        if self._is_bucketed(meta):
+            return meta.buckets
+        data = self.catalog.data_path(name)
+        return len([f for f in os.listdir(data) if f.endswith(".parquet")])
+
     def cache_table(self, name: str) -> None:
         """CACHE TABLE (SnappyDDLParser cache:917) — pin the managed
         table's view into Spark's columnar cache (the in-memory column-

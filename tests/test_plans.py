@@ -120,3 +120,20 @@ def test_join_hints_passthrough(snappy, sf_dir):
         "FROM h_customer c JOIN h_nation n ON c.c_nationkey = n.n_nationkey"
     )
     assert "BroadcastHashJoin" in physical_plan(bcast)
+
+
+def test_managed_table_scan_pushdown(snappy, sf_dir):
+    """Filters on managed-table reads must reach the parquet scan
+    (PushedFilters — the row-group stat-skipping §4 contract)."""
+    from snappydata_spark.plans.explainer import physical_plan
+    import pyspark.sql.functions as F
+
+    snappy.create_table(
+        "pd_t", df=snappy.spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+    plan = physical_plan(
+        snappy.table("pd_t").filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)" in plan, plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+    snappy.drop_table("pd_t")

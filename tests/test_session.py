@@ -173,3 +173,18 @@ def test_engine_conf_surface(snappy):
     snappy.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     snappy.sql("SET snappydata.column.maxDeltaRows = 5000")
     assert snappy.get_conf("snappydata.column.maxDeltaRows") == "5000"
+
+
+def test_compact_table(snappy):
+    df = snappy.spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    snappy.create_table("cp_t", df=df.repartition(8))
+    import glob
+    for _ in range(4):  # small appends accumulate files
+        snappy.insert("cp_t", df.limit(10).repartition(4))
+    data = snappy.catalog.data_path("cp_t")
+    before = len(glob.glob(data + "/*.parquet"))
+    assert before >= 12
+    n_after = snappy.compact_table("cp_t")
+    assert n_after < before
+    assert snappy.table("cp_t").count() == 140
+    snappy.drop_table("cp_t")

@@ -227,3 +227,34 @@ def test_rate_stream_provider(spark):
 def test_unknown_stream_provider_rejected(spark):
     with pytest.raises(ValueError, match="not available"):
         stream_reader(spark, "twitter_stream")
+
+
+def test_native_session_window_streaming(spark, stream_dir):
+    """session_window (native Spark session windows) on a stream —
+    the event-time upgrade of gap-based sessionization.  Append mode
+    (sessions emit once the watermark passes their end); a late
+    advancer event pushes the watermark past the sessions under test."""
+    t0 = 1_700_000_000
+    _write_batch(stream_dir, "s0.json", [
+        {"u": "u1", "ts": t0}, {"u": "u1", "ts": t0 + 100},
+        {"u": "u1", "ts": t0 + 5000},   # > 10 min gap → second session
+        {"u": "u2", "ts": t0 + 50},
+        {"u": "u3", "ts": t0 + 10000},  # advances the watermark
+    ])
+    stream = stream_reader(
+        spark, "file_stream", schema="u string, ts long",
+        format="json", path=stream_dir,
+    ).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts").withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.session_window("ts", "10 minutes"), "u").count()
+    q = (
+        agg.writeStream.format("memory").queryName("sw_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT u, CAST(session_window.start AS LONG) AS s, count FROM sw_out"
+    ).collect()
+    got = {(r.u, r.s): r["count"] for r in rows}
+    assert got[("u1", t0)] == 2
+    assert got[("u1", t0 + 5000)] == 1
+    assert got[("u2", t0 + 50)] == 1
