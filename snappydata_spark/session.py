@@ -86,11 +86,43 @@ class SnappySession:
         # (createPolicy SnappyDDLParser:392-418; filter injected at read
         # like the RowLevelSecurity rule, SnappySessionState.scala:422)
         self._policies: dict[str, tuple[str, str, str]] = {}
+        # indexes/policies persist with the store (the reference keeps
+        # both in its hive-backed catalog)
+        self._load_registry()
         self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
         # instances sharing one SparkSession (e.g. test fixtures)
         self._session_id = uuid.uuid4().hex[:8]
+
+    # -------------------------------------------------------- registry persist
+
+    @property
+    def _registry_path(self) -> str:
+        return os.path.join(self.catalog.base_dir, "_registry.json")
+
+    def _load_registry(self) -> None:
+        import json
+
+        try:
+            with open(self._registry_path) as f:
+                data = json.load(f)
+            self._indexes = {
+                k: (v[0], list(v[1])) for k, v in data.get("indexes", {}).items()
+            }
+            self._policies = {
+                k: tuple(v) for k, v in data.get("policies", {}).items()
+            }
+        except FileNotFoundError:
+            pass
+
+    def _save_registry(self) -> None:
+        import json
+
+        with open(self._registry_path, "w") as f:
+            json.dump(
+                {"indexes": self._indexes, "policies": self._policies}, f, indent=2
+            )
 
     # ------------------------------------------------------------------ DDL
 
@@ -368,6 +400,7 @@ class SnappySession:
             return self._create_index(stmt.table, stmt.options)
         if stmt.kind == "drop_index":
             self._indexes.pop(stmt.options["index"].lower(), None)
+            self._save_registry()
             return None
         if stmt.kind == "drop_table" and self.catalog.exists(stmt.table):
             self.drop_table(stmt.table, if_exists=stmt.if_not_exists)
@@ -386,10 +419,12 @@ class SnappySession:
             self._policies[stmt.options["policy"].lower()] = (
                 stmt.table.lower(), stmt.where, stmt.options["user"]
             )
+            self._save_registry()
             self._refresh_view(stmt.table)
             return None
         if stmt.kind == "drop_policy":
             p = self._policies.pop(stmt.options["policy"].lower(), None)
+            self._save_registry()
             if p:
                 self._refresh_view(p[0])
             return None
@@ -534,6 +569,7 @@ class SnappySession:
     def _create_index(self, table: str, options: dict):
         cols = [c.strip().lower() for c in options["columns"].split(",")]
         self._indexes[options["index"].lower()] = (table.lower(), cols)
+        self._save_registry()
         return None
 
     def list_indexes(self) -> dict:

@@ -188,3 +188,21 @@ def test_compact_table(snappy):
     assert n_after < before
     assert snappy.table("cp_t").count() == 140
     snappy.drop_table("cp_t")
+
+
+def test_registry_persists_across_sessions(snappy):
+    from snappydata_spark import SnappySession
+
+    snappy.create_table(
+        "pr_t", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([(1, "x"), (2, "y")], "k int, org string"),
+    )
+    snappy.sql("CREATE INDEX pr_idx ON pr_t (k)")
+    snappy.sql("CREATE POLICY pr_pol ON pr_t FOR SELECT USING (org = 'x')")
+    # a NEW session over the same store sees both
+    sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
+    assert sn2.list_indexes() == {"pr_idx": ("pr_t", ["k"])}
+    assert sn2.table("pr_t").count() == 1  # policy enforced
+    sn2.sql("DROP POLICY pr_pol")
+    assert sn2.table("pr_t").count() == 2
+    snappy.drop_table("pr_t")
