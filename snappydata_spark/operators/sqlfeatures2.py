@@ -1,0 +1,293 @@
+"""SQL-surface coverage, batch 2 (SURVEY.md §2.4-§2.7, §2.10-§2.11).
+
+Fills remaining grammar/function families the reference parser supports
+(SnappyParser.scala windowSpec/queryOrganization/intervalExpression,
+subquery predicates, DISTRIBUTE BY/CLUSTER BY) plus statistical and
+bitwise function coverage — all vanilla Catalyst expressions (JVM-side,
+whole-stage-codegen'd), hash-checked against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables, register_views
+
+
+# ------------------------------------------------------ window functions
+
+@register(
+    "win_distribution_funcs",
+    oracle="""
+SELECT s_suppkey,
+       NTILE(4)       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 6) AS cume,
+       NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+FROM supplier
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/ranking window functions (ntile, percent_rank,
+    cume_dist, nth_value) — reference inherits these from Spark's
+    FunctionRegistry (SnappySessionCatalog.scala:1280-1286).  Ordering key
+    includes s_suppkey so tie order (and thus ntile/nth_value) is
+    deterministic across engines."""
+    t = load_tables(spark, sf_dir, ("supplier",))
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t["supplier"].select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("s_suppkey", 2).over(wall).alias("second_poorest"),
+    )
+
+
+@register(
+    "win_named_window",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (queryOrganization grammar
+    SnappyParser.scala:738-774) — SQL entry path so the WINDOW binding
+    itself is exercised."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
+               ROW_NUMBER() OVER w AS order_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+
+
+# --------------------------------------------------- subquery predicates
+
+@register(
+    "sql_exists_subquery",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice > 300000)
+GROUP BY c_mktsegment
+""",
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS → semi/anti joins (Catalyst
+    RewritePredicateSubquery; reference inherits Spark's subquery
+    handling, SnappyStrategies.scala:858-870 only tokenizes results)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery predicates (parser `inExpression`; planned as
+    LeftSemi/LeftAnti with null-aware anti join where needed)."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ------------------------------------------------- interval arithmetic
+
+@register(
+    "scalar_interval_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)  AS due_date,
+       CAST(o_orderdate + INTERVAL 45 DAY  AS DATE)  AS followup_date,
+       CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+""",
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL literal arithmetic (intervalExpression
+    SnappyParser.scala:263-331; units SnappyDDLParser.scala:246-258) —
+    month/day addition, quarter truncation, day difference."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("due_date"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("followup_date"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter_start"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_cutoff"
+        ),
+    )
+
+
+# ------------------------------------------- statistical aggregates
+
+@register(
+    "agg_stats_funcs",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_stddev,
+       ROUND(VAR_POP(l_quantity), 4)          AS qty_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       MAX_BY(l_orderkey, l_extendedprice) AS priciest_order,
+       MIN_BY(l_orderkey, l_extendedprice) AS cheapest_order
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate coverage (stddev/variance/corr/covar +
+    max_by/min_by argmax aggregates) — all Catalyst DeclarativeAggregates,
+    map-side partial + merge, no extra shuffle beyond the group-by."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_pop("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        )
+    )
+
+
+# ------------------------------------------------- bitwise functions
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT event_id,
+       user_id & 255                  AS low_byte,
+       user_id | 4096                 AS with_flag,
+       XOR(user_id, event_id)         AS mixed,
+       (user_id & 15) << 2            AS shifted_left,
+       user_id >> 3                   AS shifted_right,
+       BIT_COUNT(user_id)             AS popcount
+FROM events
+WHERE event_id <= 5000
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression coverage (&, |, xor, shifts, bit_count) — the
+    same JVM-side expressions our simhash/fingerprint operators build on
+    (functions/text.py)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].where(F.col("event_id") <= 5000)
+    return e.select(
+        "event_id",
+        F.expr("user_id & 255").alias("low_byte"),
+        F.expr("user_id | 4096").alias("with_flag"),
+        F.expr("user_id ^ event_id").alias("mixed"),
+        F.expr("shiftleft(user_id & 15, 2)").alias("shifted_left"),
+        F.expr("shiftright(user_id, 3)").alias("shifted_right"),
+        F.expr("bit_count(user_id)").alias("popcount"),
+    )
+
+
+# ------------------------------------------------- nested/complex types
+
+@register(
+    "complex_types_nested",
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(key := o_orderkey, price := o_totalprice).price AS struct_price,
+       [o_orderkey, o_custkey][1]                                  AS arr_first,
+       len([o_orderkey, o_custkey, 7])                             AS arr_len,
+       map([o_orderstatus], [o_totalprice])[o_orderstatus][1]      AS map_price
+FROM orders
+WHERE o_orderkey <= 20000
+""",
+)
+def complex_types_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY/MAP/STRUCT construction + field/element access (type grammar
+    SnappyBaseParser.scala:280-299; stored complex types
+    SerializedRow/Map/Array — ours are native Catalyst nested types)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].where(F.col("o_orderkey") <= 20000)
+    return o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+        )["price"].alias("struct_price"),
+        F.array("o_orderkey", "o_custkey")[0].alias("arr_first"),
+        F.size(F.array("o_orderkey", "o_custkey", F.lit(7))).alias("arr_len"),
+        F.element_at(
+            F.create_map(F.col("o_orderstatus"), F.col("o_totalprice")),
+            F.col("o_orderstatus"),
+        ).alias("map_price"),
+    )
+
+
+# ------------------------------------- DISTRIBUTE BY / CLUSTER BY dialect
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+SELECT l_suppkey, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / CLUSTER BY grammar (SnappyParser.scala:738-790):
+    repartition-by-expression in SQL.  Row content is partition-layout
+    independent, so the oracle is the plain aggregate (the driver's
+    compare is order-insensitive); the clause itself exercises
+    RepartitionByExpression planning."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_suppkey, ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+        CLUSTER BY l_suppkey
+        """
+    )
