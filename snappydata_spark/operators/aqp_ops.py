@@ -39,3 +39,33 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
     st = aqp.create_sample_table(t["lineitem"], ["l_returnflag"], 0.1)
     return aqp.approx_agg(st, ["l_returnflag"], "l_extendedprice", "sum")
+
+
+@register("aqp_hll_union_daily")
+def aqp_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (the scale path for the
+    reference's approx-distinct surface): build one Datasketches HLL
+    sketch of user_id per (day, event_type) partial, then hll_union_agg
+    the partials up to per-day totals — the re-aggregation is
+    sketch-merge only, never touching raw rows again.  At 100 TB this is
+    the difference between one pass and N passes for rollup hierarchies.
+    Rows-only check (sketch estimates are engine-specific); accuracy vs
+    exact distinct is pytest-asserted within 5% (tests/test_aqp.py)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    partials = (
+        t["events"]
+        .groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        partials.groupBy("day")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 0)
+            .cast("long")
+            .alias("approx_users")
+        )
+        .orderBy("day")
+    )

@@ -11,6 +11,7 @@ exact textbook semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from snappydata_spark import timeseries
 from snappydata_spark.operators.registry import register
@@ -125,3 +126,64 @@ def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=3600, right_cols={"event_id": "next_purchase_id"},
     )
     return joined.select("event_id", "user_id", "next_purchase_id")
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id % 50 AS grp, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT grp, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY grp
+), spine AS (
+  SELECT b.grp, CAST(gs.g AS DATE) AS day
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g) gs
+)
+SELECT s.grp, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.sum_val IGNORE NULLS)
+           OVER (PARTITION BY s.grp ORDER BY s.day) AS sum_val_ffill
+FROM spine s LEFT JOIN daily d ON s.grp = d.grp AND s.day = d.day
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (beyond the reference — hypertable-rollup
+    style regularization a training pipeline needs): build each group's
+    daily date spine with sequence()+explode, left-join the observed
+    daily aggregates, zero-fill counts and forward-fill the daily value totals with a
+    last-non-null window.  Scale: the spine is generated per-group from
+    min/max (no driver loop); one shuffle for the daily agg, the spine
+    join is on (grp, day) — co-partitioned with the agg output."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.groupBy(
+            (F.col("user_id") % 50).alias("grp"),
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+    spine = (
+        daily.groupBy("grp")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_val", ignorenulls=True).over(w).alias("sum_val_ffill"),
+        )
+    )

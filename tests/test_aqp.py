@@ -124,3 +124,28 @@ def test_strata_reservoir_floor(spark, sf_dir):
     }
     for k in true:
         assert est[k] == pytest.approx(true[k], rel=1e-6)
+
+
+def test_hll_union_within_5pct_of_exact(spark, sf_dir):
+    """aqp_hll_union_daily: per-day sketch-merged distinct estimate must
+    land within 5% of the exact distinct count (Datasketches HLL default
+    lgConfigK=12 → ~1.6% relative standard error)."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators import QUERIES
+
+    approx = {
+        r.day: r.approx_users for r in QUERIES["aqp_hll_union_daily"](spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    exact = {
+        r.day: r.n
+        for r in events.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n)
