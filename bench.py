@@ -34,8 +34,10 @@ HEADLINE = [
     "ev_tumbling_window",
     "agg_cube",
     "ts_asof_click_to_view",
-    "sim_ivf_topk",
+    "sim_ivf_topk_vectorized",
     "txt_quality_score",
+    "ts_gap_fill",
+    "dedup_minhash_lsh",
 ]
 
 
@@ -107,6 +109,11 @@ def colocated_join_delta(spark, sf_dir):
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # warm both layouts (the bucketed table was just written, so its
+        # first read pays cold page-cache + file-listing costs the plain
+        # side already amortized during the bench warmup)
+        q(line, orders).count()
+        q(sn.table("bc_lineitem"), sn.table("bc_orders")).count()
         t0 = time.time()
         q(line, orders).count()
         plain = round(time.time() - t0, 3)
@@ -135,6 +142,10 @@ def main() -> None:
     extra = {"quickstart_groupby_avg": quickstart_groupby_avg}
     for name in HEADLINE + list(extra):
         fn = extra.get(name) or QUERIES[name]
+        # reference methodology (Quickstart.scala:52-84 does 3 warmups +
+        # 5 timed runs): one warmup run amortizes codegen/classloading,
+        # then one timed run measures the steady-state scan/shuffle cost.
+        fn(spark, SF_DIR).count()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()  # forces full execution without driver-side collect

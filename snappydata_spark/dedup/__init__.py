@@ -55,6 +55,11 @@ def minhash_lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    # materialize signatures once: both sides of the self-join read the
+    # cached band table instead of re-running shingle->md5->minhash (2x
+    # the whole pipeline).  At 100 TB the same move is "write signatures
+    # to a table, self-join the table" -- signature bytes << text bytes.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -102,6 +107,7 @@ def simhash_candidates(
             )
         ).alias("b"),
     ).select(id_col, "sh", "b.band", "b.byte")
+    bands = bands.persist()  # self-join reads cached simhashes, not 2x md5
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -138,6 +144,7 @@ def ngram_jaccard_pairs(
         T.prefix_fingerprint(F.col(text_col), block_tokens).alias("blk"),
         F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    docs = docs.persist()  # self-join reads cached shingle sets
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))

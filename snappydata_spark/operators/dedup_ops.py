@@ -351,6 +351,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_topk_vectorized", oracle=_IVF_SQL)
+def sim_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same IVF search, but cell assignment via the numpy mapInPandas
+    scale path (ann.ivf_assign_vectorized): one Arrow-batched matmul per
+    partition, zero shuffle, no per-centroid row explosion — the
+    assignment plan that survives 100 TB.  Agreement with the DataFrame
+    argmax path is pytest-asserted (tests/test_ann.py), and this variant
+    hash-checks against the same DuckDB oracle."""
+    from snappydata_spark import ann
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") % 31 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_rows = [(r.cid, list(r.ce)) for r in cent.orderBy("cid").collect()]
+    assign = ann.ivf_assign_vectorized(emb, cent_rows)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return ann.ivf_search(
+        emb.filter(F.col("vec_id") != 0), assign, cent, query, k=10, nprobe=4
+    )
+
+
 # -------------------------------------------------------- cluster + keep-one
 
 @register(
