@@ -93,6 +93,23 @@ _SET_CONF = re.compile(
     r"^\s*SET\s+((?:snappydata|spark)\.[\w.]+)\s*=\s*(.+?)\s*;?\s*$", re.I
 )
 
+# GRANT/REVOKE <priv> ON [TABLE] t TO/FROM user (grantRevoke passThrough
+# SnappyDDLParser.scala:818-857 — the reference forwards these to the
+# store; we keep an engine-side grant registry enforced at SELECT)
+_GRANT_REVOKE = re.compile(
+    r"^\s*(GRANT|REVOKE)\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s+(?:TO|FROM)\s+(\w+)\s*;?\s*$",
+    re.I,
+)
+# DEPLOY PACKAGE name 'coords' / DEPLOY JAR name 'paths' / UNDEPLOY name /
+# LIST PACKAGES (deployPackages SnappyDDLParser.scala:858-874).  Python
+# engine divergence: no dynamic JVM jar loading — the registry records the
+# dependency surface; Python UDF code arrives via create_function instead.
+_DEPLOY = re.compile(
+    r"^\s*DEPLOY\s+(PACKAGE|JAR)\s+(\w+)\s+'([^']+)'\s*;?\s*$", re.I
+)
+_UNDEPLOY = re.compile(r"^\s*UNDEPLOY\s+(\w+)\s*;?\s*$", re.I)
+_LIST_PACKAGES = re.compile(r"^\s*LIST\s+(?:PACKAGES|JARS)\s*;?\s*$", re.I)
+
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
 # → the partition id of the row (the Spark-native analogue of the server
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
@@ -200,6 +217,28 @@ def split_statement(text: str) -> Statement:
     m = _DROP_POLICY.match(text)
     if m:
         return Statement("drop_policy", options={"policy": m.group(1)})
+    m = _GRANT_REVOKE.match(text)
+    if m:
+        return Statement(
+            "grant_revoke", table=m.group(3),
+            options={
+                "verb": m.group(1).lower(),
+                "privilege": m.group(2).lower(),
+                "user": m.group(4).lower(),
+            },
+        )
+    m = _DEPLOY.match(text)
+    if m:
+        return Statement(
+            "deploy",
+            options={"kind": m.group(1).lower(), "name": m.group(2),
+                     "coords": m.group(3)},
+        )
+    m = _UNDEPLOY.match(text)
+    if m:
+        return Statement("undeploy", options={"name": m.group(1)})
+    if _LIST_PACKAGES.match(text):
+        return Statement("list_packages")
     m = _SET_CONF.match(text)
     if m:
         return Statement(

@@ -88,6 +88,13 @@ class SnappySession:
         self._policies: dict[str, tuple[str, str, str]] = {}
         # indexes/policies persist with the store (the reference keeps
         # both in its hive-backed catalog)
+        # SELECT grants: table → set of users (grantRevoke passThrough
+        # SnappyDDLParser:818-857).  Empty set / absent table = open access
+        # (matches the reference's default of no grants recorded).
+        self._grants: dict[str, set[str]] = {}
+        # DEPLOY PACKAGE/JAR registry (deployPackages SnappyDDLParser:
+        # 858-874) — dependency metadata only; see dialect.py divergence note
+        self._packages: dict[str, dict[str, str]] = {}
         self._load_registry()
         self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
@@ -113,6 +120,10 @@ class SnappySession:
             self._policies = {
                 k: tuple(v) for k, v in data.get("policies", {}).items()
             }
+            self._grants = {
+                k: set(v) for k, v in data.get("grants", {}).items()
+            }
+            self._packages = dict(data.get("packages", {}))
         except FileNotFoundError:
             pass
 
@@ -121,7 +132,14 @@ class SnappySession:
 
         with open(self._registry_path, "w") as f:
             json.dump(
-                {"indexes": self._indexes, "policies": self._policies}, f, indent=2
+                {
+                    "indexes": self._indexes,
+                    "policies": self._policies,
+                    "grants": {k: sorted(v) for k, v in self._grants.items()},
+                    "packages": self._packages,
+                },
+                f,
+                indent=2,
             )
 
     # ------------------------------------------------------------------ DDL
@@ -308,11 +326,18 @@ class SnappySession:
     # ------------------------------------------------------------------ read
 
     def table(self, name: str) -> DataFrame:
-        """Policy-filtered read (SELECT path).  Mutations use
-        _read_table: the reference's policies apply FOR SELECT only — a
-        filtered mutation read would silently drop the invisible rows on
+        """Policy-filtered, grant-checked read (SELECT path).  Mutations
+        use _read_table: the reference's policies apply FOR SELECT only —
+        a filtered mutation read would silently drop the invisible rows on
         copy-on-write rewrite."""
-        return self._apply_policies(name.lower(), self._read_table(name))
+        lname = name.lower()
+        granted = self._grants.get(lname)
+        if granted and self.current_user and self.current_user not in granted:
+            raise PermissionError(
+                f"user '{self.current_user}' lacks SELECT on '{lname}' "
+                f"(GRANT SELECT ON {lname} TO {self.current_user})"
+            )
+        return self._apply_policies(lname, self._read_table(name))
 
     def _read_table(self, name: str) -> DataFrame:
         name = name.lower()
@@ -428,6 +453,33 @@ class SnappySession:
             if p:
                 self._refresh_view(p[0])
             return None
+        if stmt.kind == "grant_revoke":
+            tbl = stmt.table.lower()
+            users = self._grants.setdefault(tbl, set())
+            if stmt.options["verb"] == "grant":
+                users.add(stmt.options["user"])
+            else:
+                users.discard(stmt.options["user"])
+                if not users:
+                    self._grants.pop(tbl, None)
+            self._save_registry()
+            return None
+        if stmt.kind == "deploy":
+            self._packages[stmt.options["name"].lower()] = {
+                "kind": stmt.options["kind"], "coords": stmt.options["coords"]
+            }
+            self._save_registry()
+            return None
+        if stmt.kind == "undeploy":
+            self._packages.pop(stmt.options["name"].lower(), None)
+            self._save_registry()
+            return None
+        if stmt.kind == "list_packages":
+            return self.spark.createDataFrame(
+                [(k, v["kind"], v["coords"]) for k, v in sorted(self._packages.items())]
+                or [("", "", "")],
+                "name string, kind string, coords string",
+            ).filter("name <> ''")
         if stmt.kind == "set_conf":
             self.set_conf(stmt.options["key"], stmt.options["value"])
             return None

@@ -206,3 +206,40 @@ def test_registry_persists_across_sessions(snappy):
     sn2.sql("DROP POLICY pr_pol")
     assert sn2.table("pr_t").count() == 2
     snappy.drop_table("pr_t")
+
+
+def test_grant_revoke_select(snappy):
+    df = snappy.spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double")
+    snappy.create_table("acl_t", options={"key_columns": "k"}, df=df)
+    # no grants recorded -> open access for any user
+    snappy.current_user = "bob"
+    assert snappy.table("acl_t").count() == 2
+    snappy.current_user = ""
+    snappy.sql("GRANT SELECT ON acl_t TO alice")
+    # admin (no current_user) still reads; alice reads; bob is refused
+    assert snappy.table("acl_t").count() == 2
+    snappy.current_user = "alice"
+    assert snappy.table("acl_t").count() == 2
+    snappy.current_user = "bob"
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        snappy.table("acl_t")
+    snappy.current_user = ""
+    snappy.sql("REVOKE SELECT ON acl_t FROM alice")
+    snappy.current_user = "bob"
+    assert snappy.table("acl_t").count() == 2  # registry empty again -> open
+    snappy.current_user = ""
+    snappy.drop_table("acl_t")
+
+
+def test_deploy_package_registry(snappy):
+    snappy.sql("DEPLOY PACKAGE sparkavro 'com.databricks:spark-avro_2.11:4.0.0'")
+    snappy.sql("DEPLOY JAR myudfs '/tmp/udfs.jar'")
+    rows = {r.name: (r.kind, r.coords) for r in snappy.sql("LIST PACKAGES").collect()}
+    assert rows == {
+        "sparkavro": ("package", "com.databricks:spark-avro_2.11:4.0.0"),
+        "myudfs": ("jar", "/tmp/udfs.jar"),
+    }
+    snappy.sql("UNDEPLOY sparkavro")
+    assert [r.name for r in snappy.sql("LIST PACKAGES").collect()] == ["myudfs"]
