@@ -149,3 +149,28 @@ def test_hll_union_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n)
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch, mergeable across
+    partitions) must land within the sketch's rank-error bound of the
+    exact percentile — the AQP contract for quantile queries at scale."""
+    from pyspark.sql import functions as F
+
+    line = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    acc = 1000  # rank error <= n / acc
+    row = line.select(
+        F.expr(f"percentile_approx(l_extendedprice, 0.5, {acc})").alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr(f"percentile_approx(l_extendedprice, 0.99, {acc})").alias("approx99"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("exact99"),
+    ).collect()[0]
+    # translate rank error to a generous value tolerance: 1% of the range
+    lo, hi = [
+        r[0]
+        for r in line.select(F.min("l_extendedprice")).collect()
+        + line.select(F.max("l_extendedprice")).collect()
+    ]
+    tol = (hi - lo) * 0.01
+    assert abs(row.approx - row.exact) <= tol
+    assert abs(row.approx99 - row.exact99) <= tol
