@@ -471,6 +471,11 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
+    # materialize the derived view once: the scalar-max subquery and the
+    # final join otherwise re-run the lineitem scan-agg three times (the
+    # reference caches the revenue view the same way — Q15's CREATE VIEW).
+    # Per-supplier aggregates stay tiny at any scale factor.
+    revenue = revenue.persist()
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
