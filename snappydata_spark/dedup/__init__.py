@@ -208,6 +208,10 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: every propagation round joins the edge set, and
+        # its lineage reaches back through the candidate-pair pipeline
+        # (minhash etc.) — without this each round re-runs that pipeline
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -229,15 +233,15 @@ def connected_components(
                     F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
-        )
-        changed = (
+        ).localCheckpoint(eager=True)  # cut lineage per round, execute once
+        changed = (  # convergence probe runs over the two checkpointed sides
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels
