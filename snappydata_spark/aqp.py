@@ -107,7 +107,9 @@ def approx_agg(
     # per-group sample moments; realized weights when the sample carries
     # the weightage column (exact HT under reservoir floors), else the
     # nominal uniform fraction
-    v = F.col(value_col)
+    # COUNT estimates need no value moments (y ≡ 1); using a constant also
+    # lets COUNT(*) route through a non-numeric qcs column unharmed
+    v = F.lit(1.0) if agg == "count" else F.col(value_col)
     weighted = WEIGHT_COL in s.columns
     sum_w = (
         F.sum(WEIGHT_COL) if weighted else F.count(F.lit(1)) / next(iter(st.fractions.values()))
@@ -115,9 +117,9 @@ def approx_agg(
     g = s.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         sum_w.alias("sum_w"),
-        F.sum(value_col).alias("s_sum"),
-        F.avg(value_col).alias("s_avg"),
-        F.coalesce(F.var_samp(value_col), F.lit(0.0)).alias("s_var"),
+        F.sum(v).alias("s_sum"),
+        F.avg(v).alias("s_avg"),
+        F.coalesce(F.var_samp(v), F.lit(0.0)).alias("s_var"),
         F.sum(v * v).alias("s_sum2"),
     )
     # per-group realized sampling ratio f = n / Σw  (uniform-fraction

@@ -110,6 +110,53 @@ _DEPLOY = re.compile(
 _UNDEPLOY = re.compile(r"^\s*UNDEPLOY\s+(\w+)\s*;?\s*$", re.I)
 _LIST_PACKAGES = re.compile(r"^\s*LIST\s+(?:PACKAGES|JARS)\s*;?\s*$", re.I)
 
+# SELECT ... WITH ERROR [<fraction>] (SDE approximate queries,
+# docs/sde/running_queries.md:4-31): route the aggregate to a sample
+# table of the FROM table and return error-bounded estimates
+_WITH_ERROR = re.compile(r"^(.*?)\s+WITH\s+ERROR(?:\s+([\d.]+))?\s*;?\s*$", re.I | re.S)
+_APPROX_AGG = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+    r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
+    re.I | re.S,
+)
+_AGG_ITEM = re.compile(r"^(SUM|AVG|COUNT)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$", re.I)
+
+
+def parse_with_error(text: str):
+    """Return (select_list, table, where, group_by, error_fraction) for a
+    `... WITH ERROR` query, else None.  The select list must contain
+    exactly one SUM/AVG/COUNT aggregate; remaining items are group cols."""
+    m = _WITH_ERROR.match(text)
+    if not m:
+        return None
+    body, frac = m.group(1), m.group(2)
+    q = _APPROX_AGG.match(body)
+    if not q:
+        raise ValueError(
+            "WITH ERROR supports SELECT <agg>(col)[, group cols] FROM t "
+            "[WHERE ...] [GROUP BY ...]"
+        )
+    items = [s.strip() for s in q.group(1).split(",")]
+    agg = None
+    group_items: list[str] = []
+    for it in items:
+        am = _AGG_ITEM.match(it)
+        if am and agg is None:
+            agg = (am.group(1).lower(), am.group(2).lower(), am.group(3))
+        else:
+            group_items.append(it)
+    if agg is None:
+        raise ValueError("WITH ERROR requires one SUM/AVG/COUNT aggregate")
+    return (
+        agg,
+        group_items,
+        q.group(2).lower(),
+        q.group(3),
+        q.group(4),
+        float(frac) if frac else None,
+    )
+
+
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
 # → the partition id of the row (the Spark-native analogue of the server
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.

@@ -24,7 +24,11 @@ from pyspark.sql.types import StructType
 from snappydata_spark.catalog import Catalog, TableMeta
 from snappydata_spark import mutate
 from snappydata_spark.plans.cache import PlanCache
-from snappydata_spark.dialect import rewrite_builtins, split_statement
+from snappydata_spark.dialect import (
+    parse_with_error,
+    rewrite_builtins,
+    split_statement,
+)
 
 
 def get_spark(
@@ -499,7 +503,47 @@ class SnappySession:
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
             self.insert(stmt.table, self.spark.sql(stmt.source_sql))
             return None
+        if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
+            parsed = parse_with_error(text)
+            if parsed:
+                return self._approx_sql(*parsed)
         return self.plan_cache.get_or_build(self.spark, rewrite_builtins(text))
+
+    def _approx_sql(self, agg, group_items, table, where, group_by, frac):
+        """`SELECT <agg> ... WITH ERROR` routing (docs/sde/running_queries.md:
+        4-31; SnappyContextFunctions AQP hooks): rewrite the aggregate onto a
+        registered sample table of the FROM table and return the estimate
+        with SDE's four error columns.  The scan touches only the sample —
+        that is the entire point at 100 TB."""
+        from snappydata_spark import aqp
+
+        agg_fn, value_col, alias = agg
+        sample_name = None
+        for cand in self.catalog.list_tables():
+            meta = self.catalog.load_meta(cand)
+            if meta.provider == "sample" and meta.options.get("base_table") == table:
+                sample_name = cand
+                break
+        if sample_name is None:
+            raise ValueError(
+                f"WITH ERROR query on '{table}' has no sample table "
+                f"(CREATE SAMPLE TABLE s ON {table} OPTIONS (qcs ..., fraction ...))"
+            )
+        meta = self.catalog.load_meta(sample_name)
+        qcs = meta.options["qcs"].split(",")
+        sample = self.table(sample_name)
+        if where:
+            sample = sample.filter(F.expr(where))
+        group_cols = (
+            [c.strip().lower() for c in group_by.split(",")]
+            if group_by
+            else [g.lower() for g in group_items]
+        )
+        st = aqp.SampleTable(sample, qcs, {"*": float(meta.options["fraction"])}, -1)
+        out = aqp.approx_agg(
+            st, group_cols, qcs[0] if value_col == "*" else value_col, agg_fn
+        )
+        return out.withColumnRenamed("estimate", alias) if alias else out
 
     # ----------------------------------------------------------- sample/index
 

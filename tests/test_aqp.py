@@ -174,3 +174,38 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     tol = (hi - lo) * 0.01
     assert abs(row.approx - row.exact) <= tol
     assert abs(row.approx99 - row.exact99) <= tol
+
+
+def test_with_error_sql_routing(snappy, sf_dir):
+    """`SELECT ... WITH ERROR` (docs/sde/running_queries.md) must route to
+    the registered sample table and bracket the true value."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("li_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE li_sample ON li_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.2')"
+    )
+    out = snappy.sql(
+        "SELECT l_returnflag, SUM(l_extendedprice) AS rev FROM li_base "
+        "GROUP BY l_returnflag WITH ERROR 0.1"
+    )
+    assert {"l_returnflag", "rev", "absolute_error", "relative_error",
+            "lower_bound", "upper_bound"} <= set(out.columns)
+    est = {r.l_returnflag: r for r in out.collect()}
+    true = {
+        r.l_returnflag: r.s
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for k, row in est.items():
+        assert row.lower_bound <= true[k] <= row.upper_bound
+    # WHERE is applied to the sample before estimation
+    flt = snappy.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM li_base "
+        "WHERE l_quantity > 10 GROUP BY l_returnflag WITH ERROR"
+    )
+    assert flt.count() > 0
+    snappy.drop_table("li_sample")
+    snappy.drop_table("li_base")
