@@ -50,16 +50,20 @@ def lsh_hyperplane_bucket(v: Column, num_planes: int, dims: int) -> Column:
     hyperplanes).  Hyperplane components are md5-derived uniforms in
     [-1, 1] — deterministic and reproducible in plain SQL, so the bucketed
     scale path has an exact oracle.  Bucket = sum of sign bits."""
+    import hashlib
+
     out = F.lit(0).cast("long")
     dv = _as_double(v)
     for p in range(num_planes):
+        # same md5-derived uniforms as the SQL oracle, but computed here
+        # (hashlib md5 == Spark md5) instead of as 64 Catalyst
+        # md5/conv/substring trees per plane — analyzing + constant-folding
+        # those dominated query build time (~3 s of driver work per query)
         comps = F.array(
             *[
-                (
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"plane{p}~{d}")), 1, 8), 16, 10
-                    ).cast("double")
-                    / F.lit(float(2**31))
+                F.lit(
+                    int(hashlib.md5(f"plane{p}~{d}".encode()).hexdigest()[:8], 16)
+                    / float(2**31)
                     - 1.0
                 )
                 for d in range(dims)
