@@ -240,3 +240,42 @@ def txt_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.length("text") >= 5) & (F.col("doc_id") < 200))
         .select("doc_id", T.rolling_fingerprint(F.col("text"), 5).alias("fp"))
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS item_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id < 200),
+counted AS (
+  SELECT item_id, duration_ms,
+         LEAST(8, GREATEST(1, duration_ms // 1000)) AS n_frames
+  FROM media)
+SELECT c.item_id, CAST(gs.g AS INT) AS frame_no, gs.g * 1000 AS offset_ms
+FROM counted c,
+     LATERAL (SELECT unnest(generate_series(0, CAST(c.n_frames AS BIGINT) - 1)) AS g) gs
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage (sources/multimodal.sample_video_frames):
+    1→N generator explode inside mapInPandas — the scale-safe shape for
+    media decode (no driver loop, no shuffle; frames stream out of each
+    Arrow batch).  Frame offsets are deterministic from duration, so the
+    structure hash-checks; the stub features are exercised by
+    mm_decode_features and tests/test_multimodal.py."""
+    from snappydata_spark.sources import multimodal
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.lit("video").alias("modality"),
+            F.col("text").cast("binary").alias("payload"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        )
+    )
+    frames = multimodal.sample_video_frames(media, every_ms=1000, max_frames=8)
+    return frames.select("item_id", "frame_no", "offset_ms")

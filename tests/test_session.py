@@ -243,3 +243,13 @@ def test_deploy_package_registry(snappy):
     }
     snappy.sql("UNDEPLOY sparkavro")
     assert [r.name for r in snappy.sql("LIST PACKAGES").collect()] == ["myudfs"]
+
+
+def test_registry_consistency():
+    """Every oracle belongs to a registered query; the inventory only
+    grows (guards against accidental de-registration)."""
+    from snappydata_spark.operators import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 97
+    assert all(n == n.lower() and " " not in n for n in QUERIES)
