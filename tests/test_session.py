@@ -253,3 +253,36 @@ def test_registry_consistency():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 97
     assert all(n == n.lower() and " " not in n for n in QUERIES)
+
+
+def test_view_lifecycle(loaded, tmp_path):
+    """Views (createView SnappyDDLParser:542, createTempViewUsing :577,
+    alterView :606; reference test suite ViewTest).  Managed tables live as
+    session temp views, so view DDL maps to Spark's native TEMP VIEW
+    statements; persistent views are a documented divergence (they need a
+    persistent metastore, while this engine's catalog is store_dir-scoped)."""
+    sn, n = loaded
+    sn.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW big_orders AS "
+        "SELECT * FROM t_orders WHERE o_totalprice > 100000"
+    )
+    expect = sn.table("t_orders").filter("o_totalprice > 100000").count()
+    assert sn.sql("SELECT count(*) AS c FROM big_orders").collect()[0].c == expect
+    # view over view
+    sn.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW big_open AS "
+        "SELECT * FROM big_orders WHERE o_orderstatus = 'O'"
+    )
+    assert sn.sql("SELECT count(*) AS c FROM big_open").collect()[0].c <= expect
+    # ALTER VIEW ... AS (redefinition; alterView :606)
+    sn.sql("ALTER VIEW big_orders AS SELECT * FROM t_orders WHERE o_totalprice > 200000")
+    redefined = sn.sql("SELECT count(*) AS c FROM big_orders").collect()[0].c
+    assert redefined == sn.table("t_orders").filter("o_totalprice > 200000").count()
+    # CREATE TEMPORARY VIEW ... USING parquet OPTIONS(path ...) (:577)
+    p = str(tmp_path / "ext_orders")
+    sn.table("t_orders").limit(50).write.parquet(p)
+    sn.sql(f"CREATE TEMPORARY VIEW ext_orders USING parquet OPTIONS (path '{p}')")
+    assert sn.sql("SELECT count(*) AS c FROM ext_orders").collect()[0].c == 50
+    for v in ("big_open", "big_orders", "ext_orders"):
+        sn.sql(f"DROP VIEW {v}")
+    assert not sn.spark.catalog.tableExists("big_orders")
