@@ -109,15 +109,20 @@ def win_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_suppkey,
        ROUND(s_acctbal, 2) AS s_acctbal,
-       COUNT(*) OVER (ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+       COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
            AS peers_within_500
 FROM supplier
 """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame on a numeric ordering (RANGE BETWEEN n PRECEDING ...)."""
+    """RANGE frame on a numeric ordering (RANGE BETWEEN n PRECEDING ...).
+
+    Partitioned by nation so the window sort is per-partition — an
+    unpartitioned RANGE frame forces all rows into one WindowExec
+    partition, which cannot scale."""
     t = load_tables(spark, sf_dir, ("supplier",))
-    w = W.orderBy("s_acctbal").rangeBetween(-500, 0)
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal").rangeBetween(-500, 0)
     return t["supplier"].select(
         "s_suppkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
