@@ -162,11 +162,17 @@ def parse_with_error(text: str):
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
 _DSID = re.compile(r"\bDSID\s*\(\s*\)", re.I)
 _CURRENT_SCHEMA = re.compile(r"\bCURRENT_SCHEMA\b(?:\s*\(\s*\))?", re.I)
+# FETCH FIRST n ROWS ONLY (SnappyParser.scala:776-785 fetchExpression —
+# SQL-standard alternative to LIMIT; Spark SQL has no FETCH clause)
+_FETCH_FIRST = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.I
+)
 
 
 def rewrite_builtins(text: str) -> str:
     text = _DSID.sub("spark_partition_id()", text)
     text = _CURRENT_SCHEMA.sub("current_database()", text)
+    text = _FETCH_FIRST.sub(r"LIMIT \1", text)
     return text
 
 

@@ -124,6 +124,18 @@ def test_builtin_function_rewrites(snappy):
     assert isinstance(row.s, str)
 
 
+def test_fetch_first_rows_only(snappy):
+    """FETCH FIRST n ROWS ONLY (fetchExpression SnappyParser.scala:776-785)
+    rewrites to LIMIT; FETCH NEXT is the SQL-standard synonym."""
+    rows = snappy.sql(
+        "SELECT id FROM range(100) ORDER BY id FETCH FIRST 5 ROWS ONLY"
+    ).collect()
+    assert [r.id for r in rows] == [0, 1, 2, 3, 4]
+    assert snappy.sql(
+        "SELECT id FROM range(10) FETCH NEXT 1 ROW ONLY"
+    ).count() == 1
+
+
 def test_cache_uncache(snappy):
     snappy.sql("CREATE TABLE ch_t USING COLUMN AS SELECT 1 AS x")
     snappy.cache_table("ch_t")
