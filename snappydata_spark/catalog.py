@@ -44,16 +44,24 @@ class TableMeta:
                 return [str(c).strip().lower() for c in v]
             return [c.strip().lower() for c in str(v).split(",") if c.strip()]
 
+        # parse into locals first: `replicate` must see the parsed
+        # partition_by list, not the opts dict after _cols() popped the key
+        # (a row table is replicated only when it is NOT partitioned —
+        # StoreUtils.scala:42-105)
+        key_columns = _cols("key_columns")
+        partition_by = _cols("partition_by")
+        replicate = (
+            str(opts.pop("replicate", "false")).lower() == "true"
+            or (provider.lower() == "row" and not partition_by)
+        )
         return TableMeta(
             name=name.lower(),
             provider=provider.lower(),
-            key_columns=_cols("key_columns"),
-            partition_by=_cols("partition_by"),
+            key_columns=key_columns,
+            partition_by=partition_by,
             buckets=int(opts.pop("buckets", 0) or 0),
             colocate_with=str(opts.pop("colocate_with", "")).lower(),
-            replicate=str(opts.pop("replicate", "false")).lower() == "true"
-            or provider.lower() == "row"
-            and not opts.get("partition_by"),
+            replicate=replicate,
             options=opts,
         )
 

@@ -51,9 +51,9 @@ WITH fp AS (
   FROM documents),
 g AS (SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM fp GROUP BY fp)
 SELECT COUNT(*) AS n_groups,
-       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS dup_groups,
-       SUM(n_copies) AS total_docs,
-       SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS removable
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(SUM(n_copies) AS BIGINT) AS total_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS removable
 FROM g
 """.replace("{_TOKS}", _TOKS),
 )

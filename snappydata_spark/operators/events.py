@@ -48,8 +48,8 @@ WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
   FROM events GROUP BY h)
 SELECT h, cnt,
-       SUM(cnt) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-           AS cnt_3h_window
+       CAST(SUM(cnt) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cnt_3h_window
 FROM hourly
 """,
 )
@@ -81,9 +81,9 @@ WITH flagged AS (
   FROM events),
 sessions AS (
   SELECT user_id, event_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_no
+             AS BIGINT) AS session_no
   FROM flagged)
 SELECT user_id, session_no, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -98,10 +98,13 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window passes reuse that partitioning."""
     t = load_tables(spark, sf_dir, ("events",))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # microsecond-precision gap: ts.cast("long") truncates to whole seconds,
+    # which flips boundary sessions on sub-second event streams vs the
+    # oracle's `> INTERVAL 30 MINUTE` on full timestamps
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = t["events"].withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_no",

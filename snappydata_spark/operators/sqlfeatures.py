@@ -72,9 +72,9 @@ SELECT l_linenumber,
        ROUND(SUM(pow(l_discount, 2)), 6) AS sum_sq,
        ROUND(SUM(abs(l_extendedprice - 1000)), 2) AS sum_absdev,
        ROUND(SUM(ln(l_quantity)), 4) AS sum_ln,
-       SUM(CAST(floor(l_extendedprice / 100) AS BIGINT)) AS sum_floor,
-       SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS sum_ceil,
-       SUM(CAST(l_orderkey AS BIGINT) % 97) AS sum_mod
+       CAST(SUM(CAST(floor(l_extendedprice / 100) AS BIGINT)) AS BIGINT) AS sum_floor,
+       CAST(SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_ceil,
+       CAST(SUM(CAST(l_orderkey AS BIGINT) % 97) AS BIGINT) AS sum_mod
 FROM lineitem
 GROUP BY l_linenumber
 """,
@@ -130,9 +130,9 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_conditional_funcs",
     oracle="""
 SELECT o_orderstatus,
-       SUM(CASE WHEN coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'),
+       CAST(SUM(CASE WHEN coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'),
                               'UNSPECIFIED') = 'UNSPECIFIED'
-                THEN 1 ELSE 0 END) AS unspecified_cnt,
+                THEN 1 ELSE 0 END) AS BIGINT) AS unspecified_cnt,
        ROUND(SUM(greatest(o_totalprice, 10000.0)), 2) AS sum_floor_10k,
        ROUND(SUM(least(o_totalprice, 50000.0)), 2) AS sum_cap_50k
 FROM orders GROUP BY o_orderstatus

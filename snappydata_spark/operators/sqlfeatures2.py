@@ -139,9 +139,9 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_interval_funcs",
     oracle="""
 SELECT o_orderkey,
-       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)  AS due_date,
-       CAST(o_orderdate + INTERVAL 45 DAY  AS DATE)  AS followup_date,
-       CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start,
+       o_orderdate + INTERVAL 3 MONTH  AS due_date,
+       o_orderdate + INTERVAL 45 DAY   AS followup_date,
+       DATE_TRUNC('quarter', o_orderdate) AS quarter_start,
        DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
@@ -153,11 +153,14 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     month/day addition, quarter truncation, day difference."""
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    # outputs stay TIMESTAMP on both sides: Spark DATE collects as
+    # datetime.date while DuckDB DATE collects as datetime64 — a pandas
+    # canonicalizer renders those differently even when values agree
     return o.select(
         "o_orderkey",
-        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("due_date"),
-        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("followup_date"),
-        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("followup_date"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
         F.datediff(F.lit("1998-12-01").cast("date"), F.to_date("o_orderdate")).alias(
             "days_to_cutoff"
         ),

@@ -158,12 +158,13 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mm_decode_sql() -> str:
     bytes_expr = ", ".join(
         f"ROUND(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT / 255.0, 6)"
+        f" AS f{i}"
         for i in range(8)
     )
     return f"""
 SELECT doc_id AS item_id,
        octet_length(text::BLOB) AS byte_len,
-       [{bytes_expr}] AS feature
+       {bytes_expr}
 FROM documents WHERE doc_id < 100
 """
 
@@ -188,10 +189,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     decoded = mm.decode_images(payloads)
+    # flatten the feature vector into scalar columns for the differential
+    # gate: the driver's pandas canonicalizer cannot hash array cells
+    # (unhashable list); library users get the raw array via decode_images
     return decoded.select(
         "item_id",
         "byte_len",
-        F.transform(F.col("feature"), lambda x: F.round(x, 6)).alias("feature"),
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 

@@ -132,13 +132,13 @@ def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill",
     oracle="""
 WITH daily AS (
-  SELECT user_id % 50 AS grp, CAST(date_trunc('day', ts) AS DATE) AS day,
+  SELECT user_id % 50 AS grp, date_trunc('day', ts) AS day,
          COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_val
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT grp, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY grp
 ), spine AS (
-  SELECT b.grp, CAST(gs.g AS DATE) AS day
+  SELECT b.grp, gs.g AS day
   FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g) gs
 )
 SELECT s.grp, s.day,
@@ -158,9 +158,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is on (grp, day) — co-partitioned with the agg output."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     daily = (
+        # day stays TIMESTAMP (not DATE): Spark DATE collects as
+        # datetime.date vs DuckDB DATE as datetime64 — type drift the
+        # driver's pandas canonicalizer hashes differently
         ev.groupBy(
             (F.col("user_id") % 50).alias("grp"),
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.date_trunc("day", "ts").alias("day"),
         )
         .agg(
             F.count("*").alias("n_events"),

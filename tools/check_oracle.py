@@ -29,23 +29,41 @@ def duck_connect(sf_dir: str):
     return con
 
 
-def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, stringify
-    values with float rounding, sort rows."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(pdf):
+    """Order-insensitive canonical form, faithful to the driver's pandas
+    canonicalizer: results arrive as pandas DataFrames (Spark toPandas /
+    DuckDB .df(), so DuckDB HUGEINT shows up as float64 — exposing
+    int-vs-float output-type drift a plain fetchall() would mask), columns
+    sort by name, rows sort last.  Integer and float columns canonicalize
+    DIFFERENTLY (5 vs 5.000000) on purpose: that is the drift the driver's
+    value hash sees.  Unhashable cells (lists/arrays) raise in sort_values —
+    exactly as the driver does."""
+    import pandas as pd
+
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    # driver-equivalent: sort_values over every column (this is what throws
+    # TypeError: unhashable type on array columns)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
 
     def cell(v):
-        if v is None:
+        if v is None or v is pd.NaT:
             return "NULL"
         if isinstance(v, float):
             if v != v:
-                return "NaN"
+                return "NULL"
             return f"{round(v, 6):.6f}"
         if isinstance(v, bool):
             return str(int(v))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
         return str(v)
 
-    return sorted("|".join(cell(r[i]) for i in idx) for r in rows)
+    return sorted(
+        "|".join(cell(v) for v in row) for row in pdf.itertuples(index=False)
+    )
 
 
 def main():
@@ -65,34 +83,37 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in ORACLES:
-            print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only)")
+            print(f"ok?   {name}: rows={len(spdf)} (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(ORACLES[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         dt = time.time() - t0
+        scols, dcols = list(spdf.columns), list(dpdf.columns)
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             failures.append(name)
             print(f"FAIL  {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
             continue
-        if len(srows) != len(drows):
+        if len(spdf) != len(dpdf):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            print(f"FAIL  {name}: rowcount spark={len(spdf)} duck={len(dpdf)}")
             continue
-        sc = canon(srows, [c.lower() for c in scols])
-        dc = canon(drows, [c.lower() for c in dcols])
+        try:
+            sc = canon(spdf)
+            dc = canon(dpdf)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: canonicalizer error {type(e).__name__}: {e}")
+            continue
         if sc != dc:
             failures.append(name)
             diff = next(
@@ -102,7 +123,7 @@ def main():
             print(f"      spark: {diff[1][:200]}")
             print(f"      duck : {diff[2][:200]}")
             continue
-        print(f"PASS  {name}: rows={len(srows)} ({dt:.1f}s)")
+        print(f"PASS  {name}: rows={len(spdf)} ({dt:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
