@@ -29,6 +29,29 @@ from pyspark.sql import DataFrame, functions as F
 from snappydata_spark.functions import vector as V
 
 
+#: centroid lists beyond this are almost certainly a bug (a real IVF uses
+#: C ≈ sqrt(N) cells, e.g. 10k-100k for billions of vectors); the collect
+#: guard refuses rather than OOM-ing the driver
+MAX_CENTROIDS = 65536
+
+
+def collect_centroids(
+    centroids: DataFrame, max_centroids: int = MAX_CENTROIDS
+) -> list:
+    """Safely collect the centroid table to the driver for the vectorized
+    assignment path.  Centroids are bounded by design (coarse quantizer);
+    this guard turns an accidental full-table centroid frame into a clear
+    error instead of a driver OOM."""
+    n = centroids.count()
+    if n > max_centroids:
+        raise ValueError(
+            f"centroid table has {n} rows > max_centroids={max_centroids}; "
+            "IVF coarse quantizers are small by construction — check the "
+            "centroid selection, or raise max_centroids explicitly"
+        )
+    return [(r[0], list(r[1])) for r in centroids.orderBy(centroids.columns[0]).collect()]
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -36,6 +59,12 @@ def ivf_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, cell) via DataFrame argmax over broadcast centroids.
+
+    NOTE: this is the oracle/cross-check path — it explodes |emb| × C rows
+    before the argmax.  The default for real workloads is
+    `ivf_assign_vectorized` (numpy matmul per Arrow batch, zero shuffle,
+    no row explosion); this variant exists because it is expressible in
+    ANSI SQL and therefore differential-testable.
 
     centroids: DataFrame[cid: long, ce: array<float>].  Ties break to the
     lowest cid (max_by on (cos, -cid)) so results are deterministic and
@@ -59,10 +88,12 @@ def ivf_assign_vectorized(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Scale path: per-batch numpy matmul against the centroid matrix —
-    no shuffle, no per-centroid row explosion.  `centroid_rows` is the
-    collected [(cid, vector), ...] list (tiny; ships in the task closure
-    exactly like a broadcast)."""
+    """DEFAULT assignment path: per-batch numpy matmul against the
+    centroid matrix — no shuffle, no per-centroid row explosion.
+    `centroid_rows` is the collected [(cid, vector), ...] list (tiny;
+    ships in the task closure exactly like a broadcast) — obtain it via
+    `collect_centroids(df)`, which guards the driver against oversized
+    centroid frames."""
     import numpy as np
 
     cids = [int(c) for c, _ in centroid_rows]

@@ -366,7 +366,7 @@ def sim_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % 31 == 1).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    cent_rows = [(r.cid, list(r.ce)) for r in cent.orderBy("cid").collect()]
+    cent_rows = ann.collect_centroids(cent)
     assign = ann.ivf_assign_vectorized(emb, cent_rows)
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     return ann.ivf_search(

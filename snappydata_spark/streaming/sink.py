@@ -36,9 +36,21 @@ EVENT_TYPE_COL = "_eventType"
 def conflate_events(batch: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
     """Keep the last event per key tuple (reference dedups on key within
     the batch keeping the final state, :286-309).  Order within the batch
-    follows `order_col` if given, else the incoming row order surrogate
-    (monotonically_increasing_id — batch order as delivered)."""
+    follows `order_col` if given (Kafka offset / event timestamp — the
+    reliable notion of "last").
+
+    Without an order column, the only safe fallback is a single-partition
+    batch, where monotonically_increasing_id() reproduces delivery order.
+    Across partitions that surrogate orders by (partition id, position) —
+    NOT arrival order — so a later update for a key landing in an
+    earlier-numbered partition would silently lose; we refuse instead."""
     if order_col is None:
+        if batch.rdd.getNumPartitions() > 1:
+            raise ValueError(
+                "conflate_events: multi-partition batch needs an explicit "
+                "order column (Kafka offset or event timestamp); "
+                "monotonically_increasing_id order is per-partition only"
+            )
         batch = batch.withColumn("__seq", F.monotonically_increasing_id())
         order_col = "__seq"
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
@@ -53,10 +65,18 @@ def conflate_events(batch: DataFrame, keys: list[str], order_col: str | None = N
 class SnappySink:
     """foreachBatch callable implementing the snappysink contract."""
 
-    def __init__(self, session, table: str, query_name: str = "default", state_dir: str | None = None):
+    def __init__(
+        self,
+        session,
+        table: str,
+        query_name: str = "default",
+        state_dir: str | None = None,
+        order_col: str | None = None,
+    ):
         self.session = session
         self.table = table.lower()
         self.query_name = query_name
+        self.order_col = order_col
         self.state_dir = state_dir or os.path.join(
             session.catalog.base_dir, "_sink_state"
         )
@@ -99,12 +119,20 @@ class SnappySink:
             raise ValueError(
                 f"CDC stream into {self.table} requires key_columns metadata"
             )
-        last = conflate_events(batch, keys)
+        last = conflate_events(batch, keys, order_col=self.order_col)
+        drop_cols = [EVENT_TYPE_COL]
+        if self.order_col is not None:
+            # a transport-level order column (Kafka offset) is dropped
+            # before apply; an order column that IS a table column
+            # (event timestamp) flows through
+            table_cols = {c.lower() for c in self.session.table(self.table).columns}
+            if self.order_col.lower() not in table_cols:
+                drop_cols.append(self.order_col)
         deletes = last.filter(F.col(EVENT_TYPE_COL) == EVENT_DELETE).drop(
-            EVENT_TYPE_COL
+            *drop_cols
         )
         upserts = last.filter(F.col(EVENT_TYPE_COL) != EVENT_DELETE).drop(
-            EVENT_TYPE_COL
+            *drop_cols
         )
         # reference applies deletes first, then put-into for insert+update
         # (:325-351 — an insert followed by update conflates to upsert)

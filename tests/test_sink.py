@@ -20,12 +20,19 @@ def sink_env(snappy):
         [(1, "one", 1.0), (2, "two", 2.0)], "k int, v string, x double"
     )
     snappy.create_table("cdc_t", options={"key_columns": "k"}, df=base)
-    sink = SnappySink(snappy, "cdc_t", query_name="q1")
+    # order_col = transport-level sequence (the Kafka-offset analogue);
+    # required because micro-batches arrive multi-partition
+    sink = SnappySink(snappy, "cdc_t", query_name="q1", order_col="seq")
     return snappy, sink
 
 
 def _batch(spark, rows):
-    return spark.createDataFrame(rows, "k int, v string, x double, _eventType int")
+    """Rows as (k, v, x, _eventType); a transport sequence column is
+    synthesized from list position — the within-batch delivery order."""
+    seq_rows = [r + (i,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        seq_rows, "k int, v string, x double, _eventType int, seq long"
+    )
 
 
 def test_cdc_insert_update_delete(sink_env):
@@ -108,6 +115,43 @@ def test_conflate_events_order(spark):
     )
     out = conflate_events(df, ["k"], order_col="seq").collect()
     assert {(r.k, r.v) for r in out} == {(1, "b"), (2, "c")}
+
+
+def test_conflate_multi_partition_requires_order_col(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, v string"
+    ).repartition(2)
+    with pytest.raises(ValueError, match="order column"):
+        conflate_events(df, ["k"])
+
+
+def test_conflate_single_partition_surrogate_ok(spark):
+    # single-partition batches may fall back to delivery-order surrogate
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    ).coalesce(1)
+    out = conflate_events(df, ["k"]).collect()
+    assert {(r.k, r.v) for r in out} == {(1, "b"), (2, "c")}
+
+
+def test_cdc_later_update_in_other_partition_wins(sink_env):
+    """The SnappyStoreSinkProviderSuite-shaped ordering case: the LATER
+    event (by transport sequence) for a key sits in a DIFFERENT Spark
+    partition — a partition-id-ordered surrogate would pick the wrong
+    event; the explicit order column must win."""
+    sn, sink = sink_env
+    rows = [
+        (11, "stale", 1.0, EVENT_INSERT, 0),
+        (11, "fresh", 2.0, EVENT_UPDATE, 1),
+    ]
+    batch = sn.spark.createDataFrame(
+        rows, "k int, v string, x double, _eventType int, seq long"
+    ).repartition(2)
+    # force the later event into the FIRST partition half the time by
+    # repartitioning on v (deterministic hash): either way order_col rules
+    sink(batch, batch_id=0)
+    got = sn.table("cdc_t").filter(F.col("k") == 11).collect()
+    assert len(got) == 1 and got[0].v == "fresh"
 
 
 def test_streaming_end_to_end_file_source(snappy, tmp_path):
