@@ -70,6 +70,37 @@ def plan_cache_repeat(spark, sf_dir):
         ).count()
 
 
+def plan_cache_hit_vs_cold(spark, sf_dir):
+    """Measure the HIT path (identical query repeated — the dashboard
+    refresh shape, CachedDataFrame reuse SnappySession.scala:2618-2620)
+    against cache-disabled cold sql() for the same 20 runs.  Returns
+    (hit_sec, cold_sec): hit skips re-parse/re-analysis entirely because
+    the cached analyzed DataFrame is returned."""
+    import time as _t
+
+    from snappydata_spark import SnappySession
+
+    sn = SnappySession(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("bench_orders")
+    q = (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM bench_orders "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+    )
+    sn.sql(q).count()  # warm: populate cache + JIT
+    t0 = _t.time()
+    for _ in range(20):
+        sn.sql(q).count()
+    hit = round(_t.time() - t0, 3)
+    sn.plan_cache.enabled = False
+    sn.sql(q).count()
+    t0 = _t.time()
+    for _ in range(20):
+        sn.sql(q).count()
+    cold = round(_t.time() - t0, 3)
+    sn.plan_cache.enabled = True
+    return hit, cold
+
+
 def colocated_join_delta(spark, sf_dir):
     """Measure the colocation win directly (the reference's marquee
     layout: LINEITEM colocate_with ORDERS, TPCHColumnPartitionedTable):
@@ -156,6 +187,11 @@ def main() -> None:
     plan_cache_repeat(spark, SF_DIR)
     timings["plan_cache_20_repeats"] = round(time.time() - t0, 3)
     print(f"# plan_cache_20_repeats: {timings['plan_cache_20_repeats']}s", file=sys.stderr)
+
+    hit, cold = plan_cache_hit_vs_cold(spark, SF_DIR)
+    timings["plan_cache_20_hits"] = hit
+    timings["plan_cache_20_cold"] = cold
+    print(f"# plan_cache hit={hit}s vs cold={cold}s (20 identical queries)", file=sys.stderr)
 
     plain, coloc = colocated_join_delta(spark, SF_DIR)
     timings["join_agg_plain_parquet"] = plain

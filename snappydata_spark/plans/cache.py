@@ -6,12 +6,21 @@ SnappyParser.scala:226-261) so textually different but structurally
 identical queries share one cached plan, with new literal values re-bound
 (SnappySession.scala:2584-2683).
 
-PySpark approximation: normalize the SQL text by replacing literals with
-positional slots → cache key; on hit, re-bind by substituting the new
-literal values into the cached *parameterized* DataFrame via Spark 3.4+
-parameterized sql(spark.sql(text, args)).  This saves re-parse/re-analyze
-on the driver for repeated dashboard/point-lookup queries (the
-TokenizationTest / PlanCachingTest shape in the reference test suite).
+PySpark realization: normalize the SQL text by replacing literals with
+positional slots → (template, values).  The cache maps
+(scope, template, values) → the analyzed DataFrame, so a repeated query
+(same template AND values — the dashboard refresh shape) returns the
+cached DataFrame with zero re-parse/re-analysis.  A template hit with NEW
+values re-binds through Spark 3.4+ parameterized sql(template, args):
+one parse of the same template text, values bound as parameters — the
+closest public-API analogue of ParamLiteral re-binding (PySpark exposes
+no hook to mutate literals inside an already-analyzed plan).
+
+`scope` carries the session user: row-level-security policies make view
+contents user-dependent, so plans must never be shared across users
+(CachedKey includes schema/user, SnappySession.scala:2807).  Any view
+refresh (mutation, policy change) must `clear()` the cache — the session
+facade does this in `_refresh_view`.
 """
 
 from __future__ import annotations
@@ -48,33 +57,53 @@ class PlanCache:
     def __init__(self, max_size: int = 3000, enabled: bool = True):
         self.max_size = max_size
         self.enabled = enabled
-        self._cache: OrderedDict[str, bool] = OrderedDict()
+        self._cache: OrderedDict[tuple, DataFrame] = OrderedDict()
         self.hits = 0
         self.misses = 0
+        # templates that failed parameterized parse once fall back to raw
+        # text permanently (literal tokenization can move a literal into a
+        # position where parameters are illegal, e.g. LIMIT in old Sparks)
+        self._raw_templates: set[str] = set()
 
-    def get_or_build(self, spark: SparkSession, text: str) -> DataFrame:
+    def get_or_build(self, spark: SparkSession, text: str, scope: str = "") -> DataFrame:
         if not self.enabled:
             return spark.sql(text)
         template, values = normalize_sql(text)
-        args = {f"p{i}": _parse_literal(v) for i, v in enumerate(values)}
-        key = template
-        if key in self._cache:
+        key = (scope, template, tuple(values))
+        cached = self._cache.get(key)
+        if cached is not None:
+            # true plan reuse: same template + same values (dashboard
+            # refresh) returns the already-analyzed DataFrame
             self.hits += 1
             self._cache.move_to_end(key)
-        else:
-            self.misses += 1
-            self._cache[key] = True
-            if len(self._cache) > self.max_size:
-                self._cache.popitem(last=False)
+            return cached
+        self.misses += 1
         # Spark 3.4+ parameterized SQL: the parse tree for a given template
         # is identical across calls; literal values bind as parameters
         # (DynamicReplacableConstant analogue, ParamLiteral.scala:44-100).
-        try:
-            return spark.sql(template, args=args) if args else spark.sql(text)
-        except Exception:
-            # fall back to the raw text for dialect corners the normalizer
-            # mangles (CodegenSparkFallback analogue, SnappyStrategies:831-856)
-            return spark.sql(text)
+        df = None
+        if values and template not in self._raw_templates:
+            args = {f"p{i}": _parse_literal(v) for i, v in enumerate(values)}
+            try:
+                df = spark.sql(template, args=args)
+            except Exception:
+                # remember dialect corners the normalizer mangles and stop
+                # retrying them (CodegenSparkFallback analogue,
+                # SnappyStrategies:831-856)
+                self._raw_templates.add(template)
+        if df is None:
+            df = spark.sql(text)
+        self._cache[key] = df
+        if len(self._cache) > self.max_size:
+            self._cache.popitem(last=False)
+        return df
+
+    def clear(self) -> None:
+        """Invalidate every cached plan.  Called on any view refresh —
+        mutation, DDL, policy/grant change — because cached DataFrames
+        capture the view definition (and its file listing) at analysis
+        time and would otherwise serve stale plans."""
+        self._cache.clear()
 
 
 def _parse_literal(tok: str):

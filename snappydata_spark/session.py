@@ -364,6 +364,32 @@ class SnappySession:
                 df = df.filter(filter_sql)
         return df
 
+    def _tables_in(self, text: str) -> set[str]:
+        """Managed tables referenced (as identifiers) by a SQL text."""
+        toks = set(re.findall(r"[a-z_][a-z0-9_]*", text.lower()))
+        return {t for t in self.catalog.list_tables() if t in toks}
+
+    def _resolve_read_access(self, text: str | None) -> None:
+        """Per-query grant check + row-level-security re-binding for every
+        managed table a SQL statement reads (the reference injects the RLS
+        filter at plan time per query — RowLevelSecurity rule
+        SnappySessionState.scala:422 — and this is where sql() enforces
+        SELECT grants, mirroring table()).  Policies are re-applied against
+        the CURRENT user by refreshing the temp view, not whatever user was
+        active when the view was last built."""
+        if not text:
+            return
+        policy_tables = {t for (t, _, _) in self._policies.values()}
+        for name in self._tables_in(text):
+            granted = self._grants.get(name)
+            if granted and self.current_user and self.current_user not in granted:
+                raise PermissionError(
+                    f"user '{self.current_user}' lacks SELECT on '{name}' "
+                    f"(GRANT SELECT ON {name} TO {self.current_user})"
+                )
+            if name in policy_tables:
+                self._refresh_view(name)
+
     # ------------------------------------------------------------------ DML
 
     def insert(self, name: str, df: DataFrame) -> None:
@@ -373,35 +399,88 @@ class SnappySession:
         self._refresh_view(name)
 
     def put(self, name: str, df: DataFrame) -> None:
-        """PUT INTO (upsert on key_columns) — SnappySession.put:2031-2117."""
+        """PUT INTO (upsert on key_columns) — SnappySession.put:2031-2117.
+
+        File-pruned: only data files holding a matched key are rewritten
+        (their unmatched rows kept, matched rows dropped); ALL source rows
+        are appended as new files.  A put whose keys match nothing touches
+        zero existing files — it degenerates to a pure insert."""
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
-        result = mutate.put_into_df(self._read_table(name), df, keys)
-        self._rewrite(result, meta)
+        target = self._mutation_target(name, meta)
+        if target is None:  # empty table: put == insert
+            self.insert(name, df)
+            return
+        files = self._affected_files(target, source=df, keys=keys)
+        if files is None:
+            self._rewrite(mutate.put_into_df(target, df, keys), meta)
+            return
+        touched = self._read_files(target.schema, files)
+        keep = mutate._anti_on_keys(touched, df, keys).select(*target.columns)
+        self._replace_files(
+            meta, files, keep.unionByName(df.select(*target.columns))
+        )
 
     def update(self, name: str, where, assignments: dict) -> None:
         """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100.
         Key columns are immutable under UPDATE (the reference rejects
-        SET on a key column; change-of-key is a DELETE + PUT)."""
+        SET on a key column; change-of-key is a DELETE + PUT).
+
+        File-pruned: the predicate scan (parquet min/max pushdown prunes
+        row groups) finds the files containing matched rows; only those
+        are rewritten — the reference's ColumnDeltaEncoder writes deltas
+        per column batch (ColumnDelta.scala:16-75), this is the same
+        blast-radius contract at file granularity."""
         meta = self.catalog.load_meta(name.lower())
         bad = [c for c in assignments if c.lower() in meta.key_columns]
         if bad:
             raise ValueError(f"cannot UPDATE key column(s) {bad} of {name}")
-        result = mutate.update_df(self._read_table(name), where, assignments)
-        self._rewrite(result, meta)
+        target = self._mutation_target(name, meta)
+        if target is None:
+            return
+        files = self._affected_files(target, pred=where)
+        if files is None:
+            self._rewrite(mutate.update_df(target, where, assignments), meta)
+            return
+        if not files:
+            return  # nothing matched: zero writes
+        touched = self._read_files(target.schema, files)
+        self._replace_files(meta, files, mutate.update_df(touched, where, assignments))
 
     def delete(self, name: str, where) -> None:
-        """DELETE FROM t WHERE ... — SnappySession.delete:2119."""
+        """DELETE FROM t WHERE ... — SnappySession.delete:2119.  File-pruned
+        like update(); the reference's analogue is the per-batch delete
+        bitmap (ColumnDeleteEncoder.scala:39)."""
         meta = self.catalog.load_meta(name.lower())
-        result = mutate.delete_df(self._read_table(name), where)
-        self._rewrite(result, meta)
+        target = self._mutation_target(name, meta)
+        if target is None:
+            return
+        files = self._affected_files(target, pred=where)
+        if files is None:
+            self._rewrite(mutate.delete_df(target, where), meta)
+            return
+        if not files:
+            return
+        touched = self._read_files(target.schema, files)
+        self._replace_files(meta, files, mutate.delete_df(touched, where))
 
     def delete_from(self, name: str, df: DataFrame) -> None:
         """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
-        result = mutate.delete_from_df(self._read_table(name), df, keys)
-        self._rewrite(result, meta)
+        target = self._mutation_target(name, meta)
+        if target is None:
+            return
+        files = self._affected_files(target, source=df, keys=keys)
+        if files is None:
+            self._rewrite(mutate.delete_from_df(target, df, keys), meta)
+            return
+        if not files:
+            return
+        touched = self._read_files(target.schema, files)
+        self._replace_files(
+            meta, files, mutate._anti_on_keys(touched, df, keys).select(*target.columns)
+        )
 
     # ------------------------------------------------------------------ SQL
 
@@ -414,6 +493,7 @@ class SnappySession:
         if stmt.kind == "create_table":
             if self.catalog.exists(stmt.table) and stmt.if_not_exists:
                 return None
+            self._resolve_read_access(stmt.source_sql)
             df = self.spark.sql(stmt.source_sql) if stmt.source_sql else None
             self.create_table(
                 stmt.table,
@@ -424,6 +504,7 @@ class SnappySession:
             )
             return None
         if stmt.kind == "create_sample":
+            self._resolve_read_access(stmt.source_sql)
             return self._create_sample_table(stmt.table, stmt.source_sql, stmt.options)
         if stmt.kind == "create_index":
             return self._create_index(stmt.table, stmt.options)
@@ -488,6 +569,7 @@ class SnappySession:
             self.set_conf(stmt.options["key"], stmt.options["value"])
             return None
         if stmt.kind == "put":
+            self._resolve_read_access(stmt.source_sql)
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
             self.put(stmt.table, src)
             return None
@@ -501,13 +583,30 @@ class SnappySession:
             self.truncate_table(stmt.table)
             return None
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
+            self._resolve_read_access(stmt.source_sql)
             self.insert(stmt.table, self.spark.sql(stmt.source_sql))
             return None
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
             if parsed:
+                self._resolve_read_access(text)
                 return self._approx_sql(*parsed)
-        return self.plan_cache.get_or_build(self.spark, rewrite_builtins(text))
+        # plain SELECT path: enforce grants + re-bind RLS policies for the
+        # current user before touching any managed view; plans are cached
+        # per-user (policy-filtered views are user-dependent)
+        self._resolve_read_access(text)
+        rewritten = rewrite_builtins(text)
+        head = re.match(r"\s*\(*\s*(\w+)", rewritten)
+        if head and head.group(1).upper() in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return self.plan_cache.get_or_build(
+                self.spark, rewritten, scope=self.current_user
+            )
+        # passthrough DDL/commands (CREATE VIEW, ALTER VIEW, CACHE, ...)
+        # can redefine objects cached plans depend on — never cache them,
+        # and conservatively invalidate (ALTER VIEW ... AS must not leave
+        # a stale analyzed plan behind)
+        self.plan_cache.clear()
+        return self.spark.sql(rewritten)
 
     def _approx_sql(self, agg, group_items, table, where, group_by, frac):
         """`SELECT <agg> ... WITH ERROR` routing (docs/sde/running_queries.md:
@@ -642,6 +741,8 @@ class SnappySession:
             self.spark.udf.register(name, udf)
         else:
             self.spark.udf.register(name, fn, return_type)
+        # redefinition invalidates plans resolved against the old function
+        self.plan_cache.clear()
         return name
 
     def drop_function(self, name: str) -> None:
@@ -651,6 +752,8 @@ class SnappySession:
             raise RuntimeError(f"function {name} was dropped")
 
         self.spark.udf.register(name, _dropped, "string")
+        # cached plans resolved the old function at analysis time
+        self.plan_cache.clear()
 
     def exec_python(self, code: str, **bindings):
         """EXEC SCALA analogue (interpretCode SnappyDDLParser.scala:
@@ -710,6 +813,113 @@ class SnappySession:
                 self.catalog.data_path(meta.name)
             )
 
+    # ------------------------------------------------- pruned copy-on-write
+
+    # above this many touched files the file list stops being "driver
+    # metadata" and the mutation is near-total anyway → full rewrite
+    _MAX_PRUNED_FILES = 100_000
+
+    def _mutation_target(self, name: str, meta: TableMeta) -> DataFrame | None:
+        """Raw table read for mutation (no broadcast hint, no RLS filter —
+        mutations see the whole table).  None = table has no data yet."""
+        try:
+            if self._is_bucketed(meta):
+                return self.spark.table(self._cat_name(meta.name))
+            return self.spark.read.parquet(self.catalog.data_path(meta.name))
+        except Exception:
+            return None
+
+    def _affected_files(
+        self,
+        target: DataFrame,
+        pred=None,
+        source: DataFrame | None = None,
+        keys: list[str] | None = None,
+    ) -> list[str] | None:
+        """Data files containing ≥1 row hit by the mutation — the file-level
+        blast radius (the Delta-Lake copy-on-write discipline; the
+        reference's analogue is per-column-batch deltas + delete bitmaps,
+        ColumnDelta.scala:16-75).  The scan benefits from parquet
+        row-group min/max pruning for predicate mutations.  Returns None
+        when pruning should be skipped (list too large → full rewrite).
+
+        The collected list is bounded driver metadata (file PATHS, not
+        rows) — same contract as Delta's transaction log reads."""
+        tagged = target.withColumn("__sg_file", F.input_file_name())
+        if pred is not None:
+            p = F.expr(pred) if isinstance(pred, str) else pred
+            hits = tagged.filter(F.coalesce(p, F.lit(False)))
+        else:
+            marked = source.select(
+                *[F.col(k).alias(f"__src_{k}") for k in keys]
+            ).distinct()
+            cond = None
+            for k in keys:
+                c = tagged[k].eqNullSafe(marked[f"__src_{k}"])
+                cond = c if cond is None else cond & c
+            hits = tagged.join(marked, cond, "left_semi")
+        files = [
+            r[0]
+            for r in hits.select("__sg_file")
+            .distinct()
+            .limit(self._MAX_PRUNED_FILES + 1)
+            .collect()
+        ]
+        if len(files) > self._MAX_PRUNED_FILES:
+            return None
+        return files
+
+    def _read_files(self, schema, files: list[str]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    @staticmethod
+    def _local_path(uri: str) -> str:
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(uri).path)
+        return uri
+
+    def _replace_files(
+        self, meta: TableMeta, files: list[str], new_rows: DataFrame
+    ) -> None:
+        """Swap the touched files for the rewritten rows; every other file
+        is untouched (byte-identical).  New files are written BEFORE old
+        ones are removed, so a crash mid-swap duplicates rows rather than
+        losing them (the reference brackets this in a store transaction —
+        snapshot-isolation is a documented divergence, SURVEY §8).
+
+        Bucketed tables append through the bucketed writer (rows re-hash
+        into their buckets, so bucket pruning and colocated joins stay
+        correct even if an UPDATE moved a partition column)."""
+        if self._is_bucketed(meta):
+            self._write(new_rows, meta, mode="append")
+            for f in files:
+                try:
+                    os.remove(self._local_path(f))
+                except FileNotFoundError:
+                    pass
+            self.spark.catalog.refreshTable(self._cat_name(meta.name))
+        else:
+            data = self.catalog.data_path(meta.name)
+            tmp = self.catalog.table_path(meta.name) + "/mut-" + uuid.uuid4().hex[:8]
+            new_rows.write.mode("overwrite").parquet(tmp)
+            stamp = uuid.uuid4().hex[:8]
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, f), os.path.join(data, f"mut-{stamp}-{f}")
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+            for f in files:
+                try:
+                    os.remove(self._local_path(f))
+                except FileNotFoundError:
+                    pass
+        self._refresh_view(meta.name)
+
     def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
         """Copy-on-write: materialize to a fresh dir then swap — the
         semantics (not storage trick) of column deltas/delete bitmaps
@@ -732,6 +942,9 @@ class SnappySession:
         self._refresh_view(meta.name)
 
     def _refresh_view(self, name: str) -> None:
+        # any view change invalidates cached plans: analyzed DataFrames
+        # capture the old view definition (and parquet file listing)
+        self.plan_cache.clear()
         name = name.lower()
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)

@@ -2,6 +2,8 @@
 update-matched + insert-rest, ColumnTableBulkOps.scala:46-120; hard cases
 from SURVEY.md §7 risk 2: null keys, duplicate source keys)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -100,3 +102,111 @@ def test_update_key_column_forbidden(snappy):
     with pytest.raises(ValueError, match="key column"):
         snappy.sql("UPDATE ku_t SET k = 9 WHERE v = 'a'")
     snappy.drop_table("ku_t")
+
+
+def _file_state(paths):
+    """{path: (size, md5)} for a list of parquet files."""
+    import hashlib
+
+    out = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            out[p] = (os.path.getsize(p), hashlib.md5(f.read()).hexdigest())
+    return out
+
+
+def _data_files(root):
+    found = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.append(os.path.join(dirpath, f))
+    return sorted(found)
+
+
+def test_pruned_update_leaves_unaffected_files_byte_identical(snappy):
+    """Single-key UPDATE must rewrite ONLY the file(s) holding that key —
+    the file-granularity analogue of the reference's column deltas
+    (ColumnDeltaEncoder.scala:82): one mutation != one table rewrite."""
+    df = snappy.spark.range(2000).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 7 AS INT) AS grp", "id * 1.5 AS x"
+    ).repartition(8)
+    snappy.create_table("pr_t", options={"key_columns": "k"}, df=df)
+    files_before = _data_files(snappy.catalog.data_path("pr_t"))
+    assert len(files_before) >= 8
+    state_before = _file_state(files_before)
+
+    snappy.update("pr_t", "k = 1234", {"x": "x + 100"})
+
+    files_after = _data_files(snappy.catalog.data_path("pr_t"))
+    surviving = [f for f in files_before if f in files_after]
+    # at most one source file was replaced; everything else is untouched
+    assert len(surviving) >= len(files_before) - 1
+    after_state = _file_state(surviving)
+    for f in surviving:
+        assert after_state[f] == state_before[f], f"{f} was rewritten"
+    # and the mutation is visible
+    row = snappy.table("pr_t").filter("k = 1234").collect()[0]
+    assert row.x == 1234 * 1.5 + 100
+    assert snappy.table("pr_t").count() == 2000
+    snappy.drop_table("pr_t")
+
+
+def test_pruned_update_bucketed_table(snappy):
+    """Bucketed layout: unaffected bucket files stay byte-identical and
+    the table remains readable through the bucketed catalog entry."""
+    df = snappy.spark.range(1000).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id % 5 AS INT) AS grp", "id * 2.0 AS x"
+    )
+    snappy.create_table(
+        "prb_t", options={"key_columns": "k", "partition_by": "k", "buckets": "8"},
+        df=df,
+    )
+    import glob as _glob
+
+    warehouse = snappy.spark.conf.get("spark.sql.warehouse.dir")
+    tbl_dir = _glob.glob(
+        os.path.join(warehouse.replace("file:", ""), "*prb_t*")
+    )[0]
+    files_before = _data_files(tbl_dir)
+    state_before = _file_state(files_before)
+
+    snappy.update("prb_t", "k = 77", {"x": "x + 1"})
+
+    files_after = _data_files(tbl_dir)
+    surviving = [f for f in files_before if f in files_after]
+    assert len(surviving) >= len(files_before) - 1
+    after_state = _file_state(surviving)
+    for f in surviving:
+        assert after_state[f] == state_before[f], f"{f} was rewritten"
+    got = {r.k: r.x for r in snappy.table("prb_t").filter("k IN (76, 77)").collect()}
+    assert got == {76: 152.0, 77: 155.0}
+    assert snappy.table("prb_t").count() == 1000
+    snappy.drop_table("prb_t")
+
+
+def test_pruned_delete_and_put_file_scope(snappy):
+    df = snappy.spark.range(1200).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"
+    ).repartition(6)
+    snappy.create_table("prd_t", options={"key_columns": "k"}, df=df)
+    files0 = set(_data_files(snappy.catalog.data_path("prd_t")))
+
+    # delete one key: ≤1 file replaced
+    snappy.delete("prd_t", "k = 500")
+    files1 = set(_data_files(snappy.catalog.data_path("prd_t")))
+    assert len(files0 & files1) >= len(files0) - 1
+    assert snappy.table("prd_t").count() == 1199
+
+    # put: one updated key + one new key → ≤1 old file replaced, new files appended
+    src = snappy.spark.createDataFrame([(7, "SEVEN"), (9999, "NEW")], "k int, v string")
+    snappy.put("prd_t", src)
+    got = {r.k: r.v for r in snappy.table("prd_t").filter("k IN (7, 9999)").collect()}
+    assert got == {7: "SEVEN", 9999: "NEW"}
+    assert snappy.table("prd_t").count() == 1200
+
+    # predicate matching nothing: zero file churn
+    files2 = set(_data_files(snappy.catalog.data_path("prd_t")))
+    snappy.delete("prd_t", "k = -1")
+    assert set(_data_files(snappy.catalog.data_path("prd_t"))) == files2
+    snappy.drop_table("prd_t")

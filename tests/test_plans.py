@@ -102,6 +102,48 @@ def test_prepared_statement(snappy):
         ps.execute(1)
 
 
+def test_plan_cache_returns_cached_dataframe(snappy):
+    """Identical query → the SAME analyzed DataFrame object (true plan
+    reuse, CachedDataFrame analogue); new literal values → parameterized
+    re-bind (miss, but same template parse); mutation → invalidation."""
+    snappy.spark.range(50).selectExpr("id AS k", "id * 3 AS v").createOrReplaceTempView(
+        "pc_t"
+    )
+    pc = snappy.plan_cache
+    h0, m0 = pc.hits, pc.misses
+    d1 = snappy.sql("SELECT COUNT(*) AS n FROM pc_t WHERE k < 10")
+    d2 = snappy.sql("SELECT COUNT(*) AS n FROM pc_t WHERE k < 10")
+    assert d2 is d1  # hit returns the cached DataFrame itself
+    assert pc.hits == h0 + 1
+    d3 = snappy.sql("SELECT COUNT(*) AS n FROM pc_t WHERE k < 25")
+    assert d3 is not d1 and d3.collect()[0].n == 25
+    assert pc.misses >= m0 + 2
+    assert d1.collect()[0].n == 10
+    # view refresh (mutation path) clears cached plans
+    pc_len = len(pc._cache)
+    assert pc_len >= 2
+    snappy._refresh_view("nonexistent_table")
+    assert len(pc._cache) == 0
+
+
+def test_plan_cache_user_scope(snappy):
+    """Plans are never shared across users — RLS-filtered views are
+    user-dependent (CachedKey includes user/schema, SnappySession:2807)."""
+    df = snappy.spark.createDataFrame(
+        [(1, "acme"), (2, "acme"), (3, "other")], "k int, org string"
+    )
+    snappy.create_table("pcu_t", df=df)
+    snappy.sql("CREATE POLICY pcu_p ON pcu_t FOR SELECT TO alice USING (org = 'acme')")
+    q = "SELECT COUNT(*) AS n FROM pcu_t"
+    snappy.current_user = "alice"
+    assert snappy.sql(q).collect()[0].n == 2
+    snappy.current_user = "bob"
+    assert snappy.sql(q).collect()[0].n == 3
+    snappy.current_user = ""
+    snappy.sql("DROP POLICY pcu_p")
+    snappy.drop_table("pcu_t")
+
+
 def test_join_hints_passthrough(snappy, sf_dir):
     """Spark 3 join hints (the reference's --+ joinType() comment hints,
     QueryHint Literals.scala:405-511) flow through session.sql."""

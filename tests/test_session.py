@@ -61,6 +61,8 @@ def test_sql_passthrough_and_plan_cache(snappy, sf_dir):
     b = snappy.sql("SELECT count(*) AS c FROM nation_v WHERE n_regionkey = 1").collect()
     total = snappy.sql("SELECT count(*) AS c FROM nation_v").collect()[0].c
     assert a[0].c + b[0].c <= total
+    # identical re-run = cache hit (same template AND values)
+    snappy.sql("SELECT count(*) AS c FROM nation_v WHERE n_regionkey = 0")
     assert snappy.plan_cache.hits >= 1
 
 
@@ -140,7 +142,12 @@ def test_row_level_security_policy(snappy):
     assert snappy.table("rls_t").count() == 3
     snappy.current_user = "alice"
     assert snappy.table("rls_t").count() == 2
+    # the sql() path must enforce the policy for the CURRENT user even
+    # though the policy was created while current_user was '' (the RLS
+    # filter is injected per query, not baked into a stale view)
+    assert snappy.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n == 2
     snappy.current_user = ""
+    assert snappy.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n == 3
     snappy.sql("DROP POLICY p_u")
     snappy.drop_table("rls_t")
 
@@ -225,6 +232,9 @@ def test_grant_revoke_select(snappy):
 
     with _pytest.raises(PermissionError):
         snappy.table("acl_t")
+    # sql() enforces the same grant (not only table())
+    with _pytest.raises(PermissionError):
+        snappy.sql("SELECT COUNT(*) AS n FROM acl_t")
     snappy.current_user = ""
     snappy.sql("REVOKE SELECT ON acl_t FROM alice")
     snappy.current_user = "bob"
