@@ -77,6 +77,19 @@ _CREATE_LIKE = re.compile(
     re.I,
 )
 
+# CREATE STREAM TABLE t [(schema)] USING provider OPTIONS (...)
+# (SnappyDDLParser.createStream:716-737 — declares a stream relation in
+# SQL; routed to streaming/sources.stream_reader and registered as a
+# streaming temp view queryable by name)
+_CREATE_STREAM = re.compile(
+    r"^\s*CREATE\s+STREAM\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(\(.*?\))?\s*USING\s+(\w+)\s*OPTIONS\s*\((.*?)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_STREAM = re.compile(
+    r"^\s*DROP\s+STREAM\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+
 # CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
 # (SnappyDDLParser.createPolicy:392-418; RowLevelSecurity rule
 # SnappySessionState.scala:422 injects the filter into read plans)
@@ -169,10 +182,73 @@ _FETCH_FIRST = re.compile(
 )
 
 
+# Reference comment hints (QueryHint Literals.scala:405-511): `--+ hint()`
+# or `/*+ hint() */` placed AFTER the table they apply to in FROM.
+# joinType(broadcast|hash|sort) (applyJoinHint SnappyStrategies.scala:
+# 86-126) maps onto Spark's BROADCAST / SHUFFLE_HASH / MERGE hints against
+# that table.  joinOrder(fixed) is the Spark default (syntactic join order
+# is preserved; spark.sql.cbo.joinReorder.enabled stays off) and the
+# remaining hints (index/withIndex — metadata indexes; complexTypeAsJson /
+# columnsAsClob — JDBC wire formatting) are stripped as documented no-ops.
+_COMMENT_HINT = re.compile(
+    r"(?:--\+\s*|/\*\+\s*)(\w+)\s*\(([^)]*)\)\s*(?:\*/)?", re.I
+)
+_JOIN_TYPE_MAP = {
+    "broadcast": "BROADCAST",
+    "hash": "SHUFFLE_HASH",
+    "sort": "MERGE",
+}
+# identifier (optionally "table alias") immediately before the hint
+_PRECEDING_TABLE = re.compile(r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.I)
+
+
+def rewrite_hints(text: str) -> str:
+    """Translate reference comment hints into Spark /*+ */ hints injected
+    after the first SELECT (where Spark requires them)."""
+    if "--+" not in text and "/*+" not in text:
+        return text
+    spark_hints: list[str] = []
+
+    def _hint_target(upto: int) -> str | None:
+        m = _PRECEDING_TABLE.search(text[:upto])
+        if not m:
+            return None
+        # hint binds to the alias when present (Spark hints resolve
+        # against the relation alias), else the table name
+        return m.group(2) or m.group(1)
+
+    _REFERENCE_HINTS = {
+        "jointype", "joinorder", "index", "withindex",
+        "complextypeasjson", "columnsasclob",
+    }
+
+    def _sub(m: re.Match) -> str:
+        name, arg = m.group(1).lower(), m.group(2).strip().lower()
+        if name not in _REFERENCE_HINTS:
+            return m.group(0)  # native Spark hint — leave untouched
+        if name == "jointype" and arg in _JOIN_TYPE_MAP:
+            target = _hint_target(m.start())
+            if target:
+                spark_hints.append(f"{_JOIN_TYPE_MAP[arg]}({target})")
+        return " "
+
+    stripped = _COMMENT_HINT.sub(_sub, text)
+    if spark_hints:
+        stripped = re.sub(
+            r"(\bSELECT\b)",
+            r"\1 /*+ " + ", ".join(spark_hints) + " */",
+            stripped,
+            count=1,
+            flags=re.I,
+        )
+    return stripped
+
+
 def rewrite_builtins(text: str) -> str:
     text = _DSID.sub("spark_partition_id()", text)
     text = _CURRENT_SCHEMA.sub("current_database()", text)
     text = _FETCH_FIRST.sub(r"LIMIT \1", text)
+    text = rewrite_hints(text)
     return text
 
 
@@ -211,6 +287,23 @@ def _split_assignments(text: str) -> dict[str, str]:
 
 
 def split_statement(text: str) -> Statement:
+    m = _CREATE_STREAM.match(text)
+    if m:
+        name, schema_sql, provider, opts = m.groups()
+        return Statement(
+            "create_stream",
+            table=name,
+            schema_sql=schema_sql.strip("() \n") if schema_sql else None,
+            provider=provider.lower(),
+            options=_parse_options(opts),
+            if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
+        )
+    m = _DROP_STREAM.match(text)
+    if m:
+        return Statement(
+            "drop_stream", table=m.group(1),
+            if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
+        )
     m = _CREATE_SAMPLE.match(text)
     if m:
         return Statement(

@@ -179,3 +179,42 @@ def test_managed_table_scan_pushdown(snappy, sf_dir):
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)" in plan, plan
     assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
     snappy.drop_table("pd_t")
+
+
+def test_reference_comment_join_hints(snappy, sf_dir):
+    """`--+ joinType(...)` comment hints (QueryHint Literals.scala:405-511;
+    applyJoinHint SnappyStrategies.scala:86-126) flip the physical join:
+    broadcast forces BroadcastHashJoin where SMJ would run, sort forces
+    SortMergeJoin where broadcast would run."""
+    spark = snappy.spark
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("h_ord")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("h_cust")
+    q = (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM h_cust {hint} "
+        "JOIN h_ord ON c_custkey = o_custkey GROUP BY c_mktsegment"
+    )
+
+    def plan_of(sql_text):
+        df = snappy.sql(sql_text)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast: default is SMJ/shuffle, hint must force BHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in plan_of(q.format(hint=""))
+        assert "BroadcastHashJoin" in plan_of(
+            q.format(hint="--+ joinType(broadcast)")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with auto-broadcast back on, sort hint must force SMJ over BHJ
+    assert "SortMergeJoin" in plan_of(q.format(hint="--+ joinType(sort)"))
+    # hash hint → shuffled hash join
+    assert "ShuffledHashJoin" in plan_of(q.format(hint="--+ joinType(hash)"))
+    # joinOrder(fixed) and index() are accepted no-ops; native Spark hints
+    # pass through untouched
+    assert snappy.sql(
+        "SELECT /*+ BROADCAST(h_cust) */ COUNT(*) AS n FROM h_cust "
+        "--+ joinOrder(fixed)\n JOIN h_ord ON c_custkey = o_custkey"
+    ).collect()[0].n > 0

@@ -180,3 +180,62 @@ def test_streaming_end_to_end_file_source(snappy, tmp_path):
     q.awaitTermination(120)
     got = {(r.k, r.v) for r in snappy.table("stream_t").collect()}
     assert got == {(0, "seed"), (100, "s2")}
+
+
+def test_create_stream_table_ddl_to_sink(snappy, tmp_path):
+    """CREATE STREAM TABLE DDL (createStream SnappyDDLParser:716-737) →
+    stream registry → CDC sink, end to end: the stream is declared in SQL,
+    queried by name, and its events land in a managed table."""
+    import json
+
+    src_dir = tmp_path / "ddl_in"
+    src_dir.mkdir()
+    (src_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 1, "v": "a", "_eventType": EVENT_INSERT, "seq": 1},
+                {"k": 2, "v": "b", "_eventType": EVENT_INSERT, "seq": 2},
+                {"k": 1, "v": "a2", "_eventType": EVENT_UPDATE, "seq": 3},
+                {"k": 2, "v": None, "_eventType": EVENT_DELETE, "seq": 4},
+            ]
+        )
+    )
+    stream = snappy.sql(
+        f"CREATE STREAM TABLE ev_stream (k INT, v STRING, _eventType INT, seq INT) "
+        f"USING file_stream OPTIONS (format 'json', path '{src_dir}')"
+    )
+    assert stream.isStreaming
+    # declared stream is queryable by name (spark.table resolves the view)
+    assert snappy.spark.table("ev_stream").isStreaming
+
+    base = snappy.spark.createDataFrame([(0, "seed")], "k int, v string")
+    snappy.create_table("ddl_tgt", options={"key_columns": "k"}, df=base)
+    sink = SnappySink(snappy, "ddl_tgt", query_name="q_ddl", order_col="seq")
+    q = (
+        snappy.spark.table("ev_stream")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.v) for r in snappy.table("ddl_tgt").collect()}
+    assert got == {(0, "seed"), (1, "a2")}
+
+    snappy.sql("DROP STREAM TABLE ev_stream")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snappy.sql("DROP STREAM TABLE ev_stream")
+    snappy.sql("DROP STREAM TABLE IF EXISTS ev_stream")
+    snappy.drop_table("ddl_tgt")
+
+
+def test_create_stream_table_rate_source(snappy):
+    """rate_stream provider through the DDL path (no schema needed —
+    the rate source brings its own)."""
+    df = snappy.sql(
+        "CREATE STREAM TABLE rate_s USING rate_stream OPTIONS (rowsPerSecond '5')"
+    )
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+    snappy.sql("DROP STREAM TABLE rate_s")
