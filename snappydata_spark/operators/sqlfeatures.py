@@ -360,3 +360,41 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM sq_customer c
            WHERE c_acctbal > 9000"""
     )
+
+
+@register(
+    "udaf_grouped_median",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(MEDIAN(o_totalprice), 2) AS med_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE function (the reference's UDAF jars,
+    SnappyUDFTest.scala UDAF cases) as a grouped-agg pandas UDF — the
+    SnappySession.create_function(aggregate=True) path.  Runs as a real
+    hash aggregate over Arrow batches: only group keys + group values
+    shuffle.  Two UDAFs compose in one GROUP BY (Spark disallows mixing
+    grouped-agg pandas UDFs with built-in aggregates, so the row count is
+    itself a UDAF).  Median interpolation (mean of the two middle values
+    on even counts) matches DuckDB's MEDIAN on DOUBLE exactly."""
+    from snappydata_spark.session import SnappySession
+
+    def median_of(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v))
+
+    SnappySession.register_aggregate(spark, "sg_median", median_of, "double")
+    SnappySession.register_aggregate(spark, "sg_count", len, "long")
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("sg_median(o_totalprice)"), 2).alias("med_price"),
+            F.expr("sg_count(o_totalprice)").alias("n"),
+        )
+    )

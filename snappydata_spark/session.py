@@ -100,6 +100,11 @@ class SnappySession:
         # 858-874) — dependency metadata only; see dialect.py divergence note
         self._packages: dict[str, dict[str, str]] = {}
         self._load_registry()
+        # stream tables declared via CREATE STREAM TABLE (createStream
+        # SnappyDDLParser:716-737): name → streaming DataFrame.  Session-
+        # scoped like the reference's stream relations (they hold live
+        # readStream handles, not storable metadata).
+        self._streams: dict[str, DataFrame] = {}
         self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
@@ -196,14 +201,25 @@ class SnappySession:
         self._refresh_view(name)
 
     def create_external_table(
-        self, name: str, path: str, fmt: str = "parquet", options: dict | None = None
+        self,
+        name: str,
+        path: str | None = None,
+        fmt: str = "parquet",
+        options: dict | None = None,
     ) -> DataFrame:
         """createExternalTable (SnappySession.scala:1076-1127) — any Spark
-        datasource registered in the catalog; we register a temp view."""
+        datasource registered in the catalog; we register a temp view.
+        Path-less datasources (fmt='jdbc' with url/dbtable options —
+        JDBCAppendableRelation) pass path=None."""
+        opts = dict(options or {})
+        if fmt.lower() == "jdbc":
+            from snappydata_spark.sources.jdbc import DERBY_DRIVER
+
+            opts.setdefault("driver", DERBY_DRIVER)
         reader = self.spark.read.format(fmt)
-        for k, v in (options or {}).items():
+        for k, v in opts.items():
             reader = reader.option(k, v)
-        df = reader.load(path)
+        df = reader.load(path) if path is not None else reader.load()
         df.createOrReplaceTempView(name.lower())
         return df
 
@@ -503,6 +519,27 @@ class SnappySession:
                 df=df,
             )
             return None
+        if stmt.kind == "create_stream":
+            name = stmt.table.lower()
+            if name in self._streams and stmt.if_not_exists:
+                return self._streams[name]
+            from snappydata_spark.streaming.sources import stream_reader
+
+            df = stream_reader(
+                self.spark, stmt.provider, schema=stmt.schema_sql, **stmt.options
+            )
+            df.createOrReplaceTempView(name)
+            self._streams[name] = df
+            return df
+        if stmt.kind == "drop_stream":
+            name = stmt.table.lower()
+            if name not in self._streams:
+                if stmt.if_not_exists:
+                    return None
+                raise ValueError(f"stream table {name} not found")
+            del self._streams[name]
+            self.spark.catalog.dropTempView(name)
+            return None
         if stmt.kind == "create_sample":
             self._resolve_read_access(stmt.source_sql)
             return self._create_sample_table(stmt.table, stmt.source_sql, stmt.options)
@@ -728,13 +765,29 @@ class SnappySession:
 
     # ------------------------------------------------------------- functions
 
-    def create_function(self, name: str, fn, return_type="string", pandas: bool = False):
+    def create_function(
+        self,
+        name: str,
+        fn,
+        return_type="string",
+        pandas: bool = False,
+        aggregate: bool = False,
+    ):
         """CREATE FUNCTION (SnappyDDLParser.createFunction:765-795) — the
         Python-engine analogue of the reference's jar-backed UDF1..UDF22
         classes: register a Python callable (or a vectorized pandas UDF,
         the fast path: Arrow batches, ~10-100× row-at-a-time) under a SQL
-        name for use in any sql() query."""
-        if pandas:
+        name for use in any sql() query.
+
+        aggregate=True registers a custom AGGREGATE (the reference's
+        UserDefinedAggregateFunction jars, SnappyUDFTest UDAF cases) as a
+        grouped-agg pandas UDF: `fn` receives each group's values as one
+        pd.Series and returns a scalar.  Executes as a real partial/final
+        hash aggregate over Arrow batches — usable in GROUP BY and as a
+        window function, shuffles only group keys + partial states."""
+        if aggregate:
+            self.register_aggregate(self.spark, name, fn, return_type)
+        elif pandas:
             from pyspark.sql.functions import pandas_udf
 
             udf = pandas_udf(fn, returnType=return_type)
@@ -743,6 +796,23 @@ class SnappySession:
             self.spark.udf.register(name, fn, return_type)
         # redefinition invalidates plans resolved against the old function
         self.plan_cache.clear()
+        return name
+
+    @staticmethod
+    def register_aggregate(spark: SparkSession, name: str, fn, return_type="double"):
+        """Register a custom aggregate on a bare SparkSession (the
+        create_function(aggregate=True) mechanics, reusable without a
+        SnappySession instance)."""
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _grouped(v):
+            return fn(v)
+
+        # Series→scalar type hints mark this SQL_GROUPED_AGG_PANDAS_UDF
+        # (functionType inference); returnType still rules the SQL type
+        _grouped.__annotations__ = {"v": _pd.Series, "return": float}
+        spark.udf.register(name, pandas_udf(_grouped, returnType=return_type))
         return name
 
     def drop_function(self, name: str) -> None:

@@ -103,6 +103,33 @@ def test_create_function_and_exec_python(snappy):
         snappy.sql("SELECT twice_len('abc') AS n").collect()
 
 
+def test_create_function_aggregate(snappy):
+    """create_function(aggregate=True) — custom UDAF (reference UDAF jars,
+    SnappyUDFTest.scala): fn sees each group's values as a pd.Series,
+    executes as a grouped-agg pandas UDF (partial/final hash aggregate)."""
+    import numpy as np
+
+    snappy.create_function(
+        "agg_p90",
+        lambda v: float(np.percentile(v, 90)),
+        "double",
+        aggregate=True,
+    )
+    df = snappy.spark.range(0, 100).selectExpr(
+        "id % 2 AS g", "CAST(id AS DOUBLE) AS x"
+    )
+    df.createOrReplaceTempView("udaf_src")
+    got = {
+        r.g: r.p90
+        for r in snappy.sql(
+            "SELECT g, agg_p90(x) AS p90 FROM udaf_src GROUP BY g"
+        ).collect()
+    }
+    # evens 0..98: p90 = np.percentile(range(0,100,2), 90); odds likewise
+    assert got[0] == pytest.approx(float(np.percentile(range(0, 100, 2), 90)))
+    assert got[1] == pytest.approx(float(np.percentile(range(1, 100, 2), 90)))
+
+
 def test_compression_option(snappy, tmp_path):
     import glob
     df = snappy.spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
