@@ -74,8 +74,9 @@ def plan_cache_hit_vs_cold(spark, sf_dir):
     """Measure the HIT path (identical query repeated — the dashboard
     refresh shape, CachedDataFrame reuse SnappySession.scala:2618-2620)
     against cache-disabled cold sql() for the same 20 runs.  Returns
-    (hit_sec, cold_sec): hit skips re-parse/re-analysis entirely because
-    the cached analyzed DataFrame is returned."""
+    (hit_sec, cold_sec) for plan BUILD only (sql() → analyzed DataFrame,
+    no execution): build is exactly what the cache skips — execution cost
+    is identical on both paths and would only drown the delta."""
     import time as _t
 
     from snappydata_spark import SnappySession
@@ -89,13 +90,13 @@ def plan_cache_hit_vs_cold(spark, sf_dir):
     sn.sql(q).count()  # warm: populate cache + JIT
     t0 = _t.time()
     for _ in range(20):
-        sn.sql(q).count()
+        sn.sql(q)
     hit = round(_t.time() - t0, 3)
     sn.plan_cache.enabled = False
-    sn.sql(q).count()
+    sn.sql(q)
     t0 = _t.time()
     for _ in range(20):
-        sn.sql(q).count()
+        sn.sql(q)
     cold = round(_t.time() - t0, 3)
     sn.plan_cache.enabled = True
     return hit, cold
@@ -191,14 +192,23 @@ def main() -> None:
     hit, cold = plan_cache_hit_vs_cold(spark, SF_DIR)
     timings["plan_cache_20_hits"] = hit
     timings["plan_cache_20_cold"] = cold
-    print(f"# plan_cache hit={hit}s vs cold={cold}s (20 identical queries)", file=sys.stderr)
+    print(
+        f"# plan_cache hit={hit}s vs cold={cold}s (plan build only, 20 identical queries)",
+        file=sys.stderr,
+    )
 
     plain, coloc = colocated_join_delta(spark, SF_DIR)
     timings["join_agg_plain_parquet"] = plain
     timings["join_agg_colocated_buckets"] = coloc
     print(f"# colocated join: plain={plain}s bucketed={coloc}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # the headline total stays the round-1 metric set so BENCH_r{N} totals
+    # are comparable across rounds; hit/cold are diagnostics of the SAME
+    # 20-query loop already counted in plan_cache_20_repeats
+    diagnostics = {"plan_cache_20_hits", "plan_cache_20_cold"}
+    total = round(
+        sum(v for k, v in timings.items() if k not in diagnostics), 3
+    )
     print(
         json.dumps(
             {
