@@ -1,0 +1,271 @@
+r"""Training-data pipeline operators beyond the reference's surface:
+deterministic train/val splits, concat-and-chunk sequence packing, global
+vocabulary statistics, embedding quantization, and an end-to-end corpus
+cleaning pipeline (quality filter → exact dedup → per-source stats).
+
+Scale stance: every operator here is built for the 100 TB case — hash
+splits are stateless map-side expressions; the packing prefix-sum is a
+two-phase distributed scan (per-partition sums collected as bounded
+driver metadata, NEVER an unpartitioned global window); vocabulary
+counting is a partial-aggregated shuffle on the n-gram key; quantization
+is per-row Catalyst arithmetic with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from snappydata_spark.functions import text as T
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_DUCK_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "txt_train_val_split",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5('split~' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 100 < 90
+              THEN 'train' ELSE 'val' END AS split,
+         len({_TOKS}) AS tc
+  FROM documents)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(tc)::BIGINT AS total_tokens
+FROM s GROUP BY lang, split
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split on a content-independent key
+    (md5 of doc_id): stateless map-side expression — no shuffle, no
+    sampling state, reproducible across runs and engines, and stable
+    under re-partitioning (the property row_number-based splits lack)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    bucket = T.hash32(F.col("doc_id").cast("string"), "split~") % 100
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            F.when(bucket < 90, "train").otherwise("val").alias("split"),
+            T.token_count(F.col("text")).alias("tc"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "txt_pack_sequences",
+    oracle="""
+WITH tc AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS token_count FROM documents),
+c AS (
+  SELECT doc_id, token_count,
+         SUM(token_count) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS cum
+  FROM tc)
+SELECT doc_id, token_count,
+       (cum - token_count)::BIGINT AS start_tok,
+       ((cum - token_count) // {B})::BIGINT AS first_pack,
+       ((cum - 1) // {B})::BIGINT AS last_pack
+FROM c
+""".replace("{_TOKS}", _TOKS).replace("{B}", str(PACK_BUDGET)),
+)
+def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pre-training
+    layout: concatenate the corpus in doc_id order, slice into
+    fixed-budget sequences): each document's global token offset decides
+    the pack(s) it lands in.
+
+    The global running sum is a two-phase distributed prefix-sum, NOT an
+    unpartitioned window (which would sort the corpus on one task):
+    range-partition by doc_id, per-partition window cumsum (parallel),
+    then add each partition's broadcast prefix offset.  The only driver
+    state is one row per partition — bounded metadata at any scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("token_count")
+    )
+    n_parts = max(docs.rdd.getNumPartitions(), 8)
+    ranged = (
+        docs.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()  # pin partition ids: psums and the final plan must see
+        # the same pid assignment (range boundaries are sampled)
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("token_count").alias("s")).collect()
+    run, offs = 0, []
+    for r in sorted(psums, key=lambda r: r.pid):
+        offs.append((r.pid, run))
+        run += r.s
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("token_count").over(w) + F.col("off")).alias("cum")
+    b = F.lit(PACK_BUDGET).cast("long")
+    return (
+        ranged.join(F.broadcast(off_df), "pid")
+        .select("doc_id", "token_count", cum)
+        .select(
+            "doc_id",
+            "token_count",
+            (F.col("cum") - F.col("token_count")).alias("start_tok"),
+            F.floor((F.col("cum") - F.col("token_count")) / b).alias("first_pack"),
+            F.floor((F.col("cum") - 1) / b).alias("last_pack"),
+        )
+    )
+
+
+@register(
+    "txt_top_ngrams",
+    oracle="""
+WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)])
+      AS ngram
+  FROM tok WHERE len(t) >= 2)
+SELECT ngram, COUNT(*)::BIGINT AS cnt
+FROM bg GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT 20
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bigram vocabulary top-k — the tokenizer-training /
+    vocab-audit scan.  Bigrams are built map-side from the token array
+    (no Python), the count is a partial-aggregated shuffle on the n-gram
+    key (map-side combine bounds shuffle volume by distinct-ngram count,
+    not corpus size), and top-k is TakeOrderedAndProject with a unique
+    (cnt, ngram) tie-break."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t["documents"]
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+@register(
+    "sim_embed_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         [x::DOUBLE for x in embedding] AS e,
+         list_max([abs(x::DOUBLE) for x in embedding]) AS amax
+  FROM embeddings WHERE vec_id < 100)
+SELECT vec_id,
+       ROUND(127.0 / amax, 4) AS scale,
+       ROUND(list_aggregate(
+           [abs(x - round(x * (127.0 / amax)) / (127.0 / amax)) for x in e],
+           'sum') / len(e), 6) AS mean_abs_err
+FROM q
+""",
+)
+def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the embedding-compression
+    stage before ANN index build: 4× smaller than float32): scale =
+    127/max|x|, codes = round(x·scale), plus the reconstruction error.
+    Pure per-row Catalyst array expressions — zero shuffles, zero Python;
+    at 100 TB this is a map-only pass."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    err = F.aggregate(
+        F.transform(e, lambda x: F.abs(x - F.round(x * scale) / scale)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.size(e)
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.round(scale, 4).alias("scale"),
+            F.round(err, 6).alias("mean_abs_err"),
+        )
+    )
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source, text,
+         len({_TOKS})::BIGINT AS tc,
+         list_aggregate([length(x) for x in {_TOKS}], 'sum')::DOUBLE
+             / len({_TOKS}) AS atl,
+         len([x for x in {_TOKS}
+              if x in ('the', 'a', 'and', 'of', 'to', 'in')])::DOUBLE
+             / len({_TOKS}) AS swr
+  FROM documents),
+q AS (
+  SELECT doc_id, source, text, tc,
+         0.4 * least(1.0, tc / 50.0) + 0.3 * (1.0 - swr)
+             + 0.3 * least(1.0, atl / 6.0) AS q
+  FROM m),
+f AS (
+  SELECT *, md5({_NORM}) AS fp FROM q WHERE q >= 0.55),
+k AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+  WHERE doc_id = keeper)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(tc)::BIGINT AS total_tokens,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM k GROUP BY source
+""".replace("{_TOKS}", _TOKS).replace("{_NORM}", _DUCK_NORM),
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composed pipeline a training-data
+    run actually executes: quality-score filter → exact dedup (md5
+    fingerprint, keep lowest doc_id) → per-source corpus stats.  One
+    shuffle on the fingerprint for the dedup window, one partial-agg
+    shuffle for the final rollup; the quality filter runs map-side
+    BEFORE the dedup shuffle, so shuffle volume is post-filter rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            T.token_count(F.col("text")).cast("long").alias("tc"),
+            T.quality_score(F.col("text")).alias("q"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        )
+        .filter(F.col("q") >= 0.55)
+    )
+    keep = (
+        d.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("long").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )

@@ -1,0 +1,64 @@
+"""Training-pipeline operators (operators/pipeline_ops.py): invariants
+beyond the DuckDB hash check — packing conservation, split determinism,
+quantization error bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappydata_spark.operators import QUERIES
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing must lose no tokens: offsets are contiguous (each doc
+    starts where the previous ended) and the pack ids cover exactly
+    total_tokens / budget bins."""
+    from snappydata_spark.operators.pipeline_ops import PACK_BUDGET
+
+    df = QUERIES["txt_pack_sequences"](spark, sf_dir).orderBy("doc_id").collect()
+    expected_start = 0
+    for r in df:
+        assert r.start_tok == expected_start, f"gap at doc {r.doc_id}"
+        assert r.first_pack == r.start_tok // PACK_BUDGET
+        assert r.last_pack == (r.start_tok + r.token_count - 1) // PACK_BUDGET
+        assert r.first_pack <= r.last_pack
+        expected_start += r.token_count
+    total = expected_start
+    n_packs = max(r.last_pack for r in df) + 1
+    assert n_packs == -(-total // PACK_BUDGET)  # ceil
+
+
+def test_train_val_split_deterministic_and_sized(spark, sf_dir):
+    """Same input → identical split on every run; ratio near 90/10."""
+    a = {
+        (r.lang, r.split): r.n_docs
+        for r in QUERIES["txt_train_val_split"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.lang, r.split): r.n_docs
+        for r in QUERIES["txt_train_val_split"](spark, sf_dir).collect()
+    }
+    assert a == b
+    train = sum(v for (_, s), v in a.items() if s == "train")
+    val = sum(v for (_, s), v in a.items() if s == "val")
+    frac = train / (train + val)
+    assert 0.80 < frac < 0.97, frac
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """int8 symmetric quantization: reconstruction error per element is
+    bounded by half a quantization step (0.5/scale)."""
+    rows = QUERIES["sim_embed_quantize_int8"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.scale > 0
+        assert r.mean_abs_err <= 0.5 / r.scale + 1e-9
+
+
+def test_corpus_clean_monotone(spark, sf_dir):
+    """The cleaned corpus is a subset: fewer (or equal) docs than raw,
+    and every surviving fingerprint is unique."""
+    cleaned = QUERIES["pipeline_corpus_clean"](spark, sf_dir)
+    n_clean = cleaned.agg(F.sum("n_docs")).collect()[0][0]
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_clean <= raw.count()
+    assert n_clean > 0
