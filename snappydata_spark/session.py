@@ -587,8 +587,22 @@ class SnappySession:
             self._save_registry()
             return None
         if stmt.kind == "deploy":
+            kind = stmt.options["kind"]
+            coords = stmt.options["coords"]
+            # DEPLOY JAR with a local path actually loads it (Spark-native
+            # ADD JAR — classpath on driver + executors; .py/.zip go
+            # through addPyFile).  Maven-coordinate DEPLOY PACKAGE stays
+            # registry-only: no network resolver in this engine
+            # (documented divergence, SURVEY §8).
+            for c in coords.split(","):
+                c = c.strip().strip("'\"")
+                if kind == "jar" and os.path.exists(c):
+                    if c.endswith((".py", ".zip")):
+                        self.spark.sparkContext.addPyFile(c)
+                    else:
+                        self.spark.sql(f"ADD JAR '{c}'")
             self._packages[stmt.options["name"].lower()] = {
-                "kind": stmt.options["kind"], "coords": stmt.options["coords"]
+                "kind": kind, "coords": coords
             }
             self._save_registry()
             return None

@@ -1,6 +1,8 @@
 """SnappySession facade: DDL/DML lifecycle, SQL dialect, plan cache
 (reference API surface python/pyspark/sql/snappy/snappysession.py:26-138)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -280,6 +282,27 @@ def test_deploy_package_registry(snappy):
     }
     snappy.sql("UNDEPLOY sparkavro")
     assert [r.name for r in snappy.sql("LIST PACKAGES").collect()] == ["myudfs"]
+
+
+def test_deploy_jar_actually_loads(snappy, tmp_path):
+    """DEPLOY JAR with an existing local jar goes through Spark's ADD JAR
+    (classpath distribution — the reference ships jars cluster-wide,
+    deployPackages SnappyDDLParser:858-874); LIST JARS must show it."""
+    import shutil as _sh
+    import glob as _g
+
+    src = _g.glob(
+        os.path.join(os.environ.get("SPARK_HOME", ""), "jars", "derbytools-*.jar")
+    ) or _g.glob(
+        os.path.join(
+            os.path.dirname(__import__("pyspark").__file__), "jars", "derbytools-*.jar"
+        )
+    )
+    jar = str(tmp_path / "deployed_udfs.jar")
+    _sh.copy(src[0], jar)
+    snappy.sql(f"DEPLOY JAR realudfs '{jar}'")
+    listed = [r[0] for r in snappy.spark.sql("LIST JARS").collect()]
+    assert any("deployed_udfs.jar" in j for j in listed), listed
 
 
 def test_registry_consistency():
