@@ -42,6 +42,9 @@ _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
 _INSERT_SELECT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
 )
+_INSERT_OVERWRITE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
+)
 # CREATE TABLE t (schema)? USING column|row [OPTIONS (...)] [AS SELECT ...]
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
@@ -262,12 +265,10 @@ def _parse_options(text: str | None) -> dict:
     return out
 
 
-def _split_assignments(text: str) -> dict[str, str]:
-    """Split `a = expr1, b = expr2` at top-level commas."""
-    out: dict[str, str] = {}
+def _split_top_commas(text: str) -> list[str]:
     depth = 0
-    cur = []
-    parts = []
+    cur: list[str] = []
+    parts: list[str] = []
     for ch in text:
         if ch in "([":
             depth += 1
@@ -280,13 +281,100 @@ def _split_assignments(text: str) -> dict[str, str]:
             cur.append(ch)
     if cur:
         parts.append("".join(cur))
-    for p in parts:
+    return parts
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split `a = expr1, b = expr2` at top-level commas."""
+    out: dict[str, str] = {}
+    for p in _split_top_commas(text):
         col, _, expr = p.partition("=")
         out[col.strip().lower()] = expr.strip()
     return out
 
 
+# MERGE INTO t [AS a] USING (src|(subquery)) [AS b] ON cond WHEN ...
+# (beyond the reference's surface: it composes PUT INTO + deleteFrom,
+# ColumnTableBulkOps.scala:46-120; MERGE is the one-statement ANSI form)
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\(.*?\)|\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"ON\s+(.*?)\s+(WHEN\s+.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*;?\s*$)",
+    re.I | re.S,
+)
+_MERGE_INSERT = re.compile(
+    r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$", re.I | re.S
+)
+
+
+def _parse_merge(m: re.Match) -> "Statement":
+    table, t_alias, using, s_alias, on, whens = m.groups()
+    matched: list[tuple] = []
+    insert = None
+    for w in _MERGE_WHEN.finditer(whens):
+        negated, cond, action = w.groups()
+        cond = cond.strip() if cond else None
+        a = action.strip()
+        if negated:
+            mi = _MERGE_INSERT.match(a)
+            if not mi:
+                raise ValueError(f"unsupported MERGE clause: {a[:60]}")
+            if mi.group(1) is None:
+                insert = (cond, None)  # INSERT *
+            else:
+                cols = [c.strip().lower() for c in mi.group(1).split(",")]
+                vals = [v.strip() for v in _split_top_commas(mi.group(2))]
+                if len(cols) != len(vals):
+                    raise ValueError("MERGE INSERT column/value count mismatch")
+                insert = (cond, dict(zip(cols, vals)))
+        elif a.upper() == "DELETE":
+            matched.append(("delete", cond, None))
+        else:
+            matched.append(
+                ("update", cond, _split_assignments(a[len("UPDATE SET"):]))
+            )
+    return Statement(
+        "merge",
+        table=table,
+        options={
+            "t_alias": (t_alias or table).lower(),
+            "using": using,
+            "s_alias": (s_alias or "s").lower(),
+            "on": on.strip(),
+            "matched": matched,
+            "insert": insert,
+        },
+    )
+
+
+def equi_key_pairs(on: str, t_alias: str, s_alias: str) -> list[tuple[str, str]] | None:
+    """If the ON condition is a pure conjunction of alias-qualified column
+    equalities, return [(t_col, s_col), ...]; else None.  Drives file-
+    pruned MERGE (only equality merges can prune by key)."""
+    pairs = []
+    for part in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
+        m = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part)
+        if not m:
+            return None
+        a1, c1, a2, c2 = (g.lower() for g in m.groups())
+        if a1 == t_alias and a2 == s_alias:
+            pairs.append((c1, c2))
+        elif a1 == s_alias and a2 == t_alias:
+            pairs.append((c2, c1))
+        else:
+            return None
+    return pairs or None
+
+
 def split_statement(text: str) -> Statement:
+    m = _MERGE.match(text)
+    if m:
+        return _parse_merge(m)
     m = _CREATE_STREAM.match(text)
     if m:
         name, schema_sql, provider, opts = m.groups()
@@ -414,4 +502,7 @@ def split_statement(text: str) -> Statement:
     m = _INSERT_SELECT.match(text)
     if m:
         return Statement("insert_select", table=m.group(1), source_sql=m.group(2))
+    m = _INSERT_OVERWRITE.match(text)
+    if m:
+        return Statement("insert_overwrite", table=m.group(1), source_sql=m.group(2))
     return Statement("passthrough")

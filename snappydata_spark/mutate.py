@@ -88,3 +88,76 @@ def delete_from_df(target: DataFrame, source: DataFrame, keys: list[str]) -> Dat
     if not keys:
         raise ValueError("deleteFrom requires key columns")
     return _anti_on_keys(target, source, keys).select(*target.columns)
+
+
+def merge_df(
+    target: DataFrame,
+    source: DataFrame,
+    on: str,
+    matched: list[tuple],
+    not_matched_insert: tuple | None,
+    t_alias: str = "t",
+    s_alias: str = "s",
+) -> DataFrame:
+    """ANSI MERGE semantics as a pure rewrite (one full-outer join on the
+    ON condition; first-match-wins across WHEN MATCHED clauses):
+
+    - `matched`: ordered list of ("update", cond_sql|None, {col: expr_sql})
+      or ("delete", cond_sql|None, None) clauses.
+    - `not_matched_insert`: (cond_sql|None, {col: expr_sql} | None) — None
+      mapping means INSERT * (every target column from the source alias).
+
+    The reference reaches the same end-state through PUT INTO + deleteFrom
+    (ColumnTableBulkOps.scala:46-120); MERGE is the composed one-statement
+    form.  Scale: ONE shuffle-on-ON-keys join; no collect; inserts ride
+    the same join (full-outer), so the source is scanned once.
+    """
+    cols = target.columns
+    tgt = target.withColumn("__t_m", F.lit(1)).alias(t_alias)
+    src = source.withColumn("__s_m", F.lit(1)).alias(s_alias)
+    j = tgt.join(src, F.expr(on), "full_outer")
+    t_present = F.col(f"{t_alias}.__t_m").isNotNull()
+    s_present = F.col(f"{s_alias}.__s_m").isNotNull()
+    is_matched = t_present & s_present
+
+    def _cond(sql):
+        return F.expr(sql) if sql else F.lit(True)
+
+    # first-match-wins: clause i fires only where clauses < i did not
+    effective, prior = [], F.lit(False)
+    for action, cond, assigns in matched:
+        fires = is_matched & _cond(cond) & ~prior
+        effective.append((action, fires, assigns))
+        prior = prior | (is_matched & _cond(cond))
+
+    deleted = F.lit(False)
+    for action, fires, _ in effective:
+        if action == "delete":
+            deleted = deleted | fires
+
+    ins_fires, ins_map = F.lit(False), None
+    if not_matched_insert is not None:
+        icond, ins_map = not_matched_insert
+        ins_fires = s_present & ~t_present & _cond(icond)
+
+    keep = (t_present & ~deleted) | ins_fires
+    src_cols = set(source.columns)
+    out = []
+    for c in cols:
+        chain = None
+        for action, fires, assigns in effective:
+            if action == "update":
+                a = (assigns or {}).get(c)
+                if a is not None:
+                    e = F.expr(a)
+                    chain = chain.when(fires, e) if chain is not None else F.when(fires, e)
+        if not_matched_insert is not None:
+            if ins_map is None:  # INSERT *
+                ie = F.col(f"{s_alias}.{c}") if c in src_cols else F.lit(None)
+            else:
+                ie = F.expr(ins_map[c]) if c in ins_map else F.lit(None)
+            ie = ie.cast(dict(target.dtypes)[c])
+            chain = chain.when(ins_fires, ie) if chain is not None else F.when(ins_fires, ie)
+        base = F.col(f"{t_alias}.{c}")
+        out.append((chain.otherwise(base) if chain is not None else base).alias(c))
+    return j.filter(keep).select(*out)

@@ -127,3 +127,73 @@ def dml_delete_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("remaining"),
         F.countDistinct("c_nationkey").alias("nations"),
     )
+
+
+@register(
+    "dml_merge_into",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, o_totalprice * 0.5 AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, 123.45 FROM orders WHERE o_orderkey % 1000 = 7),
+kept AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN s.k IS NOT NULL THEN s.price
+              ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+  WHERE s.k IS NULL OR s.price >= 10000),
+merged AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT 'NEW', price FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.k))
+SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with all three clause kinds, first-match-wins:
+    matched & half-price < 10000 → DELETE; matched else → UPDATE price;
+    unmatched source keys → INSERT as status 'NEW'.  One full-outer join
+    on the key (mutate.merge_df) — the ANSI composition of the
+    reference's PUT INTO + deleteFrom (ColumnTableBulkOps.scala:46-120)."""
+    from snappydata_spark import mutate
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    src = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 0.5).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 7).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.lit(123.45).alias("price"),
+            )
+        )
+    )
+    src.createOrReplaceTempView("merge_src_v")
+    merged = mutate.merge_df(
+        o,
+        spark.table("merge_src_v"),
+        "t.o_orderkey = s.k",
+        matched=[
+            ("delete", "s.price < 10000", None),
+            ("update", None, {"o_totalprice": "s.price"}),
+        ],
+        not_matched_insert=(
+            None,
+            {
+                "o_orderkey": "s.k",
+                "o_orderstatus": "'NEW'",
+                "o_totalprice": "s.price",
+            },
+        ),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

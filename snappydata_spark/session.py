@@ -637,6 +637,16 @@ class SnappySession:
             self._resolve_read_access(stmt.source_sql)
             self.insert(stmt.table, self.spark.sql(stmt.source_sql))
             return None
+        if stmt.kind == "merge":
+            return self._merge(stmt)
+        if stmt.kind == "insert_overwrite" and self.catalog.exists(stmt.table):
+            # full replace; _rewrite stages to a tmp dir first, which also
+            # legalizes self-referencing overwrites (INSERT OVERWRITE t
+            # SELECT ... FROM t — Spark rejects overwrite-while-reading)
+            self._resolve_read_access(stmt.source_sql)
+            meta = self.catalog.load_meta(stmt.table.lower())
+            self._rewrite(self.spark.sql(stmt.source_sql), meta)
+            return None
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
             if parsed:
@@ -723,6 +733,61 @@ class SnappySession:
             df=st.sample,
             overwrite=True,
         )
+        return None
+
+    def _merge(self, stmt) -> None:
+        """MERGE INTO dispatch (ANSI one-statement form of the PUT INTO +
+        deleteFrom composition, ColumnTableBulkOps.scala:46-120).  When
+        the ON condition is a pure key-equality conjunction the rewrite is
+        file-pruned exactly like put/update: files holding a matched key
+        are rewritten, everything else is untouched; matched-ness against
+        the pruned subset equals matched-ness against the full table
+        because _affected_files returns EVERY file containing a source
+        key."""
+        from snappydata_spark.dialect import equi_key_pairs
+
+        o = stmt.options
+        name = stmt.table.lower()
+        meta = self.catalog.load_meta(name)
+        using = o["using"].strip()
+        src_sql = using[1:-1] if using.startswith("(") else f"SELECT * FROM {using}"
+        self._resolve_read_access(src_sql)
+        source = self.spark.sql(src_sql)
+        target = self._mutation_target(name, meta)
+        if target is None:  # empty table: only the insert branch can fire
+            if o["insert"] is not None:
+                icond, imap = o["insert"]
+                src2 = source.filter(F.expr(icond)) if icond else source
+                if imap:
+                    src2 = src2.select(*[F.expr(v).alias(k) for k, v in imap.items()])
+                self.insert(name, src2)
+            return None
+
+        def _result(tgt: DataFrame) -> DataFrame:
+            return mutate.merge_df(
+                tgt,
+                source,
+                o["on"],
+                o["matched"],
+                o["insert"],
+                t_alias=o["t_alias"],
+                s_alias=o["s_alias"],
+            )
+
+        pairs = equi_key_pairs(o["on"], o["t_alias"], o["s_alias"])
+        files = None
+        if pairs:
+            keyed_src = source.select(
+                *[F.col(s_c).alias(t_c) for t_c, s_c in pairs]
+            )
+            files = self._affected_files(
+                target, source=keyed_src, keys=[t_c for t_c, _ in pairs]
+            )
+        if files is None:
+            self._rewrite(_result(target), meta)
+            return None
+        touched = self._read_files(target.schema, files)
+        self._replace_files(meta, files, _result(touched))
         return None
 
     def create_sample_table(self, name: str, base_table: str, qcs, fraction: float):

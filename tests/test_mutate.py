@@ -210,3 +210,128 @@ def test_pruned_delete_and_put_file_scope(snappy):
     snappy.delete("prd_t", "k = -1")
     assert set(_data_files(snappy.catalog.data_path("prd_t"))) == files2
     snappy.drop_table("prd_t")
+
+
+def test_insert_overwrite_sql(snappy):
+    """INSERT OVERWRITE [TABLE] t SELECT — full replace through the
+    dialect, including the self-referencing form Spark rejects on a plain
+    overwrite-while-reading plan (staged via _rewrite)."""
+    df = snappy.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    snappy.create_table("iow_t", df=df)
+    snappy.sql("INSERT OVERWRITE iow_t SELECT k + 10 AS k, upper(v) AS v FROM iow_t")
+    assert sorted((r.k, r.v) for r in snappy.table("iow_t").collect()) == [
+        (11, "A"),
+        (12, "B"),
+    ]
+    # non-self-referencing source, TABLE keyword form
+    snappy.spark.createDataFrame([(9, "z")], "k int, v string").createOrReplaceTempView(
+        "iow_src"
+    )
+    snappy.sql("INSERT OVERWRITE TABLE iow_t SELECT * FROM iow_src")
+    assert [(r.k, r.v) for r in snappy.table("iow_t").collect()] == [(9, "z")]
+    snappy.drop_table("iow_t")
+
+
+def test_insert_overwrite_bucketed_preserves_layout(snappy):
+    """Overwrite of a bucketed table re-enters through the bucketed
+    writer: the layout (and hence colocated-join eligibility) survives."""
+    df = snappy.spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    snappy.create_table(
+        "iow_b", options={"partition_by": "k", "buckets": 4}, df=df
+    )
+    snappy.sql("INSERT OVERWRITE iow_b SELECT k, concat(v, '!') AS v FROM iow_b")
+    assert snappy.table("iow_b").count() == 100
+    meta = snappy.catalog.load_meta("iow_b")
+    assert meta.buckets == 4 and meta.partition_by == ["k"]
+    snappy.drop_table("iow_b")
+
+
+class TestMergeInto:
+    def _fresh(self, snappy, name="mg_t"):
+        df = snappy.spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, v string, amt double",
+        )
+        snappy.create_table(name, options={"key_columns": "k"}, df=df)
+        return name
+
+    def test_merge_update_insert(self, snappy):
+        self._fresh(snappy)
+        snappy.spark.createDataFrame(
+            [(2, "B2", 99.0), (4, "d", 40.0)], "k int, v string, amt double"
+        ).createOrReplaceTempView("mg_src")
+        snappy.sql(
+            "MERGE INTO mg_t t USING mg_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = sorted((r.k, r.v, r.amt) for r in snappy.table("mg_t").collect())
+        assert got == [(1, "a", 10.0), (2, "B2", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+        snappy.drop_table("mg_t")
+
+    def test_merge_conditional_clauses_first_match_wins(self, snappy):
+        self._fresh(snappy)
+        snappy.spark.createDataFrame(
+            [(1, "x", 5.0), (2, "y", 100.0), (3, "z", 1.0)],
+            "k int, v string, amt double",
+        ).createOrReplaceTempView("mg_src2")
+        # delete small-amt matches; update the rest; both conds overlap on
+        # nothing here but order still matters for semantics
+        snappy.sql(
+            "MERGE INTO mg_t t USING mg_src2 s ON t.k = s.k "
+            "WHEN MATCHED AND s.amt < 6.0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt"
+        )
+        got = sorted((r.k, r.amt) for r in snappy.table("mg_t").collect())
+        assert got == [(2, 120.0)]  # k=1 (5.0) and k=3 (1.0) deleted
+        snappy.drop_table("mg_t")
+
+    def test_merge_insert_column_list_and_subquery_source(self, snappy):
+        self._fresh(snappy)
+        snappy.sql(
+            "MERGE INTO mg_t t USING "
+            "(SELECT 7 AS kk, 'new' AS vv UNION ALL SELECT 1, 'upd') s "
+            "ON t.k = s.kk "
+            "WHEN MATCHED THEN UPDATE SET v = s.vv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.kk, concat(s.vv, '!'))"
+        )
+        got = {r.k: (r.v, r.amt) for r in snappy.table("mg_t").collect()}
+        assert got[1] == ("upd", 10.0)
+        assert got[7] == ("new!", None)  # amt unset -> NULL
+        assert got[2] == ("b", 20.0)
+        snappy.drop_table("mg_t")
+
+    def test_merge_prunes_untouched_files(self, snappy):
+        """Key-equality MERGE rewrites only files containing matched keys."""
+        df = snappy.spark.range(1200).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v", "CAST(id AS DOUBLE) AS amt"
+        ).repartition(12)
+        snappy.create_table("mg_p", options={"key_columns": "k"}, df=df)
+        files0 = set(_data_files(snappy.catalog.data_path("mg_p")))
+        assert len(files0) >= 10
+        snappy.spark.createDataFrame(
+            [(600, "SIX", 0.0)], "k int, v string, amt double"
+        ).createOrReplaceTempView("mg_psrc")
+        snappy.sql(
+            "MERGE INTO mg_p t USING mg_psrc s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        files1 = set(_data_files(snappy.catalog.data_path("mg_p")))
+        assert len(files0 & files1) >= len(files0) - 1  # ≤1 file replaced
+        assert snappy.table("mg_p").filter("k = 600").collect()[0].v == "SIX"
+        assert snappy.table("mg_p").count() == 1200
+        snappy.drop_table("mg_p")
+
+    def test_merge_non_equi_falls_back_full_rewrite(self, snappy):
+        self._fresh(snappy)
+        snappy.spark.createDataFrame(
+            [(25.0, "mid")], "lo double, tag string"
+        ).createOrReplaceTempView("mg_rng")
+        snappy.sql(
+            "MERGE INTO mg_t t USING mg_rng s ON t.amt > s.lo "
+            "WHEN MATCHED THEN UPDATE SET v = s.tag"
+        )
+        got = sorted((r.k, r.v) for r in snappy.table("mg_t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "mid")]
+        snappy.drop_table("mg_t")
