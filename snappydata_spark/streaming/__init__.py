@@ -8,3 +8,11 @@ __all__ = [
     "EVENT_UPDATE",
     "EVENT_DELETE",
 ]
+
+from snappydata_spark.streaming.stateful import (  # noqa: E402
+    running_totals,
+    sessionize_stream,
+    stream_dedup,
+)
+
+__all__ += ["running_totals", "sessionize_stream", "stream_dedup"]

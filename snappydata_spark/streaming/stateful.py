@@ -137,3 +137,25 @@ def sessionize_stream(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup — the ingest-side dedup stage of a
+    training-data pipeline (batch twin: dedup/dedup_exact): emit only the
+    FIRST row seen per key tuple (e.g. a content fingerprint).
+
+    With `event_time_col`, dedup state is watermark-bounded
+    (`dropDuplicatesWithinWatermark`): keys older than the watermark are
+    evicted, so state size is bounded by the watermark window — the only
+    form that survives an unbounded 100 TB/day stream.  Without it, state
+    grows with distinct keys forever (exact global dedup — fine for
+    bounded backfills, documented trade-off)."""
+    if event_time_col is not None:
+        return stream.withWatermark(event_time_col, watermark)\
+            .dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)

@@ -258,3 +258,81 @@ def test_native_session_window_streaming(spark, stream_dir):
     assert got[("u1", t0)] == 2
     assert got[("u1", t0 + 5000)] == 1
     assert got[("u2", t0 + 50)] == 1
+
+
+def test_stream_dedup_first_wins_across_batches(spark, stream_dir):
+    """Ingest-side exact dedup: the first row per fingerprint survives,
+    later duplicates (same batch or later batches) are dropped."""
+    from snappydata_spark.streaming.stateful import stream_dedup
+
+    _write_batch(
+        stream_dir,
+        "b0.json",
+        [
+            {"fp": "A", "doc": "a1"},
+            {"fp": "B", "doc": "b1"},
+            {"fp": "A", "doc": "a-dup-same-batch"},
+        ],
+        mtime=1_000,
+    )
+    _write_batch(
+        stream_dir,
+        "b1.json",
+        [{"fp": "B", "doc": "b-dup-later-batch"}, {"fp": "C", "doc": "c1"}],
+        mtime=2_000,
+    )
+    stream = stream_reader(
+        spark,
+        "file_stream",
+        format="json",
+        path=stream_dir,
+        schema="fp string, doc string",
+        maxFilesPerTrigger="1",
+    )
+    q = (
+        stream_dedup(stream, ["fp"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.fp, r.doc) for r in spark.table("dedup_out").collect()}
+    assert got == {("A", "a1"), ("B", "b1"), ("C", "c1")}
+
+
+def test_stream_dedup_watermark_bounded_state(spark, stream_dir):
+    """Watermark-bounded variant: duplicates inside the watermark window
+    are dropped; the state plan uses dropDuplicatesWithinWatermark (the
+    only shape whose state is bounded on an unbounded stream)."""
+    from snappydata_spark.streaming.stateful import stream_dedup
+
+    _write_batch(
+        stream_dir,
+        "b0.json",
+        [
+            {"fp": "X", "ts": "2024-01-01 00:00:00", "doc": "x1"},
+            {"fp": "X", "ts": "2024-01-01 00:02:00", "doc": "x-dup-in-window"},
+            {"fp": "Y", "ts": "2024-01-01 00:03:00", "doc": "y1"},
+        ],
+        mtime=1_000,
+    )
+    stream = stream_reader(
+        spark,
+        "file_stream",
+        format="json",
+        path=stream_dir,
+        schema="fp string, ts timestamp, doc string",
+    )
+    deduped = stream_dedup(stream, ["fp"], event_time_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.fp, r.doc) for r in spark.table("dedup_wm_out").collect()}
+    assert got == {("X", "x1"), ("Y", "y1")}
