@@ -172,7 +172,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra = {"quickstart_groupby_avg": quickstart_groupby_avg}
-    for name in HEADLINE + list(extra):
+    # round-2+ additions: reported per-query but EXCLUDED from the
+    # headline total so totals stay comparable with earlier rounds
+    new_queries = [
+        "txt_pack_sequences",
+        "txt_top_ngrams",
+        "pipeline_corpus_clean",
+        "pipeline_shard_assignment",
+        "dml_merge_into",
+        "udaf_grouped_median",
+    ]
+    for name in HEADLINE + list(extra) + new_queries:
         fn = extra.get(name) or QUERIES[name]
         # reference methodology (Quickstart.scala:52-84 does 3 warmups +
         # 5 timed runs): one warmup run amortizes codegen/classloading,
@@ -205,7 +215,7 @@ def main() -> None:
     # the headline total stays the round-1 metric set so BENCH_r{N} totals
     # are comparable across rounds; hit/cold are diagnostics of the SAME
     # 20-query loop already counted in plan_cache_20_repeats
-    diagnostics = {"plan_cache_20_hits", "plan_cache_20_cold"}
+    diagnostics = {"plan_cache_20_hits", "plan_cache_20_cold", *new_queries}
     total = round(
         sum(v for k, v in timings.items() if k not in diagnostics), 3
     )

@@ -147,21 +147,25 @@ def txt_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Python), the count is a partial-aggregated shuffle on the n-gram
     key (map-side combine bounds shuffle volume by distinct-ngram count,
     not corpus size), and top-k is TakeOrderedAndProject with a unique
-    (cnt, ngram) tie-break."""
+    (cnt, ngram) tie-break.
+
+    The token array is materialized in its OWN projection before the
+    bigram zip: referencing the raw split expression inside a per-element
+    lambda would inline the split per element — O(tokens²) per document
+    (measured 8× slower at sf0.1)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = T.tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
+    toked = (
         t["documents"]
-        .select(F.explode(bigrams).alias("ngram"))
+        .select(T.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        toked.select(F.explode(bigrams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -268,4 +272,37 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tc").cast("long").alias("total_tokens"),
         F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+@register(
+    "pipeline_shard_assignment",
+    oracle="""
+WITH s AS (
+  SELECT ('0x' || substr(md5('shard~' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 16 AS shard,
+         len({_TOKS}) AS tc
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs, SUM(tc)::BIGINT AS total_tokens
+FROM s GROUP BY shard
+""".replace("{_TOKS}", _TOKS),
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard layout audit for the export writer (export.shard_assignment):
+    per-shard doc/token counts under the deterministic md5 shuffle.  The
+    same hash drives export_shards' partitioned write, so this query IS
+    the cross-engine proof of the export layout."""
+    from snappydata_spark.export import shard_assignment
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", T.token_count(F.col("text")).alias("tc")
+    )
+    return (
+        shard_assignment(docs, "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+        )
     )

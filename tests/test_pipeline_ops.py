@@ -62,3 +62,23 @@ def test_corpus_clean_monotone(spark, sf_dir):
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert n_clean <= raw.count()
     assert n_clean > 0
+
+
+def test_export_shards_deterministic(spark, sf_dir, tmp_path):
+    """Shard membership is a pure function of (seed, keys): re-export
+    with different input partitioning produces identical shard contents,
+    and every row lands in exactly one shard."""
+    from snappydata_spark.export import export_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_shards(docs.repartition(3), p1, "doc_id", n_shards=8)
+    export_shards(docs.repartition(17), p2, "doc_id", n_shards=8)
+
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == docs.count() == b.count()
+    da = {(r.shard, r.doc_id) for r in a.select("shard", "doc_id").collect()}
+    db = {(r.shard, r.doc_id) for r in b.select("shard", "doc_id").collect()}
+    assert da == db
+    assert {r.shard for r in a.select("shard").distinct().collect()} == set(range(8))
