@@ -52,6 +52,16 @@ _CREATE_TABLE = re.compile(
     r"(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*)?$",
     re.I | re.S,
 )
+# CREATE EXTERNAL TABLE t USING provider OPTIONS (...) — any Spark
+# datasource (createExternalTable SnappySession.scala:1076-1127; DDL
+# accepts EXTERNAL for non-managed providers).  Routed to
+# session.create_external_table: path-providers read OPTIONS path;
+# jdbc reads url/dbtable.
+_CREATE_EXTERNAL = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"USING\s+(\w+)\s*OPTIONS\s*\((.*?)\)\s*;?\s*$",
+    re.I | re.S,
+)
 _CREATE_SAMPLE = re.compile(
     r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(\w+)\s+ON\s+(\w+)\s*"
     r"OPTIONS\s*\((.*?)\)\s*$",
@@ -375,6 +385,15 @@ def split_statement(text: str) -> Statement:
     m = _MERGE.match(text)
     if m:
         return _parse_merge(m)
+    m = _CREATE_EXTERNAL.match(text)
+    if m:
+        return Statement(
+            "create_external",
+            table=m.group(1),
+            provider=m.group(2).lower(),
+            options=_parse_options(m.group(3)),
+            if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
+        )
     m = _CREATE_STREAM.match(text)
     if m:
         name, schema_sql, provider, opts = m.groups()

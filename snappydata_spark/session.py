@@ -519,6 +519,12 @@ class SnappySession:
                 df=df,
             )
             return None
+        if stmt.kind == "create_external":
+            opts = dict(stmt.options)
+            path = opts.pop("path", None)
+            return self.create_external_table(
+                stmt.table, path=path, fmt=stmt.provider, options=opts
+            )
         if stmt.kind == "create_stream":
             name = stmt.table.lower()
             if name in self._streams and stmt.if_not_exists:

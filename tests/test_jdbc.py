@@ -75,3 +75,24 @@ def test_jdbc_external_table_in_sql(snappy, derby_db):
         "SELECT COUNT(*) AS n, SUM(k) AS s FROM jdbc_ext WHERE k >= 10"
     ).collect()[0]
     assert (row.n, row.s) == (40, sum(range(10, 50)))
+
+
+def test_create_external_table_ddl(snappy, sf_dir, derby_db):
+    """CREATE EXTERNAL TABLE ... USING <provider> OPTIONS (...) DDL
+    (createExternalTable SnappySession.scala:1076-1127) for both a
+    path provider (parquet) and the path-less jdbc provider."""
+    df = snappy.sql(
+        f"CREATE EXTERNAL TABLE ext_parq USING parquet "
+        f"OPTIONS (path '{sf_dir}/nation.parquet')"
+    )
+    assert df.count() == 25
+    assert snappy.sql("SELECT COUNT(*) AS n FROM ext_parq").collect()[0].n == 25
+
+    jdbc_write(
+        snappy.spark.range(7).selectExpr("id AS k"), derby_db, "T_DDL", mode="overwrite"
+    )
+    snappy.sql(
+        f"CREATE EXTERNAL TABLE ext_jdbc USING jdbc "
+        f"OPTIONS (url '{derby_db}', dbtable 'T_DDL')"
+    )
+    assert snappy.sql("SELECT COUNT(*) AS n FROM ext_jdbc").collect()[0].n == 7
