@@ -181,6 +181,9 @@ def main() -> None:
         "pipeline_shard_assignment",
         "dml_merge_into",
         "udaf_grouped_median",
+        "txt_decontaminate",
+        "pipeline_domain_mix",
+        "txt_repetition_filter",
     ]
     for name in HEADLINE + list(extra) + new_queries:
         fn = extra.get(name) or QUERIES[name]

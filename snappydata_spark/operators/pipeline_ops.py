@@ -276,6 +276,194 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_decontaminate",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split~' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 100 < 90 AS is_train,
+         {_TOKS} AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, is_train,
+         unnest([array_to_string(t[i:i+12], ' ')
+                 for i in generate_series(1, len(t)-12)]) AS ng
+  FROM d WHERE len(t) >= 13),
+ev AS (SELECT DISTINCT ng FROM g WHERE NOT is_train),
+c AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng) WHERE g.is_train)
+SELECT source,
+       COUNT(*) AS n_train,
+       SUM(CASE WHEN doc_id IN (SELECT doc_id FROM c) THEN 1 ELSE 0 END)
+           ::BIGINT AS n_contaminated
+FROM d WHERE is_train GROUP BY source
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the GPT-3/PaLM-style 13-gram overlap
+    check: a training document is contaminated if it shares any 13-token
+    n-gram with the held-out split (here: the val side of the same
+    deterministic hash split as txt_train_val_split).
+
+    Scale design: the eval side of a decontamination run is always the
+    small side (benchmark suites, not the corpus), so its distinct n-gram
+    set is built first and BROADCAST; the train side then explodes to
+    n-grams and left-semi-joins map-side — no shuffle of the 100 TB train
+    explode, no candidate materialization.  Contaminated doc_ids collapse
+    via distinct before the per-source rollup."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        (T.hash32(F.col("doc_id").cast("string"), "split~") % 100 < 90).alias(
+            "is_train"
+        ),
+        T.shingles(F.col("text"), 13).alias("ngrams"),
+    )
+    train = docs.filter(F.col("is_train"))
+    ev = (
+        docs.filter(~F.col("is_train"))
+        .select(F.explode("ngrams").alias("ng"))
+        .distinct()
+    )
+    contaminated = (
+        train.select("doc_id", F.explode("ngrams").alias("ng"))
+        .join(F.broadcast(ev), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+@register(
+    "txt_repetition_filter",
+    oracle="""
+WITH d AS (SELECT lang, {_TOKS} AS t FROM documents),
+m AS (
+  SELECT lang,
+         [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] AS bg,
+         len(list_distinct(t))::DOUBLE / len(t) AS dtr
+  FROM d WHERE len(t) >= 2),
+x AS (
+  SELECT lang, dtr,
+         1.0 - len(list_distinct(bg))::DOUBLE / len(bg) AS dup_frac
+  FROM m)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN dup_frac > 0.05 OR dtr < 0.5 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_flagged,
+       ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       ROUND(AVG(dtr), 4) AS avg_distinct_ratio
+FROM x GROUP BY lang
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the MassiveText/Gopher 'repetition
+    ratios' family): per-document duplicate-bigram fraction and
+    distinct-token ratio, rolled up per language with a flag count
+    (repetitious docs are the classic low-quality web-text signature).
+
+    Map-side per-row array expressions (no Python, no shuffle until the
+    tiny per-lang rollup) — at 100 TB this runs at scan speed, exactly
+    like txt_quality_score."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = T.tokens(F.col("text"))
+    d = (
+        t["documents"]
+        .select("lang", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    x = d.select(
+        "lang",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+        ).alias("dup_frac"),
+        (
+            F.size(F.array_distinct(F.col("t"))).cast("double")
+            / F.size(F.col("t"))
+        ).alias("dtr"),
+    )
+    return x.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("dup_frac") > 0.05) | (F.col("dtr") < 0.5), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+        F.round(F.avg("dtr"), 4).alias("avg_distinct_ratio"),
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS})::BIGINT AS tc FROM documents),
+tot AS (SELECT source, SUM(tc)::BIGINT AS tot FROM d GROUP BY source),
+mn AS (SELECT MIN(tot) AS mn FROM tot),
+r AS (SELECT source, (mn * 1000000) // tot AS thresh FROM tot, mn),
+k AS (
+  SELECT d.doc_id, d.source, d.tc, r.thresh
+  FROM d JOIN r USING (source)
+  WHERE ('0x' || substr(md5('mix~' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000 < r.thresh)
+SELECT source, thresh::BIGINT AS thresh,
+       COUNT(*) AS n_docs_kept, SUM(tc)::BIGINT AS tokens_kept
+FROM k GROUP BY source, thresh
+""".replace("{_TOKS}", _TOKS),
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling — downsample every source to the smallest
+    source's token budget (the uniform-mixture case of training-mix
+    reweighting): per-source keep-rate = min_tokens/source_tokens, applied
+    as a DETERMINISTIC hash threshold on doc_id (md5-derived, so the kept
+    set is reproducible across runs, engines, and partitionings — the
+    property rand()-based sampling lacks).
+
+    Scale design: per-source totals are a partial-agg shuffle to ~#sources
+    rows (bounded driver-free metadata), broadcast back onto the corpus;
+    the keep decision is then a map-side integer comparison.  Threshold
+    arithmetic is integer division (`div`) on both engines — no float
+    rounding at the boundary."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("tc")
+    )
+    totals = d.groupBy("source").agg(F.sum("tc").cast("long").alias("tot"))
+    mn = totals.agg(F.min("tot").alias("mn"))
+    rates = (
+        totals.crossJoin(F.broadcast(mn))
+        .withColumn("thresh", F.expr("(mn * 1000000) div tot").cast("long"))
+        .select("source", "thresh")
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        T.hash32(F.col("doc_id").cast("string"), "mix~") % 1000000
+        < F.col("thresh")
+    )
+    return kept.groupBy("source", "thresh").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("tc").cast("long").alias("tokens_kept"),
+    )
+
+
+@register(
     "pipeline_shard_assignment",
     oracle="""
 WITH s AS (

@@ -64,6 +64,53 @@ def test_corpus_clean_monotone(spark, sf_dir):
     assert n_clean > 0
 
 
+def test_decontaminate_counts_consistent(spark, sf_dir):
+    """Contamination is a subset property per source, and the train
+    universe matches the split: n_contaminated ≤ n_train, and summing
+    n_train over sources equals the split's train doc count."""
+    rows = QUERIES["txt_decontaminate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train
+    split = {
+        (r.lang, r.split): r.n_docs
+        for r in QUERIES["txt_train_val_split"](spark, sf_dir).collect()
+    }
+    train_total = sum(v for (_, s), v in split.items() if s == "train")
+    assert sum(r.n_train for r in rows) == train_total
+
+
+def test_domain_mix_thresholds_and_budgets(spark, sf_dir):
+    """The smallest source keeps everything (threshold == 1e6); every
+    threshold is ≤ 1e6; kept tokens never exceed the source's raw total;
+    and the mix is deterministic across runs."""
+    mix = QUERIES["pipeline_domain_mix"](spark, sf_dir)
+    rows = {r.source: r for r in mix.collect()}
+    assert rows
+    raw = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", F.size(F.split(F.trim("text"), r"\s+")).alias("tc"))
+        .groupBy("source")
+        .agg(F.sum("tc").alias("tot"))
+    )
+    totals = {r.source: r.tot for r in raw.collect()}
+    min_source = min(totals, key=lambda s: totals[s])
+    assert rows[min_source].thresh == 1_000_000
+    for s, r in rows.items():
+        assert r.thresh <= 1_000_000
+        assert r.tokens_kept <= totals[s]
+    again = {r.source: r.n_docs_kept for r in mix.collect()}
+    assert again == {s: r.n_docs_kept for s, r in rows.items()}
+
+
+def test_repetition_filter_bounds(spark, sf_dir):
+    """Fractions live in [0,1] and flag counts are bounded by doc counts."""
+    for r in QUERIES["txt_repetition_filter"](spark, sf_dir).collect():
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert 0.0 <= r.avg_dup_frac <= 1.0
+        assert 0.0 <= r.avg_distinct_ratio <= 1.0
+
+
 def test_export_shards_deterministic(spark, sf_dir, tmp_path):
     """Shard membership is a pure function of (seed, keys): re-export
     with different input partitioning produces identical shard contents,
