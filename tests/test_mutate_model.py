@@ -1,0 +1,86 @@
+"""Model-based mutation testing (hypothesis): random PUT/UPDATE/DELETE/
+deleteFrom sequences against a managed table must agree with a plain
+Python dict model of the reference's mutation semantics
+(ColumnTableBulkOps put, AnalyzeMutableOperations update/delete — the
+same contracts tests/test_mutate.py checks pointwise, here explored over
+generated sequences; the reference's analogue is its concurrency/
+consistency suites, SURVEY.md §5).
+
+The table stays tiny (≤8 keys) — the property under test is semantic
+equivalence through the file-pruned copy-on-write path, not scale.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+keys = st.integers(min_value=0, max_value=7)
+vals = st.integers(min_value=-50, max_value=50)
+
+
+def row_strategy():
+    return st.tuples(keys, vals, st.sampled_from(["a", "b", "c"]))
+
+
+put_op = st.tuples(st.just("put"), st.lists(row_strategy(), min_size=1, max_size=4))
+# UPDATE ... SET v = v + <c> WHERE v < <t>
+update_op = st.tuples(st.just("update"), st.tuples(vals, vals))
+# DELETE FROM ... WHERE v > <t>
+delete_op = st.tuples(st.just("delete"), vals)
+# deleteFrom by key list
+delete_from_op = st.tuples(st.just("delete_from"), st.lists(keys, min_size=1, max_size=3))
+
+ops = st.lists(
+    st.one_of(put_op, update_op, delete_op, delete_from_op), min_size=1, max_size=5
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    initial=st.lists(row_strategy(), min_size=1, max_size=6, unique_by=lambda r: r[0]),
+    sequence=ops,
+)
+def test_mutation_sequence_matches_model(snappy, initial, sequence):
+    spark = snappy.spark
+    name = "hm_t"
+    if snappy.catalog.exists(name):
+        snappy.drop_table(name)
+    snappy.create_table(
+        name,
+        options={"key_columns": "k"},
+        df=spark.createDataFrame(initial, "k int, v int, s string"),
+    )
+    model = {k: (k, v, s) for k, v, s in initial}
+
+    for op, arg in sequence:
+        if op == "put":
+            # PUT INTO: source wins on key match; duplicate keys inside the
+            # source pass through put itself, so conflate to last-wins
+            # before applying (the sink's conflation contract)
+            conflated = {r[0]: r for r in arg}
+            snappy.put(
+                name, spark.createDataFrame(list(conflated.values()), "k int, v int, s string")
+            )
+            model.update(conflated)
+        elif op == "update":
+            c, t = arg
+            snappy.update(name, f"v < {t}", {"v": f"v + {c}"})
+            model = {
+                k: (k, v + c if v < t else v, s) for k, (k, v, s) in model.items()
+            }
+        elif op == "delete":
+            snappy.delete(name, f"v > {arg}")
+            model = {k: r for k, r in model.items() if not (r[1] > arg)}
+        elif op == "delete_from":
+            ks = sorted(set(arg))
+            snappy.delete_from(
+                name, spark.createDataFrame([(k,) for k in ks], "k int")
+            )
+            model = {k: r for k, r in model.items() if k not in ks}
+
+    got = {r.k: (r.k, r.v, r.s) for r in snappy.table(name).collect()}
+    assert got == model
+    snappy.drop_table(name)
