@@ -17,5 +17,6 @@ from snappydata_spark.operators import sqlfeatures2  # noqa: F401
 from snappydata_spark.operators import timeseries_ops  # noqa: F401
 from snappydata_spark.operators import outerjoins  # noqa: F401
 from snappydata_spark.operators import pipeline_ops  # noqa: F401
+from snappydata_spark.operators import skew_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
