@@ -1,9 +1,10 @@
 from snappydata_spark.streaming.sink import SnappySink, EVENT_INSERT, EVENT_UPDATE, EVENT_DELETE
-from snappydata_spark.streaming.sources import stream_reader
+from snappydata_spark.streaming.sources import register_stream_provider, stream_reader
 
 __all__ = [
     "SnappySink",
     "stream_reader",
+    "register_stream_provider",
     "EVENT_INSERT",
     "EVENT_UPDATE",
     "EVENT_DELETE",

@@ -25,8 +25,38 @@ PROVIDER_FORMATS = {
     "raw_socket_stream": "socket",
     "rate_stream": "rate",
     # twitter_stream / rabbitmq_stream have no Spark 3 built-in source —
-    # they need external connector packages; we surface a clear error.
+    # they need external connector packages; register one with
+    # register_stream_provider once its connector jar is deployed.
 }
+
+# user-registered providers: name → factory(spark, schema, **options) -> DataFrame
+_CUSTOM_PROVIDERS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_stream_provider(
+    name: str,
+    format: str | None = None,
+    factory: Callable[..., DataFrame] | None = None,
+) -> None:
+    """Register a custom stream provider, the analogue of the reference's
+    user StreamPlanProvider + StreamToRowsConverter jars (StreamBaseRelation
+    registry; SnappyStreamingContext.getSchemaDStream resolution): after
+    registration the provider name works in `stream_reader` AND in
+    `CREATE STREAM TABLE ... USING <name>` DDL.
+
+    Either map the name to a Structured Streaming `format` string (for
+    connector packages like a deployed kafka/pulsar DSv2 jar) or supply a
+    `factory(spark, schema=None, **options) -> streaming DataFrame` for
+    full control of the read + conversion."""
+    if (format is None) == (factory is None):
+        raise ValueError("register_stream_provider needs exactly one of format/factory")
+    key = name.lower()
+    if factory is not None:
+        _CUSTOM_PROVIDERS[key] = factory
+        PROVIDER_FORMATS.pop(key, None)
+    else:
+        PROVIDER_FORMATS[key] = format
+        _CUSTOM_PROVIDERS.pop(key, None)
 
 
 def stream_reader(
@@ -43,10 +73,14 @@ def stream_reader(
     payloads pass schema= and we apply from_json to the value column.
     """
     provider = provider.lower()
+    if provider in _CUSTOM_PROVIDERS:
+        raw = _CUSTOM_PROVIDERS[provider](spark, schema=schema, **options)
+        return converter(raw) if converter is not None else raw
     if provider not in PROVIDER_FORMATS:
         raise ValueError(
             f"stream provider {provider!r} not available (reference providers "
-            f"twitter_stream/rabbitmq_stream need external connectors): "
+            f"twitter_stream/rabbitmq_stream need external connectors — "
+            f"register one with register_stream_provider): "
             f"choose from {sorted(PROVIDER_FORMATS)}"
         )
     fmt = PROVIDER_FORMATS[provider]

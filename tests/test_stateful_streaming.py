@@ -229,6 +229,44 @@ def test_unknown_stream_provider_rejected(spark):
         stream_reader(spark, "twitter_stream")
 
 
+def test_register_custom_stream_provider(spark, snappy):
+    """User-registered provider (the StreamPlanProvider/converter-jar
+    analogue): a factory-backed provider works through stream_reader AND
+    through CREATE STREAM TABLE DDL, then unknown again after swap to a
+    format-backed registration."""
+    from snappydata_spark.streaming import register_stream_provider
+    from snappydata_spark.streaming.sources import _CUSTOM_PROVIDERS, PROVIDER_FORMATS
+
+    def fake_feed(sp, schema=None, **options):
+        # converter applied inside the factory: rate → typed event rows
+        rate = sp.readStream.format("rate").option(
+            "rowsPerSecond", options.get("rowsPerSecond", "50")
+        ).load()
+        return rate.selectExpr("value AS event_id", "value % 5 AS user_id")
+
+    register_stream_provider("fake_feed_stream", factory=fake_feed)
+    try:
+        s = stream_reader(spark, "fake_feed_stream", rowsPerSecond="100")
+        assert s.isStreaming and set(s.columns) == {"event_id", "user_id"}
+
+        snappy.sql(
+            "CREATE STREAM TABLE ddl_fake USING fake_feed_stream "
+            "OPTIONS (rowsPerSecond '100')"
+        )
+        t = snappy._streams["ddl_fake"]
+        assert t.isStreaming and "user_id" in t.columns
+
+        with pytest.raises(ValueError, match="exactly one"):
+            register_stream_provider("x_stream")
+        register_stream_provider("fake_feed_stream", format="rate")
+        assert "fake_feed_stream" in PROVIDER_FORMATS
+        assert "fake_feed_stream" not in _CUSTOM_PROVIDERS
+    finally:
+        PROVIDER_FORMATS.pop("fake_feed_stream", None)
+        _CUSTOM_PROVIDERS.pop("fake_feed_stream", None)
+        snappy._streams.pop("ddl_fake", None)
+
+
 def test_native_session_window_streaming(spark, stream_dir):
     """session_window (native Spark session windows) on a stream —
     the event-time upgrade of gap-based sessionization.  Append mode
