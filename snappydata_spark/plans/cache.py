@@ -26,6 +26,7 @@ facade does this in `_refresh_view`.
 from __future__ import annotations
 
 import re
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,10 @@ class PlanCache:
         self.max_size = max_size
         self.enabled = enabled
         self._cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        # concurrent sessions share one cache (the reference's is a shared
+        # Guava cache); parse/analyze runs OUTSIDE the lock so concurrent
+        # misses don't serialize on each other
+        self._lock = threading.RLock()
         self.hits = 0
         self.misses = 0
         # templates that failed parameterized parse once fall back to raw
@@ -70,14 +75,15 @@ class PlanCache:
             return spark.sql(text)
         template, values = normalize_sql(text)
         key = (scope, template, tuple(values))
-        cached = self._cache.get(key)
-        if cached is not None:
-            # true plan reuse: same template + same values (dashboard
-            # refresh) returns the already-analyzed DataFrame
-            self.hits += 1
-            self._cache.move_to_end(key)
-            return cached
-        self.misses += 1
+        with self._lock:
+            cached = self._cache.get(key)
+            if cached is not None:
+                # true plan reuse: same template + same values (dashboard
+                # refresh) returns the already-analyzed DataFrame
+                self.hits += 1
+                self._cache.move_to_end(key)
+                return cached
+            self.misses += 1
         # Spark 3.4+ parameterized SQL: the parse tree for a given template
         # is identical across calls; literal values bind as parameters
         # (DynamicReplacableConstant analogue, ParamLiteral.scala:44-100).
@@ -93,9 +99,10 @@ class PlanCache:
                 self._raw_templates.add(template)
         if df is None:
             df = spark.sql(text)
-        self._cache[key] = df
-        if len(self._cache) > self.max_size:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[key] = df
+            if len(self._cache) > self.max_size:
+                self._cache.popitem(last=False)
         return df
 
     def clear(self) -> None:
@@ -103,7 +110,8 @@ class PlanCache:
         mutation, DDL, policy/grant change — because cached DataFrames
         capture the view definition (and its file listing) at analysis
         time and would otherwise serve stale plans."""
-        self._cache.clear()
+        with self._lock:
+            self._cache.clear()
 
 
 def _parse_literal(tok: str):

@@ -144,6 +144,46 @@ def test_plan_cache_user_scope(snappy):
     snappy.drop_table("pcu_t")
 
 
+def test_plan_cache_concurrent_sessions(snappy):
+    """Concurrent sql() through the shared plan cache (the reference's is
+    a shared Guava cache hit by every connection): 8 threads × mixed
+    repeated/varied literals, every result must be correct and the cache
+    must stay consistent (hits+misses == total calls)."""
+    import threading
+
+    spark = snappy.spark
+    spark.range(1000).selectExpr("id", "id % 7 AS g").createOrReplaceTempView(
+        "pc_conc"
+    )
+    snappy.plan_cache.clear()
+    snappy.plan_cache.hits = snappy.plan_cache.misses = 0
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(10):
+                lim = (i % 3) + 1  # 3 distinct literal bindings, repeated
+                n = snappy.sql(
+                    f"SELECT COUNT(*) AS n FROM pc_conc WHERE g < {lim}"
+                ).collect()[0].n
+                expected = sum(1 for x in range(1000) if x % 7 < lim)
+                assert n == expected, (tid, i, n, expected)
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    pc = snappy.plan_cache
+    assert pc.hits + pc.misses == 80
+    # 3 distinct plans; every thread may race the initial miss on each
+    # (parse runs outside the lock by design), so worst case 8×3 misses
+    assert pc.hits >= 80 - 8 * 3
+
+
 def test_join_hints_passthrough(snappy, sf_dir):
     """Spark 3 join hints (the reference's --+ joinType() comment hints,
     QueryHint Literals.scala:405-511) flow through session.sql."""
