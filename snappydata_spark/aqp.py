@@ -152,6 +152,65 @@ def approx_agg(
     )
 
 
+def approx_agg_multi(
+    st: SampleTable,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    confidence: float = 0.95,
+) -> DataFrame:
+    """Multi-aggregate WITH ERROR: one pass over the sample computing every
+    (fn, value_col, alias) estimate with its own CI — the full-select-list
+    form of the SDE surface (a query like `SELECT SUM(x), COUNT(*), AVG(y)
+    ... WITH ERROR` is one sample scan, not three).
+
+    Output: group cols + for each alias: `<alias>`,
+    `<alias>_absolute_error`, `<alias>_relative_error`, `<alias>_lower_bound`,
+    `<alias>_upper_bound` (same math per aggregate as approx_agg)."""
+    if confidence != 0.95:
+        raise NotImplementedError("only 95% confidence implemented")
+    s = st.sample
+    weighted = WEIGHT_COL in s.columns
+    sum_w = (
+        F.sum(WEIGHT_COL)
+        if weighted
+        else F.count(F.lit(1)) / next(iter(st.fractions.values()))
+    )
+    moment_cols = [F.count(F.lit(1)).alias("n"), sum_w.alias("sum_w")]
+    for i, (fn, col, _alias) in enumerate(aggs):
+        v = F.lit(1.0) if fn == "count" else F.col(col)
+        moment_cols += [
+            F.sum(v).alias(f"s_sum_{i}"),
+            F.avg(v).alias(f"s_avg_{i}"),
+            F.coalesce(F.var_samp(v), F.lit(0.0)).alias(f"s_var_{i}"),
+            F.sum(v * v).alias(f"s_sum2_{i}"),
+        ]
+    g = s.groupBy(*group_cols).agg(*moment_cols)
+    f = F.col("n") / F.col("sum_w")
+    inv = F.col("sum_w") / F.col("n")
+    out_cols = [F.col(c) for c in group_cols]
+    for i, (fn, _col, alias) in enumerate(aggs):
+        if fn == "sum":
+            est = F.col(f"s_sum_{i}") * inv
+            se = F.sqrt(F.col(f"s_sum2_{i}") * (1.0 - f)) * inv
+        elif fn == "avg":
+            est = F.col(f"s_avg_{i}")
+            se = F.sqrt(F.col(f"s_var_{i}") / F.col("n"))
+        elif fn == "count":
+            est = F.col("sum_w")
+            se = F.sqrt(F.col("n") * (1.0 - f)) * inv
+        else:
+            raise ValueError(f"agg {fn!r} not supported (sum/avg/count)")
+        abs_err = F.lit(Z_95) * se
+        out_cols += [
+            F.round(est, 4).alias(alias),
+            F.round(abs_err, 4).alias(f"{alias}_absolute_error"),
+            F.round(abs_err / F.abs(est), 6).alias(f"{alias}_relative_error"),
+            F.round(est - abs_err, 4).alias(f"{alias}_lower_bound"),
+            F.round(est + abs_err, 4).alias(f"{alias}_upper_bound"),
+        ]
+    return g.select(*out_cols)
+
+
 def approx_topk_time(
     df: DataFrame,
     key_col: str,

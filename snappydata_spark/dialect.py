@@ -149,9 +149,10 @@ _AGG_ITEM = re.compile(r"^(SUM|AVG|COUNT)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?
 
 
 def parse_with_error(text: str):
-    """Return (select_list, table, where, group_by, error_fraction) for a
-    `... WITH ERROR` query, else None.  The select list must contain
-    exactly one SUM/AVG/COUNT aggregate; remaining items are group cols."""
+    """Return (agg_list, group_items, table, where, group_by,
+    error_fraction) for a `... WITH ERROR` query, else None.  The select
+    list may contain any number of SUM/AVG/COUNT aggregates (the full SDE
+    select-list form); remaining items are group cols."""
     m = _WITH_ERROR.match(text)
     if not m:
         return None
@@ -159,22 +160,22 @@ def parse_with_error(text: str):
     q = _APPROX_AGG.match(body)
     if not q:
         raise ValueError(
-            "WITH ERROR supports SELECT <agg>(col)[, group cols] FROM t "
+            "WITH ERROR supports SELECT <agg>(col), ...[, group cols] FROM t "
             "[WHERE ...] [GROUP BY ...]"
         )
     items = [s.strip() for s in q.group(1).split(",")]
-    agg = None
+    aggs: list[tuple] = []
     group_items: list[str] = []
     for it in items:
         am = _AGG_ITEM.match(it)
-        if am and agg is None:
-            agg = (am.group(1).lower(), am.group(2).lower(), am.group(3))
+        if am:
+            aggs.append((am.group(1).lower(), am.group(2).lower(), am.group(3)))
         else:
             group_items.append(it)
-    if agg is None:
-        raise ValueError("WITH ERROR requires one SUM/AVG/COUNT aggregate")
+    if not aggs:
+        raise ValueError("WITH ERROR requires a SUM/AVG/COUNT aggregate")
     return (
-        agg,
+        aggs,
         group_items,
         q.group(2).lower(),
         q.group(3),

@@ -675,15 +675,15 @@ class SnappySession:
         self.plan_cache.clear()
         return self.spark.sql(rewritten)
 
-    def _approx_sql(self, agg, group_items, table, where, group_by, frac):
-        """`SELECT <agg> ... WITH ERROR` routing (docs/sde/running_queries.md:
-        4-31; SnappyContextFunctions AQP hooks): rewrite the aggregate onto a
-        registered sample table of the FROM table and return the estimate
-        with SDE's four error columns.  The scan touches only the sample —
-        that is the entire point at 100 TB."""
+    def _approx_sql(self, aggs, group_items, table, where, group_by, frac):
+        """`SELECT <agg>, ... WITH ERROR` routing (docs/sde/
+        running_queries.md:4-31; SnappyContextFunctions AQP hooks): rewrite
+        the aggregates onto a registered sample table of the FROM table and
+        return estimates with SDE's error columns.  A multi-aggregate select
+        list is ONE sample scan (approx_agg_multi); the scan touches only
+        the sample — that is the entire point at 100 TB."""
         from snappydata_spark import aqp
 
-        agg_fn, value_col, alias = agg
         sample_name = None
         for cand in self.catalog.list_tables():
             meta = self.catalog.load_meta(cand)
@@ -706,10 +706,18 @@ class SnappySession:
             else [g.lower() for g in group_items]
         )
         st = aqp.SampleTable(sample, qcs, {"*": float(meta.options["fraction"])}, -1)
-        out = aqp.approx_agg(
-            st, group_cols, qcs[0] if value_col == "*" else value_col, agg_fn
-        )
-        return out.withColumnRenamed("estimate", alias) if alias else out
+        if len(aggs) == 1:
+            # legacy single-aggregate contract: estimate + 4 error columns
+            agg_fn, value_col, alias = aggs[0]
+            out = aqp.approx_agg(
+                st, group_cols, qcs[0] if value_col == "*" else value_col, agg_fn
+            )
+            return out.withColumnRenamed("estimate", alias) if alias else out
+        named = [
+            (fn, qcs[0] if col == "*" else col, alias or f"{fn}_{col}".replace("*", "all"))
+            for fn, col, alias in aggs
+        ]
+        return aqp.approx_agg_multi(st, group_cols, named)
 
     # ----------------------------------------------------------- sample/index
 

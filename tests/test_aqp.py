@@ -207,5 +207,31 @@ def test_with_error_sql_routing(snappy, sf_dir):
         "WHERE l_quantity > 10 GROUP BY l_returnflag WITH ERROR"
     )
     assert flt.count() > 0
+
+    # multi-aggregate select list: one sample scan, per-aggregate CIs
+    multi = snappy.sql(
+        "SELECT l_returnflag, SUM(l_extendedprice) AS rev, COUNT(*) AS n, "
+        "AVG(l_quantity) AS aq FROM li_base GROUP BY l_returnflag WITH ERROR 0.1"
+    )
+    for alias in ("rev", "n", "aq"):
+        assert {alias, f"{alias}_lower_bound", f"{alias}_upper_bound"} <= set(
+            multi.columns
+        )
+    truth = {
+        r.l_returnflag: r
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_extendedprice").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_quantity").alias("aq"),
+        )
+        .collect()
+    }
+    rows = {r.l_returnflag: r for r in multi.collect()}
+    assert set(rows) == set(truth)
+    for k, r in rows.items():
+        assert r.rev_lower_bound <= truth[k].rev <= r.rev_upper_bound
+        assert r.n_lower_bound <= truth[k].n <= r.n_upper_bound
+        assert r.aq_lower_bound <= truth[k].aq <= r.aq_upper_bound
     snappy.drop_table("li_sample")
     snappy.drop_table("li_base")
