@@ -929,9 +929,36 @@ class SnappySession:
         return scope.get("result")
 
     def _create_index(self, table: str, options: dict):
+        """CREATE INDEX (CreateIndex SnappyDDLParser; row-table indexes in
+        the reference are GemFireXD B-trees).  A Spark-idiomatic index is a
+        LAYOUT, not a lookup structure: the table's data files are
+        rewritten range-clustered + sorted on the indexed columns, so
+        parquet footer min/max stats turn point/range predicates into
+        row-group skips (the scan reads only the files whose range can
+        match — data skipping is the distributed analogue of an index
+        seek).  Bucketed tables keep their bucket layout (hash-partitioned
+        store indexes colocate the same way); the registry entry alone
+        still serves metadata queries."""
         cols = [c.strip().lower() for c in options["columns"].split(",")]
-        self._indexes[options["index"].lower()] = (table.lower(), cols)
+        name = table.lower()
+        self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
+        if self.catalog.exists(name):
+            meta = self.catalog.load_meta(name)
+            if not self._is_bucketed(meta):
+                df = self._mutation_target(name, meta)
+                if df is not None and not df.isEmpty():
+                    data = self.catalog.data_path(name)
+                    n_files = max(
+                        1,
+                        len([f for f in os.listdir(data) if f.endswith(".parquet")])
+                        if os.path.isdir(data)
+                        else 1,
+                    )
+                    clustered = df.repartitionByRange(
+                        n_files, *cols
+                    ).sortWithinPartitions(*cols)
+                    self._rewrite(clustered, meta)
         return None
 
     def list_indexes(self) -> dict:

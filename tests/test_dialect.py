@@ -83,6 +83,55 @@ def test_index_registry(snappy):
     assert snappy.list_indexes() == {}
 
 
+def test_index_clusters_data_files(snappy):
+    """CREATE INDEX rewrites an unbucketed table range-clustered on the
+    indexed column: parquet footer min/max ranges across files must be
+    non-overlapping (boundary values may repeat), so equality/range
+    predicates skip every non-matching row group — the data-skipping
+    'index seek'.  Content must be unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spark = snappy.spark
+    # shuffled high-cardinality column, many input partitions
+    df = (
+        spark.range(20000)
+        .selectExpr("CAST(pmod(id * 2654435761, 20000) AS INT) AS k", "id AS v")
+        .repartition(8)
+    )
+    snappy.create_table("idxc_t", df=df)
+    before = sorted(r.k for r in snappy.table("idxc_t").select("k").collect())
+
+    snappy.sql("CREATE INDEX idxc ON idxc_t (k)")
+
+    data = snappy.catalog.data_path("idxc_t")
+    ranges = []
+    for f in os.listdir(data):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(data, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "expected a multi-file clustered layout"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    after = sorted(r.k for r in snappy.table("idxc_t").select("k").collect())
+    assert after == before
+    snappy.sql("DROP INDEX idxc")
+    snappy.drop_table("idxc_t")
+
+
 def test_parse_alter_and_like():
     s = split_statement("ALTER TABLE t ADD COLUMN c DECIMAL(10,2)")
     assert s.kind == "alter_add" and s.options == {"column": "c", "type": "DECIMAL(10,2)"}
