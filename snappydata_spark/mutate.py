@@ -63,16 +63,24 @@ def update_df(
     semantics) — all CASE branches evaluate against the input row.
     """
     pred = F.expr(where) if isinstance(where, str) else where
-    out = target
+    # identifiers are case-insensitive (as in the reference store); an
+    # assignment naming no existing column is an error, never a silent no-op
+    resolved = {c.lower(): c for c in target.columns}
+    by_actual = {}
+    for c, a in assignments.items():
+        actual = resolved.get(c.lower())
+        if actual is None:
+            raise ValueError(f"UPDATE assigns unknown column {c!r}")
+        by_actual[actual] = a
     exprs = []
     for c in target.columns:
-        if c in assignments:
-            a = assignments[c]
+        if c in by_actual:
+            a = by_actual[c]
             new = F.expr(a) if isinstance(a, str) else a
             exprs.append(F.when(pred, new).otherwise(F.col(c)).alias(c))
         else:
             exprs.append(F.col(c))
-    return out.select(*exprs)
+    return target.select(*exprs)
 
 
 def delete_df(target: DataFrame, where: Column | str) -> DataFrame:

@@ -1,0 +1,66 @@
+"""Reference camelCase Python API (compat.SnappyContext) — the surface of
+python/pyspark/sql/snappy/context.py:26-158 must work verbatim: DDL-string
+schemas with PRIMARY KEY, tuple-list insert/put, parallel-list update,
+count-returning mutations."""
+
+import pytest
+
+from snappydata_spark import SnappyContext
+
+
+@pytest.fixture()
+def ctx(snappy):
+    return SnappyContext(snappy)
+
+
+def test_create_table_ddl_string_primary_key(ctx):
+    df = ctx.createTable(
+        "compat_t",
+        "row",
+        "(OrderId INT NOT NULL PRIMARY KEY, ItemRef INT)",
+        allowExisting=True,
+    )
+    assert [f.lower() for f in df.schema.fieldNames()] == ["orderid", "itemref"]
+    # PRIMARY KEY surfaced as the engine's key_columns contract
+    meta = ctx._sn.catalog.load_meta("compat_t")
+    assert meta.key_columns == ["orderid"]
+    # allowExisting=True is idempotent; False raises
+    ctx.createTable("compat_t", "row", "(OrderId INT, ItemRef INT)")
+    with pytest.raises(ValueError, match="exists"):
+        ctx.createTable(
+            "compat_t", "row", "(OrderId INT, ItemRef INT)", allowExisting=False
+        )
+    ctx.dropTable("compat_t")
+
+
+def test_insert_put_update_delete_counts(ctx):
+    ctx.createTable(
+        "compat_m", "row", "(K INT PRIMARY KEY, V INT)", allowExisting=False
+    )
+    assert ctx.insert("compat_m", [(1, 10), (2, 20), (3, 30)]) == 3
+    assert ctx.insert("compat_m", (4, 40)) == 1  # single tuple form
+    assert ctx.put("compat_m", [(2, 99), (5, 50)]) == 2  # 1 update + 1 insert
+    assert ctx.table("compat_m").count() == 5
+
+    n = ctx.update("compat_m", "v >= 40", [0], ["v"])
+    assert n == 3  # 99, 40, 50 matched
+    got = {r["K"]: r["V"] for r in ctx.table("compat_m").collect()}
+    assert got == {1: 10, 2: 0, 3: 30, 4: 0, 5: 0}
+
+    with pytest.raises(TypeError):
+        ctx.update("compat_m", "v = 0", 7, ["v"])
+    with pytest.raises(TypeError):
+        ctx.insert("compat_m", "not-rows")
+
+    assert ctx.delete("compat_m", "v = 0") == 3
+    assert ctx.table("compat_m").count() == 2
+
+    ctx.truncateTable("compat_m")
+    assert ctx.table("compat_m").count() == 0
+    ctx.truncateTable("missing_t", ifExists=True)  # no raise
+    ctx.dropTable("compat_m")
+    ctx.dropTable("compat_m", ifExists=True)  # no raise
+
+
+def test_sql_passthrough(ctx):
+    assert ctx.sql("SELECT 1 AS one").collect()[0].one == 1

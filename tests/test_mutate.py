@@ -90,6 +90,18 @@ def test_update_string_expressions(spark, target):
     assert out[0].x == 15.0 and out[1].x == 20.0
 
 
+def test_update_case_insensitive_and_unknown_column(spark):
+    """Identifiers resolve case-insensitively (reference store semantics);
+    an assignment naming no column raises instead of silently no-opping."""
+    from snappydata_spark import mutate
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "K int, V int")
+    out = mutate.update_df(df, "V >= 20", {"v": "0"})
+    assert {r["K"]: r["V"] for r in out.collect()} == {1: 10, 2: 0}
+    with pytest.raises(ValueError, match="unknown column"):
+        mutate.update_df(df, "V >= 20", {"nope": "0"})
+
+
 def test_update_key_column_forbidden(snappy):
     snappy.create_table(
         "ku_t", options={"key_columns": "k"},
