@@ -185,6 +185,11 @@ def main() -> None:
         "pipeline_domain_mix",
         "txt_repetition_filter",
     ]
+    # the full TPC-H complement (headline already carries 6): per-query
+    # throughput evidence at sf0.1, diagnostics-only
+    new_queries += sorted(
+        q for q in QUERIES if q.startswith("tpch_") and q not in HEADLINE
+    )
     for name in HEADLINE + list(extra) + new_queries:
         fn = extra.get(name) or QUERIES[name]
         # reference methodology (Quickstart.scala:52-84 does 3 warmups +

@@ -16,6 +16,7 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -29,6 +30,19 @@ from snappydata_spark.dialect import (
     rewrite_builtins,
     split_statement,
 )
+
+
+def _serialized(fn):
+    """Serialize a (self, table_name, ...) mutation per table — one
+    writer's read→rewrite→swap section at a time (see _table_lock)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, name, *args, **kwargs):
+        with self._table_lock(name):
+            return fn(self, name, *args, **kwargs)
+
+    return wrapper
 
 
 def get_spark(
@@ -110,6 +124,19 @@ class SnappySession:
         # disambiguates bucketed catalog-table names across SnappySession
         # instances sharing one SparkSession (e.g. test fixtures)
         self._session_id = uuid.uuid4().hex[:8]
+        # per-table mutation serialization (the reference brackets
+        # mutations in a store snapshot tx; here concurrent writers of the
+        # SAME table serialize their read→rewrite→swap sections so one
+        # writer's swap can't drop another's files mid-flight).  Process-
+        # local by design — cross-process coordination is a documented
+        # divergence (SURVEY §8).
+        self._mutation_locks: dict[str, threading.RLock] = {}
+        self._mutation_locks_guard = threading.Lock()
+
+    def _table_lock(self, name: str) -> threading.RLock:
+        # RLock: put() on an empty table delegates to insert() in-thread
+        with self._mutation_locks_guard:
+            return self._mutation_locks.setdefault(name.lower(), threading.RLock())
 
     # -------------------------------------------------------- registry persist
 
@@ -193,6 +220,7 @@ class SnappySession:
         except Exception:
             pass
 
+    @_serialized
     def truncate_table(self, name: str) -> None:
         """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812)."""
         meta = self.catalog.load_meta(name.lower())
@@ -260,6 +288,7 @@ class SnappySession:
             options["replicate"] = "true"
         self.create_table(name, provider=src_meta.provider, options=options, df=empty)
 
+    @_serialized
     def compact_table(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact a managed table's small files (the maintenance op
         copy-on-write appends need: every insert adds files; scans slow
@@ -408,12 +437,14 @@ class SnappySession:
 
     # ------------------------------------------------------------------ DML
 
+    @_serialized
     def insert(self, name: str, df: DataFrame) -> None:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
         meta = self.catalog.load_meta(name.lower())
         self._write(df, meta, mode="append")
         self._refresh_view(name)
 
+    @_serialized
     def put(self, name: str, df: DataFrame) -> None:
         """PUT INTO (upsert on key_columns) — SnappySession.put:2031-2117.
 
@@ -437,6 +468,7 @@ class SnappySession:
             meta, files, keep.unionByName(df.select(*target.columns))
         )
 
+    @_serialized
     def update(self, name: str, where, assignments: dict) -> None:
         """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100.
         Key columns are immutable under UPDATE (the reference rejects
@@ -463,6 +495,7 @@ class SnappySession:
         touched = self._read_files(target.schema, files)
         self._replace_files(meta, files, mutate.update_df(touched, where, assignments))
 
+    @_serialized
     def delete(self, name: str, where) -> None:
         """DELETE FROM t WHERE ... — SnappySession.delete:2119.  File-pruned
         like update(); the reference's analogue is the per-batch delete
@@ -480,6 +513,7 @@ class SnappySession:
         touched = self._read_files(target.schema, files)
         self._replace_files(meta, files, mutate.delete_df(touched, where))
 
+    @_serialized
     def delete_from(self, name: str, df: DataFrame) -> None:
         """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
         meta = self.catalog.load_meta(name.lower())
@@ -762,6 +796,12 @@ class SnappySession:
 
         o = stmt.options
         name = stmt.table.lower()
+        with self._table_lock(name):
+            return self._merge_locked(stmt, o, name)
+
+    def _merge_locked(self, stmt, o, name) -> None:
+        from snappydata_spark.dialect import equi_key_pairs
+
         meta = self.catalog.load_meta(name)
         using = o["using"].strip()
         src_sql = using[1:-1] if using.startswith("(") else f"SELECT * FROM {using}"

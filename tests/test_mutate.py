@@ -90,6 +90,44 @@ def test_update_string_expressions(spark, target):
     assert out[0].x == 15.0 and out[1].x == 20.0
 
 
+def test_concurrent_mutations_serialize(snappy):
+    """Concurrent writers of the same table serialize (the reference
+    brackets mutations in a store tx): 4 threads × disjoint-key puts must
+    all land; no put may be lost to a racing copy-on-write swap."""
+    import threading
+
+    spark = snappy.spark
+    snappy.create_table(
+        "conc_t",
+        options={"key_columns": "k"},
+        df=spark.createDataFrame([(i, 0) for i in range(100)], "k int, v int"),
+    )
+    errors = []
+
+    def writer(tid):
+        try:
+            rows = [(100 + tid * 10 + i, tid) for i in range(10)]
+            snappy.put(
+                "conc_t", spark.createDataFrame(rows, "k int, v int")
+            )
+            snappy.update("conc_t", f"k >= 100 AND v = {tid}", {"v": f"{tid} * 100"})
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r.k: r.v for r in snappy.table("conc_t").collect()}
+    assert len(got) == 140  # 100 base + 4×10 disjoint puts, none lost
+    for tid in range(4):
+        for i in range(10):
+            assert got[100 + tid * 10 + i] == tid * 100
+    snappy.drop_table("conc_t")
+
+
 def test_update_case_insensitive_and_unknown_column(spark):
     """Identifiers resolve case-insensitively (reference store semantics);
     an assignment naming no column raises instead of silently no-opping."""
