@@ -17,34 +17,11 @@ Semantics matched:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from snappydata_spark.dialect import parse_ddl_schema as _parse_ddl_schema
 from snappydata_spark.session import SnappySession
-
-_PK = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
-_NOT_NULL = re.compile(r"\bNOT\s+NULL\b", re.I)
-
-
-def _parse_ddl_schema(schema: str) -> tuple[str, list[str]]:
-    """Reference-style ``(col TYPE [NOT NULL] [PRIMARY KEY], ...)`` →
-    (Spark DDL string, primary-key column list)."""
-    s = schema.strip()
-    if s.startswith("(") and s.endswith(")"):
-        s = s[1:-1]
-    cols, keys = [], []
-    for item in s.split(","):
-        item = item.strip()
-        if not item:
-            continue
-        if _PK.search(item):
-            keys.append(item.split()[0].lower())
-            item = _PK.sub("", item)
-        item = _NOT_NULL.sub("", item)
-        cols.append(" ".join(item.split()))
-    return ", ".join(cols), keys
 
 
 class SnappyContext:

@@ -184,6 +184,48 @@ def parse_with_error(text: str):
     )
 
 
+# Reference row-table DDL column constraints (GemFireXD/Derby surface:
+# "(OrderId INT NOT NULL PRIMARY KEY, ...)").  Spark's DDL parser accepts
+# neither PRIMARY KEY nor NOT NULL in a plain schema string, so managed
+# CREATE TABLE strips them and maps PRIMARY KEY columns to key_columns.
+_PK_CONSTRAINT = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
+_NOT_NULL_CONSTRAINT = re.compile(r"\bNOT\s+NULL\b", re.I)
+
+
+def parse_ddl_schema(schema: str) -> tuple[str, list[str]]:
+    """``(col TYPE [NOT NULL] [PRIMARY KEY], ...)`` → (Spark DDL string,
+    primary-key column list).  Tolerates the unparenthesized form."""
+    s = schema.strip()
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+    cols, keys = [], []
+    depth = 0
+    item = ""
+    items = []
+    for ch in s:  # split on commas OUTSIDE parens (DECIMAL(10,2))
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append(item)
+            item = ""
+        else:
+            item += ch
+    if item.strip():
+        items.append(item)
+    for item in items:
+        item = item.strip()
+        if not item:
+            continue
+        if _PK_CONSTRAINT.search(item):
+            keys.append(item.split()[0].lower())
+            item = _PK_CONSTRAINT.sub("", item)
+        item = _NOT_NULL_CONSTRAINT.sub("", item)
+        cols.append(" ".join(item.split()))
+    return ", ".join(cols), keys
+
+
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
 # → the partition id of the row (the Spark-native analogue of the server
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.

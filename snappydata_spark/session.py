@@ -197,6 +197,16 @@ class SnappySession:
             if not overwrite:
                 raise ValueError(f"table {name} already exists")
             self.catalog.drop(name)
+        if isinstance(schema, str):
+            # reference row-DDL constraints: PRIMARY KEY → key_columns,
+            # NOT NULL stripped (CreateTable SnappyDDLParser; GemFireXD
+            # column constraints)
+            from snappydata_spark.dialect import parse_ddl_schema
+
+            schema, pk = parse_ddl_schema(schema)
+            if pk:
+                options = dict(options or {})
+                options.setdefault("key_columns", ",".join(pk))
         meta = TableMeta.from_options(name, provider, options)
         self.catalog.save_meta(meta)
         if df is None and schema is not None:
@@ -662,7 +672,7 @@ class SnappySession:
         if stmt.kind == "put":
             self._resolve_read_access(stmt.source_sql)
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
-            self.put(stmt.table, src)
+            self.put(stmt.table, self._align_source(stmt.table, src))
             return None
         if stmt.kind == "update":
             self.update(stmt.table, stmt.where or F.lit(True), stmt.assignments)
@@ -675,7 +685,10 @@ class SnappySession:
             return None
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
             self._resolve_read_access(stmt.source_sql)
-            self.insert(stmt.table, self.spark.sql(stmt.source_sql))
+            self.insert(
+                stmt.table,
+                self._align_source(stmt.table, self.spark.sql(stmt.source_sql)),
+            )
             return None
         if stmt.kind == "merge":
             return self._merge(stmt)
@@ -685,7 +698,9 @@ class SnappySession:
             # SELECT ... FROM t — Spark rejects overwrite-while-reading)
             self._resolve_read_access(stmt.source_sql)
             meta = self.catalog.load_meta(stmt.table.lower())
-            self._rewrite(self.spark.sql(stmt.source_sql), meta)
+            self._rewrite(
+                self._align_source(stmt.table, self.spark.sql(stmt.source_sql)), meta
+            )
             return None
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
@@ -708,6 +723,20 @@ class SnappySession:
         # a stale analyzed plan behind)
         self.plan_cache.clear()
         return self.spark.sql(rewritten)
+
+    def _align_source(self, name: str, src: DataFrame) -> DataFrame:
+        """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the
+        inline-table form arrives as col1..colN): rename + cast the source
+        to the target's schema when arities match and names differ."""
+        fields = self.table(name).schema.fields
+        if len(src.columns) != len(fields):
+            return src
+        if [c.lower() for c in src.columns] == [f.name.lower() for f in fields]:
+            return src
+        renamed = src.toDF(*[f.name for f in fields])
+        return renamed.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
+        )
 
     def _approx_sql(self, aggs, group_items, table, where, group_by, frac):
         """`SELECT <agg>, ... WITH ERROR` routing (docs/sde/

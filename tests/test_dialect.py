@@ -83,6 +83,23 @@ def test_index_registry(snappy):
     assert snappy.list_indexes() == {}
 
 
+def test_create_table_primary_key_constraint(snappy):
+    """Reference row-table DDL constraints: PRIMARY KEY maps to the
+    key_columns contract, NOT NULL is tolerated, DECIMAL(10,2) commas
+    survive the constraint strip (GemFireXD column-constraint surface)."""
+    snappy.sql(
+        "CREATE TABLE pkddl_t (K INT NOT NULL PRIMARY KEY, V DECIMAL(10,2), "
+        "S STRING) USING ROW"
+    )
+    assert snappy.catalog.load_meta("pkddl_t").key_columns == ["k"]
+    assert dict(snappy.table("pkddl_t").dtypes)["V"] == "decimal(10,2)"
+    snappy.sql("PUT INTO pkddl_t VALUES (1, 2.50, 'a')")
+    snappy.sql("PUT INTO pkddl_t VALUES (1, 9.50, 'b')")
+    rows = snappy.table("pkddl_t").collect()
+    assert len(rows) == 1 and str(rows[0]["V"]) == "9.50"
+    snappy.drop_table("pkddl_t")
+
+
 def test_index_clusters_data_files(snappy):
     """CREATE INDEX rewrites an unbucketed table range-clustered on the
     indexed column: parquet footer min/max ranges across files must be
