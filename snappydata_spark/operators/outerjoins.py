@@ -471,6 +471,219 @@ def nw_full_outer_agg_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nw_right_outer_having",
+    oracle="""
+SELECT n_name,
+       COUNT(o_orderkey) AS big_orders,
+       COUNT(*) AS joined_rows
+FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(o_orderkey) < 280
+""",
+)
+def nw_right_outer_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER preserving all customers + HAVING over the outer-side
+    count (COUNT(col) skips the null-extended rows, COUNT(*) does not —
+    NWQueries right-join family with a post-aggregate filter)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    big = t["orders"].filter(F.col("o_totalprice") > 250000)
+    return (
+        big.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "right_outer")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("big_orders"),
+            F.count(F.lit(1)).alias("joined_rows"),
+        )
+        .filter(F.col("big_orders") < 280)
+    )
+
+
+@register(
+    "nw_outer_join_window",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_name, c_nationkey),
+r AS (
+  SELECT c_nationkey, c_custkey, c_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY revenue DESC, c_custkey) AS rk
+  FROM rev)
+SELECT c_nationkey, c_custkey, c_name, revenue, rk
+FROM r WHERE rk <= 3
+""",
+)
+def nw_outer_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an outer-join aggregate: top-3 customers per nation by
+    revenue where customers WITHOUT orders participate at revenue 0
+    (outer-preserved rows must flow into the rank, not vanish)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    rev = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "revenue", "rk")
+    )
+
+
+@register(
+    "nw_on_clause_date_range",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS customers_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS no_1997_order
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY c_mktsegment
+""",
+)
+def nw_on_clause_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN date predicate in the ON clause of a left join: it must
+    restrict only the null-supplying side, never drop preserved customer
+    rows (the ON-vs-WHERE placement trap over a range predicate)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & F.col("o_orderdate").between(
+        "1997-01-01", "1997-12-31"
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], cond, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("no_1997_order"),
+        )
+    )
+
+
+@register(
+    "nw_three_way_null_chain",
+    oracle="""
+WITH j AS (
+  SELECT c.c_nationkey, c.c_custkey, o.o_orderkey, l.l_orderkey AS has_line
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+    ON c.c_custkey = o.o_custkey
+  LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49) l
+    ON o.o_orderkey = l.l_orderkey)
+SELECT c_nationkey,
+       COUNT(DISTINCT c_custkey) AS customers,
+       COUNT(o_orderkey) AS pricey_orders,
+       COUNT(has_line) AS with_bulk_line
+FROM j GROUP BY c_nationkey
+""",
+)
+def nw_three_way_null_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained LEFT JOINs where null-extension cascades (customer without
+    pricey order → NULL order → NULL line): COUNT(col) at each depth
+    counts only the survivors of that depth (NWQueries multi-join family
+    with preserved-null accounting)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    pricey = t["orders"].filter(F.col("o_totalprice") > 350000)
+    bulk = (
+        t["lineitem"].filter(F.col("l_quantity") >= 49).select("l_orderkey").distinct()
+    )
+    j = (
+        t["customer"]
+        .join(pricey, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(bulk, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count_distinct(F.col("c_custkey")).alias("customers"),
+        F.count("o_orderkey").alias("pricey_orders"),
+        F.count("l_orderkey").alias("with_bulk_line"),
+    )
+
+
+@register(
+    "nw_anti_or_predicate",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS quiet_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND (o.o_totalprice > 400000 OR o.o_orderpriority = '1-URGENT'))
+GROUP BY c_mktsegment
+""",
+)
+def nw_anti_or_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS with a disjunctive correlated predicate → anti-join
+    whose build side is an OR filter (the rewrite must not split the OR
+    across join branches)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    noisy = t["orders"].filter(
+        (F.col("o_totalprice") > 400000) | (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return (
+        t["customer"]
+        .join(noisy, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("quiet_customers"))
+    )
+
+
+@register(
+    "nw_coalesce_group_full",
+    oracle="""
+WITH a AS (SELECT o_orderpriority AS k, COUNT(*) AS n_open
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+     b AS (SELECT o_orderpriority AS k, COUNT(*) AS n_done
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(a.k, b.k) AS priority,
+       CAST(COALESCE(n_open, 0) AS BIGINT) AS n_open,
+       CAST(COALESCE(n_done, 0) AS BIGINT) AS n_done
+FROM a FULL OUTER JOIN b ON a.k = b.k
+""",
+)
+def nw_coalesce_group_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-outer merge-by-key idiom: two aggregates stitched on
+    COALESCE(k1, k2) with zero-fill (NWQueries Q51-style two-sided
+    comparison) — the grouping key itself may be null-extended on either
+    side."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderpriority").alias("ka"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderpriority").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    return (
+        a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("priority"),
+            F.coalesce(F.col("n_open"), F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce(F.col("n_done"), F.lit(0)).cast("long").alias("n_done"),
+        )
+    )
+
+
+@register(
     "nw_in_subquery_agg",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n,
