@@ -1024,11 +1024,56 @@ class SnappySession:
                         if os.path.isdir(data)
                         else 1,
                     )
-                    clustered = df.repartitionByRange(
-                        n_files, *cols
-                    ).sortWithinPartitions(*cols)
-                    self._rewrite(clustered, meta)
+                    self._rewrite(self._cluster_for_index(df, cols, n_files), meta)
         return None
+
+    _ZORDER_BITS = 8
+
+    def _cluster_for_index(self, df: DataFrame, cols: list[str], n_files: int):
+        """Layout for a materialized index: single column → range-cluster;
+        multiple NUMERIC columns → Z-ORDER (bit-interleaved bucket ids),
+        so EVERY indexed column's footer min/max narrows per file — the
+        multi-dimensional data-skipping layout (Delta/Hudi Z-ORDER; the
+        reference's multi-column store indexes serve the same predicates).
+        Bucket ids linear-scale each column into 2^8 bins from global
+        min/max (one tiny agg); non-numeric columns fall back to
+        lexicographic range clustering."""
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "date"}
+        dtypes = dict(df.dtypes)
+        if len(cols) == 1 or not all(
+            dtypes.get(c, "").split("(")[0] in numeric for c in cols
+        ):
+            return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        bits, n = self._ZORDER_BITS, len(cols)
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mx is None or mn is None or mx == mn:
+                bucket = F.lit(0).cast("long")
+            else:
+                span = float(mx) - float(mn)
+                bucket = F.least(
+                    F.lit((1 << bits) - 1),
+                    F.floor(
+                        (F.col(c).cast("double") - float(mn)) / span * (1 << bits)
+                    ),
+                ).cast("long")
+            for b in range(bits):
+                z = z + (
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (b * n + i)).cast("long")
+                )
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return clustered
 
     def list_indexes(self) -> dict:
         return dict(self._indexes)

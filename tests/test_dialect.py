@@ -83,6 +83,59 @@ def test_index_registry(snappy):
     assert snappy.list_indexes() == {}
 
 
+def test_zorder_index_narrows_both_columns(snappy):
+    """A 2-column index Z-ORDERs the files: per-file footer min/max range
+    must narrow on BOTH columns (a plain sort would only narrow the
+    first), with content unchanged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spark = snappy.spark
+    df = (
+        spark.range(40000)
+        .selectExpr(
+            "CAST(pmod(id * 2654435761, 200) AS INT) AS x",
+            "CAST(pmod(id * 40503, 200) AS INT) AS y",
+            "id AS v",
+        )
+        .repartition(8)
+    )
+    snappy.create_table("zord_t", df=df)
+    before = snappy.table("zord_t").count()
+    snappy.sql("CREATE INDEX zord_i ON zord_t (x, y)")
+
+    data = snappy.catalog.data_path("zord_t")
+
+    def widths(col):
+        out = []
+        for f in os.listdir(data):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(data, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    wx, wy = widths("x"), widths("y")
+    assert len(wx) > 2
+    # global range is ~200; every file must cover well under the full
+    # range on BOTH dimensions (z-curve locality)
+    assert sum(wx) / len(wx) < 0.7 * 200, wx
+    assert sum(wy) / len(wy) < 0.7 * 200, wy
+    assert snappy.table("zord_t").count() == before
+    snappy.sql("DROP INDEX zord_i")
+    snappy.drop_table("zord_t")
+
+
 def test_create_table_primary_key_constraint(snappy):
     """Reference row-table DDL constraints: PRIMARY KEY maps to the
     key_columns contract, NOT NULL is tolerated, DECIMAL(10,2) commas
