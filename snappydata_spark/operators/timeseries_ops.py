@@ -129,6 +129,46 @@ def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_ohlc_hourly",
+    oracle="""
+SELECT user_id % 20 AS grp,
+       date_trunc('hour', ts) AS bucket,
+       ROUND(arg_min(value, event_id), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(arg_max(value, event_id), 4) AS close,
+       COUNT(*) AS n_ticks,
+       ROUND(SUM(value), 2) AS volume
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the TAQ quote/trade rollup shape, TAQTest
+    reference harness): per (group, hour) open/high/low/close/volume in a
+    single partial-aggregated shuffle — min_by/max_by carry open/close so
+    there is no sort and no window.  Tie-break on the unique event_id
+    keeps open/close deterministic on both engines.  At 100 TB this is
+    one map-side-combined agg keyed by (group, hour) — the panel is
+    bounded by groups × hours, not by tick count."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            (F.col("user_id") % 20).alias("grp"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+        )
+        .agg(
+            F.round(F.min_by("value", "event_id"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "event_id"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+
+
+@register(
     "ts_gap_fill",
     oracle="""
 WITH daily AS (
