@@ -184,6 +184,9 @@ def main() -> None:
         "txt_decontaminate",
         "pipeline_domain_mix",
         "txt_repetition_filter",
+        "ev_funnel_steps",
+        "ev_retention_cohort",
+        "txt_pii_redact",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

@@ -99,12 +99,17 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-precision gap: ts.cast("long") truncates to whole seconds,
-    # which flips boundary sessions on sub-second event streams vs the
-    # oracle's `> INTERVAL 30 MINUTE` on full timestamps
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    # which flips boundary sessions on sub-second event streams; interval
+    # comparison keeps full precision and works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
+    prev = F.lag(F.col("ts")).over(w)
     flagged = t["events"].withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(
+            prev.isNull()
+            | ((F.col("ts") - prev) > F.expr("INTERVAL '30' MINUTE")),
+            1,
+        ).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_no",
