@@ -103,6 +103,67 @@ _DROP_STREAM = re.compile(
     r"^\s*DROP\s+STREAM\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
 )
 
+# SNAPPY_STREAMING_CONTEXT DDL (streamContext SnappyDDLParser:875-888):
+# STREAMING INIT <n><unit> | STREAMING START | STREAMING STOP
+_STREAMING_CTL = re.compile(
+    r"^\s*STREAMING\s+(?:(INIT)\s+(\d+)\s*([a-zA-Z]+)|(START)|(STOP))\s*;?\s*$",
+    re.I,
+)
+
+# CQ sliding-window grammar attached to a stream relation
+# (streamWindowOptions SnappyParser.scala:552-557; WindowLogicalPlan →
+# DStream.window(d, s)): `FROM s WINDOW (DURATION n SECONDS [, SLIDE n
+# SECONDS])` — rewritten onto an event-time window() column, the
+# structured-streaming upgrade of the reference's processing-time window.
+_STREAM_WINDOW = re.compile(
+    r"\b(FROM|JOIN)\s+(\w+)\s+WINDOW\s*\(\s*DURATION\s+(\d+)\s*([a-zA-Z]+)"
+    r"(?:\s*,\s*SLIDE\s+(\d+)\s*([a-zA-Z]+))?\s*\)",
+    re.I,
+)
+
+_UNIT_NORMALIZE = {
+    "ms": "milliseconds", "millisecond": "milliseconds",
+    "milliseconds": "milliseconds",
+    "sec": "seconds", "secs": "seconds", "second": "seconds",
+    "seconds": "seconds",
+    "min": "minutes", "mins": "minutes", "minute": "minutes",
+    "minutes": "minutes",
+    "hour": "hours", "hours": "hours",
+}
+
+
+def _norm_unit(u: str) -> str:
+    key = u.lower()
+    if key not in _UNIT_NORMALIZE:
+        raise ValueError(f"unsupported duration unit: {u}")
+    return _UNIT_NORMALIZE[key]
+
+
+def rewrite_stream_windows(text: str, ts_col_of) -> str:
+    """Rewrite the reference's CQ window grammar onto window() subqueries.
+
+    `ts_col_of(name)` returns the event-time column for a registered
+    stream relation, or None for ordinary tables (left untouched).  The
+    windowed relation keeps its name and gains a `window` struct column
+    (window.start / window.end), so `SELECT window, count(*) FROM s
+    WINDOW (DURATION 10 SECONDS) GROUP BY window` works as the reference's
+    `registerCQ` sliding-window queries do.
+    """
+
+    def _sub(m: re.Match) -> str:
+        kw, name, dur_n, dur_u, sl_n, sl_u = m.groups()
+        ts = ts_col_of(name)
+        if ts is None:
+            return m.group(0)
+        dur = f"{dur_n} {_norm_unit(dur_u)}"
+        slide = f"{sl_n} {_norm_unit(sl_u)}" if sl_n else dur
+        return (
+            f"{kw} (SELECT *, window({ts}, '{dur}', '{slide}') AS window "
+            f"FROM {name}) {name}"
+        )
+
+    return _STREAM_WINDOW.sub(_sub, text)
+
 # CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
 # (SnappyDDLParser.createPolicy:392-418; RowLevelSecurity rule
 # SnappySessionState.scala:422 injects the filter into read plans)
@@ -453,6 +514,17 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "drop_stream", table=m.group(1),
             if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
+        )
+    m = _STREAMING_CTL.match(text)
+    if m:
+        init, n, unit, start, _stop = m.groups()
+        if init:
+            return Statement(
+                "streaming_ctl",
+                options={"op": "init", "duration": f"{n} {_norm_unit(unit)}"},
+            )
+        return Statement(
+            "streaming_ctl", options={"op": "start" if start else "stop"}
         )
     m = _CREATE_SAMPLE.match(text)
     if m:

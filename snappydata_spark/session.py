@@ -28,6 +28,7 @@ from snappydata_spark.plans.cache import PlanCache
 from snappydata_spark.dialect import (
     parse_with_error,
     rewrite_builtins,
+    rewrite_stream_windows,
     split_statement,
 )
 
@@ -119,6 +120,15 @@ class SnappySession:
         # scoped like the reference's stream relations (they hold live
         # readStream handles, not storable metadata).
         self._streams: dict[str, DataFrame] = {}
+        # event-time column per stream table (CQ WINDOW rewrites bind to
+        # it; `timestampColumn` DDL option, else first timestamp field)
+        self._stream_ts: dict[str, str | None] = {}
+        # continuous queries (registerCQ SnappyStreamingContext.scala
+        # analogue): name → (streaming df, sink, output mode); START/STOP
+        # managed by the STREAMING control DDL
+        self._cqs: dict[str, tuple[DataFrame, object, str]] = {}
+        self._active_cqs: dict[str, object] = {}
+        self._streaming_trigger: str | None = None
         self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
@@ -575,11 +585,23 @@ class SnappySession:
                 return self._streams[name]
             from snappydata_spark.streaming.sources import stream_reader
 
+            opts = dict(stmt.options)
+            ts_col = opts.pop("timestampcolumn", None)
             df = stream_reader(
-                self.spark, stmt.provider, schema=stmt.schema_sql, **stmt.options
+                self.spark, stmt.provider, schema=stmt.schema_sql, **opts
             )
             df.createOrReplaceTempView(name)
             self._streams[name] = df
+            if ts_col is None:
+                ts_col = next(
+                    (
+                        f.name
+                        for f in df.schema.fields
+                        if f.dataType.typeName().startswith("timestamp")
+                    ),
+                    None,
+                )
+            self._stream_ts[name] = ts_col
             return df
         if stmt.kind == "drop_stream":
             name = stmt.table.lower()
@@ -588,7 +610,20 @@ class SnappySession:
                     return None
                 raise ValueError(f"stream table {name} not found")
             del self._streams[name]
+            self._stream_ts.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            return None
+        if stmt.kind == "streaming_ctl":
+            op = stmt.options["op"]
+            if op == "init":
+                # STREAMING INIT <n><unit> (streamContext SnappyDDLParser:
+                # 875-888) sets the batch duration — here the processing-
+                # time trigger applied when CQs start
+                self._streaming_trigger = stmt.options["duration"]
+            elif op == "start":
+                self.start_streaming()
+            else:
+                self.stop_streaming()
             return None
         if stmt.kind == "create_sample":
             self._resolve_read_access(stmt.source_sql)
@@ -712,6 +747,21 @@ class SnappySession:
         # per-user (policy-filtered views are user-dependent)
         self._resolve_read_access(text)
         rewritten = rewrite_builtins(text)
+        if self._streams:
+            windowed = rewrite_stream_windows(
+                rewritten,
+                lambda n: self._stream_ts.get(n.lower())
+                if n.lower() in self._streams
+                else None,
+            )
+            if windowed != rewritten or any(
+                re.search(rf"\b{re.escape(s)}\b", rewritten, flags=re.I)
+                for s in self._streams
+            ):
+                # query touches a stream relation: the result is a live
+                # streaming DataFrame — never cache it (plan cache entries
+                # would pin stale readStream handles)
+                return self.spark.sql(windowed)
         head = re.match(r"\s*\(*\s*(\w+)", rewritten)
         if head and head.group(1).upper() in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self.plan_cache.get_or_build(
@@ -723,6 +773,59 @@ class SnappySession:
         # a stale analyzed plan behind)
         self.plan_cache.clear()
         return self.spark.sql(rewritten)
+
+    # ------------------------------------------------------- continuous query
+
+    def register_cq(
+        self,
+        sql_text: str,
+        name: str | None = None,
+        sink=None,
+        output_mode: str = "update",
+    ) -> DataFrame:
+        """Register a continuous query over declared stream tables
+        (SnappyStreamingContext.registerCQ → SchemaDStream; CQ window
+        grammar streamWindowOptions SnappyParser.scala:552-557).
+
+        Returns the live streaming DataFrame (the SchemaDStream analogue).
+        `sink` is what the reference's foreachDataFrame / saveStream
+        attaches: a foreachBatch callable (e.g. streaming.sink.SnappySink)
+        or a writeStream format string ("memory", "console", ...).  Sinked
+        CQs start on `STREAMING START` and stop on `STREAMING STOP`.
+        """
+        df = self.sql(sql_text)
+        if df is None or not df.isStreaming:
+            raise ValueError("register_cq requires a query over a stream table")
+        cq_name = (name or f"cq{len(self._cqs)}").lower()
+        self._cqs[cq_name] = (df, sink, output_mode)
+        return df
+
+    def start_streaming(self) -> dict[str, object]:
+        """STREAMING START: launch every sinked CQ not already running,
+        with the STREAMING INIT batch duration as the processing-time
+        trigger.  Returns name → StreamingQuery handles (useful in tests:
+        `.processAllAvailable()`)."""
+        for cq_name, (df, sink, mode) in self._cqs.items():
+            if cq_name in self._active_cqs or sink is None:
+                continue
+            writer = df.writeStream.outputMode(mode).queryName(cq_name)
+            if self._streaming_trigger:
+                writer = writer.trigger(processingTime=self._streaming_trigger)
+            if callable(sink):
+                writer = writer.foreachBatch(sink)
+            else:
+                writer = writer.format(str(sink))
+            self._active_cqs[cq_name] = writer.start()
+        return dict(self._active_cqs)
+
+    def stop_streaming(self) -> None:
+        """STREAMING STOP: stop the CQs this session started (leaves other
+        streaming queries on the shared SparkSession untouched)."""
+        for name, q in list(self._active_cqs.items()):
+            try:
+                q.stop()
+            finally:
+                self._active_cqs.pop(name, None)
 
     def _align_source(self, name: str, src: DataFrame) -> DataFrame:
         """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the
