@@ -164,6 +164,20 @@ def rewrite_stream_windows(text: str, ts_col_of) -> str:
 
     return _STREAM_WINDOW.sub(_sub, text)
 
+# ALTER TABLE t ENABLE|DISABLE ROW LEVEL SECURITY
+# (alterTableToggleRowLevelSecurity SnappyDDLParser:631-637; policies are
+# inert until RLS is enabled on the table, docs/security/
+# row_level_security.md "Enabling Row Level Security")
+_ALTER_RLS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY"
+    r"\s*;?\s*$",
+    re.I,
+)
+
+# SHOW MEMBERS (SnappyParser.show:1264-1270 → SELECT ID, HOST, KIND,
+# STATUS, ... FROM SYS.MEMBERS)
+_SHOW_MEMBERS = re.compile(r"^\s*SHOW\s+MEMBERS\s*;?\s*$", re.I)
+
 # CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
 # (SnappyDDLParser.createPolicy:392-418; RowLevelSecurity rule
 # SnappySessionState.scala:422 injects the filter into read plans)
@@ -565,6 +579,14 @@ def split_statement(text: str) -> Statement:
             "create_table_like", table=m.group(1), source_sql=m.group(2),
             if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
         )
+    m = _ALTER_RLS.match(text)
+    if m:
+        return Statement(
+            "alter_rls", table=m.group(1),
+            options={"enable": m.group(2).upper() == "ENABLE"},
+        )
+    if _SHOW_MEMBERS.match(text):
+        return Statement("show_members")
     m = _ALTER_ADD.match(text)
     if m:
         return Statement(

@@ -105,6 +105,11 @@ class SnappySession:
         # (createPolicy SnappyDDLParser:392-418; filter injected at read
         # like the RowLevelSecurity rule, SnappySessionState.scala:422)
         self._policies: dict[str, tuple[str, str, str]] = {}
+        # tables with ROW LEVEL SECURITY enabled (alterTableToggleRowLevel-
+        # Security SnappyDDLParser:631-637): policies are created inert and
+        # only filter reads once the table is RLS-enabled (docs/security/
+        # row_level_security.md)
+        self._rls: set[str] = set()
         # indexes/policies persist with the store (the reference keeps
         # both in its hive-backed catalog)
         # SELECT grants: table → set of users (grantRevoke passThrough
@@ -169,6 +174,7 @@ class SnappySession:
             self._grants = {
                 k: set(v) for k, v in data.get("grants", {}).items()
             }
+            self._rls = set(data.get("rls", []))
             self._packages = dict(data.get("packages", {}))
         except FileNotFoundError:
             pass
@@ -182,6 +188,7 @@ class SnappySession:
                     "indexes": self._indexes,
                     "policies": self._policies,
                     "grants": {k: sorted(v) for k, v in self._grants.items()},
+                    "rls": sorted(self._rls),
                     "packages": self._packages,
                 },
                 f,
@@ -235,6 +242,9 @@ class SnappySession:
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
             self.spark.sql(f"DROP TABLE IF EXISTS {self._cat_name(name)}")
         self.catalog.drop(name)
+        if name in self._rls:
+            self._rls.discard(name)
+            self._save_registry()
         try:
             self.spark.catalog.dropTempView(name)
         except Exception:
@@ -372,6 +382,36 @@ class SnappySession:
         rows = sorted(managed | (temps - {(n, "temp") for n, _ in managed}))
         return self.spark.createDataFrame(rows, "table_name string, table_type string")
 
+    def _show_members(self) -> DataFrame:
+        """SHOW MEMBERS (SnappyParser.show:1264-1270, rewritten there to
+        `SELECT ID, HOST, KIND, STATUS, NETSERVERS, SERVERGROUPS FROM
+        SYS.MEMBERS`): the Spark-cluster analogue reports the driver plus
+        live executors from the status tracker.  local[n] is a single
+        member — GemFire's "loner" — while on a real cluster the driver
+        maps to the lead and executors to datastores."""
+        sc = self.spark.sparkContext
+        master = sc.master or ""
+        is_local = master.startswith("local")
+        rows = []
+        for i, info in enumerate(sc._jsc.sc().statusTracker().getExecutorInfos()):
+            host, port = info.host(), info.port()
+            kind = "loner" if is_local else ("lead" if i == 0 else "datastore")
+            rows.append(
+                (
+                    f"{host}:{port}",
+                    host,
+                    kind,
+                    "running",
+                    master if kind in ("loner", "lead") else "",
+                    "",
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "id string, host string, kind string, status string, "
+            "netservers string, servergroups string",
+        )
+
     def analyze_table(self, name: str) -> dict:
         """ANALYZE TABLE ... COMPUTE STATISTICS (SnappyDDLParser.analyze:
         1306): row count + on-disk bytes recorded into table metadata
@@ -424,6 +464,10 @@ class SnappySession:
         return self.spark.table(name)
 
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
+        if name not in self._rls:
+            # policies exist but do not filter until the table is
+            # RLS-enabled (reference: AlterTableToggleRowLevelSecurity)
+            return df
         for table, filter_sql, user in self._policies.values():
             if table == name and (not user or user == self.current_user):
                 df = df.filter(filter_sql)
@@ -647,6 +691,18 @@ class SnappySession:
         if stmt.kind == "alter_drop":
             self.alter_table(stmt.table, drop=[stmt.options["column"]])
             return None
+        if stmt.kind == "alter_rls":
+            t = stmt.table.lower()
+            if stmt.options["enable"]:
+                self._rls.add(t)
+            else:
+                self._rls.discard(t)
+            self._save_registry()
+            if self.catalog.exists(t):
+                self._refresh_view(t)
+            return None
+        if stmt.kind == "show_members":
+            return self._show_members()
         if stmt.kind == "create_policy":
             self._policies[stmt.options["policy"].lower()] = (
                 stmt.table.lower(), stmt.where, stmt.options["user"]

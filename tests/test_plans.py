@@ -134,6 +134,7 @@ def test_plan_cache_user_scope(snappy):
     )
     snappy.create_table("pcu_t", df=df)
     snappy.sql("CREATE POLICY pcu_p ON pcu_t FOR SELECT TO alice USING (org = 'acme')")
+    snappy.sql("ALTER TABLE pcu_t ENABLE ROW LEVEL SECURITY")
     q = "SELECT COUNT(*) AS n FROM pcu_t"
     snappy.current_user = "alice"
     assert snappy.sql(q).collect()[0].n == 2

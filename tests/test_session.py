@@ -159,7 +159,15 @@ def test_row_level_security_policy(snappy):
     )
     snappy.create_table("rls_t", options={"key_columns": "k"}, df=df)
     snappy.sql("CREATE POLICY p_acme ON rls_t FOR SELECT USING (org = 'acme')")
+    # policies are inert until RLS is enabled on the table
+    # (AlterTableToggleRowLevelSecurity SnappyDDLParser:631-637;
+    # docs/security/row_level_security.md "Enabling Row Level Security")
+    assert snappy.table("rls_t").count() == 3
+    snappy.sql("ALTER TABLE rls_t ENABLE ROW LEVEL SECURITY")
     assert snappy.table("rls_t").count() == 2
+    snappy.sql("ALTER TABLE rls_t DISABLE ROW LEVEL SECURITY")
+    assert snappy.table("rls_t").count() == 3
+    snappy.sql("ALTER TABLE rls_t ENABLE ROW LEVEL SECURITY")
     assert snappy.sql("SELECT COUNT(*) AS n FROM rls_t").collect()[0].n == 2
     # mutations see through the policy: update must not drop hidden rows
     snappy.update("rls_t", F.col("k") == 1, {"x": F.lit(11.0)})
@@ -235,7 +243,8 @@ def test_registry_persists_across_sessions(snappy):
     )
     snappy.sql("CREATE INDEX pr_idx ON pr_t (k)")
     snappy.sql("CREATE POLICY pr_pol ON pr_t FOR SELECT USING (org = 'x')")
-    # a NEW session over the same store sees both
+    snappy.sql("ALTER TABLE pr_t ENABLE ROW LEVEL SECURITY")
+    # a NEW session over the same store sees both (incl. the RLS flag)
     sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
     assert sn2.list_indexes() == {"pr_idx": ("pr_t", ["k"])}
     assert sn2.table("pr_t").count() == 1  # policy enforced
@@ -346,3 +355,18 @@ def test_view_lifecycle(loaded, tmp_path):
     for v in ("big_open", "big_orders", "ext_orders"):
         sn.sql(f"DROP VIEW {v}")
     assert not sn.spark.catalog.tableExists("big_orders")
+
+
+def test_show_members(snappy):
+    """SHOW MEMBERS (SnappyParser.show:1264-1270 → SYS.MEMBERS VTI): on
+    local[n] the engine is one 'loner' member; the schema mirrors the
+    reference's ID/HOST/KIND/STATUS/NETSERVERS/SERVERGROUPS columns."""
+    df = snappy.sql("SHOW MEMBERS")
+    assert df.columns == [
+        "id", "host", "kind", "status", "netservers", "servergroups"
+    ]
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert rows[0].kind == "loner"
+    assert rows[0].status == "running"
+    assert rows[0].host in rows[0].id
