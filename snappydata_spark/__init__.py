@@ -11,12 +11,14 @@ stream windows) and its AQP-lite surface.
 """
 
 from snappydata_spark.session import SnappySession, get_spark
-from snappydata_spark.compat import SnappyContext
+from snappydata_spark.compat import SchemaDStream, SnappyContext, SnappyStreamingContext
 from snappydata_spark.tables import load_tables, register_views, TPCH_TABLES
 
 __all__ = [
     "SnappySession",
     "SnappyContext",
+    "SnappyStreamingContext",
+    "SchemaDStream",
     "get_spark",
     "load_tables",
     "register_views",

@@ -115,3 +115,88 @@ class SnappyContext:
 
     def table(self, tableName: str) -> DataFrame:
         return self._sn.table(tableName)
+
+
+class SchemaDStream:
+    """Compat shim for the reference's SchemaDStream (python/pyspark/
+    streaming/snappy/snappydstream.py:22-46): schema'd stream +
+    `foreachDataFrame(func)`.  The reference implements foreachDataFrame
+    as DStream.foreachRDD → createDataFrame; on Structured Streaming the
+    same contract is writeStream.foreachBatch — func receives each
+    micro-batch as a DataFrame once the context starts."""
+
+    def __init__(self, snsc: "SnappyStreamingContext", df: DataFrame, name: str):
+        self._snsc = snsc
+        self._df = df
+        self._name = name
+        self.schema = df.schema
+
+    def dataframe(self) -> DataFrame:
+        return self._df
+
+    def foreachDataFrame(self, func) -> None:
+        self._snsc._sn.register_cq(
+            self._df,
+            name=self._name,
+            sink=lambda batch, _bid: func(batch),
+        )
+
+
+class SnappyStreamingContext:
+    """Compat facade for the reference's Python SnappyStreamingContext
+    (python/pyspark/streaming/snappy/context.py:13-171: __init__ with
+    batchDuration, sql, start, stop, createSchemaDStream) and its Scala
+    registerCQ (SnappyStreamingContext.scala:171-193).  DStreams no longer
+    exist in Spark 4; the same API runs on Structured Streaming — the
+    batch duration becomes the processing-time trigger and CQs become
+    streaming DataFrames started/stopped together."""
+
+    def __init__(
+        self,
+        session: SnappySession | SparkSession,
+        batchDuration: float | None = None,
+        store_dir: str | None = None,
+    ):
+        if isinstance(session, SnappySession):
+            self._sn = session
+        else:
+            self._sn = SnappySession(session, store_dir=store_dir)
+        self.spark = self._sn.spark
+        if batchDuration is not None:
+            self._sn._streaming_trigger = f"{int(batchDuration * 1000)} milliseconds"
+
+    def sql(self, sqlText: str):
+        """CREATE STREAM TABLE / CQ SQL / anything else — the reference's
+        snsc.sql delegates to its SnappySession (context.py:141-145)."""
+        return self._sn.sql(sqlText)
+
+    def registerCQ(self, queryStr: str, name: str | None = None) -> SchemaDStream:
+        df = self._sn.sql(queryStr)
+        if df is None or not df.isStreaming:
+            raise ValueError("registerCQ requires a query over a stream table")
+        return SchemaDStream(self, df, (name or f"cq{len(self._sn._cqs)}").lower())
+
+    def createSchemaDStream(self, df: DataFrame, name: str | None = None) -> SchemaDStream:
+        """Wrap an existing streaming DataFrame (the reference wraps a
+        DStream + StructType, context.py:164-171 — here the frame already
+        carries its schema)."""
+        if not isinstance(df, DataFrame) or not df.isStreaming:
+            raise TypeError("createSchemaDStream expects a streaming DataFrame")
+        return SchemaDStream(self, df, (name or f"cq{len(self._sn._cqs)}").lower())
+
+    def start(self) -> None:
+        self._sn.start_streaming()
+
+    def stop(self, stopSparkContext: bool = False, stopGraceFully: bool = True) -> None:
+        self._sn.stop_streaming()
+
+    def awaitTerminationOrTimeout(self, timeout: float) -> bool:
+        """True once no CQ of this context is still active."""
+        import time as _t
+
+        deadline = _t.time() + timeout
+        while _t.time() < deadline:
+            if not any(q.isActive for q in self._sn._active_cqs.values()):
+                return True
+            _t.sleep(0.1)
+        return not any(q.isActive for q in self._sn._active_cqs.values())

@@ -834,7 +834,7 @@ class SnappySession:
 
     def register_cq(
         self,
-        sql_text: str,
+        query: str | DataFrame,
         name: str | None = None,
         sink=None,
         output_mode: str = "update",
@@ -843,13 +843,14 @@ class SnappySession:
         (SnappyStreamingContext.registerCQ → SchemaDStream; CQ window
         grammar streamWindowOptions SnappyParser.scala:552-557).
 
+        `query` is CQ SQL text or an already-built streaming DataFrame.
         Returns the live streaming DataFrame (the SchemaDStream analogue).
         `sink` is what the reference's foreachDataFrame / saveStream
         attaches: a foreachBatch callable (e.g. streaming.sink.SnappySink)
         or a writeStream format string ("memory", "console", ...).  Sinked
         CQs start on `STREAMING START` and stop on `STREAMING STOP`.
         """
-        df = self.sql(sql_text)
+        df = self.sql(query) if isinstance(query, str) else query
         if df is None or not df.isStreaming:
             raise ValueError("register_cq requires a query over a stream table")
         cq_name = (name or f"cq{len(self._cqs)}").lower()

@@ -64,3 +64,49 @@ def test_insert_put_update_delete_counts(ctx):
 
 def test_sql_passthrough(ctx):
     assert ctx.sql("SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_snappy_streaming_context(snappy):
+    """Reference streaming compat flow (python/pyspark/streaming/snappy/
+    context.py:13-171): SnappyStreamingContext(batchDuration) + sql()
+    stream DDL + registerCQ + SchemaDStream.foreachDataFrame + start/stop,
+    on Structured Streaming."""
+    import json
+    import os
+    import tempfile
+
+    from snappydata_spark import SnappyStreamingContext
+
+    d = tempfile.mkdtemp(prefix="snappy_snsc_")
+    with open(os.path.join(d, "b0.json"), "w") as f:
+        for r in [
+            {"ts": "2024-01-01T00:00:01Z", "user": "a"},
+            {"ts": "2024-01-01T00:00:02Z", "user": "b"},
+            {"ts": "2024-01-01T00:00:14Z", "user": "a"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    snsc = SnappyStreamingContext(snappy, batchDuration=1)
+    assert snappy._streaming_trigger == "1000 milliseconds"
+    snsc.sql(
+        "CREATE STREAM TABLE sc_clicks (ts timestamp, user string) "
+        f"USING file_stream OPTIONS (format 'json', path '{d}', "
+        "timestampColumn 'ts')"
+    )
+    d_stream = snsc.registerCQ(
+        "SELECT window.start AS ws, count(*) AS cnt FROM sc_clicks "
+        "WINDOW (DURATION 10 SECONDS) GROUP BY window",
+        name="sc_cq",
+    )
+    assert d_stream.schema.fieldNames() == ["ws", "cnt"]
+
+    batches = []
+    d_stream.foreachDataFrame(lambda df: batches.append(df.collect()))
+    snsc.start()
+    snappy._active_cqs["sc_cq"].processAllAvailable()
+    snsc.stop()
+    assert snsc.awaitTerminationOrTimeout(5)
+
+    counts = {r.ws.second: r.cnt for rows in batches for r in rows}
+    assert counts == {0: 2, 10: 1}
+    snsc.sql("DROP STREAM TABLE sc_clicks")
