@@ -230,3 +230,153 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_val", ignorenulls=True).over(w).alias("sum_val_ffill"),
         )
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH daily AS (
+  SELECT user_id % 50 AS grp, date_trunc('day', ts) AS day,
+         ROUND(SUM(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT grp, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY grp
+), spine AS (
+  SELECT b.grp, gs.g AS day
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g) gs
+), joined AS (
+  SELECT s.grp, s.day, d.sum_val FROM spine s
+  LEFT JOIN daily d ON s.grp = d.grp AND s.day = d.day
+), bracketed AS (
+  SELECT grp, day, sum_val,
+         LAST_VALUE(sum_val IGNORE NULLS) OVER
+           (PARTITION BY grp ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         LAST_VALUE(CASE WHEN sum_val IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY grp ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+         FIRST_VALUE(sum_val IGNORE NULLS) OVER
+           (PARTITION BY grp ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         FIRST_VALUE(CASE WHEN sum_val IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY grp ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM joined
+)
+SELECT grp, day,
+       ROUND(CASE
+         WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+              AND epoch(next_day) <> epoch(prev_day)
+         THEN prev_val + (next_val - prev_val)
+              * ((epoch(day) - epoch(prev_day))
+                 / (epoch(next_day) - epoch(prev_day)))
+         ELSE COALESCE(prev_val, next_val)
+       END, 4) AS sum_val_interp
+FROM bracketed
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a regular per-group day spine (gap
+    regularization a feature/training pipeline needs before windowed
+    models; the reference's TAQ rollup stops at OHLC).  Same spine as
+    ts_gap_fill; missing days get prev + (next-prev)*(t-t_prev)/(t_next-
+    t_prev) bracketed by IGNORE-NULLS windows — two window passes over a
+    (grp, day) panel bounded by groups × days, never by raw event count.
+    The interpolation arithmetic is written identically on both engines so
+    the value hash, not just row counts, proves the semantics."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        (F.col("user_id") % 50).alias("grp"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("sum_val"))
+    spine = (
+        daily.groupBy("grp")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "grp",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w_prev = W.partitionBy("grp").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("grp").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("sum_val").isNotNull(), F.col("day"))
+    j = (
+        spine.join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            "day",
+            "sum_val",
+            F.last("sum_val", ignorenulls=True).over(w_prev).alias("prev_val"),
+            F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+            F.first("sum_val", ignorenulls=True).over(w_next).alias("next_val"),
+            F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+        )
+    )
+    ratio = (
+        (F.unix_timestamp("day") - F.unix_timestamp("prev_day"))
+        / (F.unix_timestamp("next_day") - F.unix_timestamp("prev_day"))
+    )
+    interp = F.when(
+        F.col("prev_val").isNotNull()
+        & F.col("next_val").isNotNull()
+        & (F.unix_timestamp("next_day") != F.unix_timestamp("prev_day")),
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * ratio,
+    ).otherwise(F.coalesce("prev_val", "next_val"))
+    return j.select("grp", "day", F.round(interp, 4).alias("sum_val_interp"))
+
+
+@register(
+    "ts_ema_daily",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id % 50 AS grp, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT grp, day, x,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+  FROM daily
+), ema AS (
+  SELECT grp, day, rn, x, x AS ema FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.grp, s.day, s.rn, s.x, 0.2 * s.x + 0.8 * e.ema
+  FROM seq s JOIN ema e ON s.grp = e.grp AND s.rn = e.rn + 1
+)
+SELECT grp, day, ROUND(ema, 4) AS ema
+FROM ema
+""",
+)
+def ts_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (alpha=0.2) of the per-group daily mean
+    — an inherently ITERATIVE operator (ema_t = a*x_t + (1-a)*ema_{t-1})
+    no window frame can express, implemented as applyInPandas over the
+    pre-aggregated daily panel.  Scale: the recurrence runs on (grp, day)
+    rows — bounded by groups × days regardless of raw event volume — after
+    one map-side-combined aggregation shuffle; groups distribute across
+    executors and each group's scan is a tight numpy loop.  The DuckDB
+    oracle is a recursive CTE with the exact same float64 recurrence, so
+    the value hash proves the semantics bit-for-bit (inputs pre-rounded
+    to 6 decimals on both sides)."""
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        (F.col("user_id") % 50).alias("grp"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        vals = pdf["x"].to_numpy()
+        out = vals.copy()
+        for i in range(1, len(out)):
+            # same literal recurrence as the oracle CTE: float64 + is
+            # commutative, * has identical operands — bitwise equal
+            out[i] = 0.2 * vals[i] + 0.8 * out[i - 1]
+        pdf["ema"] = out
+        return pdf[["grp", "day", "ema"]]
+
+    res = daily.groupBy("grp").applyInPandas(
+        _ema, schema="grp bigint, day timestamp, ema double"
+    )
+    return res.select("grp", "day", F.round("ema", 4).alias("ema"))
