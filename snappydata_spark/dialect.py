@@ -306,6 +306,12 @@ def parse_ddl_schema(schema: str) -> tuple[str, list[str]]:
 # id), CURRENT_SCHEMA → current_database().  Applied to passthrough SQL.
 _DSID = re.compile(r"\bDSID\s*\(\s*\)", re.I)
 _CURRENT_SCHEMA = re.compile(r"\bCURRENT_SCHEMA\b(?:\s*\(\s*\))?", re.I)
+# CURRENT_USER_LDAP_GROUPS (io/snappydata/functions.scala:39-54): no LDAP
+# directory in this engine — empty list, the reference's value when the
+# user has no LDAP groups (documented divergence, SURVEY §8)
+_LDAP_GROUPS = re.compile(
+    r"\bCURRENT_USER_LDAP_GROUPS\b(?:\s*\(\s*\))?", re.I
+)
 # FETCH FIRST n ROWS ONLY (SnappyParser.scala:776-785 fetchExpression —
 # SQL-standard alternative to LIMIT; Spark SQL has no FETCH clause)
 _FETCH_FIRST = re.compile(
@@ -378,6 +384,7 @@ def rewrite_hints(text: str) -> str:
 def rewrite_builtins(text: str) -> str:
     text = _DSID.sub("spark_partition_id()", text)
     text = _CURRENT_SCHEMA.sub("current_database()", text)
+    text = _LDAP_GROUPS.sub("array()", text)
     text = _FETCH_FIRST.sub(r"LIMIT \1", text)
     text = rewrite_hints(text)
     return text

@@ -1177,14 +1177,15 @@ class SnappySession:
             if not self._is_bucketed(meta):
                 df = self._mutation_target(name, meta)
                 if df is not None and not df.isEmpty():
-                    data = self.catalog.data_path(name)
-                    n_files = max(
-                        1,
-                        len([f for f in os.listdir(data) if f.endswith(".parquet")])
-                        if os.path.isdir(data)
-                        else 1,
-                    )
-                    self._rewrite(self._cluster_for_index(df, cols, n_files), meta)
+                    # _rewrite clusters for the just-registered index
+                    self._rewrite(df, meta)
+        return None
+
+    def _index_cols(self, name: str) -> list[str] | None:
+        """Indexed columns of a table, if any index is registered on it."""
+        for tbl, cols in self._indexes.values():
+            if tbl == name:
+                return cols
         return None
 
     _ZORDER_BITS = 8
@@ -1368,6 +1369,14 @@ class SnappySession:
             self.spark.catalog.refreshTable(self._cat_name(meta.name))
         else:
             data = self.catalog.data_path(meta.name)
+            cols = self._index_cols(meta.name)
+            if cols:
+                # indexed tables keep their clustered layout through
+                # mutations: re-cluster just the touched rows so footer
+                # min/max skipping doesn't decay with every UPDATE
+                new_rows = self._cluster_for_index(
+                    new_rows, cols, max(1, len(files))
+                )
             tmp = self.catalog.table_path(meta.name) + "/mut-" + uuid.uuid4().hex[:8]
             new_rows.write.mode("overwrite").parquet(tmp)
             stamp = uuid.uuid4().hex[:8]
@@ -1390,6 +1399,16 @@ class SnappySession:
         (ColumnDeltaEncoder.scala / ColumnDeleteEncoder.scala).  The tmp
         materialization also breaks the read-your-own-target cycle of
         overwrite-while-reading."""
+        cols = self._index_cols(meta.name)
+        if cols and not self._is_bucketed(meta):
+            data = self.catalog.data_path(meta.name)
+            n_files = max(
+                1,
+                len([f for f in os.listdir(data) if f.endswith(".parquet")])
+                if os.path.isdir(data)
+                else 1,
+            )
+            result = self._cluster_for_index(result, cols, n_files)
         tmp = self.catalog.table_path(meta.name) + "/rewrite-" + uuid.uuid4().hex[:8]
         result.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)

@@ -238,9 +238,13 @@ def test_create_table_like(snappy):
 
 
 def test_builtin_function_rewrites(snappy):
-    row = snappy.sql("SELECT DSID() AS d, CURRENT_SCHEMA AS s").collect()[0]
+    row = snappy.sql(
+        "SELECT DSID() AS d, CURRENT_SCHEMA AS s, "
+        "CURRENT_USER_LDAP_GROUPS() AS g"
+    ).collect()[0]
     assert row.d >= 0
     assert isinstance(row.s, str)
+    assert row.g == []  # no LDAP directory: empty groups (SURVEY §8)
 
 
 def test_fetch_first_rows_only(snappy):
@@ -262,3 +266,39 @@ def test_cache_uncache(snappy):
     snappy.uncache_table("ch_t")
     assert not snappy.spark.catalog.isCached("ch_t")
     snappy.drop_table("ch_t")
+
+
+def test_index_layout_survives_mutation(snappy):
+    """Mutations on an indexed table must not decay the clustered layout:
+    the touched rows are re-clustered on the index column, so every data
+    file (incl. mut-* replacements) stays internally sorted on k and the
+    file count stays bounded.  The reference maintains store B-tree
+    indexes through DML (IndexColumnFormatRelation); our analogue is
+    maintaining the data-skipping layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spark = snappy.spark
+    df = (
+        spark.range(20000)
+        .selectExpr("CAST(pmod(id * 2654435761, 20000) AS INT) AS k", "id AS v")
+        .repartition(8)
+    )
+    snappy.create_table("idxm_t", options={"key_columns": "k"}, df=df)
+    snappy.sql("CREATE INDEX idxm ON idxm_t (k)")
+    data = snappy.catalog.data_path("idxm_t")
+    n_before = len([f for f in os.listdir(data) if f.endswith(".parquet")])
+
+    snappy.sql("UPDATE idxm_t SET v = -1 WHERE k = 137")
+    snappy.sql("DELETE FROM idxm_t WHERE k = 9999")
+
+    files = [f for f in os.listdir(data) if f.endswith(".parquet")]
+    assert len(files) <= n_before + 2  # replacement files, no blow-up
+    for f in files:
+        t = pq.read_table(os.path.join(data, f), columns=["k"])
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks), f"file {f} lost its k-sorted layout"
+    assert snappy.table("idxm_t").filter("k = 137").collect()[0].v == -1
+    assert snappy.table("idxm_t").filter("k = 9999").count() == 0
+    snappy.drop_table("idxm_t")
