@@ -187,6 +187,8 @@ def main() -> None:
         "ev_funnel_steps",
         "ev_retention_cohort",
         "txt_pii_redact",
+        "ts_interpolate_linear",
+        "ts_ema_daily",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

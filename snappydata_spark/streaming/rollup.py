@@ -1,0 +1,138 @@
+"""Continuous aggregate: an incrementally-maintained time-bucketed rollup
+table fed by a stream — the hypertable/continuous-aggregate shape, and the
+reference's canonical CQ + put pattern (SnappyStreamingContext.registerCQ
+feeding SnappySession.put; examples/.../StreamingIngestion jobs).
+
+Each micro-batch computes MERGEABLE partials (count + per-column sums)
+per (bucket_start, *keys) and combines them into a managed key_columns
+table via PUT INTO.  avg/rate are derived at read time from sum/cnt, so
+the stored state is always mergeable and replay-safe via the batch ledger
+(merging partials is NOT idempotent, so the exactly-once ledger is
+mandatory here, unlike SnappySink's converging upserts).
+
+Scale: partials are bounded by touched buckets × key cardinality, never
+by raw event volume; the merge join reads only the target's bucket range
+the batch touches (min/max pruned), and the write is the engine's
+file-pruned PUT path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class ContinuousAggregate:
+    """foreachBatch callable maintaining the rollup table.
+
+    Usage::
+
+        ca = ContinuousAggregate(session, "hourly_user_stats",
+                                 ts_col="ts", bucket="1 hour",
+                                 keys=["user_id"], agg_cols=["value"])
+        stream.writeStream.foreachBatch(ca).start()
+
+    The target table stores (bucket_start, *keys, cnt, sum_<col>...) with
+    key_columns = bucket_start,*keys; `readback()` adds avg_<col> columns.
+    """
+
+    def __init__(
+        self,
+        session,
+        table: str,
+        ts_col: str,
+        bucket: str = "1 hour",
+        keys: list[str] | tuple[str, ...] = (),
+        agg_cols: list[str] | tuple[str, ...] = (),
+        query_name: str | None = None,
+        state_dir: str | None = None,
+    ):
+        self.session = session
+        self.table = table.lower()
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.keys = [k.lower() for k in keys]
+        self.agg_cols = [c.lower() for c in agg_cols]
+        self.query_name = query_name or f"ca_{self.table}"
+        self.state_dir = state_dir or os.path.join(
+            session.catalog.base_dir, "_sink_state"
+        )
+        os.makedirs(self.state_dir, exist_ok=True)
+
+    # ledger — same contract as SnappySink's state table (exactly-once:
+    # SnappySinkCallback.scala:197-206); partial-merge replay would
+    # double-count, so a duplicate batch id is always skipped
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, f"{self.query_name}.json")
+
+    def _last_batch_id(self) -> int:
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, KeyError, ValueError):
+            return -1
+
+    def _record_batch(self, batch_id: int) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self._state_path())
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        win = F.window(F.col(self.ts_col), self.bucket)
+        aggs = [F.count(F.lit(1)).alias("cnt")] + [
+            F.sum(c).alias(f"sum_{c}") for c in self.agg_cols
+        ]
+        return (
+            batch.groupBy(win.start.alias("bucket_start"), *self.keys)
+            .agg(*aggs)
+        )
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return
+        part = self._partial(batch)
+        key_cols = ["bucket_start", *self.keys]
+        if not self.session.catalog.exists(self.table):
+            self.session.create_table(
+                self.table,
+                options={"key_columns": ",".join(key_cols)},
+                df=part,
+            )
+            self._record_batch(batch_id)
+            return
+        # merge partials with current state, touching only the batch's
+        # bucket range (late data merges into its own old bucket)
+        bounds = part.agg(
+            F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            self._record_batch(batch_id)
+            return
+        tgt = self.session.table(self.table).filter(
+            (F.col("bucket_start") >= bounds.lo)
+            & (F.col("bucket_start") <= bounds.hi)
+        )
+        merged = part.alias("p").join(tgt.alias("t"), key_cols, "left").select(
+            *key_cols,
+            (F.col("p.cnt") + F.coalesce(F.col("t.cnt"), F.lit(0))).alias("cnt"),
+            *[
+                (
+                    F.col(f"p.sum_{c}")
+                    + F.coalesce(F.col(f"t.sum_{c}"), F.lit(0.0))
+                ).alias(f"sum_{c}")
+                for c in self.agg_cols
+            ],
+        )
+        self.session.put(self.table, merged)
+        self._record_batch(batch_id)
+
+    def readback(self) -> DataFrame:
+        """The rollup with derived averages (read-time finalization of the
+        mergeable state)."""
+        df = self.session.table(self.table)
+        for c in self.agg_cols:
+            df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt"))
+        return df

@@ -374,3 +374,57 @@ def test_stream_dedup_watermark_bounded_state(spark, stream_dir):
     q.awaitTermination(120)
     got = {(r.fp, r.doc) for r in spark.table("dedup_wm_out").collect()}
     assert got == {("X", "x1"), ("Y", "y1")}
+
+
+def test_continuous_aggregate_rollup(snappy, stream_dir):
+    """Incrementally-maintained hourly rollup (streaming/rollup.py — the
+    hypertable continuous-aggregate shape; reference CQ+put pattern):
+    partial count/sum per (bucket, user) merged via PUT INTO across
+    batches, late data merging into its old bucket; replay of a recorded
+    batch id is a no-op (mergeable partials are not idempotent, the
+    ledger is the exactly-once guarantee)."""
+    from snappydata_spark.streaming.rollup import ContinuousAggregate
+
+    _write_batch(stream_dir, "b0.json", [
+        {"ts": "2024-01-01T00:10:00Z", "user": "a", "v": 1.0},
+        {"ts": "2024-01-01T00:20:00Z", "user": "a", "v": 2.0},
+        {"ts": "2024-01-01T01:05:00Z", "user": "b", "v": 10.0},
+    ], mtime=1_000_000)
+    _write_batch(stream_dir, "b1.json", [
+        {"ts": "2024-01-01T01:30:00Z", "user": "b", "v": 5.0},
+        # late event for the 00:00 bucket arrives in batch 2
+        {"ts": "2024-01-01T00:40:00Z", "user": "a", "v": 4.0},
+    ], mtime=1_000_100)
+
+    stream = stream_reader(
+        snappy.spark, "file_stream", schema="ts timestamp, user string, v double",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    )
+    ca = ContinuousAggregate(
+        snappy, "ca_hourly", ts_col="ts", bucket="1 hour",
+        keys=["user"], agg_cols=["v"],
+    )
+    q = stream.writeStream.foreachBatch(ca).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = {
+        (r.bucket_start.hour, r.user): (r.cnt, r.sum_v)
+        for r in snappy.table("ca_hourly").collect()
+    }
+    assert rows == {
+        (0, "a"): (3, 7.0),   # 1+2 from batch0, late 4.0 merged from batch1
+        (1, "b"): (2, 15.0),  # 10 from batch0, 5 merged from batch1
+    }
+    avg = {r.user: r.avg_v for r in ca.readback().collect()}
+    assert avg["b"] == 7.5
+
+    # replaying an already-recorded batch must not double-count
+    batch = snappy.spark.read.schema("ts timestamp, user string, v double").json(
+        stream_dir
+    )
+    ca(batch, batch_id=0)
+    assert {
+        (r.bucket_start.hour, r.user): (r.cnt, r.sum_v)
+        for r in snappy.table("ca_hourly").collect()
+    } == rows
+    snappy.drop_table("ca_hourly")
