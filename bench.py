@@ -189,6 +189,7 @@ def main() -> None:
         "txt_pii_redact",
         "ts_interpolate_linear",
         "ts_ema_daily",
+        "txt_unigram_logprob",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

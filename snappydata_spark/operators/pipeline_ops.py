@@ -494,3 +494,52 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tc").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "txt_unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+cnts AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM tok GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM cnts)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(-ln(c.c / tot.n)), 4) AS avg_neg_logprob
+FROM tok t JOIN cnts c USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity proxy: per-doc mean negative log-probability under the
+    corpus's own unigram distribution — the cheap LM-free quality signal
+    (rare-token-heavy docs score high; boilerplate scores low) used to
+    rank corpus slices before an expensive model pass.
+
+    Two passes over one tokenization: (1) vocabulary counts — a shuffle
+    bounded by DISTINCT token count, not corpus size (map-side combine);
+    (2) token occurrences joined back to their counts — the vocab side is
+    broadcast (a natural-language unigram vocab is sublinear in corpus
+    size; if it outgrew the broadcast threshold Spark falls back to a
+    shuffle join co-keyed on token), then one groupBy(doc_id) average.
+    The token table is persisted so both passes read one tokenization."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .persist()
+    )
+    cnts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = cnts.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(cnts), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
