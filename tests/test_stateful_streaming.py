@@ -428,3 +428,52 @@ def test_continuous_aggregate_rollup(snappy, stream_dir):
         for r in snappy.table("ca_hourly").collect()
     } == rows
     snappy.drop_table("ca_hourly")
+
+
+def test_stream_interval_join(snappy, spark):
+    """Watermarked stream-stream interval join (streaming/joins.py): each
+    click pairs with views of the same user within the following 10
+    minutes; an out-of-interval view must not match."""
+    import tempfile
+
+    from snappydata_spark.streaming.joins import stream_interval_join
+
+    d1 = tempfile.mkdtemp(prefix="ssj_clicks_")
+    d2 = tempfile.mkdtemp(prefix="ssj_views_")
+    _write_batch(d1, "c0.json", [
+        {"user": "a", "click_ts": "2024-01-01T00:00:00Z", "click_id": 1},
+        {"user": "b", "click_ts": "2024-01-01T00:05:00Z", "click_id": 2},
+    ])
+    _write_batch(d2, "v0.json", [
+        {"user": "a", "view_ts": "2024-01-01T00:04:00Z", "view_id": 10},
+        {"user": "a", "view_ts": "2024-01-01T00:20:00Z", "view_id": 11},
+        {"user": "b", "view_ts": "2024-01-01T00:06:30Z", "view_id": 12},
+    ])
+    clicks = stream_reader(
+        spark, "file_stream",
+        schema="user string, click_ts timestamp, click_id int",
+        format="json", path=d1,
+    )
+    views = stream_reader(
+        spark, "file_stream",
+        schema="user string, view_ts timestamp, view_id int",
+        format="json", path=d2,
+    )
+    joined = stream_interval_join(
+        clicks, views, on=["user"], left_ts="click_ts", right_ts="view_ts",
+        lower_seconds=0, upper_seconds=600,
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.click_id, r.view_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert rows == {(1, 10), (2, 12)}  # view 11 is 20 min out — excluded
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        stream_interval_join(
+            clicks.withColumnRenamed("click_id", "x"),
+            views.withColumnRenamed("view_id", "x"),
+            on=["user"], left_ts="click_ts", right_ts="view_ts",
+        )
