@@ -196,3 +196,49 @@ def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+@register(
+    "ev_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT user_id, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY user_id
+)
+SELECT d.user_id, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+       ROUND((d.cnt - s.mu) / s.sigma, 4) AS z
+FROM daily d JOIN stats s USING (user_id)
+WHERE s.n_days >= 3 AND s.sigma > 0
+  AND abs((d.cnt - s.mu) / s.sigma) > 2
+""",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity anomaly detection: per-user daily event counts, z-scored
+    against that user's own mean/stddev, flagging |z| > 2 days — the
+    bot/abuse/outage triage scan.  One shuffle to the (user, day) panel,
+    one partial-aggregated rollup to per-user stats, broadcast-or-shuffle
+    join back; every stage is bounded by users × days, not raw events."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    stats = daily.groupBy("user_id").agg(
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sigma"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(stats, "user_id")
+        .filter((F.col("n_days") >= 3) & (F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select(
+            "user_id",
+            "day",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -543,3 +543,49 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "txt_chunk_documents",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+  FROM tok
+)
+SELECT doc_id,
+       CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+       CAST(len(t[s : least(s + 63, len(t))]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[s : least(s + 63, len(t))], ' ')) AS chunk_sig
+FROM starts
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for context-bounded training:
+    64-token chunks on a 48-token stride (16-token overlap), partial
+    tails kept.  Pure map-side Catalyst (sequence → explode → slice →
+    md5) — zero shuffle, zero Python; output size scales with token
+    count × (1/stride), and the md5 chunk signature keeps the registry
+    output compact while hash-proving the exact chunk contents."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toked = t["documents"].select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    size, stride = 64, 48
+    exploded = toked.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(stride)
+            )
+        ).alias("s"),
+    )
+    chunk = F.slice("t", F.col("s"), F.lit(size))
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
+    )
