@@ -190,6 +190,9 @@ def main() -> None:
         "ts_interpolate_linear",
         "ts_ema_daily",
         "txt_unigram_logprob",
+        "txt_chunk_documents",
+        "ev_anomaly_zscore",
+        "mm_binary_chunks",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

@@ -286,3 +286,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = multimodal.sample_video_frames(media, every_ms=1000, max_frames=8)
     return frames.select("item_id", "frame_no", "offset_ms")
+
+
+@register(
+    "mm_binary_chunks",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, hx, n,
+         unnest(generate_series(1, greatest(n, 1), 256)) AS off
+  FROM b
+)
+SELECT doc_id,
+       CAST((off - 1) / 256 AS BIGINT) AS chunk_idx,
+       CAST(least(256, n - off + 1) AS BIGINT) AS n_bytes,
+       md5(substring(hx, (off - 1) * 2 + 1, 512)) AS chunk_md5
+FROM starts
+""",
+)
+def mm_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size binary chunking — the blob-sharding stage for large
+    media payloads (stream an image/audio blob as 256-byte spans with
+    per-chunk checksums; upload/transfer layers and content-defined dedup
+    both start here).  Pure map-side Catalyst on the opaque binary column:
+    sequence → explode → substring → md5, zero shuffle and zero Python —
+    at 100 TB the stage is embarrassingly parallel over files.  The
+    per-chunk signature is md5 over the HEX encoding of the byte span
+    (DuckDB's substring/md5 are VARCHAR-only — hex makes the span
+    comparison byte-accurate on both engines regardless of encoding)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    b = t["documents"].select(
+        "doc_id",
+        F.hex(F.col("text").cast("binary")).alias("hx"),
+        F.length(F.col("text").cast("binary")).alias("n"),
+    )
+    size = 256
+    exploded = b.select(
+        "doc_id",
+        "hx",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest("n", F.lit(1)), F.lit(size))
+        ).alias("off"),
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("off") - 1) / size).cast("long").alias("chunk_idx"),
+        F.least(F.lit(size), F.col("n") - F.col("off") + 1)
+        .cast("long")
+        .alias("n_bytes"),
+        F.md5(
+            F.expr(f"substring(hx, (off - 1) * 2 + 1, {size * 2})")
+        ).alias("chunk_md5"),
+    )
