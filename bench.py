@@ -193,6 +193,7 @@ def main() -> None:
         "txt_chunk_documents",
         "ev_anomaly_zscore",
         "mm_binary_chunks",
+        "sql_recursive_cte",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

@@ -294,3 +294,32 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLUSTER BY l_suppkey
         """
     )
+
+
+# ------------------------------------------------- recursive CTE
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth
+  FROM customer WHERE c_custkey <= 100
+  UNION ALL
+  SELECT root, CAST(FLOOR(cur / 2.0) AS BIGINT) AS cur, depth + 1 AS depth
+  FROM chain WHERE cur > 1
+)
+SELECT root, MAX(depth) AS chain_len, COUNT(*) AS n_nodes
+FROM chain GROUP BY root
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTEs; the reference inherits
+    Spark 2.1 which lacks them — dedup/__init__.py's iterative
+    connected-components fixpoint is the DataFrame-loop equivalent for
+    engines without the SQL form): binary ancestor walk per customer,
+    depth bounded by log2(max key).  The IDENTICAL SQL text runs on both
+    engines — recursion semantics, not just results, are cross-checked.
+    Scale: each iteration is a bounded self-union; Spark materializes the
+    frontier per step, so state is O(frontier), not O(closure)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_RECURSIVE_SQL)
