@@ -52,6 +52,16 @@ _CREATE_TABLE = re.compile(
     r"(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*)?$",
     re.I | re.S,
 )
+# CREATE TABLE with NO `USING` clause: the reference defaults the
+# provider to 'row' (SnappyDDLParser.createTable:309-318
+# Consts.DEFAULT_SOURCE, hive support off).  Any statement carrying
+# USING/PARTITIONED BY/STORED/etc. fails this match and passes through
+# to Spark untouched.
+_CREATE_TABLE_NOUSING = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(\(.*?\))?\s*(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*?)?\s*;?\s*$",
+    re.I | re.S,
+)
 # CREATE EXTERNAL TABLE t USING provider OPTIONS (...) — any Spark
 # datasource (createExternalTable SnappySession.scala:1076-1127; DDL
 # accepts EXTERNAL for non-managed providers).  Routed to
@@ -177,6 +187,12 @@ _ALTER_RLS = re.compile(
 # SHOW MEMBERS (SnappyParser.show:1264-1270 → SELECT ID, HOST, KIND,
 # STATUS, ... FROM SYS.MEMBERS)
 _SHOW_MEMBERS = re.compile(r"^\s*SHOW\s+MEMBERS\s*;?\s*$", re.I)
+
+# SHOW CREATE TABLE (SnappyParser.show:1292) — managed tables rebuild
+# their DDL from catalog metadata; others pass through to Spark
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I
+)
 
 # CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
 # (SnappyDDLParser.createPolicy:392-418; RowLevelSecurity rule
@@ -565,6 +581,22 @@ def split_statement(text: str) -> Statement:
             source_sql=re.sub(r"^AS\s+", "", as_select, flags=re.I) if as_select else None,
             if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
         )
+    m = _CREATE_TABLE_NOUSING.match(text)
+    if m and (m.group(2) or m.group(4)):
+        # needs a schema or AS SELECT to be a table definition; bare
+        # `CREATE TABLE t` stays a Spark error
+        name, schema_sql, opts, as_select = m.groups()
+        return Statement(
+            "create_table",
+            table=name,
+            schema_sql=schema_sql.strip("() \n") if schema_sql else None,
+            provider="row",
+            options=_parse_options(opts),
+            source_sql=re.sub(r"^AS\s+", "", as_select, flags=re.I)
+            if as_select
+            else None,
+            if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
+        )
     m = _CREATE_INDEX.match(text)
     if m:
         return Statement(
@@ -594,6 +626,9 @@ def split_statement(text: str) -> Statement:
         )
     if _SHOW_MEMBERS.match(text):
         return Statement("show_members")
+    m = _SHOW_CREATE.match(text)
+    if m:
+        return Statement("show_create", table=m.group(1))
     m = _ALTER_ADD.match(text)
     if m:
         return Statement(

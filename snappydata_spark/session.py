@@ -382,6 +382,38 @@ class SnappySession:
         rows = sorted(managed | (temps - {(n, "temp") for n, _ in managed}))
         return self.spark.createDataFrame(rows, "table_name string, table_type string")
 
+    def show_create_table(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE (SnappyParser.show:1292 ShowCreateTable-
+        Command): reconstruct the managed table's DDL from catalog
+        metadata — schema, provider, and the engine's options vocabulary.
+        Non-managed names fall through to Spark's own command."""
+        lname = name.lower()
+        if not self.catalog.exists(lname):
+            return self.spark.sql(f"SHOW CREATE TABLE {name}")
+        meta = self.catalog.load_meta(lname)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in self._read_table(lname).schema
+        )
+        opts = []
+        if meta.key_columns:
+            opts.append(f"key_columns '{','.join(meta.key_columns)}'")
+        if meta.partition_by:
+            opts.append(f"partition_by '{','.join(meta.partition_by)}'")
+        if meta.buckets:
+            opts.append(f"buckets '{meta.buckets}'")
+        if meta.colocate_with:
+            opts.append(f"colocate_with '{meta.colocate_with}'")
+        if meta.replicate and meta.provider != "row":
+            opts.append("replicate 'true'")
+        for k, v in sorted(meta.options.items()):
+            opts.append(f"{k} '{v}'")
+        stmt = f"CREATE TABLE {lname} ({cols}) USING {meta.provider.upper()}"
+        if opts:
+            stmt += f" OPTIONS ({', '.join(opts)})"
+        return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
     def _show_members(self) -> DataFrame:
         """SHOW MEMBERS (SnappyParser.show:1264-1270, rewritten there to
         `SELECT ID, HOST, KIND, STATUS, NETSERVERS, SERVERGROUPS FROM
@@ -703,6 +735,8 @@ class SnappySession:
             return None
         if stmt.kind == "show_members":
             return self._show_members()
+        if stmt.kind == "show_create":
+            return self.show_create_table(stmt.table)
         if stmt.kind == "create_policy":
             self._policies[stmt.options["policy"].lower()] = (
                 stmt.table.lower(), stmt.where, stmt.options["user"]

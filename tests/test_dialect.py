@@ -302,3 +302,50 @@ def test_index_layout_survives_mutation(snappy):
     assert snappy.table("idxm_t").filter("k = 137").collect()[0].v == -1
     assert snappy.table("idxm_t").filter("k = 9999").count() == 0
     snappy.drop_table("idxm_t")
+
+
+def test_create_table_without_using_defaults_to_row(snappy):
+    """CREATE TABLE with no USING clause defaults the provider to 'row'
+    (SnappyDDLParser.createTable:309-318, Consts.DEFAULT_SOURCE): managed,
+    replicated-when-unpartitioned, PRIMARY KEY → key_columns."""
+    snappy.sql(
+        "CREATE TABLE plain_row_t (k INT NOT NULL PRIMARY KEY, v STRING)"
+    )
+    meta = snappy.catalog.load_meta("plain_row_t")
+    assert meta.provider == "row"
+    assert meta.replicate is True
+    assert snappy.key_columns("plain_row_t") == ["k"]
+    snappy.sql("INSERT INTO plain_row_t VALUES (1, 'a'), (2, 'b')")
+    snappy.sql("PUT INTO plain_row_t VALUES (2, 'B'), (3, 'c')")
+    got = {r.k: r.v for r in snappy.table("plain_row_t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # CTAS without USING is a row table too
+    snappy.sql("CREATE TABLE plain_ctas_t AS SELECT k FROM plain_row_t")
+    assert snappy.catalog.load_meta("plain_ctas_t").provider == "row"
+    assert snappy.table("plain_ctas_t").count() == 3
+    # Spark-native DDL with USING <datasource> still passes through
+    snappy.sql("CREATE TABLE IF NOT EXISTS spark_native_t (k INT) USING parquet")
+    assert not snappy.catalog.exists("spark_native_t")
+    snappy.sql("DROP TABLE spark_native_t")
+    snappy.drop_table("plain_row_t")
+    snappy.drop_table("plain_ctas_t")
+
+
+def test_show_create_table_roundtrip(snappy):
+    """SHOW CREATE TABLE on a managed table reconstructs executable DDL
+    (SnappyParser.show:1292): running the emitted statement on a fresh
+    name recreates an equivalent layout."""
+    snappy.sql(
+        "CREATE TABLE sct_t (k INT NOT NULL, v DOUBLE) USING COLUMN "
+        "OPTIONS (key_columns 'k', partition_by 'k', buckets '4')"
+    )
+    stmt = snappy.sql("SHOW CREATE TABLE sct_t").collect()[0].createtab_stmt
+    assert "USING COLUMN" in stmt and "buckets '4'" in stmt
+    snappy.sql(stmt.replace("sct_t", "sct_t2"))
+    m1, m2 = (snappy.catalog.load_meta(t) for t in ("sct_t", "sct_t2"))
+    assert (m1.provider, m1.key_columns, m1.partition_by, m1.buckets) == (
+        m2.provider, m2.key_columns, m2.partition_by, m2.buckets
+    )
+    assert snappy.table("sct_t2").columns == ["k", "v"]
+    snappy.drop_table("sct_t")
+    snappy.drop_table("sct_t2")
