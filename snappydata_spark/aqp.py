@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, functions as F
 Z_95 = 1.959963984540054  # 95% two-sided normal quantile
 
 
+def z_value(confidence: float) -> float:
+    """Two-sided normal quantile for an arbitrary CONFIDENCE clause
+    (docs/sde/running_queries.md:14 — 0 < c < 1, default 0.95)."""
+    if not 0.0 < confidence < 1.0:
+        raise ValueError(f"confidence must be in (0, 1), got {confidence}")
+    from statistics import NormalDist
+
+    return NormalDist().inv_cdf((1.0 + confidence) / 2.0)
+
+
 class SampleTable:
     """A stratified sample with the metadata needed for estimation."""
 
@@ -101,8 +111,7 @@ def approx_agg(
     Returns estimate, absolute_error (half-width of the CI), relative_error,
     lower_bound, upper_bound — the four SDE error functions
     (docs/sde/running_queries.md)."""
-    if confidence != 0.95:
-        raise NotImplementedError("only 95% confidence implemented")
+    z = z_value(confidence)
     s = st.sample
     # per-group sample moments; realized weights when the sample carries
     # the weightage column (exact HT under reservoir floors), else the
@@ -141,7 +150,7 @@ def approx_agg(
         se = F.sqrt(F.col("n") * (1.0 - f)) * inv
     else:
         raise ValueError(f"agg {agg!r} not supported (sum/avg/count)")
-    abs_err = F.lit(Z_95) * se
+    abs_err = F.lit(z) * se
     return g.select(
         *group_cols,
         F.round(est, 4).alias("estimate"),
@@ -166,8 +175,7 @@ def approx_agg_multi(
     Output: group cols + for each alias: `<alias>`,
     `<alias>_absolute_error`, `<alias>_relative_error`, `<alias>_lower_bound`,
     `<alias>_upper_bound` (same math per aggregate as approx_agg)."""
-    if confidence != 0.95:
-        raise NotImplementedError("only 95% confidence implemented")
+    z = z_value(confidence)
     s = st.sample
     weighted = WEIGHT_COL in s.columns
     sum_w = (
@@ -200,7 +208,7 @@ def approx_agg_multi(
             se = F.sqrt(F.col("n") * (1.0 - f)) * inv
         else:
             raise ValueError(f"agg {fn!r} not supported (sum/avg/count)")
-        abs_err = F.lit(Z_95) * se
+        abs_err = F.lit(z) * se
         out_cols += [
             F.round(est, 4).alias(alias),
             F.round(abs_err, 4).alias(f"{alias}_absolute_error"),

@@ -50,9 +50,13 @@ class SnappyContext:
             provider = "column"
         opts = {k.lower(): v for k, v in options.items()}
         if isinstance(schema, str):
-            schema, keys = _parse_ddl_schema(schema)
+            schema, keys, checks = _parse_ddl_schema(schema)
             if keys and "key_columns" not in opts:
                 opts["key_columns"] = ",".join(keys)
+            if checks and "checks" not in opts:
+                import json as _json
+
+                opts["checks"] = _json.dumps(checks)
         if self._sn.catalog.exists(tableName.lower()):
             if allowExisting:
                 return self._sn.table(tableName)

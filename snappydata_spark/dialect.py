@@ -42,6 +42,12 @@ _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
 _INSERT_SELECT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
 )
+# INSERT INTO t VALUES (...) — routed through the managed insert path
+# (positional binding + CHECK constraints), not Spark's direct file
+# append into the backing view
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(VALUES\s*.+)$", re.I | re.S
+)
 _INSERT_OVERWRITE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
 )
@@ -230,7 +236,12 @@ _LIST_PACKAGES = re.compile(r"^\s*LIST\s+(?:PACKAGES|JARS)\s*;?\s*$", re.I)
 # SELECT ... WITH ERROR [<fraction>] (SDE approximate queries,
 # docs/sde/running_queries.md:4-31): route the aggregate to a sample
 # table of the FROM table and return error-bounded estimates
-_WITH_ERROR = re.compile(r"^(.*?)\s+WITH\s+ERROR(?:\s+([\d.]+))?\s*;?\s*$", re.I | re.S)
+_WITH_ERROR = re.compile(
+    r"^(.*?)\s+WITH\s+ERROR(?:\s+([\d.]+))?"
+    r"(?:\s+CONFIDENCE\s+([\d.]+))?"
+    r"(?:\s+BEHAVIOR\s+'(\w+)')?\s*;?\s*$",
+    re.I | re.S,
+)
 _APPROX_AGG = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
     r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
@@ -241,13 +252,15 @@ _AGG_ITEM = re.compile(r"^(SUM|AVG|COUNT)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?
 
 def parse_with_error(text: str):
     """Return (agg_list, group_items, table, where, group_by,
-    error_fraction) for a `... WITH ERROR` query, else None.  The select
-    list may contain any number of SUM/AVG/COUNT aggregates (the full SDE
-    select-list form); remaining items are group cols."""
+    error_fraction, confidence, behavior) for a `... WITH ERROR [f]
+    [CONFIDENCE c] [BEHAVIOR 'b']` query (full SDE grammar,
+    docs/sde/running_queries.md:10-15), else None.  The select list may
+    contain any number of SUM/AVG/COUNT aggregates; remaining items are
+    group cols."""
     m = _WITH_ERROR.match(text)
     if not m:
         return None
-    body, frac = m.group(1), m.group(2)
+    body, frac, conf, behavior = m.groups()
     q = _APPROX_AGG.match(body)
     if not q:
         raise ValueError(
@@ -265,6 +278,13 @@ def parse_with_error(text: str):
             group_items.append(it)
     if not aggs:
         raise ValueError("WITH ERROR requires a SUM/AVG/COUNT aggregate")
+    behavior = (behavior or "").lower() or None
+    valid = {
+        None, "do_nothing", "local_omit", "strict",
+        "run_on_full_table", "partial_run_on_base_table",
+    }
+    if behavior not in valid:
+        raise ValueError(f"BEHAVIOR {behavior!r} not in {sorted(valid - {None})}")
     return (
         aggs,
         group_items,
@@ -272,6 +292,8 @@ def parse_with_error(text: str):
         q.group(3),
         q.group(4),
         float(frac) if frac else None,
+        float(conf) if conf else 0.95,
+        behavior,
     )
 
 
@@ -283,12 +305,43 @@ _PK_CONSTRAINT = re.compile(r"\bPRIMARY\s+KEY\b", re.I)
 _NOT_NULL_CONSTRAINT = re.compile(r"\bNOT\s+NULL\b", re.I)
 
 
-def parse_ddl_schema(schema: str) -> tuple[str, list[str]]:
-    """``(col TYPE [NOT NULL] [PRIMARY KEY], ...)`` → (Spark DDL string,
-    primary-key column list).  Tolerates the unparenthesized form."""
+_CHECK_HEAD = re.compile(r"\bCHECK\s*\(", re.I)
+_CONSTRAINT_ITEM = re.compile(r"^\s*CONSTRAINT\s+\w+\s*", re.I)
+
+
+def _extract_check(item: str) -> tuple[str, str | None]:
+    """Strip a `CHECK (<expr>)` clause from a DDL item; return
+    (item-without-check, expr or None).  Parens inside the expression are
+    balanced by hand (regex can't)."""
+    m = _CHECK_HEAD.search(item)
+    if not m:
+        return item, None
+    depth, i = 1, m.end()
+    while i < len(item) and depth:
+        if item[i] == "(":
+            depth += 1
+        elif item[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced CHECK constraint in: {item!r}")
+    expr = item[m.end(): i - 1].strip()
+    return (item[: m.start()] + item[i:]).strip(), expr
+
+
+def parse_ddl_schema(schema: str) -> tuple[str, list[str], list[str]]:
+    """``(col TYPE [NOT NULL] [PRIMARY KEY] [CHECK (expr)], ...,
+    [CONSTRAINT name] CHECK (expr))`` → (Spark DDL string, primary-key
+    column list, CHECK expressions) — the GemFireXD row-DDL constraint
+    surface.  Tolerates the unparenthesized form."""
     s = schema.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1]
+    # the DDL route strips ALL trailing parens ('(...)'.strip('() ')), so a
+    # schema ending in CHECK (...) can arrive missing closers — re-balance
+    imbalance = s.count("(") - s.count(")")
+    if imbalance > 0:
+        s += ")" * imbalance
     cols, keys = [], []
     depth = 0
     item = ""
@@ -305,16 +358,23 @@ def parse_ddl_schema(schema: str) -> tuple[str, list[str]]:
             item += ch
     if item.strip():
         items.append(item)
+    checks: list[str] = []
     for item in items:
         item = item.strip()
         if not item:
             continue
+        item, check = _extract_check(item)
+        if check:
+            checks.append(check)
+        item = _CONSTRAINT_ITEM.sub("", item).strip()
+        if not item:
+            continue  # pure [CONSTRAINT name] CHECK(...) table constraint
         if _PK_CONSTRAINT.search(item):
             keys.append(item.split()[0].lower())
             item = _PK_CONSTRAINT.sub("", item)
         item = _NOT_NULL_CONSTRAINT.sub("", item)
         cols.append(" ".join(item.split()))
-    return ", ".join(cols), keys
+    return ", ".join(cols), keys, checks
 
 
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
@@ -700,6 +760,13 @@ def split_statement(text: str) -> Statement:
     m = _INSERT_SELECT.match(text)
     if m:
         return Statement("insert_select", table=m.group(1), source_sql=m.group(2))
+    m = _INSERT_VALUES.match(text)
+    if m:
+        # inline table → positional SELECT, same contract as PUT VALUES
+        return Statement(
+            "insert_select", table=m.group(1),
+            source_sql=f"SELECT * FROM {m.group(2)}",
+        )
     m = _INSERT_OVERWRITE.match(text)
     if m:
         return Statement("insert_overwrite", table=m.group(1), source_sql=m.group(2))

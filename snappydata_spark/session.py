@@ -220,10 +220,15 @@ class SnappySession:
             # column constraints)
             from snappydata_spark.dialect import parse_ddl_schema
 
-            schema, pk = parse_ddl_schema(schema)
-            if pk:
+            schema, pk, checks = parse_ddl_schema(schema)
+            if pk or checks:
                 options = dict(options or {})
+            if pk:
                 options.setdefault("key_columns", ",".join(pk))
+            if checks:
+                import json as _json
+
+                options["checks"] = _json.dumps(checks)
         meta = TableMeta.from_options(name, provider, options)
         self.catalog.save_meta(meta)
         if df is None and schema is not None:
@@ -533,10 +538,28 @@ class SnappySession:
 
     # ------------------------------------------------------------------ DML
 
+    def _validate_checks(self, meta: TableMeta, df: DataFrame) -> None:
+        """Enforce CHECK constraints (GemFireXD row-DDL surface) on the
+        incoming/rewritten rows — SQL semantics: NULL passes, FALSE
+        rejects.  Cost is one scan per constraint over the write batch
+        (never the whole table on the pruned paths)."""
+        raw = meta.options.get("checks")
+        if not raw:
+            return
+        import json as _json
+
+        for expr in _json.loads(raw):
+            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            if df.filter(~ok).limit(1).count() > 0:
+                raise ValueError(
+                    f"CHECK constraint violated on {meta.name}: {expr}"
+                )
+
     @_serialized
     def insert(self, name: str, df: DataFrame) -> None:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
         meta = self.catalog.load_meta(name.lower())
+        self._validate_checks(meta, df)
         self._write(df, meta, mode="append")
         self._refresh_view(name)
 
@@ -549,6 +572,7 @@ class SnappySession:
         are appended as new files.  A put whose keys match nothing touches
         zero existing files — it degenerates to a pure insert."""
         meta = self.catalog.load_meta(name.lower())
+        self._validate_checks(meta, df)
         keys = meta.key_columns or meta.partition_by
         target = self._mutation_target(name, meta)
         if target is None:  # empty table: put == insert
@@ -584,12 +608,16 @@ class SnappySession:
             return
         files = self._affected_files(target, pred=where)
         if files is None:
-            self._rewrite(mutate.update_df(target, where, assignments), meta)
+            updated = mutate.update_df(target, where, assignments)
+            self._validate_checks(meta, updated)
+            self._rewrite(updated, meta)
             return
         if not files:
             return  # nothing matched: zero writes
         touched = self._read_files(target.schema, files)
-        self._replace_files(meta, files, mutate.update_df(touched, where, assignments))
+        updated = mutate.update_df(touched, where, assignments)
+        self._validate_checks(meta, updated)
+        self._replace_files(meta, files, updated)
 
     @_serialized
     def delete(self, name: str, where) -> None:
@@ -932,13 +960,23 @@ class SnappySession:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
         )
 
-    def _approx_sql(self, aggs, group_items, table, where, group_by, frac):
-        """`SELECT <agg>, ... WITH ERROR` routing (docs/sde/
-        running_queries.md:4-31; SnappyContextFunctions AQP hooks): rewrite
-        the aggregates onto a registered sample table of the FROM table and
-        return estimates with SDE's error columns.  A multi-aggregate select
-        list is ONE sample scan (approx_agg_multi); the scan touches only
-        the sample — that is the entire point at 100 TB."""
+    def _approx_sql(
+        self, aggs, group_items, table, where, group_by, frac,
+        confidence=0.95, behavior=None,
+    ):
+        """`SELECT <agg>, ... WITH ERROR [f] [CONFIDENCE c] [BEHAVIOR 'b']`
+        routing (full SDE grammar, docs/sde/running_queries.md:4-31;
+        SnappyContextFunctions AQP hooks): rewrite the aggregates onto a
+        registered sample table of the FROM table and return estimates
+        with SDE's error columns at the requested confidence.  A
+        multi-aggregate select list is ONE sample scan (approx_agg_multi);
+        the scan touches only the sample — that is the entire point at
+        100 TB.  BEHAVIOR decides what happens when a row's relative
+        error exceeds f (default run_on_full_table, the reference's SQL
+        default): do_nothing | local_omit (drop the row) | strict (raise)
+        | run_on_full_table (exact re-run of the whole query) |
+        partial_run_on_base_table (exact re-run of violating groups
+        only, stitched with the good estimates)."""
         from snappydata_spark import aqp
 
         sample_name = None
@@ -967,14 +1005,85 @@ class SnappySession:
             # legacy single-aggregate contract: estimate + 4 error columns
             agg_fn, value_col, alias = aggs[0]
             out = aqp.approx_agg(
-                st, group_cols, qcs[0] if value_col == "*" else value_col, agg_fn
+                st, group_cols, qcs[0] if value_col == "*" else value_col,
+                agg_fn, confidence=confidence,
             )
-            return out.withColumnRenamed("estimate", alias) if alias else out
-        named = [
-            (fn, qcs[0] if col == "*" else col, alias or f"{fn}_{col}".replace("*", "all"))
-            for fn, col, alias in aggs
-        ]
-        return aqp.approx_agg_multi(st, group_cols, named)
+            if alias:
+                out = out.withColumnRenamed("estimate", alias)
+            rel_cols = ["relative_error"]
+            named = [(agg_fn, qcs[0] if value_col == "*" else value_col,
+                      alias or "estimate")]
+        else:
+            named = [
+                (fn, qcs[0] if col == "*" else col,
+                 alias or f"{fn}_{col}".replace("*", "all"))
+                for fn, col, alias in aggs
+            ]
+            out = aqp.approx_agg_multi(st, group_cols, named, confidence=confidence)
+            rel_cols = [f"{alias}_relative_error" for _, _, alias in named]
+        return self._apply_error_behavior(
+            out, rel_cols, named, table, where, group_cols, frac, behavior
+        )
+
+    def _apply_error_behavior(
+        self, out, rel_cols, named, table, where, group_cols, frac, behavior
+    ):
+        """BEHAVIOR clause semantics (docs/sde/running_queries.md:15;
+        reference SQL default run_on_full_table): act on rows whose
+        relative error exceeds the requested fraction."""
+        behavior = behavior or "run_on_full_table"
+        if frac is None or behavior == "do_nothing":
+            return out
+        viol = None
+        for c in rel_cols:
+            cond = F.col(c) > frac
+            viol = cond if viol is None else (viol | cond)
+        if behavior == "local_omit":
+            return out.filter(~viol)
+        n_bad = out.filter(viol).limit(1).count()
+        if n_bad == 0:
+            return out
+        if behavior == "strict":
+            raise ValueError(
+                f"WITH ERROR ... BEHAVIOR 'strict': estimate exceeds "
+                f"relative error {frac} (docs/sde/running_queries.md)"
+            )
+        exact = self._exact_agg(table, where, group_cols, named, out.columns)
+        if behavior == "run_on_full_table":
+            return exact
+        # partial_run_on_base_table: exact rows for violating groups only
+        good = out.filter(~viol)
+        bad_keys = out.filter(viol).select(*group_cols)
+        bad_exact = exact.join(F.broadcast(bad_keys), group_cols, "left_semi")
+        return good.unionByName(bad_exact)
+
+    def _exact_agg(self, table, where, group_cols, named, out_columns):
+        """Exact re-run on the base table with the SAME output schema as
+        the estimate frame (error columns collapse to zero-width)."""
+        base = self.table(table)
+        if where:
+            base = base.filter(F.expr(where))
+        fns = {"sum": F.sum, "avg": F.avg}
+        agg_exprs = []
+        for fn, col, alias in named:
+            e = (
+                F.count(F.lit(1)).cast("double")
+                if fn == "count"
+                else fns[fn](col)
+            )
+            agg_exprs.append(F.round(e.cast("double"), 4).alias(alias))
+        exact = base.groupBy(*group_cols).agg(*agg_exprs)
+        aliases = {alias for _, _, alias in named}
+        for c in out_columns:
+            if c in aliases or c in group_cols:
+                continue
+            src = next((a for a in aliases if c.startswith(f"{a}_")), None)
+            base_col = src if src is not None else next(iter(aliases))
+            if c.endswith(("lower_bound", "upper_bound")):
+                exact = exact.withColumn(c, F.col(base_col))
+            else:  # absolute_error / relative_error
+                exact = exact.withColumn(c, F.lit(0.0))
+        return exact.select(*out_columns)
 
     # ----------------------------------------------------------- sample/index
 

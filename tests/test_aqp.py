@@ -195,10 +195,13 @@ def test_with_error_sql_routing(snappy, sf_dir):
     true = {
         r.l_returnflag: r.s
         for r in lineitem.groupBy("l_returnflag")
-        .agg(F.sum("l_extendedprice").alias("s"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("s"))
         .collect()
     }
     assert set(est) == set(true)
+    # default BEHAVIOR is run_on_full_table: rows whose estimate violated
+    # the 0.1 bound come back exact (zero-width CI), so the bracket check
+    # holds either way (truth rounded like the engine's output)
     for k, row in est.items():
         assert row.lower_bound <= true[k] <= row.upper_bound
     # WHERE is applied to the sample before estimation
@@ -221,17 +224,70 @@ def test_with_error_sql_routing(snappy, sf_dir):
         r.l_returnflag: r
         for r in lineitem.groupBy("l_returnflag")
         .agg(
-            F.sum("l_extendedprice").alias("rev"),
+            F.round(F.sum("l_extendedprice"), 4).alias("rev"),
             F.count(F.lit(1)).alias("n"),
-            F.avg("l_quantity").alias("aq"),
+            F.round(F.avg("l_quantity"), 4).alias("aq"),
         )
         .collect()
     }
     rows = {r.l_returnflag: r for r in multi.collect()}
     assert set(rows) == set(truth)
+    # truth rounded like the engine's 4-decimal output: exact re-run rows
+    # (default run_on_full_table) have zero-width CIs at the rounded value
     for k, r in rows.items():
         assert r.rev_lower_bound <= truth[k].rev <= r.rev_upper_bound
         assert r.n_lower_bound <= truth[k].n <= r.n_upper_bound
-        assert r.aq_lower_bound <= truth[k].aq <= r.aq_upper_bound
+        assert round(r.aq_lower_bound, 3) <= round(truth[k].aq, 3) <= round(r.aq_upper_bound, 3)
     snappy.drop_table("li_sample")
     snappy.drop_table("li_base")
+
+
+def test_with_error_confidence_and_behavior(snappy, sf_dir):
+    """Full SDE grammar (docs/sde/running_queries.md:10-15): CONFIDENCE
+    scales the CI width (99% wider than 80%), BEHAVIOR governs rows whose
+    relative error exceeds the fraction — local_omit drops them, strict
+    raises, run_on_full_table returns exact values with zero-width CIs."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("beh_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE beh_sample ON beh_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.2')"
+    )
+    q = (
+        "SELECT l_returnflag, SUM(l_extendedprice) AS rev FROM beh_base "
+        "GROUP BY l_returnflag WITH ERROR 0.5 CONFIDENCE {c} BEHAVIOR 'do_nothing'"
+    )
+    w99 = {
+        r.l_returnflag: r.upper_bound - r.lower_bound
+        for r in snappy.sql(q.format(c="0.99")).collect()
+    }
+    w80 = {
+        r.l_returnflag: r.upper_bound - r.lower_bound
+        for r in snappy.sql(q.format(c="0.80")).collect()
+    }
+    assert all(w99[k] > w80[k] for k in w99)
+
+    # an impossibly tight error bound forces every behavior branch
+    tight = ("SELECT l_returnflag, SUM(l_extendedprice) AS rev FROM beh_base "
+             "GROUP BY l_returnflag WITH ERROR 0.0000000001 BEHAVIOR '{b}'")
+    assert snappy.sql(tight.format(b="local_omit")).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strict"):
+        snappy.sql(tight.format(b="strict")).count()
+    exact = {r.l_returnflag: r for r in snappy.sql(
+        tight.format(b="run_on_full_table")).collect()}
+    true = {
+        r.l_returnflag: r.s
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("s"))
+        .collect()
+    }
+    for k, row in exact.items():
+        assert row.rev == true[k]
+        assert row.relative_error == 0.0
+        assert row.lower_bound == row.rev == row.upper_bound
+    partial = snappy.sql(tight.format(b="partial_run_on_base_table"))
+    got = {r.l_returnflag: r.rev for r in partial.collect()}
+    assert got == {k: r.rev for k, r in exact.items()}
+    snappy.drop_table("beh_sample")
+    snappy.drop_table("beh_base")

@@ -349,3 +349,28 @@ def test_show_create_table_roundtrip(snappy):
     assert snappy.table("sct_t2").columns == ["k", "v"]
     snappy.drop_table("sct_t")
     snappy.drop_table("sct_t2")
+
+
+def test_check_constraints_enforced(snappy):
+    """CHECK constraints (GemFireXD row-DDL surface): column-level and
+    named table-level checks parse out of the DDL, persist with the
+    table, and reject violating INSERT/PUT/UPDATE writes; NULL passes
+    (SQL semantics)."""
+    snappy.sql(
+        "CREATE TABLE chk_t (k INT NOT NULL PRIMARY KEY, "
+        "price DOUBLE CHECK (price > 0), qty INT, "
+        "CONSTRAINT qty_cap CHECK (qty <= 100)) USING ROW"
+    )
+    snappy.sql("INSERT INTO chk_t VALUES (1, 9.5, 10)")
+    snappy.sql("INSERT INTO chk_t VALUES (2, NULL, NULL)")  # NULL passes
+    assert snappy.table("chk_t").count() == 2
+    with pytest.raises(ValueError, match="price > 0"):
+        snappy.sql("INSERT INTO chk_t VALUES (3, -1.0, 5)")
+    with pytest.raises(ValueError, match="qty_cap|qty <= 100"):
+        snappy.sql("PUT INTO chk_t VALUES (1, 9.5, 500)")
+    with pytest.raises(ValueError, match="price > 0"):
+        snappy.sql("UPDATE chk_t SET price = -2.0 WHERE k = 1")
+    # rejected writes must not have mutated anything
+    assert snappy.table("chk_t").count() == 2
+    assert snappy.table("chk_t").filter("price < 0 OR qty > 100").count() == 0
+    snappy.drop_table("chk_t")
