@@ -1085,6 +1085,68 @@ class SnappySession:
                 exact = exact.withColumn(c, F.lit(0.0))
         return exact.select(*out_columns)
 
+    # ----------------------------------------------------------------- topk
+
+    def create_approx_ts_topk(
+        self,
+        name: str,
+        base_table: str,
+        key_col: str,
+        ts_col: str = "ts",
+        k: int = 10,
+        window: str = "1 hour",
+    ) -> None:
+        """createApproxTSTopK (SnappySession.scala:958-1026): register a
+        time-windowed top-k structure over a base table.  The reference
+        maintains a count-min sketch + StreamSummary per window; here the
+        structure is a materialized per-window (key, cnt) panel — bounded
+        by windows × keys-kept, refreshable from the base table, and
+        mergeable across windows at query time."""
+        from snappydata_spark import aqp as aqp_mod
+
+        panel = aqp_mod.approx_topk_time(
+            self.table(base_table), key_col, ts_col, k=max(k * 4, k), window=window
+        ).drop("rank")
+        self.create_table(
+            name,
+            provider="topk",
+            options={
+                "base_table": base_table.lower(),
+                "key": key_col.lower(),
+                "ts": ts_col.lower(),
+                "k": str(k),
+                "window": window,
+            },
+            df=panel,
+        )
+
+    def query_approx_ts_topk(
+        self,
+        name: str,
+        start_time: str | None = None,
+        end_time: str | None = None,
+        k: int | None = None,
+    ) -> DataFrame:
+        """queryApproxTSTopK (SnappySession.scala:2162-2167): top-k keys
+        over a time range — per-window partial counts are merged (sum)
+        across the requested range, never touching base-table rows."""
+        meta = self.catalog.load_meta(name.lower())
+        if meta.provider != "topk":
+            raise ValueError(f"{name} is not an approx TS topk structure")
+        k = k or int(meta.options["k"])
+        key = meta.options["key"]
+        panel = self.table(name)
+        if start_time:
+            panel = panel.filter(F.col("window_start") >= F.lit(start_time).cast("timestamp"))
+        if end_time:
+            panel = panel.filter(F.col("window_start") < F.lit(end_time).cast("timestamp"))
+        return (
+            panel.groupBy(key)
+            .agg(F.sum("cnt").alias("estimated_count"))
+            .orderBy(F.desc("estimated_count"), F.asc(key))
+            .limit(k)
+        )
+
     # ----------------------------------------------------------- sample/index
 
     def _create_sample_table(self, name: str, base_table: str, options: dict):

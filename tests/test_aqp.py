@@ -291,3 +291,37 @@ def test_with_error_confidence_and_behavior(snappy, sf_dir):
     assert got == {k: r.rev for k, r in exact.items()}
     snappy.drop_table("beh_sample")
     snappy.drop_table("beh_base")
+
+
+def test_create_and_query_approx_ts_topk(snappy, sf_dir):
+    """createApproxTSTopK / queryApproxTSTopK (SnappySession.scala:
+    958-1026, 2162-2167): materialized per-window top-k panel, range
+    queries merge window partials without touching base rows."""
+    ev = snappy.spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", (F.col("ts") / 1_000_000_000).cast("timestamp")
+    ) if dict(snappy.spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts") == "bigint" else snappy.spark.read.parquet(f"{sf_dir}/events.parquet")
+    snappy.create_table("tk_events", df=ev)
+    snappy.create_approx_ts_topk(
+        "tk_types", "tk_events", "event_type", "ts", k=3, window="1 hour"
+    )
+    top = snappy.query_approx_ts_topk("tk_types")
+    rows = top.collect()
+    assert 0 < len(rows) <= 3
+    # merged range counts must equal exact counts for the top keys
+    exact = {
+        r.event_type: r.n
+        for r in snappy.table("tk_events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r.estimated_count == exact[r.event_type]
+    # bounded range query
+    lo = snappy.table("tk_events").agg(F.min("ts")).first()[0]
+    some = snappy.query_approx_ts_topk(
+        "tk_types", start_time=str(lo), k=2
+    ).collect()
+    assert len(some) <= 2
+    with pytest.raises(ValueError, match="topk"):
+        snappy.query_approx_ts_topk("tk_events")
+    snappy.drop_table("tk_types")
+    snappy.drop_table("tk_events")
