@@ -194,6 +194,7 @@ def main() -> None:
         "ev_anomaly_zscore",
         "mm_binary_chunks",
         "sql_recursive_cte",
+        "ev_conversion_attribution",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

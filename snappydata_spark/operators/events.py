@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from snappydata_spark.operators.registry import register
+from snappydata_spark import timeseries
 from snappydata_spark.tables import load_tables
 
 
@@ -241,4 +242,63 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
             F.round(z, 4).alias("z"),
         )
+    )
+
+
+@register(
+    "ev_conversion_attribution",
+    oracle="""
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT c.event_id, c.user_id,
+       arg_min(t.event_id, epoch_ms(t.ts) * 1000000 + t.event_id) AS first_touch_id,
+       arg_max(t.event_id, epoch_ms(t.ts) * 1000000 + t.event_id) AS last_touch_id,
+       COUNT(*)::BIGINT AS n_touches,
+       ROUND(ANY_VALUE(c.value) / COUNT(*), 4) AS linear_credit
+FROM conv c JOIN touch t
+  ON t.user_id = c.user_id
+ AND epoch(t.ts) >= epoch(c.ts) - 86400
+ AND epoch(t.ts) < epoch(c.ts)
+GROUP BY c.event_id, c.user_id
+""",
+)
+def ev_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: each purchase credits the
+    click/view touches of the same user in the preceding 24 h —
+    first-touch, last-touch, and linear (value / n_touches) in one pass.
+    The touch window is a bucket-refined range join (fan-out bounded by
+    bucket width, one shuffle on user), then a single partial-aggregated
+    groupBy(conversion); the (ms-epoch, event_id) composite ordering key
+    makes the first/last picks deterministic on both engines at equal
+    timestamps (event_id tie-break; fits BIGINT for event_id < 1e6 at
+    registry scales)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = timeseries.range_join(
+        conv, touch, by=("user_id",), left_ts="ts", right_ts="ts",
+        lower_seconds=-86400, upper_seconds=0,
+    )
+    # NTZ-safe: cast to (LTZ) timestamp first — session TZ is UTC, so the
+    # wall-clock epoch matches DuckDB's epoch_ms on naive timestamps
+    order = (
+        F.unix_millis(F.col("r.ts").cast("timestamp")) * 1000000
+    ) + F.col("r.event_id")
+    return pairs.groupBy(
+        F.col("l.event_id").alias("event_id"),
+        F.col("l.user_id").alias("user_id"),
+    ).agg(
+        F.min_by(F.col("r.event_id"), order).alias("first_touch_id"),
+        F.max_by(F.col("r.event_id"), order).alias("last_touch_id"),
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.any_value(F.col("l.value")) / F.count(F.lit(1)), 4).alias(
+            "linear_credit"
+        ),
     )
