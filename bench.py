@@ -195,6 +195,7 @@ def main() -> None:
         "mm_binary_chunks",
         "sql_recursive_cte",
         "ev_conversion_attribution",
+        "sim_knn_graph",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

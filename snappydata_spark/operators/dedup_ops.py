@@ -429,3 +429,71 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("doc_id").alias("n_distinct"),
     )
+
+
+def _knn_graph_sql(num_planes: int = 6, k: int = 3) -> str:
+    projs = ", ".join(
+        f"""list_aggregate([embedding[x]::DOUBLE *
+            (('0x' || substr(md5('plane{p}~' || (x - 1)::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 2147483648.0 - 1.0)
+            for x in range(1, len(embedding) + 1)], 'sum') AS proj{p}"""
+        for p in range(num_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(num_planes)
+    )
+    return f"""
+WITH proj AS (SELECT vec_id, {projs} FROM embeddings),
+b AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+pairs AS (
+  SELECT b1.vec_id AS src, b2.vec_id AS dst,
+         {_cos_sql('e1.embedding', 'e2.embedding')} AS sim
+  FROM b b1
+  JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id <> b2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = b1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+)
+SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
+  SELECT src, dst, sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+  FROM pairs) WHERE rank <= {k}
+"""
+
+
+@register("sim_knn_graph", oracle=_knn_graph_sql())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction within LSH buckets — the neighborhood
+    graph that feeds graph-based dedup/clustering (connected components
+    over near-duplicate edges) and diversity sampling.  All-pairs cosine
+    is confined to each hyperplane bucket (the candidate discipline every
+    dedup op here uses), so the pair count is Σ bucket²,
+    never n²; one shuffle on bucket, then a per-src top-k window.  The
+    md5-derived planes and the fold-order-matched cosine make the whole
+    graph (ids, ranks, similarities) hash-checkable against the oracle."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    b = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        V.lsh_hyperplane_bucket(F.col("embedding"), num_planes=6, dims=64).alias(
+            "bucket"
+        ),
+    )
+    b.persist()  # both self-join sides read one bucket computation
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "bucket")
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("src"),
+            F.col("r.vec_id").alias("dst"),
+            V.cosine(F.col("l.embedding"), F.col("r.embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", F.round("sim", 4).alias("sim"), "rank")
+    )
