@@ -196,6 +196,7 @@ def main() -> None:
         "sql_recursive_cte",
         "ev_conversion_attribution",
         "sim_knn_graph",
+        "dedup_containment",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

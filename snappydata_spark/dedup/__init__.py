@@ -257,3 +257,56 @@ def keep_one_per_cluster(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    index_shingles: int = 5,
+) -> DataFrame:
+    """Asymmetric containment |sh(a) ∩ sh(b)| / |sh(a)| — detects quotes
+    and sub-documents that symmetric Jaccard misses (a short doc pasted
+    into a long one has low Jaccard but containment ≈ 1).
+
+    Candidate discipline: inverted-index blocking on each doc's
+    `index_shingles` SMALLEST shingle hashes — a contained doc shares its
+    rare shingles with its container, so candidates are generated by a
+    join on shared shingle keys (pair count bounded by docs-per-shingle²,
+    never corpus²), then exact containment is computed only on candidates.
+    One shuffle on the shingle key + one on the pair."""
+    docs = df.select(
+        F.col(id_col),
+        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    docs = docs.persist()  # keys + both join sides read one shingle pass
+    keys = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
+                1,
+                index_shingles,
+            )
+        ).alias("key"),
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "key")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
+        )
+        .distinct()
+    )
+    a = docs.select(F.col(id_col).alias("src"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("dst"), F.col("sh").alias("sh_b"))
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a")
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -497,3 +497,39 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("src", "dst", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+# ----------------------------------------------------------------- containment
+
+@register(
+    "dedup_containment",
+    oracle=r"""
+WITH {CORPUS},
+tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
+                             for x in range(1, len(t) - 1)]) AS sh
+       FROM tok),
+keys AS (
+  SELECT doc_id, unnest(list_sort([md5(s) for s in sh])[1:5]) AS key
+  FROM sh WHERE len(sh) > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id <> b.doc_id
+)
+SELECT c.src, c.dst,
+       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh), 4)
+           AS containment
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.src
+JOIN sh sb ON sb.doc_id = c.dst
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh) >= 0.6
+""".replace("{CORPUS}", _CORPUS_SQL).replace("{_TOKS}", _TOKS),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment ≥ 0.6 with rare-shingle inverted-index
+    candidate generation (see dedup.containment_pairs)."""
+    return dedup.containment_pairs(
+        _corpus(spark, sf_dir), shingle_n=3, threshold=0.6, index_shingles=5
+    )
