@@ -197,6 +197,7 @@ def main() -> None:
         "ev_conversion_attribution",
         "sim_knn_graph",
         "dedup_containment",
+        "pipeline_dataset_card",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

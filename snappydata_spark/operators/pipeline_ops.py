@@ -589,3 +589,42 @@ def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(len({_TOKS}))::BIGINT AS total_tokens,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       ROUND(quantile_cont(len({_TOKS}), 0.5), 1) AS p50_tokens,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY source
+""".replace("{_TOKS}", _TOKS),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-source summary block every corpus
+    release ships — doc/token counts, language spread, median length,
+    id ranges — in ONE partial-aggregated pass over the corpus (exact
+    median via percentile; at 100 TB swap percentile→percentile_approx,
+    same shape).  Shuffle bounded by |sources|."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.size(T.tokens(F.col("text")))
+    return (
+        t["documents"]
+        .select("source", "lang", "n_chars", "doc_id", toks.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 1).alias("p50_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
