@@ -442,16 +442,22 @@ def _knn_graph_sql(num_planes: int = 6, k: int = 3) -> str:
     bucket = " + ".join(
         f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(num_planes)
     )
+    # norms precomputed per VECTOR (not per pair) on both engines — same
+    # fold order as _cos_sql, so sim values stay bitwise identical while
+    # each side does O(n) norm work instead of O(pairs)
     return f"""
 WITH proj AS (SELECT vec_id, {projs} FROM embeddings),
-b AS (SELECT vec_id, {bucket} AS bucket FROM proj),
+b AS (SELECT p.vec_id, {bucket} AS bucket, e.embedding,
+             sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in e.embedding],
+                                 'sum')) AS nrm
+      FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id),
 pairs AS (
   SELECT b1.vec_id AS src, b2.vec_id AS dst,
-         {_cos_sql('e1.embedding', 'e2.embedding')} AS sim
+         (list_aggregate([b1.embedding[x]::DOUBLE * b2.embedding[x]::DOUBLE
+                          for x in range(1, len(b1.embedding) + 1)], 'sum')
+          / (b1.nrm * b2.nrm)) AS sim
   FROM b b1
   JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id <> b2.vec_id
-  JOIN embeddings e1 ON e1.vec_id = b1.vec_id
-  JOIN embeddings e2 ON e2.vec_id = b2.vec_id
 )
 SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
   SELECT src, dst, sim,
@@ -479,8 +485,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.lsh_hyperplane_bucket(F.col("embedding"), num_planes=6, dims=64).alias(
             "bucket"
         ),
+        V.norm(F.col("embedding")).alias("nrm"),
     )
-    b.persist()  # both self-join sides read one bucket computation
+    b.persist()  # both self-join sides read one bucket+norm computation
     pairs = (
         b.alias("l")
         .join(b.alias("r"), "bucket")
@@ -488,7 +495,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.vec_id").alias("src"),
             F.col("r.vec_id").alias("dst"),
-            V.cosine(F.col("l.embedding"), F.col("r.embedding")).alias("sim"),
+            (
+                V.dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (F.col("l.nrm") * F.col("r.nrm"))
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
