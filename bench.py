@@ -198,6 +198,7 @@ def main() -> None:
         "sim_knn_graph",
         "dedup_containment",
         "pipeline_dataset_card",
+        "ev_session_window_agg",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

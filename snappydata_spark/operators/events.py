@@ -302,3 +302,49 @@ def ev_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linear_credit"
         ),
     )
+
+
+@register(
+    "ev_session_window_agg",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*)::BIGINT AS n_events
+FROM ids GROUP BY user_id, sid
+""",
+)
+def ev_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window — Spark's
+    gap-based session operator, usable identically in batch and
+    streaming): per (user, 30-min-gap session) event counts.  The oracle
+    states the same sessions via lag/island detection, proving Spark's
+    session_window semantics (window end = last event + gap) against
+    first principles.  One shuffle on user_id; in streaming the same
+    expression runs stateful with watermark-bounded session state —
+    which the DStream reference never supported (SURVEY §7 risk 5)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
