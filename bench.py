@@ -199,6 +199,7 @@ def main() -> None:
         "dedup_containment",
         "pipeline_dataset_card",
         "ev_session_window_agg",
+        "txt_length_histogram",
     ]
     # the full TPC-H complement (headline already carries 6): per-query
     # throughput evidence at sf0.1, diagnostics-only

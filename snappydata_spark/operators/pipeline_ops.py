@@ -628,3 +628,35 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "txt_length_histogram",
+    oracle="""
+SELECT lang,
+       CAST(least(len({_TOKS}) // 32, 15) AS BIGINT) AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+       CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY 1, 2
+""".replace("{_TOKS}", _TOKS),
+)
+def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language (32-token buckets, capped at
+    bucket 15) — the corpus length-distribution QA scan that drives
+    truncation/packing decisions.  Pure map-side bucketing + one
+    partial-aggregated shuffle bounded by langs × 16 buckets."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_tok = F.size(T.tokens(F.col("text")))
+    bucket = F.least(F.floor(n_tok / 32), F.lit(15)).cast("long")
+    return (
+        t["documents"]
+        .select("lang", bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+    )
