@@ -851,9 +851,9 @@ class SnappySession:
             # SELECT ... FROM t — Spark rejects overwrite-while-reading)
             self._resolve_read_access(stmt.source_sql)
             meta = self.catalog.load_meta(stmt.table.lower())
-            self._rewrite(
-                self._align_source(stmt.table, self.spark.sql(stmt.source_sql)), meta
-            )
+            aligned = self._align_source(stmt.table, self.spark.sql(stmt.source_sql))
+            self._validate_checks(meta, aligned)
+            self._rewrite(aligned, meta)
             return None
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
@@ -872,8 +872,15 @@ class SnappySession:
                 if n.lower() in self._streams
                 else None,
             )
+            # relation-position match only (FROM s / JOIN s / comma-join
+            # ", s") — a column, alias, or string literal that merely
+            # mentions a stream name must not bypass the plan cache
             if windowed != rewritten or any(
-                re.search(rf"\b{re.escape(s)}\b", rewritten, flags=re.I)
+                re.search(
+                    rf"(?:\bFROM\b|\bJOIN\b|,)\s*{re.escape(s)}\b",
+                    rewritten,
+                    flags=re.I,
+                )
                 for s in self._streams
             ):
                 # query touches a stream relation: the result is a live
@@ -940,11 +947,19 @@ class SnappySession:
     def stop_streaming(self) -> None:
         """STREAMING STOP: stop the CQs this session started (leaves other
         streaming queries on the shared SparkSession untouched)."""
+        errors = []
         for name, q in list(self._active_cqs.items()):
             try:
                 q.stop()
+            except Exception as e:  # noqa: BLE001 — keep stopping the rest
+                errors.append((name, e))
             finally:
                 self._active_cqs.pop(name, None)
+        if errors:
+            raise RuntimeError(
+                "STREAMING STOP: failed to stop "
+                + ", ".join(f"{n} ({e})" for n, e in errors)
+            ) from errors[0][1]
 
     def _align_source(self, name: str, src: DataFrame) -> DataFrame:
         """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the
@@ -1232,10 +1247,14 @@ class SnappySession:
                 target, source=keyed_src, keys=[t_c for t_c, _ in pairs]
             )
         if files is None:
-            self._rewrite(_result(target), meta)
+            res = _result(target)
+            self._validate_checks(meta, res)
+            self._rewrite(res, meta)
             return None
         touched = self._read_files(target.schema, files)
-        self._replace_files(meta, files, _result(touched))
+        res = _result(touched)
+        self._validate_checks(meta, res)
+        self._replace_files(meta, files, res)
         return None
 
     def create_sample_table(self, name: str, base_table: str, qcs, fraction: float):

@@ -6,9 +6,16 @@ feeding SnappySession.put; examples/.../StreamingIngestion jobs).
 Each micro-batch computes MERGEABLE partials (count + per-column sums)
 per (bucket_start, *keys) and combines them into a managed key_columns
 table via PUT INTO.  avg/rate are derived at read time from sum/cnt, so
-the stored state is always mergeable and replay-safe via the batch ledger
-(merging partials is NOT idempotent, so the exactly-once ledger is
-mandatory here, unlike SnappySink's converging upserts).
+the stored state is always mergeable.
+
+Replay safety: merging partials is NOT idempotent, so every stored row
+carries a `last_batch_id` ledger column committed IN THE SAME PUT as the
+merged values.  On replay of batch N, any key whose stored row already
+has last_batch_id >= N keeps its stored values unchanged (the partial
+was already applied); only keys the crashed write never reached are
+merged.  The side-car json file is merely a fast-path skip — a crash
+between the PUT and the file write cannot double-count, because the
+in-row ledger travels atomically with the values it guards.
 
 Scale: partials are bounded by touched buckets × key cardinality, never
 by raw event volume; the merge join reads only the target's bucket range
@@ -99,7 +106,7 @@ class ContinuousAggregate:
             self.session.create_table(
                 self.table,
                 options={"key_columns": ",".join(key_cols)},
-                df=part,
+                df=part.withColumn("last_batch_id", F.lit(batch_id)),
             )
             self._record_batch(batch_id)
             return
@@ -115,16 +122,29 @@ class ContinuousAggregate:
             (F.col("bucket_start") >= bounds.lo)
             & (F.col("bucket_start") <= bounds.hi)
         )
+        # per-row ledger: a stored row with last_batch_id >= batch_id
+        # already contains this batch's partial (crash-after-PUT replay);
+        # keep its values verbatim instead of double-merging
+        applied = F.coalesce(F.col("t.last_batch_id"), F.lit(-1)) >= F.lit(
+            batch_id
+        )
         merged = part.alias("p").join(tgt.alias("t"), key_cols, "left").select(
             *key_cols,
-            (F.col("p.cnt") + F.coalesce(F.col("t.cnt"), F.lit(0))).alias("cnt"),
+            F.when(applied, F.col("t.cnt"))
+            .otherwise(F.col("p.cnt") + F.coalesce(F.col("t.cnt"), F.lit(0)))
+            .alias("cnt"),
             *[
-                (
+                F.when(applied, F.col(f"t.sum_{c}"))
+                .otherwise(
                     F.col(f"p.sum_{c}")
                     + F.coalesce(F.col(f"t.sum_{c}"), F.lit(0.0))
-                ).alias(f"sum_{c}")
+                )
+                .alias(f"sum_{c}")
                 for c in self.agg_cols
             ],
+            F.greatest(
+                F.lit(batch_id), F.coalesce(F.col("t.last_batch_id"), F.lit(-1))
+            ).alias("last_batch_id"),
         )
         self.session.put(self.table, merged)
         self._record_batch(batch_id)
@@ -132,7 +152,7 @@ class ContinuousAggregate:
     def readback(self) -> DataFrame:
         """The rollup with derived averages (read-time finalization of the
         mergeable state)."""
-        df = self.session.table(self.table)
+        df = self.session.table(self.table).drop("last_batch_id")
         for c in self.agg_cols:
             df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt"))
         return df

@@ -374,3 +374,31 @@ def test_check_constraints_enforced(snappy):
     assert snappy.table("chk_t").count() == 2
     assert snappy.table("chk_t").filter("price < 0 OR qty > 100").count() == 0
     snappy.drop_table("chk_t")
+
+
+def test_check_constraints_on_merge_and_overwrite(snappy):
+    """CHECK constraints must also gate the MERGE INTO and INSERT
+    OVERWRITE write paths (they bypass insert/put/update)."""
+    snappy.sql(
+        "CREATE TABLE chk_m (k INT NOT NULL PRIMARY KEY, "
+        "price DOUBLE CHECK (price > 0)) USING ROW"
+    )
+    snappy.sql("INSERT INTO chk_m VALUES (1, 5.0)")
+    with pytest.raises(ValueError, match="price > 0"):
+        snappy.sql(
+            "MERGE INTO chk_m t USING (SELECT 1 AS k, -9.0 AS price) s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET price = s.price"
+        )
+    with pytest.raises(ValueError, match="price > 0"):
+        snappy.sql(
+            "MERGE INTO chk_m t USING (SELECT 2 AS k, -1.0 AS price) s "
+            "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, price) "
+            "VALUES (s.k, s.price)"
+        )
+    with pytest.raises(ValueError, match="price > 0"):
+        snappy.sql(
+            "INSERT OVERWRITE TABLE chk_m SELECT 3 AS k, -2.0 AS price"
+        )
+    rows = snappy.table("chk_m").collect()
+    assert [(r.k, r.price) for r in rows] == [(1, 5.0)]
+    snappy.drop_table("chk_m")

@@ -427,6 +427,16 @@ def test_continuous_aggregate_rollup(snappy, stream_dir):
         (r.bucket_start.hour, r.user): (r.cnt, r.sum_v)
         for r in snappy.table("ca_hourly").collect()
     } == rows
+
+    # crash-window replay: the side-car ledger is lost AFTER the PUT
+    # committed (crash between put() and _record_batch()); the in-row
+    # last_batch_id column must make the replay a per-key no-op
+    os.remove(ca._state_path())
+    ca(batch, batch_id=1)
+    assert {
+        (r.bucket_start.hour, r.user): (r.cnt, r.sum_v)
+        for r in snappy.table("ca_hourly").collect()
+    } == rows
     snappy.drop_table("ca_hourly")
 
 
