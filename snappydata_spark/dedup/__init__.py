@@ -266,36 +266,72 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     index_shingles: int = 5,
+    max_df: int = 100,
 ) -> DataFrame:
     """Asymmetric containment |sh(a) ∩ sh(b)| / |sh(a)| — detects quotes
     and sub-documents that symmetric Jaccard misses (a short doc pasted
     into a long one has low Jaccard but containment ≈ 1).
 
-    Candidate discipline: inverted-index blocking on each doc's
-    `index_shingles` SMALLEST shingle hashes — a contained doc shares its
-    rare shingles with its container, so candidates are generated by a
-    join on shared shingle keys (pair count bounded by docs-per-shingle²,
-    never corpus²), then exact containment is computed only on candidates.
-    One shuffle on the shingle key + one on the pair."""
+    Scale disciplines (each oracle-reproducible):
+
+    1. **Min-hash inverted index**: each doc is keyed by its
+       `index_shingles` SMALLEST 60-bit shingle hashes — a uniform
+       random sample of the doc's shingles, so two docs sharing most
+       shingles almost surely share a key.
+    2. **Document-frequency cap**: keys whose df exceeds `max_df` are
+       dropped before the self-join (prefix-filtering discipline).
+       Without it, one boilerplate shingle hashing low lands k docs on
+       a single key → k² candidate pairs — quadratic at corpus scale
+       (the round-2 defect).  With it, pair count ≤ Σ_key df·max_df ≤
+       index_shingles·n·max_df — linear in n.  The trade: a doc
+       contained ONLY in > max_df boilerplate twins loses those
+       candidates — documented recall bound.
+    3. **Size prefilter**: containment ≥ t requires |sh(b)| ≥ t·|sh(a)|,
+       applied on the key join before the distinct (the cheap length
+       test PPJoin applies before any verification).
+    4. **Hashed verification**: shingle sets are sorted arrays of
+       60-bit md5-prefix longs (not strings), so the exact
+       array_intersect verify compares longs — ~2× faster and a
+       fraction of the shuffle width.  Within-doc 60-bit collisions
+       (P ≈ |sh|²/2⁶¹) are removed by array_distinct on both engines.
+
+    One shuffle on the shingle key (+ the window df count, same key) +
+    one on the pair."""
+    from pyspark.sql import Window as W
+
     docs = df.select(
         F.col(id_col),
-        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    T.shingles(F.col(text_col), shingle_n),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
     docs = docs.persist()  # keys + both join sides read one shingle pass
     keys = docs.select(
         F.col(id_col),
-        F.explode(
-            F.slice(
-                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
-                1,
-                index_shingles,
-            )
-        ).alias("key"),
+        F.size("sh").alias("sz"),
+        F.explode(F.slice("sh", 1, index_shingles)).alias("key"),
+    )
+    # document-frequency cap: whole-partition count over the key (single
+    # shuffle, reused by the self-join's hash partitioning)
+    keys = (
+        keys.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("key")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), "key")
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(
+            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz"))
+        )
         .select(
             F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
         )

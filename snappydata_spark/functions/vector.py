@@ -45,11 +45,14 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
-def lsh_hyperplane_bucket(v: Column, num_planes: int, dims: int) -> Column:
+def lsh_hyperplane_bucket(
+    v: Column, num_planes: int, dims: int, seed: str = "plane"
+) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern over pseudo-random
     hyperplanes).  Hyperplane components are md5-derived uniforms in
     [-1, 1] — deterministic and reproducible in plain SQL, so the bucketed
-    scale path has an exact oracle.  Bucket = sum of sign bits."""
+    scale path has an exact oracle.  Bucket = sum of sign bits.  `seed`
+    namespaces the plane family (banded LSH uses one family per band)."""
     import hashlib
 
     out = F.lit(0).cast("long")
@@ -58,16 +61,23 @@ def lsh_hyperplane_bucket(v: Column, num_planes: int, dims: int) -> Column:
         # same md5-derived uniforms as the SQL oracle, but computed here
         # (hashlib md5 == Spark md5) instead of as 64 Catalyst
         # md5/conv/substring trees per plane — analyzing + constant-folding
-        # those dominated query build time (~3 s of driver work per query)
-        comps = F.array(
-            *[
-                F.lit(
-                    int(hashlib.md5(f"plane{p}~{d}".encode()).hexdigest()[:8], 16)
+        # those dominated query build time (~3 s of driver work per query).
+        # The literal array is built as ONE parsed SQL string: 64 F.lit()
+        # calls per plane were 64 py4j round-trips each — at 12+ planes
+        # that was >1.5 s of pure driver time.  repr() doubles are
+        # shortest-round-trip, so the parsed values are bit-identical.
+        comps = F.expr(
+            "array("
+            + ", ".join(
+                repr(
+                    int(hashlib.md5(f"{seed}{p}~{d}".encode()).hexdigest()[:8], 16)
                     / float(2**31)
                     - 1.0
                 )
+                + "D"
                 for d in range(dims)
-            ]
+            )
+            + ")"
         )
         proj = F.aggregate(
             F.zip_with(dv, comps, lambda x, y: x * y),

@@ -431,34 +431,60 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_sql(num_planes: int = 6, k: int = 3) -> str:
-    projs = ", ".join(
-        f"""list_aggregate([embedding[x]::DOUBLE *
-            (('0x' || substr(md5('plane{p}~' || (x - 1)::VARCHAR), 1, 8))::UBIGINT::DOUBLE
-             / 2147483648.0 - 1.0)
-            for x in range(1, len(embedding) + 1)], 'sum') AS proj{p}"""
-        for p in range(num_planes)
-    )
-    bucket = " + ".join(
-        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(num_planes)
-    )
-    # norms precomputed per VECTOR (not per pair) on both engines — same
-    # fold order as _cos_sql, so sim values stay bitwise identical while
-    # each side does O(n) norm work instead of O(pairs)
+def _knn_oracle_sql(
+    bands: int = 2,
+    target_bucket: int = 32,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    sub_cap: int = 256,
+    k: int = 3,
+) -> str:
+    # plane count derived from COUNT(*) inside the query, so the oracle
+    # reproduces the corpus-scaled bucketing exactly at any sf
     return f"""
-WITH proj AS (SELECT vec_id, {projs} FROM embeddings),
-b AS (SELECT p.vec_id, {bucket} AS bucket, e.embedding,
-             sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in e.embedding],
-                                 'sum')) AS nrm
-      FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id),
+WITH np AS (
+  SELECT LEAST({max_planes}, GREATEST({min_planes},
+               CEIL(LOG2(COUNT(*) / {target_bucket}.0))::INT)) AS bp
+  FROM embeddings),
+comps AS (
+  SELECT band, p,
+         [('0x' || substr(md5('b' || band::VARCHAR || 'plane' || p::VARCHAR
+                               || '~' || d::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+            / 2147483648.0 - 1.0
+          for d in range(0, 64)] AS cvec
+  FROM (SELECT unnest(range(0, {bands})) AS band),
+       (SELECT unnest(range(0, {max_planes})) AS p), np
+  WHERE p < np.bp),
+proj AS (
+  SELECT e.vec_id, c.band, c.p,
+         list_aggregate([e.embedding[x]::DOUBLE * c.cvec[x]
+                         for x in range(1, len(e.embedding) + 1)], 'sum') AS pr
+  FROM embeddings e CROSS JOIN comps c),
+bkt AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id, band),
+sb AS (
+  SELECT vec_id, band, bucket,
+         (ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) - 1)
+           // {sub_cap} AS sub
+  FROM bkt),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS src, s2.vec_id AS dst
+  FROM sb s1 JOIN sb s2
+    ON s1.band = s2.band AND s1.bucket = s2.bucket AND s1.sub = s2.sub
+   AND s1.vec_id <> s2.vec_id),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in embedding],
+                             'sum')) AS nrm
+  FROM embeddings),
 pairs AS (
-  SELECT b1.vec_id AS src, b2.vec_id AS dst,
-         (list_aggregate([b1.embedding[x]::DOUBLE * b2.embedding[x]::DOUBLE
-                          for x in range(1, len(b1.embedding) + 1)], 'sum')
-          / (b1.nrm * b2.nrm)) AS sim
-  FROM b b1
-  JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id <> b2.vec_id
-)
+  SELECT c.src, c.dst,
+         (list_aggregate([a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE
+                          for x in range(1, len(a.embedding) + 1)], 'sum')
+          / (a.nrm * b.nrm)) AS sim
+  FROM cand c JOIN nv a ON a.vec_id = c.src JOIN nv b ON b.vec_id = c.dst)
 SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
   SELECT src, dst, sim,
          ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
@@ -466,40 +492,133 @@ SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
 """
 
 
-@register("sim_knn_graph", oracle=_knn_graph_sql())
+def knn_graph_candidates(
+    emb: DataFrame,
+    bands: int = 2,
+    target_bucket: int = 32,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    sub_cap: int = 256,
+    dims: int = 64,
+    payload: dict | None = None,
+) -> DataFrame:
+    """Scale-safe k-NN candidate pairs via banded hyperplane LSH.
+
+    Two independent scale disciplines (both required — either alone
+    breaks at 100× data):
+
+    1. **Corpus-scaled plane count**: bp = clamp(ceil(log2(n /
+       target_bucket)), min_planes, max_planes), so the expected bucket
+       size stays ≈ target_bucket as n grows — expected pair count is
+       Θ(n · target_bucket · bands), not Θ(n²/2^const) (the round-2
+       fixed-64-bucket defect).
+    2. **Hard sub-bucket split**: within each (band, bucket), rows are
+       row_number-ordered by vec_id and chopped into sub-buckets of
+       ≤ sub_cap members, so even a pathological hot bucket (near-
+       identical vectors LSH cannot separate) produces ≤ n·sub_cap·bands
+       pairs — a deterministic, oracle-reproducible cap.  Recall inside
+       an over-full bucket degrades (cross-sub pairs are skipped) — the
+       documented trade for a worst-case bound.
+
+    `bands` hyperplane families (distinct md5 seed namespaces) each
+    contribute candidates; the union (dedup on src,dst) restores the
+    recall a deeper single code would lose.  One shuffle on (band,
+    bucket) for the window, one self-join on (band, bucket, sub).
+
+    `payload` maps extra column names to Columns evaluated on `emb`;
+    they ride along through the bucket join (no id re-join), and the
+    result carries each as <name>_l / <name>_r for the two sides, so
+    callers compute pair metrics (cosine etc.) in the same join — at
+    scale this trades wider shuffle rows for two fewer id-keyed
+    shuffles."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    n = emb.count()
+    bp = min(
+        max_planes,
+        max(min_planes, math.ceil(math.log2(max(n, 1) / float(target_bucket)))),
+    )
+    pcols = list(payload) if payload else []
+    buckets = emb.select(
+        "vec_id",
+        *[payload[c].alias(c) for c in pcols],
+        *[
+            V.lsh_hyperplane_bucket(
+                F.col("embedding"), bp, dims, seed=f"b{band}plane"
+            ).alias(f"bucket{band}")
+            for band in range(bands)
+        ],
+    )
+    melted = buckets.select(
+        "vec_id",
+        *pcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"bucket{band}").alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", *pcols, "bb.band", "bb.bucket")
+    w = W.partitionBy("band", "bucket").orderBy("vec_id")
+    sb = melted.withColumn(
+        "sub", F.floor((F.row_number().over(w) - 1) / sub_cap)
+    )
+    joined = (
+        sb.alias("l")
+        .join(sb.alias("r"), ["band", "bucket", "sub"])
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+    )
+    if not pcols:
+        return joined.select(
+            F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst")
+        ).distinct()
+    # bands can emit the same pair twice; payload columns are identical
+    # per (src, dst), so dropDuplicates is deterministic
+    return joined.select(
+        F.col("l.vec_id").alias("src"),
+        F.col("r.vec_id").alias("dst"),
+        *[F.col(f"l.{c}").alias(f"{c}_l") for c in pcols],
+        *[F.col(f"r.{c}").alias(f"{c}_r") for c in pcols],
+    ).dropDuplicates(["src", "dst"])
+
+
+@register("sim_knn_graph", oracle=_knn_oracle_sql())
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph construction within LSH buckets — the neighborhood
-    graph that feeds graph-based dedup/clustering (connected components
-    over near-duplicate edges) and diversity sampling.  All-pairs cosine
-    is confined to each hyperplane bucket (the candidate discipline every
-    dedup op here uses), so the pair count is Σ bucket²,
-    never n²; one shuffle on bucket, then a per-src top-k window.  The
-    md5-derived planes and the fold-order-matched cosine make the whole
+    """k-NN graph construction within banded, corpus-scaled LSH buckets —
+    the neighborhood graph that feeds graph-based dedup/clustering
+    (connected components over near-duplicate edges) and diversity
+    sampling.  Candidate generation is knn_graph_candidates (plane count
+    scales with n, hard sub_cap bucket split — pair count
+    Θ(n·target_bucket·bands) expected, ≤ n·sub_cap·bands worst-case);
+    cosine is computed only on candidate ids via two id-keyed joins
+    against the norm-precomputed vectors, then a per-src top-k window.
+    The md5-derived planes and fold-order-matched cosine make the whole
     graph (ids, ranks, similarities) hash-checkable against the oracle."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ("embeddings",))
-    b = t["embeddings"].select(
-        "vec_id",
-        "embedding",
-        V.lsh_hyperplane_bucket(F.col("embedding"), num_planes=6, dims=64).alias(
-            "bucket"
-        ),
-        V.norm(F.col("embedding")).alias("nrm"),
+    emb = t["embeddings"]
+    cand = knn_graph_candidates(
+        emb,
+        payload={
+            "embedding": F.col("embedding"),
+            "nrm": V.norm(F.col("embedding")),
+        },
     )
-    b.persist()  # both self-join sides read one bucket+norm computation
-    pairs = (
-        b.alias("l")
-        .join(b.alias("r"), "bucket")
-        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("src"),
-            F.col("r.vec_id").alias("dst"),
-            (
-                V.dot(F.col("l.embedding"), F.col("r.embedding"))
-                / (F.col("l.nrm") * F.col("r.nrm"))
-            ).alias("sim"),
-        )
+    pairs = cand.select(
+        "src",
+        "dst",
+        (
+            V.dot(F.col("embedding_l"), F.col("embedding_r"))
+            / (F.col("nrm_l") * F.col("nrm_r"))
+        ).alias("sim"),
     )
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
@@ -516,17 +635,27 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH {CORPUS},
 tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh0 AS (SELECT doc_id,
+               list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
+                              for x in range(1, len(t) - 1)]) AS sh
+        FROM tok),
 sh AS (SELECT doc_id,
-              list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
-                             for x in range(1, len(t) - 1)]) AS sh
-       FROM tok),
+              list_sort(list_distinct(
+                  [('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
+                   for s in sh])) AS sh
+       FROM sh0 WHERE len(sh) > 0),
 keys AS (
-  SELECT doc_id, unnest(list_sort([md5(s) for s in sh])[1:5]) AS key
-  FROM sh WHERE len(sh) > 0
+  SELECT doc_id, len(sh) AS sz, unnest(sh[1:3]) AS key FROM sh
+),
+keysf AS (
+  SELECT doc_id, sz, key FROM (
+    SELECT doc_id, sz, key, COUNT(*) OVER (PARTITION BY key) AS df FROM keys)
+  WHERE df <= 30
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id <> b.doc_id
+  FROM keysf a JOIN keysf b
+    ON a.key = b.key AND a.doc_id <> b.doc_id AND b.sz >= 0.6 * a.sz
 )
 SELECT c.src, c.dst,
        ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh), 4)
@@ -538,8 +667,14 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh) >= 0.6
 """.replace("{CORPUS}", _CORPUS_SQL).replace("{_TOKS}", _TOKS),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed containment ≥ 0.6 with rare-shingle inverted-index
-    candidate generation (see dedup.containment_pairs)."""
+    """Directed containment ≥ 0.6 with df-capped, size-prefiltered
+    min-hash inverted-index candidate generation over 60-bit hashed
+    shingle sets (see dedup.containment_pairs; max_df bounds the
+    per-key fan-out so pair count is linear in corpus size)."""
     return dedup.containment_pairs(
-        _corpus(spark, sf_dir), shingle_n=3, threshold=0.6, index_shingles=5
+        _corpus(spark, sf_dir),
+        shingle_n=3,
+        threshold=0.6,
+        index_shingles=3,
+        max_df=30,
     )
