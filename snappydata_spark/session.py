@@ -257,10 +257,16 @@ class SnappySession:
 
     @_serialized
     def truncate_table(self, name: str) -> None:
-        """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812)."""
+        """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812).
+        Unbucketed: a pure manifest commit (live = ∅, schema retained) —
+        no Spark job, old files tombstoned under the usual grace."""
         meta = self.catalog.load_meta(name.lower())
-        empty = self.spark.createDataFrame([], self._read_table(name).schema)
-        self._write(empty, meta, mode="overwrite")
+        schema = self._read_table(name).schema
+        if self._is_bucketed(meta):
+            empty = self.spark.createDataFrame([], schema)
+            self._write(empty, meta, mode="overwrite")
+        else:
+            self._manifest_commit(name.lower(), full=[], schema=schema)
         self._refresh_view(name)
 
     def create_external_table(
@@ -340,8 +346,8 @@ class SnappySession:
         self._rewrite(df, meta)
         if self._is_bucketed(meta):
             return meta.buckets
-        data = self.catalog.data_path(name)
-        return len([f for f in os.listdir(data) if f.endswith(".parquet")])
+        live = self._live_files(name)
+        return len(live if live is not None else self._list_data_files(name))
 
     def cache_table(self, name: str) -> None:
         """CACHE TABLE (SnappyDDLParser cache:917) — pin the managed
@@ -458,8 +464,14 @@ class SnappySession:
         meta = self.catalog.load_meta(name)
         n = self._read_table(name).count()
         size = 0
-        for root, _dirs, files in os.walk(self.catalog.table_path(name)):
-            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        live = None if self._is_bucketed(meta) else self._live_files(name)
+        if live is not None:
+            size = sum(
+                os.path.getsize(f) for f in live if os.path.exists(f)
+            )
+        else:
+            for root, _dirs, files in os.walk(self.catalog.table_path(name)):
+                size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         meta.options["row_count"] = str(n)
         meta.options["size_bytes"] = str(size)
         self.catalog.save_meta(meta)
@@ -492,7 +504,7 @@ class SnappySession:
             if self._is_bucketed(meta):
                 df = self.spark.table(self._cat_name(name))
             else:
-                df = self.spark.read.parquet(self.catalog.data_path(name))
+                df = self._managed_df(name)
             if meta.replicate:
                 # REPLICATE tables join broadcast-side (StoreUtils REPLICATE
                 # option; replicated-table local join SnappyStrategies:330-343)
@@ -1498,9 +1510,156 @@ class SnappySession:
             )
             writer.saveAsTable(self._cat_name(meta.name))
         else:
+            before = (
+                set(self._list_data_files(meta.name)) if mode == "append" else None
+            )
             df.write.mode(mode).option("compression", codec).parquet(
                 self.catalog.data_path(meta.name)
             )
+            after = self._list_data_files(meta.name)
+            if mode == "append":
+                self._manifest_commit(
+                    meta.name,
+                    add=[f for f in after if f not in before],
+                    schema=df.schema,
+                )
+            else:
+                self._manifest_commit(meta.name, full=after, schema=df.schema)
+
+    # ---------------------------------------------------- manifest commits
+
+    # tombstoned files survive this many further manifest generations
+    # before physical deletion, so a reader that resolved the previous
+    # manifest finishes its scan on intact files (the snapshot-isolation
+    # contract the reference gets from its store transaction,
+    # SnapshotConnectionListener.scala; here: manifest pinning + grace GC)
+    _TOMBSTONE_GRACE = 2
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.catalog.table_path(name.lower()), "manifest.json")
+
+    def _load_manifest(self, name: str) -> dict | None:
+        import json
+
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _list_data_files(self, name: str) -> list[str]:
+        data = self.catalog.data_path(name)
+        if not os.path.isdir(data):
+            return []
+        return sorted(f for f in os.listdir(data) if f.endswith(".parquet"))
+
+    def _live_files(self, name: str) -> list[str] | None:
+        """Absolute paths of the table's live data files per the manifest;
+        None = table predates the manifest (fall back to dir listing)."""
+        m = self._load_manifest(name)
+        if m is None:
+            return None
+        data = self.catalog.data_path(name)
+        return [os.path.join(data, f) for f in m["files"]]
+
+    def _managed_df(self, name: str) -> DataFrame:
+        """Unbucketed managed read resolved through the manifest: the
+        returned plan pins this generation's file list, so a concurrent
+        mutation (which never unlinks inside the grace window) cannot
+        fail or double-read this scan.  Empty tables come back as an
+        empty frame with the manifest-recorded schema."""
+        files = self._live_files(name)
+        if files is None:
+            return self.spark.read.parquet(self.catalog.data_path(name))
+        if not files:
+            m = self._load_manifest(name)
+            if m and m.get("schema"):
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(m["schema"])
+                )
+            raise FileNotFoundError(f"table {name} has no data files")
+        return self.spark.read.parquet(*files)
+
+    def _manifest_commit(
+        self,
+        name: str,
+        add: list[str] | tuple = (),
+        remove: list[str] | tuple = (),
+        full: list[str] | None = None,
+        schema: StructType | None = None,
+    ) -> None:
+        """One atomic manifest generation: live' = (live − remove) + add,
+        or exactly `full`.  The swap is a single os.replace (POSIX-atomic
+        rename), so a crash leaves either the old or the new generation —
+        never a torn state: new files not yet committed are invisible
+        orphans; files removed from the manifest stay on disk as
+        tombstones until _TOMBSTONE_GRACE younger generations exist.
+        File names (not paths) are stored — the manifest moves with the
+        table directory."""
+        import json
+
+        data = self.catalog.data_path(name)
+        m = self._load_manifest(name)
+        if m is None:
+            live, tombs, gen, sch = self._list_data_files(name), [], 0, None
+        else:
+            live, tombs, gen, sch = (
+                m["files"],
+                m.get("tombstones", []),
+                m["gen"],
+                m.get("schema"),
+            )
+        gen += 1
+        if full is not None:
+            new_set = set(full)
+            removed = [f for f in live if f not in new_set]
+            live = list(full)
+        else:
+            rm = set(remove)
+            removed = [f for f in live if f in rm]
+            live = [f for f in live if f not in rm] + list(add)
+        tombs = tombs + [{"file": f, "gen": gen} for f in removed]
+        keep, drop = [], []
+        for t in tombs:
+            (drop if t["gen"] <= gen - self._TOMBSTONE_GRACE else keep).append(t)
+        if schema is not None:
+            sch = schema.jsonValue()
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"gen": gen, "files": live, "tombstones": keep, "schema": sch}, f
+            )
+        os.replace(tmp, self._manifest_path(name))
+        for t in drop:
+            try:
+                os.remove(os.path.join(data, t["file"]))
+            except FileNotFoundError:
+                pass
+
+    def vacuum(self, name: str) -> int:
+        """Delete ALL tombstoned files now (no grace) — the explicit GC a
+        long-idle table needs; returns the number of files removed.
+        Unsafe only if a reader is still mid-scan on a pre-previous
+        generation."""
+        import json
+
+        name = name.lower()
+        m = self._load_manifest(name)
+        if m is None:
+            return 0
+        data = self.catalog.data_path(name)
+        n = 0
+        for t in m.get("tombstones", []):
+            try:
+                os.remove(os.path.join(data, t["file"]))
+                n += 1
+            except FileNotFoundError:
+                pass
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
+        os.replace(tmp, self._manifest_path(name))
+        return n
 
     # ------------------------------------------------- pruned copy-on-write
 
@@ -1514,7 +1673,10 @@ class SnappySession:
         try:
             if self._is_bucketed(meta):
                 return self.spark.table(self._cat_name(meta.name))
-            return self.spark.read.parquet(self.catalog.data_path(meta.name))
+            files = self._live_files(name)
+            if files is not None and not files:
+                return None  # manifest says: no data
+            return self._managed_df(name)
         except Exception:
             return None
 
@@ -1575,14 +1737,20 @@ class SnappySession:
         self, meta: TableMeta, files: list[str], new_rows: DataFrame
     ) -> None:
         """Swap the touched files for the rewritten rows; every other file
-        is untouched (byte-identical).  New files are written BEFORE old
-        ones are removed, so a crash mid-swap duplicates rows rather than
-        losing them (the reference brackets this in a store transaction —
-        snapshot-isolation is a documented divergence, SURVEY §8).
+        is untouched (byte-identical).  New files are staged, moved in,
+        and become visible in ONE atomic manifest commit — a crash at any
+        point leaves either the pre-mutation state (uncommitted orphans
+        are invisible) or the post-mutation state (old files tombstoned,
+        physically removed only after the grace window); never duplicates,
+        never loss.  Readers that resolved the previous manifest keep
+        scanning intact files (the reference brackets this in a store
+        transaction, SnapshotConnectionListener.scala).
 
         Bucketed tables append through the bucketed writer (rows re-hash
         into their buckets, so bucket pruning and colocated joins stay
-        correct even if an UPDATE moved a partition column)."""
+        correct even if an UPDATE moved a partition column); they rely on
+        Spark's catalog listing, so their delete is eager — a documented
+        divergence from the manifest path."""
         if self._is_bucketed(meta):
             self._write(new_rows, meta, mode="append")
             for f in files:
@@ -1601,20 +1769,24 @@ class SnappySession:
                 new_rows = self._cluster_for_index(
                     new_rows, cols, max(1, len(files))
                 )
+            schema = new_rows.schema
             tmp = self.catalog.table_path(meta.name) + "/mut-" + uuid.uuid4().hex[:8]
             new_rows.write.mode("overwrite").parquet(tmp)
             stamp = uuid.uuid4().hex[:8]
+            added = []
             for f in os.listdir(tmp):
                 if f.endswith(".parquet"):
                     os.rename(
                         os.path.join(tmp, f), os.path.join(data, f"mut-{stamp}-{f}")
                     )
+                    added.append(f"mut-{stamp}-{f}")
             shutil.rmtree(tmp, ignore_errors=True)
-            for f in files:
-                try:
-                    os.remove(self._local_path(f))
-                except FileNotFoundError:
-                    pass
+            self._manifest_commit(
+                meta.name,
+                add=added,
+                remove=[os.path.basename(self._local_path(f)) for f in files],
+                schema=schema,
+            )
         self._refresh_view(meta.name)
 
     def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
@@ -1625,14 +1797,11 @@ class SnappySession:
         overwrite-while-reading."""
         cols = self._index_cols(meta.name)
         if cols and not self._is_bucketed(meta):
-            data = self.catalog.data_path(meta.name)
-            n_files = max(
-                1,
-                len([f for f in os.listdir(data) if f.endswith(".parquet")])
-                if os.path.isdir(data)
-                else 1,
-            )
+            live = self._live_files(meta.name)
+            n_files = max(1, len(live) if live is not None
+                          else len(self._list_data_files(meta.name)))
             result = self._cluster_for_index(result, cols, n_files)
+        schema = result.schema
         tmp = self.catalog.table_path(meta.name) + "/rewrite-" + uuid.uuid4().hex[:8]
         result.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
@@ -1640,12 +1809,21 @@ class SnappySession:
             self._write(staged, meta, mode="overwrite")
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            final = self.catalog.data_path(meta.name)
-            old = final + ".old-" + uuid.uuid4().hex[:8]
-            if os.path.exists(final):
-                os.rename(final, old)
-            os.rename(tmp, final)
-            shutil.rmtree(old, ignore_errors=True)
+            # full-replace through the same atomic manifest commit the
+            # pruned path uses: move the staged files in under fresh
+            # names, then one os.replace flips the table to exactly them
+            data = self.catalog.data_path(meta.name)
+            os.makedirs(data, exist_ok=True)
+            stamp = uuid.uuid4().hex[:8]
+            names = []
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, f), os.path.join(data, f"rw-{stamp}-{f}")
+                    )
+                    names.append(f"rw-{stamp}-{f}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._manifest_commit(meta.name, full=names, schema=schema)
         self._refresh_view(meta.name)
 
     def _refresh_view(self, name: str) -> None:
@@ -1660,7 +1838,7 @@ class SnappySession:
                     self.spark.catalog.refreshTable(self._cat_name(name))
                     df = self.spark.table(self._cat_name(name))
                 else:
-                    df = self.spark.read.parquet(self.catalog.data_path(name))
+                    df = self._managed_df(name)
                 self._apply_policies(name, df).createOrReplaceTempView(name)
             except Exception:
                 pass  # empty table with no files yet

@@ -104,6 +104,7 @@ def test_zorder_index_narrows_both_columns(snappy):
     snappy.create_table("zord_t", df=df)
     before = snappy.table("zord_t").count()
     snappy.sql("CREATE INDEX zord_i ON zord_t (x, y)")
+    snappy.vacuum("zord_t")  # drop tombstoned pre-index files
 
     data = snappy.catalog.data_path("zord_t")
 
@@ -174,6 +175,7 @@ def test_index_clusters_data_files(snappy):
     before = sorted(r.k for r in snappy.table("idxc_t").select("k").collect())
 
     snappy.sql("CREATE INDEX idxc ON idxc_t (k)")
+    snappy.vacuum("idxc_t")  # drop tombstoned pre-index files
 
     data = snappy.catalog.data_path("idxc_t")
     ranges = []
@@ -287,11 +289,13 @@ def test_index_layout_survives_mutation(snappy):
     )
     snappy.create_table("idxm_t", options={"key_columns": "k"}, df=df)
     snappy.sql("CREATE INDEX idxm ON idxm_t (k)")
+    snappy.vacuum("idxm_t")
     data = snappy.catalog.data_path("idxm_t")
     n_before = len([f for f in os.listdir(data) if f.endswith(".parquet")])
 
     snappy.sql("UPDATE idxm_t SET v = -1 WHERE k = 137")
     snappy.sql("DELETE FROM idxm_t WHERE k = 9999")
+    snappy.vacuum("idxm_t")  # physical layout assertions need live files only
 
     files = [f for f in os.listdir(data) if f.endswith(".parquet")]
     assert len(files) <= n_before + 2  # replacement files, no blow-up

@@ -1,0 +1,143 @@
+"""Manifest-based atomic mutation commits (round-2 verdict items #2/#3).
+
+The unbucketed managed-table layout commits every mutation as ONE
+os.replace of manifest.json.  The crash windows that existed in the
+eager-delete design are each simulated here:
+
+  (a) crash after new files land in the data dir but BEFORE the manifest
+      commit → orphans are invisible, reads see the pre-mutation state;
+  (b) crash after the commit but BEFORE tombstone GC → old files are
+      still on disk yet excluded from every read — no duplicates;
+  (c) a concurrent reader mid-scan while a writer swaps files → the
+      reader's pinned generation stays intact for _TOMBSTONE_GRACE
+      further commits (reference analogue: store-transaction snapshot
+      isolation, SnapshotConnectionListener.scala).
+"""
+
+import os
+import shutil
+import threading
+
+import pytest
+from pyspark.sql import Row
+
+
+def _mk(snappy, name, n=100):
+    df = snappy.spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(n)]
+    ).repartition(4)
+    snappy.create_table(name, options={"key_columns": "k"}, df=df)
+    return name
+
+
+def test_orphan_files_invisible_until_commit(snappy):
+    """Crash window (a): a data file present in the dir but absent from
+    the manifest must not be read — duplicates cannot appear from a
+    half-finished mutation."""
+    _mk(snappy, "mf_a")
+    data = snappy.catalog.data_path("mf_a")
+    live = snappy._live_files("mf_a")
+    assert live, "manifest should list live files after create"
+    # simulate: a mutation moved its new file in, then died pre-commit
+    shutil.copy(live[0], os.path.join(data, "mut-dead-orphan.parquet"))
+    assert snappy.table("mf_a").count() == 100  # orphan invisible
+    assert snappy.sql("SELECT COUNT(*) AS c FROM mf_a").collect()[0].c == 100
+    snappy.drop_table("mf_a")
+
+
+def test_commit_failure_leaves_old_state(snappy, monkeypatch):
+    """Crash window (a), end-to-end: kill the mutation right before its
+    manifest commit — the table must read back exactly the pre-mutation
+    rows (no loss, no duplicates, no partial update)."""
+    _mk(snappy, "mf_b")
+    before = sorted((r.k, r.v) for r in snappy.table("mf_b").collect())
+
+    real_commit = snappy._manifest_commit
+
+    def dying_commit(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(snappy, "_manifest_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        snappy.sql("UPDATE mf_b SET v = -1 WHERE k < 50")
+    monkeypatch.setattr(snappy, "_manifest_commit", real_commit)
+
+    after = sorted((r.k, r.v) for r in snappy.table("mf_b").collect())
+    assert after == before
+    # and the table is not wedged: the same mutation now succeeds
+    snappy.sql("UPDATE mf_b SET v = -1 WHERE k < 50")
+    assert snappy.table("mf_b").filter("v = -1").count() == 50
+    assert snappy.table("mf_b").count() == 100
+    snappy.drop_table("mf_b")
+
+
+def test_tombstones_excluded_and_gc(snappy):
+    """Crash window (b): after a committed mutation the replaced files
+    are still on disk (grace) yet no read includes them; vacuum removes
+    them physically."""
+    _mk(snappy, "mf_c")
+    n_files_before = len(snappy._live_files("mf_c"))
+    snappy.sql("UPDATE mf_c SET v = -1 WHERE k = 7")
+    m = snappy._load_manifest("mf_c")
+    assert m["tombstones"], "replaced file should be tombstoned, not unlinked"
+    data = snappy.catalog.data_path("mf_c")
+    for t in m["tombstones"]:
+        assert os.path.exists(os.path.join(data, t["file"]))
+    # no duplicates through SQL or API reads
+    assert snappy.table("mf_c").count() == 100
+    assert snappy.table("mf_c").filter("k = 7").count() == 1
+    removed = snappy.vacuum("mf_c")
+    assert removed == len(m["tombstones"])
+    assert snappy.table("mf_c").count() == 100
+    assert len(snappy._live_files("mf_c")) >= 1
+    assert n_files_before >= 1
+    snappy.drop_table("mf_c")
+
+
+def test_truncate_is_manifest_only(snappy):
+    """TRUNCATE commits live = ∅ with the schema retained: reads return
+    an empty frame (not an error), inserts work afterwards, and the old
+    files stay on disk until GC."""
+    _mk(snappy, "mf_d")
+    snappy.sql("TRUNCATE TABLE mf_d")
+    assert snappy.table("mf_d").count() == 0
+    assert [f.name for f in snappy.table("mf_d").schema.fields] == ["k", "v"]
+    snappy.sql("INSERT INTO mf_d VALUES (1, 1.0)")
+    assert snappy.table("mf_d").count() == 1
+    snappy.drop_table("mf_d")
+
+
+def test_reader_writer_isolation_threaded(snappy):
+    """Concurrent scans during a mutation loop: every read succeeds and
+    every count equals the (constant) row count — a reader never sees a
+    half-swapped table.  Exercises the manifest-pinned file list + the
+    tombstone grace window under real thread interleaving."""
+    _mk(snappy, "mf_e", n=2000)
+    errors: list[Exception] = []
+    counts: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(snappy.table("mf_e").count())
+            except Exception as e:  # noqa: BLE001 — the test asserts none
+                errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(12):
+            snappy.sql(f"UPDATE mf_e SET v = {float(i)} WHERE k % 7 = {i % 7}")
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+
+    assert not errors, f"reader failed during mutation: {errors[:3]}"
+    assert counts, "readers never completed a scan"
+    assert set(counts) == {2000}, f"inconsistent counts seen: {set(counts)}"
+    # UPDATE must not change cardinality, and the last writes are visible
+    assert snappy.table("mf_e").count() == 2000
+    snappy.drop_table("mf_e")
