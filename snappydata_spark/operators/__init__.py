@@ -20,5 +20,6 @@ from snappydata_spark.operators import pipeline_ops  # noqa: F401
 from snappydata_spark.operators import skew_ops  # noqa: F401
 from snappydata_spark.operators import funnels  # noqa: F401
 from snappydata_spark.operators import privacy  # noqa: F401
+from snappydata_spark.operators import tpcds  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

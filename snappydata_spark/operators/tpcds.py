@@ -1,0 +1,779 @@
+"""TPC-DS-shape query corpus adapted to the driver schema.
+
+The reference runs Spark's full TPC-DS set (TPCDSQuerySnappyBenchmark.scala,
+TPCDSSuite.scala:1-120); this module adapts the characteristic TPC-DS
+*shapes* — multi-fact rollups, WITH + window + agg stacks, EXISTS chains
+over 3+ tables, channel self-joins — to the TPC-H-ish driver schema.
+Channels are modelled as lineitem slices (l_returnflag 'R' = the returns
+fact, else the sales fact), matching how TPC-DS splits store_sales /
+store_returns.
+
+Determinism discipline (cross-engine hash compare):
+- every threshold / ratio filter compares EXACT arithmetic — counts and
+  sums of whole-number l_quantity doubles (< 2^53, order-independent) —
+  so Spark's and DuckDB's different summation orders cannot flip a row in
+  or out of the result;
+- money sums (inexact doubles) appear only as ROUND(x, 2) output columns;
+- every rank/top-k has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+
+def _oi(t):  # orders ⋈ lineitem on the fact key
+    return t["lineitem"].join(
+        t["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape: per-customer returns vs the nation average (correlated agg).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_returns_above_nation_avg",
+    oracle="""
+WITH ret AS (
+  SELECT o.o_custkey AS custkey, SUM(l.l_quantity) AS ret_qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, ret.ret_qty
+FROM ret
+JOIN customer c ON c.c_custkey = ret.custkey
+WHERE ret.ret_qty > 1.2 * (
+  SELECT AVG(r2.ret_qty) FROM ret r2
+  JOIN customer c2 ON c2.c_custkey = r2.custkey
+  WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def ds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape (TPCDSSuite: 'q1'): customers returning >1.2x their
+    nation's average.  The correlated scalar subquery becomes a tiny
+    per-nation aggregate broadcast back — one shuffle on custkey, no
+    window over the full fact."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    ret = (
+        _oi(t)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("l_quantity").alias("ret_qty"))
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    per_cust = ret.join(F.broadcast(cust), F.col("c_custkey") == F.col("custkey"))
+    nation_avg = per_cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("ret_qty").alias("nation_avg")
+    )
+    return (
+        per_cust.join(F.broadcast(nation_avg), F.col("nk") == F.col("c_nationkey"))
+        .filter(F.col("ret_qty") > 1.2 * F.col("nation_avg"))
+        .select("c_custkey", "ret_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: week-over-week ratio across two years (WITH + self-join).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_weekly_sales_yoy_ratio",
+    oracle="""
+WITH wk AS (
+  SELECT YEAR(l_shipdate) AS yr, WEEK(l_shipdate) AS wk, SUM(l_quantity) AS qty
+  FROM lineitem WHERE YEAR(l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2)
+SELECT w1.wk AS wk, w1.qty AS qty_1995, w2.qty AS qty_1996,
+       ROUND(w2.qty / w1.qty, 4) AS yoy_ratio
+FROM wk w1 JOIN wk w2 ON w1.wk = w2.wk
+WHERE w1.yr = 1995 AND w2.yr = 1996 AND w1.wk BETWEEN 2 AND 51
+""",
+)
+def ds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q2 shape: weekly volume CTE self-joined across years.
+    Weeks 2-51 only — ISO weeks 52/53/1 straddle year boundaries.  The
+    weekly aggregate is tiny (≤52 rows/yr at any SF) so the self-join
+    broadcasts."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    wk = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(
+            F.year("l_shipdate").alias("yr"),
+            F.weekofyear("l_shipdate").alias("wk"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w1 = wk.filter(F.col("yr") == 1995).select(
+        F.col("wk").alias("wk1"), F.col("qty").alias("qty_1995")
+    )
+    w2 = wk.filter(F.col("yr") == 1996).select(
+        F.col("wk").alias("wk2"), F.col("qty").alias("qty_1996")
+    )
+    return (
+        w1.join(F.broadcast(w2), F.col("wk1") == F.col("wk2"))
+        .filter(F.col("wk1").between(2, 51))
+        .select(
+            F.col("wk1").alias("wk"),
+            "qty_1995",
+            "qty_1996",
+            F.round(F.col("qty_1996") / F.col("qty_1995"), 4).alias("yoy_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4/Q11 shape: year-over-year growth compared across two channels
+# (4-way self-join of one channel CTE).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_yoy_channel_growth",
+    oracle="""
+WITH ch AS (
+  SELECT o.o_custkey AS custkey,
+         CASE WHEN l.l_returnflag = 'R' THEN 'ret' ELSE 'sale' END AS channel,
+         YEAR(o.o_orderdate) AS yr, SUM(l.l_quantity) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE YEAR(o.o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3)
+SELECT s96.custkey AS custkey,
+       ROUND(s96.qty / s95.qty, 4) AS sale_growth,
+       ROUND(r96.qty / r95.qty, 4) AS ret_growth
+FROM ch s95
+JOIN ch s96 ON s96.custkey = s95.custkey
+JOIN ch r95 ON r95.custkey = s95.custkey
+JOIN ch r96 ON r96.custkey = s95.custkey
+WHERE s95.channel = 'sale' AND s95.yr = 1995
+  AND s96.channel = 'sale' AND s96.yr = 1996
+  AND r95.channel = 'ret'  AND r95.yr = 1995
+  AND r96.channel = 'ret'  AND r96.yr = 1996
+  AND s96.qty / s95.qty > r96.qty / r95.qty
+""",
+)
+def ds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4/Q11 shape: customers whose sales-channel growth beats
+    their returns-channel growth.  Instead of a 4-way shuffle self-join
+    the per-(customer, channel, year) aggregate is pivoted with
+    conditional sums — one shuffle on custkey total."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    base = (
+        _oi(t)
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.when(F.col("l_returnflag") == "R", "ret").otherwise("sale").alias(
+                "channel"
+            ),
+            F.year("o_orderdate").alias("yr"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+    def _slice(ch, yr):
+        return F.sum(
+            F.when((F.col("channel") == ch) & (F.col("yr") == yr), F.col("qty"))
+        )
+
+    agg = base.groupBy("custkey").agg(
+        _slice("sale", 1995).alias("s95"),
+        _slice("sale", 1996).alias("s96"),
+        _slice("ret", 1995).alias("r95"),
+        _slice("ret", 1996).alias("r96"),
+    )
+    return (
+        agg.filter(
+            F.col("s95").isNotNull()
+            & F.col("s96").isNotNull()
+            & F.col("r95").isNotNull()
+            & F.col("r96").isNotNull()
+            & (F.col("s96") / F.col("s95") > F.col("r96") / F.col("r95"))
+        )
+        .select(
+            "custkey",
+            F.round(F.col("s96") / F.col("s95"), 4).alias("sale_growth"),
+            F.round(F.col("r96") / F.col("r95"), 4).alias("ret_growth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14/Q77 shape: multi-fact UNION ALL rolled up across channels.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_multi_fact_rollup",
+    oracle="""
+WITH facts AS (
+  SELECT CASE WHEN l.l_returnflag = 'R' THEN 'return' ELSE 'sale' END AS channel,
+         n.n_name AS nation, l.l_quantity AS qty
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE YEAR(o.o_orderdate) = 1995)
+SELECT channel, nation, SUM(qty) AS qty, COUNT(*) AS cnt
+FROM facts GROUP BY ROLLUP (channel, nation)
+""",
+)
+def ds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14/Q77 shape: channel facts unified then ROLLUP'd to
+    (channel, nation), (channel), and grand-total grains.  Dims broadcast;
+    ROLLUP runs as Spark's native Expand + partial agg."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    facts = (
+        _oi(t)
+        .filter(F.year("o_orderdate") == 1995)
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.when(F.col("l_returnflag") == "R", "return")
+            .otherwise("sale")
+            .alias("channel"),
+            F.col("n_name").alias("nation"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    return facts.rollup("channel", "nation").agg(
+        F.sum("qty").alias("qty"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 shape: frequent items x best customers (two HAVING CTEs -> semi joins).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_frequent_best_customer_sales",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  WHERE YEAR(l_shipdate) IN (1995, 1996)
+  GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) > 10),
+best AS (
+  SELECT o.o_custkey FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1 HAVING SUM(l.l_quantity) > 1200)
+SELECT YEAR(o.o_orderdate) AS yr, MONTH(o.o_orderdate) AS mo,
+       SUM(l.l_quantity) AS qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+  AND o.o_custkey IN (SELECT o_custkey FROM best)
+GROUP BY 1, 2
+""",
+)
+def ds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape: monthly volume restricted to frequently-sold
+    parts AND highest-volume customers.  Both qualifier sets are HAVING
+    aggregates far smaller than the fact — broadcast left-semi joins, so
+    the fact is scanned once per qualifier build and once for the final
+    aggregate, never shuffled on a qualifier key."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    freq = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") > 10)
+        .select("l_partkey")
+    )
+    best = (
+        _oi(t)
+        .groupBy("o_custkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 1200)
+        .select("o_custkey")
+    )
+    return (
+        _oi(t)
+        .join(F.broadcast(freq), "l_partkey", "left_semi")
+        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33/Q56 shape: per-brand volume across three date-range "channels".
+# ---------------------------------------------------------------------------
+@register(
+    "ds_cross_channel_part_sum",
+    oracle="""
+WITH a AS (
+  SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem
+  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01' GROUP BY 1),
+b AS (
+  SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01' GROUP BY 1),
+c AS (
+  SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01' GROUP BY 1)
+SELECT p.p_brand, SUM(u.qty) AS total_qty
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c) u
+JOIN part p ON p.p_partkey = u.l_partkey
+GROUP BY 1
+""",
+)
+def ds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q33/Q56 shape: three channel CTEs (disjoint date slices)
+    unioned, re-aggregated by brand.  Spark plans one scan per slice with
+    the shipdate predicate pushed to parquet row-groups; the brand dim
+    broadcasts."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+
+    def _slice(lo, hi):
+        return (
+            t["lineitem"]
+            .filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("l_partkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+
+    u = (
+        _slice("1995-01-01", "1995-07-01")
+        .unionAll(_slice("1996-01-01", "1996-07-01"))
+        .unionAll(_slice("1997-01-01", "1997-07-01"))
+    )
+    part = t["part"].select("p_partkey", "p_brand")
+    return (
+        u.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("qty").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 shape: customers present in all three periods (INTERSECT chain).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_customers_in_all_periods",
+    oracle="""
+SELECT COUNT(*) AS n_customers FROM (
+  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997) t
+""",
+)
+def ds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 shape: INTERSECT across period slices, counted.  Spark
+    plans INTERSECT as aggregate + left-semi — each slice reduces to its
+    distinct custkeys before joining."""
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _yr(y):
+        return (
+            t["orders"].filter(F.year("o_orderdate") == y).select("o_custkey")
+        )
+
+    common = _yr(1995).intersect(_yr(1996)).intersect(_yr(1997))
+    return common.agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Q44 shape: best/worst performers aligned by rank (double window + join).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_top_bottom_parts",
+    oracle="""
+WITH perf AS (
+  SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT l_partkey, qty,
+         ROW_NUMBER() OVER (ORDER BY qty ASC,  l_partkey ASC) AS rnk_asc,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey ASC) AS rnk_desc
+  FROM perf)
+SELECT b.rnk_desc AS rnk, pb.p_name AS best_part, pw.p_name AS worst_part
+FROM ranked b
+JOIN ranked w ON w.rnk_asc = b.rnk_desc
+JOIN part pb ON pb.p_partkey = b.l_partkey
+JOIN part pw ON pw.p_partkey = w.l_partkey
+WHERE b.rnk_desc <= 10
+""",
+)
+def ds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q44 shape: rank parts best-to-worst and worst-to-best,
+    align rank i with rank i from the other end.  Each end is a
+    distributed top-k first (TakeOrderedAndProject: per-partition top-10
+    merged on the driver — never a global single-partition window over
+    all parts); ROW_NUMBER then runs on the 10 surviving rows.
+    Tie-broken by partkey so the hash is stable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    perf = t["lineitem"].groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+
+    def _topk(*order):
+        return (
+            perf.orderBy(*order)
+            .limit(10)
+            .select(
+                "l_partkey", F.row_number().over(W.orderBy(*order)).alias("rnk")
+            )
+        )
+
+    best = _topk(F.col("qty").desc(), F.col("l_partkey").asc()).select(
+        "rnk", F.col("l_partkey").alias("best_key")
+    )
+    worst = _topk(F.col("qty").asc(), F.col("l_partkey").asc()).select(
+        F.col("rnk").alias("w_rnk"), F.col("l_partkey").alias("worst_key")
+    )
+    pname = t["part"].select("p_partkey", "p_name")
+    return (
+        best.join(F.broadcast(worst), F.col("rnk") == F.col("w_rnk"))
+        .join(
+            F.broadcast(pname.withColumnRenamed("p_name", "best_part")),
+            F.col("p_partkey") == F.col("best_key"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(pname.withColumnRenamed("p_name", "worst_part")),
+            F.col("p_partkey") == F.col("worst_key"),
+        )
+        .select("rnk", "best_part", "worst_part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47/Q57 shape: monthly volume vs the brand-year average (WITH+window+agg).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_monthly_deviation",
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand AS brand, YEAR(l.l_shipdate) AS yr, MONTH(l.l_shipdate) AS mo,
+         SUM(l.l_quantity) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE YEAR(l.l_shipdate) BETWEEN 1995 AND 1997
+  GROUP BY 1, 2, 3),
+w AS (
+  SELECT brand, yr, mo, qty, AVG(qty) OVER (PARTITION BY brand, yr) AS avg_qty
+  FROM m)
+SELECT brand, yr, mo, qty, ROUND(avg_qty, 2) AS avg_qty,
+       ROUND(qty / avg_qty, 4) AS ratio
+FROM w WHERE qty > 1.3 * avg_qty
+""",
+)
+def ds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47/Q57 shape: aggregate CTE, window average over a coarser
+    grain, deviation filter.  The window partitions by (brand, yr) over
+    the monthly panel (25 brands x 3 yrs x 12 mo — bounded at any SF)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    m = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").between(1995, 1997))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = m.withColumn("avg_qty", F.avg("qty").over(W.partitionBy("brand", "yr")))
+    return w.filter(F.col("qty") > 1.3 * F.col("avg_qty")).select(
+        "brand",
+        "yr",
+        "mo",
+        "qty",
+        F.round("avg_qty", 2).alias("avg_qty"),
+        F.round(F.col("qty") / F.col("avg_qty"), 4).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q51 shape: cumulative channel totals full-outer-joined by month.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_cumulative_channel_compare",
+    oracle="""
+WITH s AS (
+  SELECT DATE_TRUNC('month', l_shipdate) AS mo, SUM(l_quantity) AS qty
+  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1),
+r AS (
+  SELECT DATE_TRUNC('month', l_shipdate) AS mo, SUM(l_quantity) AS qty
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+cs AS (SELECT mo, SUM(qty) OVER (ORDER BY mo) AS cum FROM s),
+cr AS (SELECT mo, SUM(qty) OVER (ORDER BY mo) AS cum FROM r)
+SELECT COALESCE(cs.mo, cr.mo) AS mo, cs.cum AS sales_cum, cr.cum AS returns_cum
+FROM cs FULL OUTER JOIN cr ON cs.mo = cr.mo
+WHERE cr.cum * 3 > cs.cum
+""",
+)
+def ds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: per-channel cumulative sums full-outer-joined on
+    the time grain.  The running sum windows over the monthly panel
+    (calendar-bounded ~83 rows, the documented panel-window pattern), not
+    the raw fact."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+
+    def _chan(pred):
+        return (
+            t["lineitem"]
+            .filter(pred)
+            .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("mo"))
+            .agg(F.sum("l_quantity").alias("qty"))
+            .withColumn(
+                "cum",
+                F.sum("qty").over(
+                    W.orderBy("mo").rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+            .drop("qty")
+        )
+
+    cs = _chan(F.col("l_returnflag") != "R").withColumnsRenamed(
+        {"mo": "s_mo", "cum": "sales_cum"}
+    )
+    cr = _chan(F.col("l_returnflag") == "R").withColumnsRenamed(
+        {"mo": "r_mo", "cum": "returns_cum"}
+    )
+    return (
+        cs.join(cr, F.col("s_mo") == F.col("r_mo"), "full_outer")
+        .filter(F.col("returns_cum") * 3 > F.col("sales_cum"))
+        .select(
+            F.coalesce("s_mo", "r_mo").alias("mo"), "sales_cum", "returns_cum"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10/Q35 shape: EXISTS chain over 3+ tables, demographic rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_exists_chain_customers",
+    oracle="""
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND YEAR(o.o_orderdate) = 1995)
+  AND EXISTS (
+    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = c.c_custkey AND l.l_quantity >= 45)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+      AND l.l_quantity >= 48)
+GROUP BY 1
+""",
+)
+def ds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q10/Q35 shape: EXISTS + EXISTS + NOT EXISTS chained over
+    customer->orders->lineitem, rolled up by nation.  Each qualifier is a
+    distinct-custkey set (<= |customer|) built from a pushed-down fact
+    slice, applied as broadcast semi/anti joins."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "orders", "lineitem"))
+    oi = _oi(t)
+    q1 = (
+        t["orders"]
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    q2 = oi.filter(F.col("l_quantity") >= 45).select("o_custkey").distinct()
+    q3 = (
+        oi.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(q1), F.col("c_custkey") == q1["o_custkey"], "left_semi")
+        .join(F.broadcast(q2), F.col("c_custkey") == q2["o_custkey"], "left_semi")
+        .join(F.broadcast(q3), F.col("c_custkey") == q3["o_custkey"], "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q54 shape: customers bucketed by lifetime volume (CASE histogram).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_spend_bucket_histogram",
+    oracle="""
+WITH spend AS (
+  SELECT o.o_custkey, COUNT(DISTINCT o.o_orderkey) AS n_orders,
+         SUM(l.l_quantity) AS qty
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1)
+SELECT CASE WHEN qty < 800 THEN 'low' WHEN qty < 1200 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       COUNT(*) AS n_customers, CAST(SUM(n_orders) AS BIGINT) AS n_orders
+FROM spend GROUP BY 1
+""",
+)
+def ds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54 shape: per-customer lifetime aggregate re-bucketed into
+    a histogram.  Two aggregates, the second over |customer| rows."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    spend = (
+        _oi(t)
+        .groupBy("o_custkey")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    bucket = (
+        F.when(F.col("qty") < 800, "low")
+        .when(F.col("qty") < 1200, "mid")
+        .otherwise("high")
+    )
+    return spend.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("n_orders").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 shape: weekday activity matrix year-over-year per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_weekday_yoy_matrix",
+    oracle="""
+WITH d AS (
+  SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS yr,
+         COUNT(CASE WHEN ISODOW(o.o_orderdate) IN (1,2,3,4,5) THEN 1 END) AS wkday,
+         COUNT(CASE WHEN ISODOW(o.o_orderdate) IN (6,7) THEN 1 END) AS wkend
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE YEAR(o.o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2)
+SELECT a.nation AS nation,
+       ROUND(CAST(b.wkday AS DOUBLE) / a.wkday, 4) AS wkday_ratio,
+       ROUND(CAST(b.wkend AS DOUBLE) / a.wkend, 4) AS wkend_ratio
+FROM d a JOIN d b ON a.nation = b.nation
+WHERE a.yr = 1995 AND b.yr = 1996 AND a.wkday > 0 AND a.wkend > 0
+""",
+)
+def ds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 shape: day-of-week conditional-count matrix self-joined
+    across years.  Spark's weekday() is Mon=0, so weekday()+1 == DuckDB's
+    ISODOW; the per-(nation, yr) matrix is tiny so the self-join
+    broadcasts."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    isodow = F.weekday("o_orderdate") + 1
+    d = (
+        t["orders"]
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.when(isodow.isin(1, 2, 3, 4, 5), 1)).alias("wkday"),
+            F.count(F.when(isodow.isin(6, 7), 1)).alias("wkend"),
+        )
+    )
+    a = d.filter(F.col("yr") == 1995).select(
+        "nation", F.col("wkday").alias("wkday95"), F.col("wkend").alias("wkend95")
+    )
+    b = d.filter(F.col("yr") == 1996).select(
+        F.col("nation").alias("nation_b"),
+        F.col("wkday").alias("wkday96"),
+        F.col("wkend").alias("wkend96"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("nation") == F.col("nation_b"))
+        .filter((F.col("wkday95") > 0) & (F.col("wkend95") > 0))
+        .select(
+            "nation",
+            F.round(F.col("wkday96").cast("double") / F.col("wkday95"), 4).alias(
+                "wkday_ratio"
+            ),
+            F.round(F.col("wkend96").cast("double") / F.col("wkend95"), 4).alias(
+                "wkend_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q75 shape: year-over-year declining brands across unified channels.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_declining_brands",
+    oracle="""
+WITH y AS (
+  SELECT p.p_brand AS brand, YEAR(l.l_shipdate) AS yr,
+         SUM(l.l_quantity) AS qty, COUNT(*) AS cnt
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE YEAR(l.l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2)
+SELECT c.brand AS brand, p.qty AS qty_prev, c.qty AS qty_curr,
+       ROUND(c.qty / p.qty, 4) AS ratio
+FROM y p JOIN y c ON p.brand = c.brand
+WHERE p.yr = 1995 AND c.yr = 1996 AND c.qty < p.qty
+""",
+)
+def ds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75 shape: prev-year/curr-year self-join on the brand
+    aggregate, keeping declining brands.  The per-(brand, yr) aggregate is
+    25x2 rows — broadcast self-join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    y = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("yr"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    prev = y.filter(F.col("yr") == 1995).select(
+        F.col("brand").alias("brand_p"), F.col("qty").alias("qty_prev")
+    )
+    curr = y.filter(F.col("yr") == 1996).select(
+        F.col("brand"), F.col("qty").alias("qty_curr")
+    )
+    return (
+        curr.join(F.broadcast(prev), F.col("brand") == F.col("brand_p"))
+        .filter(F.col("qty_curr") < F.col("qty_prev"))
+        .select(
+            "brand",
+            "qty_prev",
+            "qty_curr",
+            F.round(F.col("qty_curr") / F.col("qty_prev"), 4).alias("ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 shape: net volume after returns per customer.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_net_sales_after_returns",
+    oracle="""
+SELECT o.o_custkey AS custkey,
+       SUM(CASE WHEN l.l_returnflag = 'R' THEN -l.l_quantity
+                ELSE l.l_quantity END) AS net_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+HAVING SUM(CASE WHEN l.l_returnflag = 'R' THEN -l.l_quantity
+                ELSE l.l_quantity END) > 500
+""",
+)
+def ds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape: sales net of returns folded into one conditional
+    sum (instead of joining a separate returns fact), HAVING-filtered.
+    One shuffle on custkey."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    net = F.sum(
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
+            F.col("l_quantity")
+        )
+    )
+    return (
+        _oi(t)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(net.alias("net_qty"))
+        .filter(F.col("net_qty") > 500)
+    )

@@ -25,6 +25,12 @@ ALLOWLIST = {
     # global panel is bounded by calendar hours (720 at sf0.1; ~90k for a
     # decade) — documented in operators/events.py
     "ev_sliding_window": {"window_unpartitioned", "single_partition_exchange"},
+    # cumulative sums run over the per-month panel, bounded by calendar
+    # months (~83 at sf0.1; ~1200 for a century) — operators/tpcds.py ds_q51
+    "ds_cumulative_channel_compare": {
+        "window_unpartitioned",
+        "single_partition_exchange",
+    },
 }
 
 _AGG_BELOW = re.compile(
