@@ -590,7 +590,9 @@ class SnappySession:
         if target is None:  # empty table: put == insert
             self.insert(name, df)
             return
-        files = self._affected_files(target, source=df, keys=keys)
+        files = self._bucket_affected_files(meta, df, keys)
+        if files is None:
+            files = self._affected_files(target, source=df, keys=keys)
         if files is None:
             self._rewrite(mutate.put_into_df(target, df, keys), meta)
             return
@@ -657,7 +659,9 @@ class SnappySession:
         target = self._mutation_target(name, meta)
         if target is None:
             return
-        files = self._affected_files(target, source=df, keys=keys)
+        files = self._bucket_affected_files(meta, df, keys)
+        if files is None:
+            files = self._affected_files(target, source=df, keys=keys)
         if files is None:
             self._rewrite(mutate.delete_from_df(target, df, keys), meta)
             return
@@ -1255,9 +1259,10 @@ class SnappySession:
             keyed_src = source.select(
                 *[F.col(s_c).alias(t_c) for t_c, s_c in pairs]
             )
-            files = self._affected_files(
-                target, source=keyed_src, keys=[t_c for t_c, _ in pairs]
-            )
+            mkeys = [t_c for t_c, _ in pairs]
+            files = self._bucket_affected_files(meta, keyed_src, mkeys)
+            if files is None:
+                files = self._affected_files(target, source=keyed_src, keys=mkeys)
         if files is None:
             res = _result(target)
             self._validate_checks(meta, res)
@@ -1679,6 +1684,52 @@ class SnappySession:
             return self._managed_df(name)
         except Exception:
             return None
+
+    def _bucket_affected_files(
+        self, meta: TableMeta, source: DataFrame, keys: list[str]
+    ) -> list[str] | None:
+        """Bucket-function file pruning for key-based mutations on bucketed
+        tables: the affected bucket ids are computed from the SOURCE keys
+        alone — ``pmod(murmur3_hash(bucket_cols), n)``, the exact
+        expression Spark's bucketed writer assigns files with
+        (HashPartitioning.partitionIdExpression) — so NO scan of the
+        target runs at all; candidate files come from the catalog's
+        driver-side listing, filtered by the bucket id encoded in each
+        file name.  The reference's analogue is routing a keyed mutation
+        to its owning bucket via the store's hash ring
+        (PartitionedRegion put routing; ColumnTableBulkOps.scala:46-120).
+
+        Returns the (superset-safe) file list, or None to fall back to the
+        semi-join scan (unbucketed table, keys not covering the bucket
+        columns, or an unexpected file layout)."""
+        if not self._is_bucketed(meta):
+            return None
+        bcols = [c.lower() for c in meta.partition_by]
+        if not set(bcols) <= {k.lower() for k in keys}:
+            return None
+        table = self.spark.table(self._cat_name(meta.name))
+        # hash() is physical-type-sensitive: cast source keys to the
+        # target's column types so int32/int64 drift can't mis-bucket
+        types = {f.name.lower(): f.dataType for f in table.schema.fields}
+        exprs = [F.col(c).cast(types[c]) for c in bcols]
+        ids = {
+            r[0]
+            for r in source.select(
+                F.pmod(F.hash(*exprs), F.lit(meta.buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        files: list[str] = []
+        for f in table.inputFiles():
+            m = re.search(r"_(\d{5})(?:\.|$)", os.path.basename(f))
+            if m is None:
+                return None  # not a bucketed layout: use the scan path
+            if int(m.group(1)) % meta.buckets in ids:
+                files.append(f)
+        if len(files) > self._MAX_PRUNED_FILES:
+            return None
+        return files
 
     def _affected_files(
         self,

@@ -385,3 +385,92 @@ class TestMergeInto:
         got = sorted((r.k, r.v) for r in snappy.table("mg_t").collect())
         assert got == [(1, "a"), (2, "b"), (3, "mid")]
         snappy.drop_table("mg_t")
+
+
+class TestBucketFunctionPruning:
+    """Keyed mutations on bucketed tables must compute their file blast
+    radius from the bucket function alone — no scan of the target table
+    (the reference routes keyed mutations straight to the owning bucket
+    via the store's hash ring, ColumnTableBulkOps.scala:46-120)."""
+
+    def _fresh(self, snappy, name="bfp_t", buckets=8, rows=800):
+        df = snappy.spark.range(rows).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"
+        )
+        snappy.create_table(
+            name,
+            options={
+                "key_columns": "k",
+                "partition_by": "k",
+                "buckets": str(buckets),
+            },
+            df=df,
+        )
+        return df
+
+    def test_put_uses_bucket_pruning_no_target_scan(self, snappy, monkeypatch):
+        self._fresh(snappy)
+
+        def _boom(*a, **k):
+            raise AssertionError("semi-join target scan used on bucketed PUT")
+
+        monkeypatch.setattr(snappy, "_affected_files", _boom)
+        src = snappy.spark.createDataFrame(
+            [(5, "FIVE"), (900, "NEW")], "k int, v string"
+        )
+        snappy.put("bfp_t", src)
+        got = dict(
+            (r.k, r.v)
+            for r in snappy.table("bfp_t").filter("k in (5, 900)").collect()
+        )
+        assert got == {5: "FIVE", 900: "NEW"}
+        assert snappy.table("bfp_t").count() == 801
+        snappy.drop_table("bfp_t")
+
+    def test_bucket_prune_returns_only_matching_buckets(self, snappy):
+        from pyspark.sql import functions as F
+
+        self._fresh(snappy, name="bfp_s", buckets=8)
+        meta = snappy.catalog.load_meta("bfp_s")
+        src = snappy.spark.createDataFrame([(5,)], "k int")
+        files = snappy._bucket_affected_files(meta, src, ["k"])
+        assert files is not None
+        # the files must be exactly those of key 5's bucket
+        want = {
+            r[0]
+            for r in snappy.spark.createDataFrame([(5,)], "k int")
+            .select(F.pmod(F.hash(F.col("k")), F.lit(8)))
+            .collect()
+        }
+        import re as _re
+
+        got_buckets = {
+            int(_re.search(r"_(\d{5})\.", f.rsplit("/", 1)[-1]).group(1))
+            for f in files
+        }
+        assert got_buckets == want
+        # and the pruned read really contains the key
+        assert (
+            snappy.spark.read.parquet(*files).filter("k = 5").count() == 1
+        )
+        snappy.drop_table("bfp_s")
+
+    def test_bucket_prune_falls_back_when_keys_dont_cover(self, snappy):
+        self._fresh(snappy, name="bfp_f")
+        meta = snappy.catalog.load_meta("bfp_f")
+        src = snappy.spark.createDataFrame([("x",)], "v string")
+        assert snappy._bucket_affected_files(meta, src, ["v"]) is None
+        snappy.drop_table("bfp_f")
+
+    def test_delete_from_bucket_pruned(self, snappy, monkeypatch):
+        self._fresh(snappy, name="bfp_d")
+
+        def _boom(*a, **k):
+            raise AssertionError("semi-join target scan used on deleteFrom")
+
+        monkeypatch.setattr(snappy, "_affected_files", _boom)
+        keys = snappy.spark.createDataFrame([(7,), (13,)], "k int")
+        snappy.delete_from("bfp_d", keys)
+        assert snappy.table("bfp_d").count() == 798
+        assert snappy.table("bfp_d").filter("k in (7, 13)").count() == 0
+        snappy.drop_table("bfp_d")
