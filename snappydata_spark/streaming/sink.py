@@ -18,6 +18,16 @@ Usage::
 
     sink = SnappySink(session, "target_table", query_name="q")
     stream.writeStream.foreachBatch(sink).start()
+
+Offset-column contract (the reference's primary ingest is Kafka,
+DirectKafkaStreamSource.scala:52): pass ``order_col`` naming the
+transport offset column.  Kafka's producer partitioner routes a given
+key to ONE topic partition, and offsets are a total order within a
+partition — so every event of a key is mutually offset-comparable and
+``order_col="<offset>"`` reproduces exact per-key last-event-wins even
+though offsets across different partitions are not comparable.  A
+transport-level order column (not part of the target table) is dropped
+automatically before apply.
 """
 
 from __future__ import annotations

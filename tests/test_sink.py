@@ -239,3 +239,79 @@ def test_create_stream_table_rate_source(snappy):
     )
     assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
     snappy.sql("DROP STREAM TABLE rate_s")
+
+
+def test_kafka_contract_multi_partition_offset_ordered(snappy, tmp_path):
+    """Kafka-shaped ingest end to end (DirectKafkaStreamSource.scala:52;
+    SnappyStoreSinkProviderSuite matrix): records carry
+    (kafka_partition, kafka_offset), a key lives in exactly ONE Kafka
+    partition (producer partitioner), offsets totally order events within
+    a partition.  Two micro-batches arrive through the file source with
+    rows physically SCRAMBLED relative to offset order and delivered
+    multi-partition (repartitioned on kafka_partition, like Kafka's
+    executor assignment) — order_col=kafka_offset must still reproduce
+    per-key last-event-wins through conflation + delete/put apply."""
+    import json
+    import os as _os
+
+    src_dir = tmp_path / "kafka_in"
+    src_dir.mkdir()
+    # batch 0: k=1 lives in partition 0, k=2 in partition 1, k=3 in p0.
+    # Physical row order is scrambled (late events first).
+    b0 = [
+        {"kafka_partition": 0, "kafka_offset": 5, "_eventType": EVENT_UPDATE,
+         "k": 1, "v": "v-late"},
+        {"kafka_partition": 1, "kafka_offset": 7, "_eventType": EVENT_DELETE,
+         "k": 2, "v": None},
+        {"kafka_partition": 0, "kafka_offset": 0, "_eventType": EVENT_INSERT,
+         "k": 1, "v": "v-early"},
+        {"kafka_partition": 1, "kafka_offset": 2, "_eventType": EVENT_INSERT,
+         "k": 2, "v": "x1"},
+        {"kafka_partition": 0, "kafka_offset": 3, "_eventType": EVENT_UPDATE,
+         "k": 1, "v": "v-mid"},
+        {"kafka_partition": 0, "kafka_offset": 1, "_eventType": EVENT_INSERT,
+         "k": 3, "v": "z1"},
+    ]
+    # batch 1: later offsets — k=1 final update, k=2 re-inserted
+    b1 = [
+        {"kafka_partition": 1, "kafka_offset": 9, "_eventType": EVENT_INSERT,
+         "k": 2, "v": "x-back"},
+        {"kafka_partition": 0, "kafka_offset": 9, "_eventType": EVENT_UPDATE,
+         "k": 1, "v": "v-final"},
+    ]
+    p0 = src_dir / "b0.json"
+    p1 = src_dir / "b1.json"
+    p0.write_text("\n".join(json.dumps(d) for d in b0))
+    p1.write_text("\n".join(json.dumps(d) for d in b1))
+    _os.utime(p0, (1_000_000_000, 1_000_000_000))
+    _os.utime(p1, (1_000_000_100, 1_000_000_100))
+
+    base = snappy.spark.createDataFrame([(0, "seed")], "k int, v string")
+    snappy.create_table("kafka_tgt", options={"key_columns": "k"}, df=base)
+    sink = SnappySink(
+        snappy, "kafka_tgt", query_name="q_kafka", order_col="kafka_offset"
+    )
+
+    batch_partitions = []
+
+    def kafka_delivery(df, batch_id):
+        # Kafka executor assignment: one task per topic partition —
+        # the batch reaches the sink genuinely multi-partition
+        df = df.repartition(2, F.col("kafka_partition"))
+        batch_partitions.append(df.rdd.getNumPartitions())
+        sink(df.drop("kafka_partition"), batch_id)
+
+    stream = snappy.spark.readStream.schema(
+        "kafka_partition int, kafka_offset long, _eventType int, k int, v string"
+    ).option("maxFilesPerTrigger", 1).json(str(src_dir))
+    q = (
+        stream.writeStream.foreachBatch(kafka_delivery)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert batch_partitions and all(n == 2 for n in batch_partitions)
+    got = {(r.k, r.v) for r in snappy.table("kafka_tgt").collect()}
+    assert got == {(0, "seed"), (1, "v-final"), (2, "x-back"), (3, "z1")}
+    snappy.drop_table("kafka_tgt")
