@@ -228,7 +228,9 @@ _GRANT_REVOKE = re.compile(
 # engine divergence: no dynamic JVM jar loading — the registry records the
 # dependency surface; Python UDF code arrives via create_function instead.
 _DEPLOY = re.compile(
-    r"^\s*DEPLOY\s+(PACKAGE|JAR)\s+(\w+)\s+'([^']+)'\s*;?\s*$", re.I
+    r"^\s*DEPLOY\s+(PACKAGE|JAR)\s+(\w+)\s+'([^']+)'"
+    r"(?:\s+REPOS\s+'([^']+)')?(?:\s+PATH\s+'([^']+)')?\s*;?\s*$",
+    re.I,
 )
 _UNDEPLOY = re.compile(r"^\s*UNDEPLOY\s+(\w+)\s*;?\s*$", re.I)
 _LIST_PACKAGES = re.compile(r"^\s*LIST\s+(?:PACKAGES|JARS)\s*;?\s*$", re.I)
@@ -724,7 +726,8 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "deploy",
             options={"kind": m.group(1).lower(), "name": m.group(2),
-                     "coords": m.group(3)},
+                     "coords": m.group(3), "repos": m.group(4),
+                     "path": m.group(5)},
         )
     m = _UNDEPLOY.match(text)
     if m:

@@ -810,9 +810,13 @@ class SnappySession:
             coords = stmt.options["coords"]
             # DEPLOY JAR with a local path actually loads it (Spark-native
             # ADD JAR — classpath on driver + executors; .py/.zip go
-            # through addPyFile).  Maven-coordinate DEPLOY PACKAGE stays
-            # registry-only: no network resolver in this engine
-            # (documented divergence, SURVEY §8).
+            # through addPyFile).  DEPLOY PACKAGE resolves maven
+            # coordinates against LOCAL maven-layout repositories only
+            # (REPOS 'file:///...' / local dirs, plus the PATH cache dir —
+            # deployPackages SnappyDDLParser.scala:858-874); remote
+            # repositories are recorded but never fetched: no network in
+            # this engine (documented divergence, SURVEY §8).
+            resolved: list[str] = []
             for c in coords.split(","):
                 c = c.strip().strip("'\"")
                 if kind == "jar" and os.path.exists(c):
@@ -820,9 +824,20 @@ class SnappySession:
                         self.spark.sparkContext.addPyFile(c)
                     else:
                         self.spark.sql(f"ADD JAR '{c}'")
+                elif kind == "package":
+                    jar = self._resolve_maven_local(
+                        c, stmt.options.get("repos"), stmt.options.get("path")
+                    )
+                    if jar is not None:
+                        self.spark.sql(f"ADD JAR '{jar}'")
+                        resolved.append(jar)
             self._packages[stmt.options["name"].lower()] = {
                 "kind": kind, "coords": coords
             }
+            if resolved:
+                self._packages[stmt.options["name"].lower()]["resolved"] = (
+                    ",".join(resolved)
+                )
             self._save_registry()
             return None
         if stmt.kind == "undeploy":
@@ -1775,6 +1790,46 @@ class SnappySession:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    @staticmethod
+    def _resolve_maven_local(
+        coord: str, repos: str | None, cache: str | None
+    ) -> str | None:
+        """Resolve one maven coordinate ``group:artifact:version`` against
+        local maven-layout repositories: each candidate root in REPOS
+        (comma-separated ``file://`` URIs or plain directories; http(s)
+        roots are skipped — no network) plus the PATH cache dir and
+        ``~/.m2/repository``, probing
+        ``<root>/<group/with/slashes>/<artifact>/<version>/
+        <artifact>-<version>.jar``.  Returns the jar path or None."""
+        parts = coord.split(":")
+        if len(parts) != 3:
+            return None
+        group, artifact, version = parts
+        roots: list[str] = []
+        for r in (repos or "").split(","):
+            r = r.strip()
+            if not r or r.startswith(("http://", "https://")):
+                continue
+            if r.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                r = unquote(urlparse(r).path)
+            roots.append(r)
+        if cache:
+            roots.append(cache)
+        roots.append(os.path.expanduser("~/.m2/repository"))
+        rel = os.path.join(
+            group.replace(".", os.sep),
+            artifact,
+            version,
+            f"{artifact}-{version}.jar",
+        )
+        for root in roots:
+            p = os.path.join(root, rel)
+            if os.path.exists(p):
+                return p
+        return None
 
     @staticmethod
     def _local_path(uri: str) -> str:

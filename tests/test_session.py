@@ -314,6 +314,44 @@ def test_deploy_jar_actually_loads(snappy, tmp_path):
     assert any("deployed_udfs.jar" in j for j in listed), listed
 
 
+def test_deploy_package_resolves_local_maven_layout(snappy, tmp_path):
+    """DEPLOY PACKAGE with a file:// maven repository (deployPackages
+    SnappyDDLParser.scala:858-874): the coordinate resolves through the
+    standard group/artifact/version layout and the jar is really loaded
+    (ADD JAR).  Remote repos are never fetched — no-network divergence."""
+    import shutil as _sh
+    import glob as _g
+
+    src = _g.glob(
+        os.path.join(os.environ.get("SPARK_HOME", ""), "jars", "derbytools-*.jar")
+    ) or _g.glob(
+        os.path.join(
+            os.path.dirname(__import__("pyspark").__file__), "jars", "derbytools-*.jar"
+        )
+    )
+    repo = tmp_path / "m2repo"
+    jar_dir = repo / "com" / "example" / "fake-lib" / "1.2.3"
+    jar_dir.mkdir(parents=True)
+    _sh.copy(src[0], str(jar_dir / "fake-lib-1.2.3.jar"))
+
+    snappy.sql(
+        f"DEPLOY PACKAGE fakelib 'com.example:fake-lib:1.2.3' "
+        f"REPOS 'https://repo1.maven.org/maven2,file://{repo}'"
+    )
+    listed = [r[0] for r in snappy.spark.sql("LIST JARS").collect()]
+    assert any("fake-lib-1.2.3.jar" in j for j in listed), listed
+    rows = {r.name: r.coords for r in snappy.sql("LIST PACKAGES").collect()}
+    assert rows["fakelib"] == "com.example:fake-lib:1.2.3"
+    # unresolvable coordinate (remote-only repo): registry-only, no error
+    snappy.sql(
+        "DEPLOY PACKAGE ghost 'org.nowhere:ghost:9.9.9' "
+        "REPOS 'https://repo1.maven.org/maven2'"
+    )
+    assert "ghost" in {r.name for r in snappy.sql("LIST PACKAGES").collect()}
+    snappy.sql("UNDEPLOY ghost")
+    snappy.sql("UNDEPLOY fakelib")
+
+
 def test_registry_consistency():
     """Every oracle belongs to a registered query; the inventory only
     grows (guards against accidental de-registration)."""
