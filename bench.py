@@ -201,10 +201,13 @@ def main() -> None:
         "ev_session_window_agg",
         "txt_length_histogram",
     ]
-    # the full TPC-H complement (headline already carries 6): per-query
-    # throughput evidence at sf0.1, diagnostics-only
+    # the full TPC-H complement (headline already carries 6) and the
+    # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
+    # diagnostics-only
     new_queries += sorted(
-        q for q in QUERIES if q.startswith("tpch_") and q not in HEADLINE
+        q
+        for q in QUERIES
+        if (q.startswith("tpch_") or q.startswith("ds_")) and q not in HEADLINE
     )
     for name in HEADLINE + list(extra) + new_queries:
         fn = extra.get(name) or QUERIES[name]

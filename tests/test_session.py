@@ -142,12 +142,20 @@ def test_compression_option(snappy, tmp_path):
 
 
 def test_external_table_formats(snappy, tmp_path, sf_dir):
+    # csv/json/orc/parquet are the reference's documented external formats
+    # (README.md:21-24); xml arrives via spark-xml there and is native in
+    # Spark 4 — same generic USING path here (avro is not bundled in this
+    # container: documented divergence)
     src = snappy.spark.read.parquet(f"{sf_dir}/nation.parquet")
-    for fmt, opts in [("csv", {"header": "true", "inferSchema": "true"}),
-                      ("json", {}), ("orc", {})]:
+    for fmt, wopts, ropts in [
+        ("csv", {"header": "true"}, {"header": "true", "inferSchema": "true"}),
+        ("json", {}, {}),
+        ("orc", {}, {}),
+        ("xml", {"rootTag": "rows", "rowTag": "row"}, {"rowTag": "row"}),
+    ]:
         path = str(tmp_path / f"ext_{fmt}")
-        src.write.format(fmt).options(**({"header": "true"} if fmt == "csv" else {})).save(path)
-        df = snappy.create_external_table(f"ext_{fmt}", path, fmt=fmt, options=opts)
+        src.write.format(fmt).options(**wopts).save(path)
+        df = snappy.create_external_table(f"ext_{fmt}", path, fmt=fmt, options=ropts)
         assert df.count() == 25
         assert snappy.sql(f"SELECT COUNT(*) AS n FROM ext_{fmt}").collect()[0].n == 25
 
