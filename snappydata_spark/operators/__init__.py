@@ -21,5 +21,6 @@ from snappydata_spark.operators import skew_ops  # noqa: F401
 from snappydata_spark.operators import funnels  # noqa: F401
 from snappydata_spark.operators import privacy  # noqa: F401
 from snappydata_spark.operators import tpcds  # noqa: F401
+from snappydata_spark.operators import ml_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,195 @@
+"""Iterative ML operators over the embeddings table.
+
+The reference exposes no ML training surface itself (it defers to Spark
+MLlib via its session, SnappySessionState passthrough); what a
+training-data pipeline at 100 TB needs from the ENGINE is the iterative
+dataflow pattern: k-means coarse quantizer training for IVF indexes
+(ann.py consumes the centroids), diversity sampling, cluster-balanced
+mixes.
+
+Scale discipline (the generic recipe for iterative algorithms on Spark):
+per iteration the DATA is touched in one distributed pass (assignment =
+map over broadcast centroid literals; update = one shuffle on (cluster,
+dim)); only the MODEL (k x dims doubles) is collected to the driver and
+re-broadcast as literals for the next pass.  No lineage growth across
+iterations (each pass reads the parquet scan fresh with literal
+centroids), so 100 iterations plan exactly like 1.
+
+Determinism for the cross-engine hash: init = first k vectors by vec_id;
+distances fold in element order on both engines; argmin tie-breaks by
+cluster id; float aggregates are rounded on output only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from snappydata_spark.operators.registry import register
+from snappydata_spark.tables import load_tables
+
+K = 8
+ITERS = 3
+DIMS = 64
+
+
+def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """(vec_id, embedding, cluster, dist): argmin over ONE k x dims
+    centroid literal — a single transform+fold expression instead of k
+    separate distance trees (k trees made Catalyst analysis, not the
+    data pass, the dominant cost).  Distances fold in element order
+    (matches DuckDB's list_aggregate('sum')); array_position returns the
+    FIRST index achieving the min, i.e. ties break to the smallest
+    cluster id, same as the oracle's ORDER BY dist, cid."""
+    cids = sorted(centroids)
+    cent_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(float(v)) + "D" for v in centroids[cid]) + ")"
+            for cid in cids
+        )
+        + ")"
+    )
+    cid_lit = F.expr("array(" + ", ".join(str(c) for c in cids) + ")")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(dv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        emb.select("vec_id", "embedding", dists.alias("ds"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at(cid_lit, F.array_position(F.col("ds"), F.array_min("ds")).cast("int")).alias("cluster"),
+            F.array_min("ds").alias("dist"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> dict[int, list[float]]:
+    """New centroids = elementwise member mean — one shuffle on
+    (cluster, pos), then a bounded k*dims-row collect (the model, not the
+    data)."""
+    rows = (
+        assigned.select(
+            "cluster", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("ce")
+        )
+        .collect()
+    )
+    return {r.cluster: list(r.ce) for r in rows}
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = K, iters: int = ITERS
+) -> tuple[dict[int, list[float]], DataFrame]:
+    """Lloyd's k-means: deterministic init (first k by vec_id), `iters`
+    assignment/update passes.  Returns (centroids, final assignment)."""
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    centroids = {
+        i: [float(x) for x in r.embedding] for i, r in enumerate(seeds)
+    }
+    for _ in range(iters):
+        centroids = _update(_assign(emb, centroids))
+    return centroids, _assign(emb, centroids)
+
+
+def _kmeans_oracle() -> str:
+    """The same Lloyd iterations unrolled as DuckDB CTEs."""
+    init = f"""
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         [x::DOUBLE for x in embedding] AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K}))"""
+    blocks = [init]
+    prev = "c0"
+    for i in range(1, ITERS + 1):
+        blocks.append(f"""
+d{i} AS (
+  SELECT e.vec_id, c.cid,
+         list_aggregate([ (e.embedding[j]::DOUBLE - c.ce[j]) ^ 2
+                          for j in range(1, len(c.ce) + 1) ], 'sum') AS dist,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_aggregate(
+                              [ (e.embedding[j]::DOUBLE - c.ce[j]) ^ 2
+                                for j in range(1, len(c.ce) + 1) ], 'sum'),
+                            c.cid) AS rn
+  FROM embeddings e CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, cid AS cluster FROM d{i} WHERE rn = 1),
+c{i} AS (
+  SELECT cluster AS cid, array_agg(m ORDER BY pos) AS ce FROM (
+    SELECT a.cluster, t.j AS pos, AVG(e.embedding[t.j]::DOUBLE) AS m
+    FROM a{i} a JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN unnest(range(1, len(e.embedding) + 1)) AS t(j)
+    GROUP BY a.cluster, t.j)
+  GROUP BY cluster)""")
+        prev = f"c{i}"
+    final = f"""
+df AS (
+  SELECT e.vec_id, c.cid,
+         list_aggregate([ (e.embedding[j]::DOUBLE - c.ce[j]) ^ 2
+                          for j in range(1, len(c.ce) + 1) ], 'sum') AS dist,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_aggregate(
+                              [ (e.embedding[j]::DOUBLE - c.ce[j]) ^ 2
+                                for j in range(1, len(c.ce) + 1) ], 'sum'),
+                            c.cid) AS rn
+  FROM embeddings e CROSS JOIN {prev} c),
+af AS (SELECT vec_id, cid AS cluster, dist FROM df WHERE rn = 1),
+nrm AS (
+  SELECT cid, sqrt(list_aggregate([x * x for x in ce], 'sum')) AS cnorm
+  FROM {prev})
+SELECT a.cluster, COUNT(*) AS n_members,
+       ROUND(SUM(a.dist), 2) AS inertia,
+       ROUND(ANY_VALUE(n.cnorm), 4) AS centroid_norm
+FROM af a JOIN nrm n ON n.cid = a.cluster
+GROUP BY a.cluster"""
+    blocks.append(final)
+    return "WITH " + ",".join(blocks)
+
+
+@register("emb_kmeans_train", oracle=_kmeans_oracle())
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means coarse-quantizer training (k=8, 3 Lloyd iterations) over
+    the embeddings table, reported as per-cluster (size, inertia,
+    centroid norm).  The iterative dataflow collects only the k x dims
+    model per pass — the data is never collected, and each pass is an
+    independent scan+shuffle (no lineage growth), which is what keeps
+    iteration viable at 100 TB."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    centroids, assigned = kmeans_train(emb)
+    norms = {
+        cid: round(math.sqrt(sum(x * x for x in ce)), 4)
+        for cid, ce in centroids.items()
+    }
+    norm_expr = None
+    for cid in sorted(norms):
+        cond = F.col("cluster") == cid
+        norm_expr = (
+            F.when(cond, norms[cid])
+            if norm_expr is None
+            else norm_expr.when(cond, norms[cid])
+        )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("dist"), 2).alias("inertia"),
+        )
+        .withColumn("centroid_norm", norm_expr)
+    )
