@@ -777,3 +777,176 @@ def ds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(net.alias("net_qty"))
         .filter(F.col("net_qty") > 500)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q88 shape: one-row multi-band activity matrix (8 conditional counts).
+# ---------------------------------------------------------------------------
+@register(
+    "ds_time_slot_counts",
+    oracle="""
+SELECT COUNT(CASE WHEN HOUR(ts) BETWEEN 0 AND 2 THEN 1 END) AS h0,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 3 AND 5 THEN 1 END) AS h3,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 6 AND 8 THEN 1 END) AS h6,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 9 AND 11 THEN 1 END) AS h9,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 12 AND 14 THEN 1 END) AS h12,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 15 AND 17 THEN 1 END) AS h15,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 18 AND 20 THEN 1 END) AS h18,
+       COUNT(CASE WHEN HOUR(ts) BETWEEN 21 AND 23 THEN 1 END) AS h21
+FROM events WHERE event_type = 'click'
+""",
+)
+def ds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: the reference SQL runs 8 scalar subqueries (one
+    scan each); folded here into ONE conditional-count pass — 1 scan + a
+    single global aggregate instead of 8."""
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def slot(lo):
+        return F.count(
+            F.when(F.hour("ts").between(lo, lo + 2), 1)
+        ).alias(f"h{lo}")
+
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .agg(*[slot(lo) for lo in range(0, 24, 3)])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q66 shape: per-nation 12-month volume matrix (conditional agg columns).
+# ---------------------------------------------------------------------------
+_MONTH_COLS_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN MONTH(o.o_orderdate) = {m} THEN l.l_quantity END) AS m{m:02d}"
+    for m in range(1, 13)
+)
+
+
+@register(
+    "ds_month_channel_matrix",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {_MONTH_COLS_SQL}
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE YEAR(o.o_orderdate) = 1995
+GROUP BY 1
+""",
+)
+def ds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q66 shape: wide month-matrix rollup — 12 conditional sums
+    in one aggregate pass over the fact, dims broadcast."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return (
+        _oi(t)
+        .filter(F.year("o_orderdate") == 1995)
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.month("o_orderdate") == m, F.col("l_quantity"))
+                ).alias(f"m{m:02d}")
+                for m in range(1, 13)
+            ]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 shape: top return-ratio parts ranked within each period, unioned.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_ranked_returns_ratio",
+    oracle="""
+WITH r AS (
+  SELECT YEAR(l_shipdate) AS yr, l_partkey,
+         SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret,
+         SUM(l_quantity) AS tot
+  FROM lineitem WHERE YEAR(l_shipdate) IN (1995, 1996, 1997)
+  GROUP BY 1, 2 HAVING SUM(l_quantity) > 0),
+rk AS (
+  SELECT yr, l_partkey, ROUND(ret / tot, 4) AS ratio,
+         ROW_NUMBER() OVER (PARTITION BY yr
+                            ORDER BY ret / tot DESC, l_partkey) AS rnk
+  FROM r)
+SELECT yr, l_partkey, ratio, rnk FROM rk WHERE rnk <= 10
+""",
+)
+def ds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape: per-channel (year) return-ratio ranking, top-10
+    each, unioned.  The window runs on the per-(year, part) aggregate
+    partitioned by year; ret/tot are exact whole-double sums so the rank
+    order is engine-stable, partkey tie-broken."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    r = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996, 1997))
+        .groupBy(F.year("l_shipdate").alias("yr"), F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("ret"),
+            F.sum("l_quantity").alias("tot"),
+        )
+        .filter(F.col("tot") > 0)
+    )
+    w = W.partitionBy("yr").orderBy(
+        (F.col("ret") / F.col("tot")).desc(), F.col("l_partkey").asc()
+    )
+    return (
+        r.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "yr",
+            "l_partkey",
+            F.round(F.col("ret") / F.col("tot"), 4).alias("ratio"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34/Q73 shape: customers inside an order-frequency band.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_frequency_band_customers",
+    oracle="""
+WITH freq AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders WHERE YEAR(o_orderdate) BETWEEN 1995 AND 1997
+  GROUP BY 1 HAVING COUNT(*) BETWEEN 8 AND 12)
+SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+       CAST(SUM(f.n_orders) AS BIGINT) AS n_orders
+FROM freq f
+JOIN customer c ON c.c_custkey = f.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+""",
+)
+def ds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape: frequency-band qualifier (HAVING BETWEEN)
+    joined back to the customer dim and rolled up by nation."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    freq = (
+        t["orders"]
+        .filter(F.year("o_orderdate").between(1995, 1997))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders").between(8, 12))
+    )
+    return (
+        freq.join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
