@@ -474,3 +474,26 @@ class TestBucketFunctionPruning:
         assert snappy.table("bfp_d").count() == 798
         assert snappy.table("bfp_d").filter("k in (7, 13)").count() == 0
         snappy.drop_table("bfp_d")
+
+    def test_merge_bucket_pruned_no_target_scan(self, snappy, monkeypatch):
+        self._fresh(snappy, name="bfp_m")
+        snappy.spark.createDataFrame(
+            [(3, "THREE"), (950, "NEW")], "k int, v string"
+        ).createOrReplaceTempView("bfp_src")
+
+        def _boom(*a, **k):
+            raise AssertionError("semi-join target scan used on MERGE")
+
+        monkeypatch.setattr(snappy, "_affected_files", _boom)
+        snappy.sql(
+            "MERGE INTO bfp_m t USING bfp_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = dict(
+            (r.k, r.v)
+            for r in snappy.table("bfp_m").filter("k in (3, 950)").collect()
+        )
+        assert got == {3: "THREE", 950: "NEW"}
+        assert snappy.table("bfp_m").count() == 801
+        snappy.drop_table("bfp_m")
