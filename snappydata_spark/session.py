@@ -1722,7 +1722,10 @@ class SnappySession:
         bcols = [c.lower() for c in meta.partition_by]
         if not set(bcols) <= {k.lower() for k in keys}:
             return None
-        table = self.spark.table(self._cat_name(meta.name))
+        try:
+            table = self.spark.table(self._cat_name(meta.name))
+        except Exception:
+            return None  # no bucketed catalog entry: use the scan path
         # hash() is physical-type-sensitive: cast source keys to the
         # target's column types so int32/int64 drift can't mis-bucket
         types = {f.name.lower(): f.dataType for f in table.schema.fields}
