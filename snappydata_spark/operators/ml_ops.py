@@ -108,8 +108,10 @@ def kmeans_train(
     return centroids, _assign(emb, centroids)
 
 
-def _kmeans_oracle() -> str:
-    """The same Lloyd iterations unrolled as DuckDB CTEs."""
+def _kmeans_cte_blocks() -> tuple[list[str], str]:
+    """The unrolled Lloyd-iteration CTE blocks and the name of the final
+    centroid CTE — shared by the kmeans oracle and the composed
+    kmeans→IVF oracle (operators/dedup_ops-style composition)."""
     init = f"""
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -138,6 +140,11 @@ c{i} AS (
     GROUP BY a.cluster, t.j)
   GROUP BY cluster)""")
         prev = f"c{i}"
+    return blocks, prev
+
+
+def _kmeans_oracle() -> str:
+    blocks, prev = _kmeans_cte_blocks()
     final = f"""
 df AS (
   SELECT e.vec_id, c.cid,
@@ -192,4 +199,57 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dist"), 2).alias("inertia"),
         )
         .withColumn("centroid_norm", norm_expr)
+    )
+
+
+def _kmeans_ivf_oracle() -> str:
+    """kmeans-trained coarse quantizer feeding the IVF search — the
+    composed oracle reuses the Lloyd CTE blocks as the centroid table."""
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+
+    blocks, prev = _kmeans_cte_blocks()
+    search = f"""
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cc AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS cc
+       FROM embeddings e, {prev} c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM cc) WHERE rn = 1),
+probe AS (SELECT cid AS cell FROM
+    (SELECT c.cid, {_cos_sql('c.ce', 'q.qe')} AS qc FROM {prev} c, q)
+    ORDER BY qc DESC, cid LIMIT 4)
+SELECT e.vec_id, ROUND({_cos_sql('e.embedding', 'q.qe')}, 4) AS cos
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe p ON p.cell = a.cell
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id
+LIMIT 10"""
+    return "WITH " + ",".join(blocks) + "," + search
+
+
+@register("sim_ivf_kmeans_topk", oracle=_kmeans_ivf_oracle())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN pipeline: TRAIN the coarse quantizer (kmeans_train,
+    3 Lloyd iterations) → INDEX (vectorized numpy cell assignment, the
+    zero-shuffle scale path) → SEARCH (probe the 4 nearest cells,
+    brute-force cosine only inside them).  Replaces sim_ivf_topk's
+    deterministic-sample centroids with trained ones — the full
+    train/index/search composition a 100 TB vector pipeline runs, every
+    stage hash-checked by one composed oracle."""
+    from snappydata_spark import ann
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    centroids, _ = kmeans_train(emb)
+    cent = spark.createDataFrame(
+        sorted((int(cid), ce) for cid, ce in centroids.items()),
+        "cid long, ce array<double>",
+    )
+    assign = ann.ivf_assign_vectorized(emb, ann.collect_centroids(cent))
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return ann.ivf_search(
+        emb.filter(F.col("vec_id") != 0), assign, cent, query, k=10, nprobe=4
     )
