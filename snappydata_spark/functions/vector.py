@@ -55,18 +55,19 @@ def lsh_hyperplane_bucket(
     namespaces the plane family (banded LSH uses one family per band)."""
     import hashlib
 
-    out = F.lit(0).cast("long")
     dv = _as_double(v)
-    for p in range(num_planes):
-        # same md5-derived uniforms as the SQL oracle, but computed here
-        # (hashlib md5 == Spark md5) instead of as 64 Catalyst
-        # md5/conv/substring trees per plane — analyzing + constant-folding
-        # those dominated query build time (~3 s of driver work per query).
-        # The literal array is built as ONE parsed SQL string: 64 F.lit()
-        # calls per plane were 64 py4j round-trips each — at 12+ planes
-        # that was >1.5 s of pure driver time.  repr() doubles are
-        # shortest-round-trip, so the parsed values are bit-identical.
-        comps = F.expr(
+    # same md5-derived uniforms as the SQL oracle, but computed here
+    # (hashlib md5 == Spark md5) instead of as 64 Catalyst
+    # md5/conv/substring trees per plane — analyzing + constant-folding
+    # those dominated query build time (~3 s of driver work per query).
+    # All planes ship as ONE parsed 2-D literal + a single transform/fold
+    # pair: per-plane expression trees made Catalyst analysis itself the
+    # dominant cost at 10+ planes (same collapse as the kmeans argmin,
+    # operators/ml_ops.py).  repr() doubles are shortest-round-trip, so
+    # the parsed values are bit-identical to the oracle's.
+    planes = F.expr(
+        "array("
+        + ", ".join(
             "array("
             + ", ".join(
                 repr(
@@ -78,11 +79,28 @@ def lsh_hyperplane_bucket(
                 for d in range(dims)
             )
             + ")"
+            for p in range(num_planes)
         )
-        proj = F.aggregate(
+        + ")"
+    )
+    projs = F.transform(
+        planes,
+        lambda comps: F.aggregate(
             F.zip_with(dv, comps, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        out = out + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return out
+        ),
+    )
+    # bucket = Σ sign-bit << plane-index: distinct powers of two, so the
+    # fold order cannot change the (exact integer) sum
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            F.expr(f"sequence(0, {num_planes - 1})"),
+            lambda pr, p: F.when(
+                pr > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
