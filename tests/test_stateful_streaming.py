@@ -487,3 +487,49 @@ def test_stream_interval_join(snappy, spark):
             views.withColumnRenamed("view_id", "x"),
             on=["user"], left_ts="click_ts", right_ts="view_ts",
         )
+
+
+def test_stream_static_enrichment_join(snappy, stream_dir):
+    """Stream-to-table join — the reference's marquee CQ pattern: a
+    stream joined against a REPLICATED reference table
+    (SnappyStreamingSuite stream-table joins; replicated-table local
+    join SnappyStrategies.scala:330-343).  The managed dim resolves
+    through SnappySession and broadcasts under the stream; enriched
+    rows land aggregated per dim attribute."""
+    dim = snappy.spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "uid int, tier string"
+    )
+    snappy.create_table("enrich_dim", options={"replicate": "true"}, df=dim)
+
+    _write_batch(
+        stream_dir,
+        "b0.json",
+        [
+            {"uid": 1, "amount": 10.0},
+            {"uid": 2, "amount": 5.0},
+            {"uid": 1, "amount": 7.0},
+            {"uid": 9, "amount": 99.0},  # no dim row -> dropped by inner join
+        ],
+    )
+    stream = snappy.spark.readStream.schema("uid int, amount double").json(
+        stream_dir
+    )
+    enriched = (
+        stream.join(snappy.table("enrich_dim"), "uid")
+        .groupBy("tier")
+        .agg(F.sum("amount").alias("total"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.tier: r.total
+        for r in snappy.spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    assert got == {"gold": 17.0, "silver": 5.0}
+    snappy.drop_table("enrich_dim")
