@@ -253,3 +253,47 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_search(
         emb.filter(F.col("vec_id") != 0), assign, cent, query, k=10, nprobe=4
     )
+
+
+def _cluster_sample_oracle(m: int = 10) -> str:
+    blocks, prev = _kmeans_cte_blocks()
+    final = f"""
+dfin AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_aggregate(
+                              [ (e.embedding[j]::DOUBLE - c.ce[j]) ^ 2
+                                for j in range(1, len(c.ce) + 1) ], 'sum'),
+                            c.cid) AS rn
+  FROM embeddings e CROSS JOIN {prev} c),
+afin AS (SELECT vec_id, cid AS cluster FROM dfin WHERE rn = 1)
+SELECT cluster, vec_id, rank FROM (
+  SELECT cluster, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY md5(vec_id::VARCHAR), vec_id) AS rank
+  FROM afin) WHERE rank <= {m}"""
+    blocks.append(final)
+    return "WITH " + ",".join(blocks)
+
+
+@register("pipeline_cluster_balanced_sample", oracle=_cluster_sample_oracle())
+def pipeline_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling for training mixes: take an EQUAL number of
+    examples from every learned kmeans cluster (vs pipeline_domain_mix,
+    which stratifies on a metadata column).  Per-cluster selection orders
+    by md5(vec_id) — a deterministic pseudo-random draw reproducible in
+    the oracle.  Scale: the rank window partitions by cluster over the
+    (id, cluster) assignment — n rows, k partitions, one shuffle; the
+    embedding payload never rides through the window."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    from pyspark.sql import Window as W
+
+    _, assigned = kmeans_train(t["embeddings"])
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.select("cluster", "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
