@@ -34,6 +34,16 @@ ops = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "layout",
+    [
+        {"key_columns": "k"},
+        # bucketed layout: mutations route through the bucket-function
+        # fast path (_bucket_affected_files) — same semantics required
+        {"key_columns": "k", "partition_by": "k", "buckets": "4"},
+    ],
+    ids=["unbucketed", "bucketed"],
+)
 @settings(
     max_examples=8,
     deadline=None,
@@ -43,14 +53,14 @@ ops = st.lists(
     initial=st.lists(row_strategy(), min_size=1, max_size=6, unique_by=lambda r: r[0]),
     sequence=ops,
 )
-def test_mutation_sequence_matches_model(snappy, initial, sequence):
+def test_mutation_sequence_matches_model(snappy, layout, initial, sequence):
     spark = snappy.spark
     name = "hm_t"
     if snappy.catalog.exists(name):
         snappy.drop_table(name)
     snappy.create_table(
         name,
-        options={"key_columns": "k"},
+        options=dict(layout),
         df=spark.createDataFrame(initial, "k int, v int, s string"),
     )
     model = {k: (k, v, s) for k, v, s in initial}
