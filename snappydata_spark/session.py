@@ -1621,7 +1621,13 @@ class SnappySession:
         data = self.catalog.data_path(name)
         m = self._load_manifest(name)
         if m is None:
-            live, tombs, gen, sch = self._list_data_files(name), [], 0, None
+            # first commit on a pre-manifest table: the directory listing
+            # ALREADY contains the just-written `add`/`full` files (they
+            # are staged before the commit) — seed live from the listing
+            # minus those, or they'd be recorded twice and double-read
+            staged = set(add) | (set(full) if full is not None else set())
+            live = [f for f in self._list_data_files(name) if f not in staged]
+            tombs, gen, sch = [], 0, None
         else:
             live, tombs, gen, sch = (
                 m["files"],
@@ -1638,6 +1644,7 @@ class SnappySession:
             rm = set(remove)
             removed = [f for f in live if f in rm]
             live = [f for f in live if f not in rm] + list(add)
+        live = list(dict.fromkeys(live))  # a name must never appear twice
         tombs = tombs + [{"file": f, "gen": gen} for f in removed]
         keep, drop = [], []
         for t in tombs:

@@ -141,3 +141,34 @@ def test_reader_writer_isolation_threaded(snappy):
     # UPDATE must not change cardinality, and the last writes are visible
     assert snappy.table("mf_e").count() == 2000
     snappy.drop_table("mf_e")
+
+
+def test_pre_manifest_table_first_mutation_no_duplicates(snappy):
+    """Upgrade path: a table persisted BEFORE the manifest feature (no
+    manifest file on disk) gets its first mutation — the seeding commit
+    must not record the just-staged files twice (a duplicated path in
+    spark.read.parquet double-reads it, silently duplicating rows)."""
+    _mk(snappy, "pm_t", n=50)
+    # simulate the pre-manifest state: drop the manifest, keep the data
+    os.remove(snappy._manifest_path("pm_t"))
+    assert snappy._load_manifest("pm_t") is None
+
+    extra = snappy.spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(50, 60)]
+    )
+    snappy.insert("pm_t", extra)
+    assert snappy.table("pm_t").count() == 60
+    m = snappy._load_manifest("pm_t")
+    assert len(m["files"]) == len(set(m["files"]))
+
+    # and the same through the pruned-PUT path on another fresh table
+    _mk(snappy, "pm_u", n=50)
+    os.remove(snappy._manifest_path("pm_u"))
+    src = snappy.spark.createDataFrame([(5, 555.0)], "k bigint, v double")
+    snappy.put("pm_u", src)
+    assert snappy.table("pm_u").count() == 50
+    assert snappy.table("pm_u").filter("k = 5").collect()[0].v == 555.0
+    m = snappy._load_manifest("pm_u")
+    assert len(m["files"]) == len(set(m["files"]))
+    snappy.drop_table("pm_t")
+    snappy.drop_table("pm_u")
