@@ -340,9 +340,13 @@ def containment_pairs(
     a = docs.select(F.col(id_col).alias("src"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("dst"), F.col("sh").alias("sh_b"))
     cont = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a")
+    # filter on the UNROUNDED containment (the oracle's WHERE does too —
+    # rounding first would admit pairs in [threshold - 5e-5, threshold));
+    # round only the reported value
     return (
         cand.join(a, "src")
         .join(b, "dst")
-        .select("src", "dst", F.round(cont, 4).alias("containment"))
-        .filter(F.col("containment") >= threshold)
+        .withColumn("__cont", cont)
+        .filter(F.col("__cont") >= threshold)
+        .select("src", "dst", F.round("__cont", 4).alias("containment"))
     )

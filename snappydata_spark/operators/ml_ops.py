@@ -76,12 +76,17 @@ def _update(assigned: DataFrame) -> dict[int, list[float]]:
     """New centroids = elementwise member mean — one shuffle on
     (cluster, pos), then a bounded k*dims-row collect (the model, not the
     data)."""
+    # ROUND(mean, 9): the mean of arbitrary doubles is summation-order
+    # dependent in the last ulps (Spark merges partials in shuffle order,
+    # DuckDB sums sequentially); rounding far below data scale makes the
+    # next iteration's centroids bit-identical across engines instead of
+    # letting a 1-ulp drift flip a near-tie assignment
     rows = (
         assigned.select(
             "cluster", F.posexplode("embedding").alias("pos", "v")
         )
         .groupBy("cluster", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("m"))
         .groupBy("cluster")
         .agg(
             F.transform(
@@ -134,7 +139,7 @@ d{i} AS (
 a{i} AS (SELECT vec_id, cid AS cluster FROM d{i} WHERE rn = 1),
 c{i} AS (
   SELECT cluster AS cid, array_agg(m ORDER BY pos) AS ce FROM (
-    SELECT a.cluster, t.j AS pos, AVG(e.embedding[t.j]::DOUBLE) AS m
+    SELECT a.cluster, t.j AS pos, ROUND(AVG(e.embedding[t.j]::DOUBLE), 9) AS m
     FROM a{i} a JOIN embeddings e ON e.vec_id = a.vec_id
     CROSS JOIN unnest(range(1, len(e.embedding) + 1)) AS t(j)
     GROUP BY a.cluster, t.j)

@@ -553,18 +553,32 @@ class SnappySession:
     def _validate_checks(self, meta: TableMeta, df: DataFrame) -> None:
         """Enforce CHECK constraints (GemFireXD row-DDL surface) on the
         incoming/rewritten rows — SQL semantics: NULL passes, FALSE
-        rejects.  Cost is one scan per constraint over the write batch
-        (never the whole table on the pruned paths)."""
+        rejects.  ALL constraints evaluate in ONE scan of the write batch
+        (one conditional max per check), never the whole table on the
+        pruned paths.  Note: the batch is evaluated once here and again
+        by the write — a nondeterministic source (rand()) can pass
+        validation yet write different rows; stage such sources first."""
         raw = meta.options.get("checks")
         if not raw:
             return
         import json as _json
 
-        for expr in _json.loads(raw):
-            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-            if df.filter(~ok).limit(1).count() > 0:
+        exprs = _json.loads(raw)
+        if not exprs:
+            return
+        flags = [
+            F.max(
+                F.when(
+                    ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), 1
+                ).otherwise(0)
+            ).alias(f"c{i}")
+            for i, e in enumerate(exprs)
+        ]
+        row = df.agg(*flags).first()
+        for i, e in enumerate(exprs):
+            if row[i] == 1:
                 raise ValueError(
-                    f"CHECK constraint violated on {meta.name}: {expr}"
+                    f"CHECK constraint violated on {meta.name}: {e}"
                 )
 
     @_serialized
@@ -905,14 +919,30 @@ class SnappySession:
             )
             # relation-position match only (FROM s / JOIN s / comma-join
             # ", s") — a column, alias, or string literal that merely
-            # mentions a stream name must not bypass the plan cache
-            if windowed != rewritten or any(
-                re.search(
+            # mentions a stream name must not bypass the plan cache.  A
+            # comma counts as a relation position only while still inside
+            # a FROM list (the most recent clause keyword is FROM), so
+            # "SELECT x, s FROM t" with a stream named s stays cacheable.
+            def _mentions_stream_relation(s: str) -> bool:
+                for m in re.finditer(
                     rf"(?:\bFROM\b|\bJOIN\b|,)\s*{re.escape(s)}\b",
                     rewritten,
                     flags=re.I,
-                )
-                for s in self._streams
+                ):
+                    if not m.group(0).startswith(","):
+                        return True
+                    prefix = rewritten[: m.start()]
+                    kws = re.findall(
+                        r"\b(FROM|SELECT|WHERE|GROUP|ORDER|HAVING|ON)\b",
+                        prefix,
+                        flags=re.I,
+                    )
+                    if kws and kws[-1].upper() == "FROM":
+                        return True
+                return False
+
+            if windowed != rewritten or any(
+                _mentions_stream_relation(s) for s in self._streams
             ):
                 # query touches a stream relation: the result is a live
                 # streaming DataFrame — never cache it (plan cache entries
@@ -983,8 +1013,10 @@ class SnappySession:
             try:
                 q.stop()
             except Exception as e:  # noqa: BLE001 — keep stopping the rest
+                # keep the handle: a failed stop must stay addressable so
+                # a retry (another STREAMING STOP) can still reach it
                 errors.append((name, e))
-            finally:
+            else:
                 self._active_cqs.pop(name, None)
         if errors:
             raise RuntimeError(
@@ -1553,7 +1585,11 @@ class SnappySession:
     # manifest finishes its scan on intact files (the snapshot-isolation
     # contract the reference gets from its store transaction,
     # SnapshotConnectionListener.scala; here: manifest pinning + grace GC)
-    _TOMBSTONE_GRACE = 2
+    # a tombstoned file is physically unlinked only after this many younger
+    # generations exist — the isolation window for in-flight scans: a
+    # reader survives up to GRACE-1 concurrent mutations of the table it
+    # is scanning (not unbounded; see _managed_df).  vacuum() ignores it.
+    _TOMBSTONE_GRACE = 8
 
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.catalog.table_path(name.lower()), "manifest.json")
@@ -1584,9 +1620,12 @@ class SnappySession:
 
     def _managed_df(self, name: str) -> DataFrame:
         """Unbucketed managed read resolved through the manifest: the
-        returned plan pins this generation's file list, so a concurrent
-        mutation (which never unlinks inside the grace window) cannot
-        fail or double-read this scan.  Empty tables come back as an
+        returned plan pins this generation's file list, and a concurrent
+        mutation never unlinks inside the grace window — a scan stays
+        valid across up to _TOMBSTONE_GRACE-1 subsequent mutations (a
+        scan slower than that many writes can lose a file mid-read and
+        must retry; the reference bounds the same race with its snapshot
+        tx lease).  Empty tables come back as an
         empty frame with the manifest-recorded schema."""
         files = self._live_files(name)
         if files is None:

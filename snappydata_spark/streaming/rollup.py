@@ -122,6 +122,11 @@ class ContinuousAggregate:
             (F.col("bucket_start") >= bounds.lo)
             & (F.col("bucket_start") <= bounds.hi)
         )
+        if "last_batch_id" not in tgt.columns:
+            # migration: a rollup table created before the in-row ledger
+            # has no column — treat every stored row as last_batch_id=-1
+            # (never replayed) instead of failing analysis on t.last_batch_id
+            tgt = tgt.withColumn("last_batch_id", F.lit(-1))
         # per-row ledger: a stored row with last_batch_id >= batch_id
         # already contains this batch's partial (crash-after-PUT replay);
         # keep its values verbatim instead of double-merging

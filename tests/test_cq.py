@@ -118,3 +118,25 @@ def test_register_cq_rejects_batch_query(snappy, sf_dir):
         snappy.register_cq(
             f"SELECT * FROM parquet.`{sf_dir}/nation.parquet`"
         )
+
+
+def test_stream_name_as_column_stays_cached(snappy, tmp_path):
+    """A batch query whose SELECT list merely contains a column named like
+    a registered stream must stay on the plan cache — only relation
+    positions (FROM s / JOIN s / FROM a, s) divert to the stream path."""
+    snappy.sql(
+        f"CREATE STREAM TABLE clicks (k INT, v STRING) "
+        f"USING file_stream OPTIONS (format 'json', path '{tmp_path}')"
+    )
+    try:
+        snappy.spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, clicks int"
+        ).createOrReplaceTempView("daily_stats")
+        df = snappy.sql("SELECT user_id, clicks FROM daily_stats")
+        assert not df.isStreaming
+        assert df.count() == 2
+        # comma-join relation position DOES divert to the stream path
+        s = snappy.sql("SELECT * FROM daily_stats, clicks")
+        assert s.isStreaming
+    finally:
+        snappy.sql("DROP STREAM TABLE clicks")

@@ -18,7 +18,9 @@ def _numpy_lloyd(X, k, iters):
         for j, cid in enumerate(live):
             members = X[assign == j]
             if len(members):
-                new_cents.append(members.mean(axis=0))
+                # the engine rounds centroids to 9 decimals per iteration
+                # (cross-engine determinism) — mirror it
+                new_cents.append(np.round(members.mean(axis=0), 9))
                 new_live.append(cid)
         cents = np.array(new_cents)
         live = new_live
