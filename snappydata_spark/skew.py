@@ -6,7 +6,7 @@ seconds.  Two remedies, composable with AQE's skew-join splitting
 (spark.sql.adaptive.skewJoin.enabled, on by default in get_spark):
 
 - ``salted_join``: explode the *small* side S ways and salt the big side
-  randomly-but-deterministically (hash of a stable column, not rand(), so
+  randomly-but-deterministically (hash of the whole row, not rand(), so
   retries/speculative tasks stay consistent).  The hot key's rows spread
   over S partitions; join cost grows by |small| × S, usually trivial.
 - ``hot_key_split``: the reference-style two-path plan — broadcast-join
@@ -29,12 +29,28 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted into `salt` sub-keys.
 
-    `salt_on`: a stable big-side column to derive the salt from (defaults
-    to the first join key — any column with per-row variety works; using
-    a hash instead of rand() keeps task retries deterministic).
+    `salt_on`: a big-side column to derive the salt from.  It must VARY
+    WITHIN a join key (a per-event id, a timestamp) or the hot key's rows
+    all hash to one salt and nothing spreads; the default hashes the
+    ENTIRE row, which varies within a key unless rows are full
+    duplicates.  A hash instead of rand() keeps task retries
+    deterministic.
+
+    Only inner and left joins are supported: salting explodes the small
+    side `salt`-fold, so join types where unmatched small-side rows
+    surface (right/full outer) would emit each of them `salt` times.
     """
-    salt_src = salt_on or big.columns[0]
-    b = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt)))
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "exploded small side would duplicate its unmatched rows "
+            f"{salt}x under right/full outer (swap the sides instead)"
+        )
+    if salt_on is not None:
+        salt_expr = F.xxhash64(F.col(salt_on))
+    else:
+        salt_expr = F.xxhash64(*[F.col(c) for c in big.columns])
+    b = big.withColumn("__salt", F.pmod(salt_expr, F.lit(salt)))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
@@ -53,11 +69,16 @@ def hot_key_split(
     DataFrame of the join-key columns) go through a broadcast join; the
     long tail goes through the normal shuffle join; results union.
     Works because the hot slice × other-side-per-key is small enough to
-    broadcast precisely when keys are few and hot."""
+    broadcast precisely when keys are few and hot.
+
+    BOTH sides split on the hot set — the cold path must exclude the hot
+    keys from `other` too, or right/full outer joins would surface each
+    hot `other` row a second time as an unmatched cold row."""
     hot = F.broadcast(hot_keys.select(*keys).distinct())
     big_hot = big.join(hot, keys, "left_semi")
     big_cold = big.join(hot, keys, "left_anti")
     other_hot = other.join(hot, keys, "left_semi")
+    other_cold = other.join(hot, keys, "left_anti")
     hot_joined = big_hot.join(F.broadcast(other_hot), keys, how)
-    cold_joined = big_cold.join(other, keys, how)
+    cold_joined = big_cold.join(other_cold, keys, how)
     return hot_joined.unionByName(cold_joined)

@@ -48,19 +48,34 @@ def asof_join(
     if right_cols is None:
         right_cols = {c: f"{c}_r" for c in right.columns if c not in (*by, on)}
     rts = "__asof_rts"
+    row_col = "__asof_row"
 
-    l2 = left.withColumn("__side", F.lit(1)).withColumn(
-        rts, F.lit(None).cast("timestamp")
+    # the matched right row rides as ONE struct, so every carried output
+    # column comes from the SAME right row — carrying columns separately
+    # with last(ignorenulls) would splice fields of different rows
+    # whenever a right column is NULL (a chimera row that never existed)
+    rtypes = dict(right.dtypes)
+    struct_type = (
+        "struct<"
+        + ", ".join(
+            [f"{rts}: timestamp"]
+            + [f"{new}: {rtypes[old]}" for old, new in right_cols.items()]
+        )
+        + ">"
     )
-    for old, new in right_cols.items():
-        l2 = l2.withColumn(new, F.lit(None).cast(dict(right.dtypes)[old]))
-
+    l2 = left.withColumn("__side", F.lit(1)).withColumn(
+        row_col, F.lit(None).cast(struct_type)
+    )
     r2 = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__side"),
-        F.col(on).alias(rts),
-        *[F.col(old).alias(new) for old, new in right_cols.items()],
+        F.struct(
+            F.col(on).cast("timestamp").alias(rts),
+            *[F.col(old).alias(new) for old, new in right_cols.items()],
+        )
+        .cast(struct_type)
+        .alias(row_col),
     )
     for c in left.columns:
         if c not in (*by, on):
@@ -79,21 +94,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(new, ignorenulls=True).over(w).alias(new) for new in right_cols.values()]
     out = merged.select(
-        *[c for c in merged.columns if c not in (*right_cols.values(), rts)],
-        F.last(rts, ignorenulls=True).over(w).alias(rts),
-        *carried,
+        *[c for c in merged.columns if c != row_col],
+        F.last(row_col, ignorenulls=True).over(w).alias(row_col),
     ).filter(F.col("__side") == 1)
+    matched = F.col(f"{row_col}.{rts}")
     if tolerance is not None:
-        gap = F.abs(F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(rts)))
-        keep = F.col(rts).isNotNull() & (gap <= tolerance)
-        out = out.select(
-            *[c for c in out.columns if c not in (*right_cols.values(), rts)],
-            F.when(keep, F.col(rts)).alias(rts),
-            *[F.when(keep, F.col(new)).alias(new) for new in right_cols.values()],
-        )
-    return out.drop("__side", rts)
+        gap = F.abs(F.unix_timestamp(F.col(on)) - F.unix_timestamp(matched))
+        keep = matched.isNotNull() & (gap <= tolerance)
+        out = out.withColumn(row_col, F.when(keep, F.col(row_col)))
+    out = out.select(
+        *[c for c in out.columns if c != row_col],
+        *[F.col(f"{row_col}.{new}").alias(new) for new in right_cols.values()],
+    )
+    return out.drop("__side")
 
 
 def range_join(

@@ -53,3 +53,47 @@ def test_hot_key_split_equivalent(skewed, spark):
     hot = spark.createDataFrame([(7,)], "k bigint")
     out = skew.hot_key_split(big, small, ["k"], hot)
     assert _canon(out) == _canon(big.join(small, ["k"]))
+
+
+def test_salted_join_default_salt_varies_within_hot_key(skewed, spark):
+    """The DEFAULT salt source must vary WITHIN a key: a per-key-constant
+    salt (e.g. hashing the join key itself) puts every hot-key row in one
+    partition and mitigates nothing."""
+    big, small = skewed
+    plain = big.join(small, ["k"])
+    salted = skew.salted_join(big, small, ["k"], salt=8)  # no salt_on
+    assert _canon(salted) == _canon(plain)
+    hot = big.filter(F.col("k") == 7)
+    n_salts = (
+        hot.select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_join_rejects_right_outer(skewed):
+    big, small = skewed
+    with pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(big, small, ["k"], how="right")
+
+
+def test_hot_key_split_right_outer_no_duplicates(spark):
+    """Right/full outer through the two-path plan: hot `other` rows must
+    not reappear as unmatched cold rows (the cold path excludes the hot
+    key set from BOTH sides)."""
+    big = spark.createDataFrame(
+        [(7, "b1"), (7, "b2"), (1, "b3")], "k int, bval string"
+    )
+    other = spark.createDataFrame(
+        [(7, "o_hot"), (1, "o1"), (2, "o_unmatched")], "k int, oval string"
+    )
+    hot = spark.createDataFrame([(7,)], "k int")
+    for how in ("right", "full"):
+        got = skew.hot_key_split(big, other, ["k"], hot, how=how)
+        plain = big.join(other, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how

@@ -58,3 +58,31 @@ def test_range_join_bounds(spark):
     )
     # [100, 700): includes b@100 and c@699; excludes a@99 and d@700
     assert sorted(r["rid"] for r in out.select(F.col("r.rid")).collect()) == ["b", "c"]
+
+
+def test_asof_join_null_right_field_stays_null(spark):
+    """A NULL column in the matched right row must come through as NULL —
+    not spliced with the previous row's value for that column (every
+    carried field must originate from the SAME matched row)."""
+    from snappydata_spark.timeseries import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0, 6.0),
+            (1, "2024-01-01 10:05:00", None, 7.0),
+        ],
+        "user_id int, ts string, bid double, ask double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:06:00", "q")], "user_id int, ts string, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    row = asof_join(left, right, on="ts", by=("user_id",)).collect()[0]
+    assert row.ask_r == 7.0
+    assert row.bid_r is None  # NOT 5.0 from the older row
+
+    # with tolerance: both fields must match-or-null together
+    row = asof_join(
+        left, right, on="ts", by=("user_id",), tolerance=30
+    ).collect()[0]
+    assert row.ask_r is None and row.bid_r is None  # 10:00 row is 6 min away
