@@ -113,41 +113,44 @@ def approx_agg(
     (docs/sde/running_queries.md)."""
     z = z_value(confidence)
     s = st.sample
-    # per-group sample moments; realized weights when the sample carries
-    # the weightage column (exact HT under reservoir floors), else the
-    # nominal uniform fraction
+    # PER-ROW Horvitz-Thompson: each row contributes w·y with ITS OWN
+    # weight (inclusion probability 1/w).  Averaging the weights first
+    # (est = Σy · mean(w)) is biased whenever weights differ within a
+    # group — e.g. a reservoir-floored rare stratum at w=1 aggregated
+    # together with a 1%-sampled stratum at w=100.
     # COUNT estimates need no value moments (y ≡ 1); using a constant also
     # lets COUNT(*) route through a non-numeric qcs column unharmed
     v = F.lit(1.0) if agg == "count" else F.col(value_col)
-    weighted = WEIGHT_COL in s.columns
-    sum_w = (
-        F.sum(WEIGHT_COL) if weighted else F.count(F.lit(1)) / next(iter(st.fractions.values()))
+    w_row = (
+        F.col(WEIGHT_COL)
+        if WEIGHT_COL in s.columns
+        else F.lit(1.0 / next(iter(st.fractions.values())))
     )
+    # Bernoulli/Poisson HT variance: Var̂ = Σ (1-πᵢ)/πᵢ² yᵢ² = Σ wᵢ(wᵢ-1) yᵢ²
     g = s.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        sum_w.alias("sum_w"),
-        F.sum(v).alias("s_sum"),
-        F.avg(v).alias("s_avg"),
-        F.coalesce(F.var_samp(v), F.lit(0.0)).alias("s_var"),
-        F.sum(v * v).alias("s_sum2"),
+        F.sum(w_row).alias("sum_w"),
+        F.sum(w_row * v).alias("ht_sum"),
+        F.sum(w_row * (w_row - 1) * v * v).alias("var_sum"),
+        F.sum(w_row * (w_row - 1) * v).alias("var_cross"),
+        F.sum(w_row * (w_row - 1)).alias("var_w"),
     )
-    # per-group realized sampling ratio f = n / Σw  (uniform-fraction
-    # samples reduce to the nominal f)
-    f = F.col("n") / F.col("sum_w")
-    inv = F.col("sum_w") / F.col("n")
     if agg == "sum":
-        # Horvitz-Thompson under Bernoulli sampling:
-        # est = (1/f) Σy,  Var̂ = ((1-f)/f²) Σy²  — the Σy² term carries the
-        # randomness of the realized sample count, not just value spread
-        est = F.col("s_sum") * inv
-        se = F.sqrt(F.col("s_sum2") * (1.0 - f)) * inv
+        est = F.col("ht_sum")
+        se = F.sqrt(F.greatest(F.col("var_sum"), F.lit(0.0)))
     elif agg == "avg":
-        est = F.col("s_avg")
-        se = F.sqrt(F.col("s_var") / F.col("n"))
+        # ratio estimator R = Σwy / Σw with linearized variance
+        # Var(R̂) ≈ Σ w(w-1)(y - R)² / (Σw)²  (expanded into one pass)
+        est = F.col("ht_sum") / F.col("sum_w")
+        quad = (
+            F.col("var_sum")
+            - 2.0 * est * F.col("var_cross")
+            + est * est * F.col("var_w")
+        )
+        se = F.sqrt(F.greatest(quad, F.lit(0.0))) / F.col("sum_w")
     elif agg == "count":
         est = F.col("sum_w")
-        # y ≡ 1 in the HT formula: Var̂ = n (1-f)/f²
-        se = F.sqrt(F.col("n") * (1.0 - f)) * inv
+        se = F.sqrt(F.greatest(F.col("var_w"), F.lit(0.0)))
     else:
         raise ValueError(f"agg {agg!r} not supported (sum/avg/count)")
     abs_err = F.lit(z) * se
@@ -177,35 +180,41 @@ def approx_agg_multi(
     `<alias>_upper_bound` (same math per aggregate as approx_agg)."""
     z = z_value(confidence)
     s = st.sample
-    weighted = WEIGHT_COL in s.columns
-    sum_w = (
-        F.sum(WEIGHT_COL)
-        if weighted
-        else F.count(F.lit(1)) / next(iter(st.fractions.values()))
+    w_row = (
+        F.col(WEIGHT_COL)
+        if WEIGHT_COL in s.columns
+        else F.lit(1.0 / next(iter(st.fractions.values())))
     )
-    moment_cols = [F.count(F.lit(1)).alias("n"), sum_w.alias("sum_w")]
+    moment_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w_row).alias("sum_w"),
+        F.sum(w_row * (w_row - 1)).alias("var_w"),
+    ]
     for i, (fn, col, _alias) in enumerate(aggs):
         v = F.lit(1.0) if fn == "count" else F.col(col)
         moment_cols += [
-            F.sum(v).alias(f"s_sum_{i}"),
-            F.avg(v).alias(f"s_avg_{i}"),
-            F.coalesce(F.var_samp(v), F.lit(0.0)).alias(f"s_var_{i}"),
-            F.sum(v * v).alias(f"s_sum2_{i}"),
+            F.sum(w_row * v).alias(f"ht_sum_{i}"),
+            F.sum(w_row * (w_row - 1) * v * v).alias(f"var_sum_{i}"),
+            F.sum(w_row * (w_row - 1) * v).alias(f"var_cross_{i}"),
         ]
     g = s.groupBy(*group_cols).agg(*moment_cols)
-    f = F.col("n") / F.col("sum_w")
-    inv = F.col("sum_w") / F.col("n")
     out_cols = [F.col(c) for c in group_cols]
     for i, (fn, _col, alias) in enumerate(aggs):
+        # same per-row Horvitz-Thompson math as approx_agg
         if fn == "sum":
-            est = F.col(f"s_sum_{i}") * inv
-            se = F.sqrt(F.col(f"s_sum2_{i}") * (1.0 - f)) * inv
+            est = F.col(f"ht_sum_{i}")
+            se = F.sqrt(F.greatest(F.col(f"var_sum_{i}"), F.lit(0.0)))
         elif fn == "avg":
-            est = F.col(f"s_avg_{i}")
-            se = F.sqrt(F.col(f"s_var_{i}") / F.col("n"))
+            est = F.col(f"ht_sum_{i}") / F.col("sum_w")
+            quad = (
+                F.col(f"var_sum_{i}")
+                - 2.0 * est * F.col(f"var_cross_{i}")
+                + est * est * F.col("var_w")
+            )
+            se = F.sqrt(F.greatest(quad, F.lit(0.0))) / F.col("sum_w")
         elif fn == "count":
             est = F.col("sum_w")
-            se = F.sqrt(F.col("n") * (1.0 - f)) * inv
+            se = F.sqrt(F.greatest(F.col("var_w"), F.lit(0.0)))
         else:
             raise ValueError(f"agg {fn!r} not supported (sum/avg/count)")
         abs_err = F.lit(z) * se

@@ -52,7 +52,10 @@ def stream_interval_join(
         cond = eq if cond is None else cond & eq
     lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS")
     hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")
-    cond = cond & (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    interval = (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    # on=[] is a pure time-interval join: `None & interval` would build a
+    # NULL condition that silently filters every row
+    cond = interval if cond is None else cond & interval
     joined = l.join(r, cond, how)
     # drop the duplicated key columns from the right side
     keep = [F.col(f"l.{c}") for c in left.columns] + [

@@ -100,7 +100,10 @@ class ContinuousAggregate:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_batch_id():
             return
-        part = self._partial(batch)
+        # materialize the per-batch partial once: bounds.first(), the
+        # validation pass, and the PUT would otherwise each re-run the
+        # batch aggregation on the streaming hot path
+        part = self._partial(batch).localCheckpoint(eager=True)
         key_cols = ["bucket_start", *self.keys]
         if not self.session.catalog.exists(self.table):
             self.session.create_table(
@@ -118,7 +121,20 @@ class ContinuousAggregate:
         if bounds.lo is None:
             self._record_batch(batch_id)
             return
-        tgt = self.session.table(self.table).filter(
+        # read the merge target through the RAW mutation read, not the
+        # user-facing table(): an RLS policy or grant on the rollup table
+        # must never hide stored rows from the merge (hidden row ⇒ its
+        # history silently overwritten) or kill the stream with a
+        # permission error inside foreachBatch
+        meta = self.session.catalog.load_meta(self.table)
+        raw = self.session._mutation_target(self.table, meta)
+        if raw is None:  # table exists but holds no data yet
+            self.session.put(
+                self.table, part.withColumn("last_batch_id", F.lit(batch_id))
+            )
+            self._record_batch(batch_id)
+            return
+        tgt = raw.filter(
             (F.col("bucket_start") >= bounds.lo)
             & (F.col("bucket_start") <= bounds.hi)
         )

@@ -5,8 +5,14 @@ SnappyStoreSinkProviderSuite.scala:72-286):
 
 - exactly-once: a state table stores (query_name, batch_id); a batch whose
   id is ≤ the recorded one is skipped (:197-206).  We keep the ledger as a
-  small parquet dir per query and make the apply path idempotent anyway
-  (PUT INTO rewrites converge), mirroring the `possibleDuplicate` handling.
+  small json per query and make the apply path idempotent anyway for the
+  keyed paths (PUT INTO / deleteFrom rewrites converge on replay),
+  mirroring the `possibleDuplicate` handling.  KEYLESS insert targets are
+  at-least-once across a crash between insert() and the ledger write: the
+  reference closes that window by updating its state table in the same
+  store transaction as the data (:197-206) — no cross-table transaction
+  exists here (documented divergence; give the table key_columns to get
+  the convergent upsert path).
 - with an `_eventType` column (ints INSERT=0/UPDATE=1/DELETE=2, :119):
   per key keep only the LAST event in the batch (event conflation,
   :286-309; insert followed by update ⇒ upsert), then apply deletes via

@@ -26,7 +26,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -132,6 +132,10 @@ def sessionize_stream(
             f"CAST({key_col} AS STRING) AS {key_col}",
             f"CAST(unix_timestamp({ts_col}) AS LONG) AS __ts_epoch",
         )
+        # a NULL/unparseable timestamp would arrive as NaN and int(NaN)
+        # would fail the task (killing the whole streaming query) — drop
+        # such rows before they reach the state function
+        .filter(F.col("__ts_epoch").isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

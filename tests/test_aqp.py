@@ -325,3 +325,35 @@ def test_create_and_query_approx_ts_topk(snappy, sf_dir):
         snappy.query_approx_ts_topk("tk_events")
     snappy.drop_table("tk_types")
     snappy.drop_table("tk_events")
+
+
+def test_ht_estimate_exact_under_mixed_stratum_weights(spark):
+    """Per-row Horvitz-Thompson: with a reservoir-floored rare stratum
+    (weight 1, fully kept) aggregated together with a heavily-sampled
+    common stratum, SUM/COUNT estimates must weight each ROW by its own
+    stratum weight — averaging the weights first inflates the rare
+    stratum's contribution by orders of magnitude."""
+    from snappydata_spark import aqp
+    from snappydata_spark.aqp import WEIGHT_COL, SampleTable
+
+    # rare stratum: 3 rows fully kept (w=1, y=1000 each)
+    # common stratum: 5 sampled rows representing 100 each (w=100, y=1)
+    rows = [("rare", 1000.0, 1.0)] * 3 + [("common", 1.0, 100.0)] * 5
+    sample = spark.createDataFrame(
+        rows, f"grp string, y double, {WEIGHT_COL} double"
+    )
+    st = SampleTable(sample, ["grp"], {"*": 0.01}, -1)
+    got = aqp.approx_agg(st, [], "y", agg="sum").collect()[0]
+    # exact HT: 3*1*1000 + 5*100*1 = 3500
+    assert got.estimate == 3500.0
+    got = aqp.approx_agg(st, [], "y", agg="count").collect()[0]
+    assert got.estimate == 503.0  # 3*1 + 5*100
+    got = aqp.approx_agg(st, [], "y", agg="avg").collect()[0]
+    assert abs(got.estimate - 3500.0 / 503.0) < 1e-4  # output rounds to 4dp
+    # fully-kept sample (all weights 1): zero sampling variance
+    full = spark.createDataFrame(
+        [("a", 5.0, 1.0)] * 4, f"grp string, y double, {WEIGHT_COL} double"
+    )
+    st_full = SampleTable(full, ["grp"], {"*": 1.0}, -1)
+    got = aqp.approx_agg(st_full, [], "y", agg="sum").collect()[0]
+    assert got.estimate == 20.0 and got.absolute_error == 0.0
