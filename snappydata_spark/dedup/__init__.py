@@ -42,6 +42,12 @@ def minhash_lsh_candidates(
     """MinHash + LSH banding: shingle → minhash signature (map-side) →
     explode band hashes → self-join per (band, band_hash) bucket.
     Returns candidate pairs (doc1 < doc2, distinct)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}: "
+            "a remainder would silently drop the trailing hash functions "
+            "and change the effective (1/b)^(1/r) similarity threshold"
+        )
     rows = num_hashes // bands
     # two projections: base shingle hashes (one md5 per shingle) then the
     # affine minhash family — see functions/text.shingle_hashes for why
@@ -180,11 +186,18 @@ def embedding_near_dups(
     b = df.select(
         F.col(id_col).alias("v2"), F.col(block_col).alias("blk2"), F.col(vec_col).alias("e2")
     )
-    pairs = a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("v1") < F.col("v2"))).select(
-        "blk",
-        "v1",
-        "v2",
-        F.round(V.cosine(F.col("e1"), F.col("e2")), 4).alias("cos"),
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("v1") < F.col("v2")))
+        .select(
+            "blk",
+            "v1",
+            "v2",
+            F.round(V.cosine(F.col("e1"), F.col("e2")), 4).alias("cos"),
+        )
+        # a zero vector makes cosine 0/0 = NaN, and Spark orders NaN ABOVE
+        # every real double — a pair of zero-padding rows would otherwise
+        # outrank genuine cos=1.0 near-dups and eat the top_per_block slots
+        .filter(~F.isnan("cos"))
     )
     w = W.partitionBy("blk").orderBy(F.col("cos").desc(), F.col("v1"), F.col("v2"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(
@@ -274,18 +287,22 @@ def containment_pairs(
 
     Scale disciplines (each oracle-reproducible):
 
-    1. **Min-hash inverted index**: each doc is keyed by its
-       `index_shingles` SMALLEST 60-bit shingle hashes — a uniform
-       random sample of the doc's shingles, so two docs sharing most
-       shingles almost surely share a key.
-    2. **Document-frequency cap**: keys whose df exceeds `max_df` are
-       dropped before the self-join (prefix-filtering discipline).
-       Without it, one boilerplate shingle hashing low lands k docs on
-       a single key → k² candidate pairs — quadratic at corpus scale
-       (the round-2 defect).  With it, pair count ≤ Σ_key df·max_df ≤
-       index_shingles·n·max_df — linear in n.  The trade: a doc
-       contained ONLY in > max_df boilerplate twins loses those
-       candidates — documented recall bound.
+    1. **Asymmetric probe/index**: the CONTAINED side (src) probes with
+       its `index_shingles` SMALLEST 60-bit shingle hashes (the PPJoin
+       prefix: if containment ≥ t, a's smallest shingles must appear in
+       b); the CONTAINER side (dst) is indexed on ALL of its shingles —
+       a quote pasted into a 100×-larger doc is then a guaranteed
+       candidate (keying BOTH sides by their own min-hashes would find
+       it only if one of the big doc's global minima landed inside the
+       quote, ≈ |quote|/|doc| per key).
+    2. **Document-frequency cap** on the INDEX side: keys whose df
+       exceeds `max_df` are dropped before the join (prefix-filtering
+       discipline).  Without it, one boilerplate shingle lands k docs
+       on a single key → k² candidate pairs — quadratic at corpus scale
+       (the round-2 defect).  With it, pair count ≤
+       index_shingles·n·max_df — linear in n.  The trade: containment
+       inside > max_df boilerplate twins loses those candidates —
+       documented recall bound.
     3. **Size prefilter**: containment ≥ t requires |sh(b)| ≥ t·|sh(a)|,
        applied on the key join before the distinct (the cheap length
        test PPJoin applies before any verification).
@@ -313,21 +330,27 @@ def containment_pairs(
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
     docs = docs.persist()  # keys + both join sides read one shingle pass
-    keys = docs.select(
+    probe = docs.select(
         F.col(id_col),
         F.size("sh").alias("sz"),
         F.explode(F.slice("sh", 1, index_shingles)).alias("key"),
     )
-    # document-frequency cap: whole-partition count over the key (single
-    # shuffle, reused by the self-join's hash partitioning)
-    keys = (
-        keys.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("key")))
+    index = docs.select(
+        F.col(id_col),
+        F.size("sh").alias("sz"),
+        F.explode("sh").alias("key"),
+    )
+    # document-frequency cap on the full inverted index: whole-partition
+    # count over the key (single shuffle, reused by the join's hash
+    # partitioning)
+    index = (
+        index.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("key")))
         .filter(F.col("df") <= max_df)
         .drop("df")
     )
     cand = (
-        keys.alias("a")
-        .join(keys.alias("b"), "key")
+        probe.alias("a")
+        .join(index.alias("b"), "key")
         .filter(
             (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & (F.col("b.sz") >= threshold * F.col("a.sz"))

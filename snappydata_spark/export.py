@@ -44,9 +44,13 @@ def export_shards(
     deterministically by md5(seed || key).  Re-running with the same seed
     and keys reproduces byte-identical shard membership."""
     out = shard_assignment(df, key_col, n_shards, seed)
+    # key_col tie-break: shuffle_rank is a 32-bit hash (collisions are
+    # certain beyond ~100k rows) and duplicate keys share a rank — tied
+    # rows would otherwise emit in input-partition order, which varies
+    # across runs and breaks the byte-identical contract
     (
         out.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shuffle_rank")
+        .sortWithinPartitions("shard", "shuffle_rank", key_col)
         .write.format(fmt)
         .partitionBy("shard")
         .mode("overwrite")

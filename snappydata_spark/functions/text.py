@@ -28,8 +28,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (the baseline token counter)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization (the baseline token counter).  Empty /
+    whitespace-only text yields [] — a bare split returns [''], giving
+    empty documents token_count=1 and a non-zero quality score."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
 
 
 def token_count(col: Column) -> Column:

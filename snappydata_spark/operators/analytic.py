@@ -317,7 +317,7 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_tokens",
     oracle="""
 SELECT token, COUNT(*) AS cnt
-FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+FROM (SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS token
       FROM documents)
 GROUP BY token
 """,

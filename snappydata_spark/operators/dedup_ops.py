@@ -19,7 +19,7 @@ from snappydata_spark.functions import vector as V
 from snappydata_spark.operators.registry import register
 from snappydata_spark.tables import load_tables
 
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
 
 # corpus with perturbed near-dup copies (one extra token per copy)
 _CORPUS_SQL = """
@@ -644,17 +644,18 @@ sh AS (SELECT doc_id,
                   [('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT
                    for s in sh])) AS sh
        FROM sh0 WHERE len(sh) > 0),
-keys AS (
+probe AS (
   SELECT doc_id, len(sh) AS sz, unnest(sh[1:3]) AS key FROM sh
 ),
-keysf AS (
+idx AS (
   SELECT doc_id, sz, key FROM (
-    SELECT doc_id, sz, key, COUNT(*) OVER (PARTITION BY key) AS df FROM keys)
+    SELECT doc_id, sz, key, COUNT(*) OVER (PARTITION BY key) AS df FROM (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS key FROM sh) u0) u1
   WHERE df <= 30
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM keysf a JOIN keysf b
+  FROM probe a JOIN idx b
     ON a.key = b.key AND a.doc_id <> b.doc_id AND b.sz >= 0.6 * a.sz
 )
 SELECT c.src, c.dst,

@@ -19,7 +19,7 @@ from snappydata_spark.functions import text as T
 from snappydata_spark.operators.registry import register
 from snappydata_spark.tables import load_tables
 
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
 _DUCK_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 
 PACK_BUDGET = 512  # tokens per packed training sequence

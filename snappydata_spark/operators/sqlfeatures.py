@@ -45,7 +45,7 @@ def setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lateral_posexplode",
     oracle="""
 SELECT doc_id, x - 1 AS pos, t[x] AS token
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
       FROM documents WHERE doc_id < 20),
      UNNEST(range(1, len(t) + 1)) AS u(x)
 """,

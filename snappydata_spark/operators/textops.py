@@ -14,7 +14,7 @@ from snappydata_spark.functions import text as T
 from snappydata_spark.operators.registry import register
 from snappydata_spark.tables import load_tables
 
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
 _STOP = "('the', 'a', 'and', 'of', 'to', 'in')"
 
 

@@ -32,8 +32,14 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 
 # string literals first (so numbers inside strings aren't tokenized), then
-# numeric literals not part of an identifier
+# numeric literals not part of an identifier.  Double-quoted text is
+# PROTECTED but not parameterized: under Spark's default dialect "..." is
+# a string literal, under ANSI double-quoted-identifiers it's an
+# identifier — either way its contents must not be tokenized (a number
+# inside would otherwise leave a :pN marker INSIDE the literal, which
+# parses fine with the arg unused and silently compares against ':pN').
 _STRING = re.compile(r"'(?:[^'\\]|\\.)*'")
+_DQUOTED = re.compile(r'"(?:[^"\\]|\\.)*"')
 _NUMBER = re.compile(r"(?<![\w'\.])-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?![\w'])")
 
 
@@ -42,11 +48,15 @@ def normalize_sql(text: str) -> tuple[str, list[str]]:
     values: list[str] = []
 
     def _sub(m: re.Match) -> str:
+        if m.group(0).startswith('"'):
+            return m.group(0)  # protected verbatim, never parameterized
         values.append(m.group(0))
         return f":p{len(values) - 1}"
 
-    # one pass: find string or number occurrences left-to-right
-    combined = re.compile(f"(?:{_STRING.pattern})|(?:{_NUMBER.pattern})")
+    # one pass: find string / double-quoted / number occurrences in order
+    combined = re.compile(
+        f"(?:{_STRING.pattern})|(?:{_DQUOTED.pattern})|(?:{_NUMBER.pattern})"
+    )
     template = combined.sub(_sub, text)
     return template, values
 
@@ -114,9 +124,33 @@ class PlanCache:
             self._cache.clear()
 
 
+# Spark's ParserUtils.unescapeSQLString escape set: named control chars,
+# \uXXXX, LIKE escapes (\% \_) keep their backslash, any other \x → x
+_NAMED_ESCAPES = {
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "b": "\b",
+    "0": "\0",
+    "Z": "\x1a",
+    "%": "\\%",
+    "_": "\\_",
+}
+
+
+def _unescape_sql_string(s: str) -> str:
+    def _one(m: re.Match) -> str:
+        if m.group(1) is not None:  # \uXXXX
+            return chr(int(m.group(1), 16))
+        c = m.group(2)
+        return _NAMED_ESCAPES.get(c, c)
+
+    return re.sub(r"\\u([0-9a-fA-F]{4})|\\(.)", _one, s)
+
+
 def _parse_literal(tok: str):
     if tok.startswith("'"):
-        return tok[1:-1].replace("\\'", "'")
+        return _unescape_sql_string(tok[1:-1])
     try:
         if re.search(r"[\.eE]", tok):
             return float(tok)

@@ -58,6 +58,12 @@ def jdbc_read(
     of funneling through a single connection."""
     reader = _apply(spark.read.format("jdbc"), url, table, driver, options)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "jdbc_read: partition_column requires lower_bound and "
+                "upper_bound (they would otherwise reach Spark as the "
+                "string 'None' and fail deep inside JDBCRelation)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

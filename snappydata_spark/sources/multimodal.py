@@ -169,7 +169,10 @@ def sample_video_frames(
         for pdf in batches:
             rows = {"item_id": [], "frame_no": [], "offset_ms": [], "feature": []}
             for _, r in pdf.iterrows():
-                dur = r["duration_ms"] or 0
+                # nullable LongType arrives as float64 with NaN for NULL
+                # (and NaN is truthy) — guard both, default to 1 frame
+                dur = r["duration_ms"]
+                dur = 0 if dur is None or dur != dur else dur
                 n = min(max_frames, max(1, int(dur // every_ms)))
                 for i in range(n):
                     rows["item_id"].append(r["item_id"])

@@ -90,3 +90,27 @@ def test_knn_plane_count_scales_with_corpus(spark):
         return 2 * n * n / (2**bp)
 
     assert expected_pairs(200_000) / expected_pairs(2_000) < 4 * (200_000 / 2_000)
+
+
+def test_containment_finds_quote_in_much_larger_doc(spark):
+    """The marquee containment case: a short doc pasted verbatim into a
+    100x-larger one.  The container side is indexed on ALL its shingles,
+    so the quote's min-hash probe keys are guaranteed hits — min-hashing
+    BOTH sides would find this pair only ~|quote|/|doc| of the time."""
+    from snappydata_spark.dedup import containment_pairs
+
+    quote = " ".join(f"qw{i}" for i in range(30))
+    big = (
+        " ".join(f"pre{i}" for i in range(1500))
+        + " " + quote + " "
+        + " ".join(f"post{i}" for i in range(1500))
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, big)] + [(i, f"noise {i} " * 20) for i in range(3, 13)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9

@@ -259,3 +259,31 @@ def test_reference_comment_join_hints(snappy, sf_dir):
         "SELECT /*+ BROADCAST(h_cust) */ COUNT(*) AS n FROM h_cust "
         "--+ joinOrder(fixed)\n JOIN h_ord ON c_custkey = o_custkey"
     ).collect()[0].n > 0
+
+
+def test_plan_cache_double_quoted_literal_protected(snappy):
+    """A number inside a double-quoted string must NOT be tokenized —
+    the :pN marker would land INSIDE the literal and the query would
+    silently compare against the string ':p0'."""
+    snappy.spark.createDataFrame(
+        [("100",), (":p0",)], "c string"
+    ).createOrReplaceTempView("dq_t")
+    rows = snappy.sql('SELECT c FROM dq_t WHERE c = "100"').collect()
+    assert [r.c for r in rows] == ["100"]
+
+
+def test_plan_cache_escape_sequences_bind_exactly(snappy):
+    """Backslash escapes in a parameterized literal must bind the same
+    string the raw SQL produces (tab, newline, backslash, unicode)."""
+    snappy.spark.createDataFrame(
+        [("a\tb",), ("a\\tb",), ("x\ny",)], "c string"
+    ).createOrReplaceTempView("esc_t")
+    rows = snappy.sql("SELECT c FROM esc_t WHERE c = 'a\\tb'").collect()
+    assert [r.c for r in rows] == ["a\tb"]
+    rows = snappy.sql("SELECT c FROM esc_t WHERE c = 'x\\ny'").collect()
+    assert [r.c for r in rows] == ["x\ny"]
+    from snappydata_spark.plans.cache import _parse_literal
+
+    assert _parse_literal(r"'a\\b'") == "a\\b"
+    assert _parse_literal(r"'A'") == "A"
+    assert _parse_literal(r"'100\%'") == "100\\%"  # LIKE escape survives

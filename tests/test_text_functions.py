@@ -106,3 +106,17 @@ def test_keep_one_per_cluster(spark):
     kept = sorted(r.doc_id for r in dedup.keep_one_per_cluster(docs, clusters).collect())
     # clusters {1,2,3} keep 1; {5,6} keep 5; 4 untouched
     assert kept == [1, 4, 5]
+
+
+def test_empty_text_zero_tokens_zero_quality(spark):
+    """Empty / whitespace-only text must score 0 tokens (a bare split
+    yields [''] = 1 token, letting junk rows out-score real short docs)."""
+    from snappydata_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one two",)], "text string"
+    ).select(
+        T.token_count(F.col("text")).alias("n"),
+    )
+    assert [r.n for r in df.collect()] == [0, 0, 2]
