@@ -371,6 +371,12 @@ def parse_ddl_schema(schema: str) -> tuple[str, list[str], list[str]]:
         item = _CONSTRAINT_ITEM.sub("", item).strip()
         if not item:
             continue  # pure [CONSTRAINT name] CHECK(...) table constraint
+        pk_table = re.match(r"^\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", item, re.I)
+        if pk_table:
+            # table-level composite constraint: PRIMARY KEY (a, b) — key
+            # columns only, nothing to emit as a column definition
+            keys.extend(c.strip().lower() for c in pk_table.group(1).split(","))
+            continue
         if _PK_CONSTRAINT.search(item):
             keys.append(item.split()[0].lower())
             item = _PK_CONSTRAINT.sub("", item)
@@ -548,9 +554,11 @@ def _parse_merge(m: re.Match) -> "Statement":
         elif a.upper() == "DELETE":
             matched.append(("delete", cond, None))
         else:
-            matched.append(
-                ("update", cond, _split_assignments(a[len("UPDATE SET"):]))
-            )
+            # strip the UPDATE SET prefix by pattern, not fixed length —
+            # any extra whitespace/newline between the keywords would
+            # otherwise leave keyword residue in the first assignment
+            body = re.sub(r"^UPDATE\s+SET\s*", "", a, flags=re.I)
+            matched.append(("update", cond, _split_assignments(body)))
     return Statement(
         "merge",
         table=table,
@@ -644,9 +652,20 @@ def split_statement(text: str) -> Statement:
             if_not_exists=bool(re.search(r"IF\s+NOT\s+EXISTS", text, re.I)),
         )
     m = _CREATE_TABLE_NOUSING.match(text)
-    if m and (m.group(2) or m.group(4)):
-        # needs a schema or AS SELECT to be a table definition; bare
-        # `CREATE TABLE t` stays a Spark error
+    if (
+        m
+        and (m.group(2) or m.group(4))
+        # Spark-native clauses mean this is NOT the no-USING managed form:
+        # the lazy schema group would otherwise backtrack across
+        # ') PARTITIONED BY (' / ') USING x OPTIONS(...)' and hijack valid
+        # Spark DDL with a garbage schema
+        and not re.search(
+            r"\bUSING\b|\bPARTITIONED\s+BY\b|\bSTORED\s+AS\b"
+            r"|\bROW\s+FORMAT\b|\bTBLPROPERTIES\b|\bLOCATION\s+'",
+            text,
+            re.I,
+        )
+    ):
         name, schema_sql, opts, as_select = m.groups()
         return Statement(
             "create_table",

@@ -121,12 +121,36 @@ def merge_df(
     the same join (full-outer), so the source is scanned once.
     """
     cols = target.columns
-    tgt = target.withColumn("__t_m", F.lit(1)).alias(t_alias)
+    tgt = (
+        target.withColumn("__t_m", F.lit(1))
+        .withColumn("__t_id", F.monotonically_increasing_id())
+        .alias(t_alias)
+    )
     src = source.withColumn("__s_m", F.lit(1)).alias(s_alias)
     j = tgt.join(src, F.expr(on), "full_outer")
     t_present = F.col(f"{t_alias}.__t_m").isNotNull()
     s_present = F.col(f"{s_alias}.__s_m").isNotNull()
     is_matched = t_present & s_present
+
+    if matched:
+        # ANSI MERGE (and Delta) requirement: a target row matched by MORE
+        # than one source row is an error — the full-outer join would
+        # otherwise emit the target row once per matching source row,
+        # silently duplicating keys on every such merge
+        multi = (
+            j.filter(is_matched)
+            .groupBy(F.col(f"{t_alias}.__t_id"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if multi:
+            raise ValueError(
+                "MERGE: multiple source rows match the same target row — "
+                "deduplicate the source on the ON keys first (ANSI "
+                "cardinality violation)"
+            )
 
     def _cond(sql):
         return F.expr(sql) if sql else F.lit(True)

@@ -137,8 +137,16 @@ class SnappySession:
         self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
-        # instances sharing one SparkSession (e.g. test fixtures)
-        self._session_id = uuid.uuid4().hex[:8]
+        # instances sharing one SparkSession (e.g. test fixtures).  Derived
+        # from the store dir, NOT random: two sessions over the SAME store
+        # must resolve the same catalog entry (a random id made every
+        # bucketed table silently unreadable — and mutations silently
+        # no-op — from any second session)
+        import hashlib as _hashlib
+
+        self._session_id = _hashlib.md5(
+            os.path.abspath(self.catalog.base_dir).encode()
+        ).hexdigest()[:8]
         # per-table mutation serialization (the reference brackets
         # mutations in a store snapshot tx; here concurrent writers of the
         # SAME table serialize their read→rewrite→swap sections so one
@@ -147,6 +155,15 @@ class SnappySession:
         # divergence (SURVEY §8).
         self._mutation_locks: dict[str, threading.RLock] = {}
         self._mutation_locks_guard = threading.Lock()
+        # re-expose persisted managed tables as temp views: without this a
+        # fresh session over an existing store could table()/mutate them
+        # but sql("SELECT ... FROM t") raised TABLE_OR_VIEW_NOT_FOUND
+        # until some mutation happened to refresh the view
+        for tbl in list(self.catalog.list_tables()):
+            try:
+                self._refresh_view(tbl)
+            except Exception:  # noqa: BLE001 — e.g. bucketed layout whose
+                pass  # catalog entry didn't survive the process restart
 
     def _table_lock(self, name: str) -> threading.RLock:
         # RLock: put() on an empty table delegates to insert() in-thread
@@ -292,6 +309,7 @@ class SnappySession:
         df.createOrReplaceTempView(name.lower())
         return df
 
+    @_serialized
     def alter_table(
         self, name: str, add: dict | None = None, drop: list | None = None
     ) -> None:
@@ -600,6 +618,13 @@ class SnappySession:
         meta = self.catalog.load_meta(name.lower())
         self._validate_checks(meta, df)
         keys = meta.key_columns or meta.partition_by
+        if not keys:
+            # must fail BEFORE the pruned path: keys=[] would make the
+            # semi-join conditionless (every file "affected") and the
+            # anti-join keep nothing — silently replacing the whole table
+            raise ValueError(
+                f"PUT INTO {name} requires key_columns (or partition_by)"
+            )
         target = self._mutation_target(name, meta)
         if target is None:  # empty table: put == insert
             self.insert(name, df)
@@ -670,6 +695,11 @@ class SnappySession:
         """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
+        if not keys:
+            raise ValueError(
+                f"deleteFrom {name} requires key_columns (or partition_by) "
+                "— keys=[] would wipe every row, not match none"
+            )
         target = self._mutation_target(name, meta)
         if target is None:
             return
@@ -895,10 +925,16 @@ class SnappySession:
             # legalizes self-referencing overwrites (INSERT OVERWRITE t
             # SELECT ... FROM t — Spark rejects overwrite-while-reading)
             self._resolve_read_access(stmt.source_sql)
-            meta = self.catalog.load_meta(stmt.table.lower())
-            aligned = self._align_source(stmt.table, self.spark.sql(stmt.source_sql))
-            self._validate_checks(meta, aligned)
-            self._rewrite(aligned, meta)
+            # same per-table serialization as insert/put/update — an
+            # unlocked overwrite racing a concurrent append could commit
+            # a manifest that tombstones the append's files
+            with self._table_lock(stmt.table.lower()):
+                meta = self.catalog.load_meta(stmt.table.lower())
+                aligned = self._align_source(
+                    stmt.table, self.spark.sql(stmt.source_sql)
+                )
+                self._validate_checks(meta, aligned)
+                self._rewrite(aligned, meta)
             return None
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
@@ -1463,10 +1499,11 @@ class SnappySession:
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             if not self._is_bucketed(meta):
-                df = self._mutation_target(name, meta)
-                if df is not None and not df.isEmpty():
-                    # _rewrite clusters for the just-registered index
-                    self._rewrite(df, meta)
+                with self._table_lock(name):  # serialize with writers
+                    df = self._mutation_target(name, meta)
+                    if df is not None and not df.isEmpty():
+                        # _rewrite clusters for the just-registered index
+                        self._rewrite(df, meta)
         return None
 
     def _index_cols(self, name: str) -> list[str] | None:
@@ -1485,9 +1522,10 @@ class SnappySession:
         multi-dimensional data-skipping layout (Delta/Hudi Z-ORDER; the
         reference's multi-column store indexes serve the same predicates).
         Bucket ids linear-scale each column into 2^8 bins from global
-        min/max (one tiny agg); non-numeric columns fall back to
-        lexicographic range clustering."""
-        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "date"}
+        min/max (one tiny agg); non-numeric columns (incl. date/timestamp
+        — float(datetime) has no meaning and the double cast is invalid)
+        fall back to lexicographic range clustering."""
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
         dtypes = dict(df.dtypes)
         if len(cols) == 1 or not all(
             dtypes.get(c, "").split("(")[0] in numeric for c in cols
@@ -1710,22 +1748,26 @@ class SnappySession:
         import json
 
         name = name.lower()
-        m = self._load_manifest(name)
-        if m is None:
-            return 0
-        data = self.catalog.data_path(name)
-        n = 0
-        for t in m.get("tombstones", []):
-            try:
-                os.remove(os.path.join(data, t["file"]))
-                n += 1
-            except FileNotFoundError:
-                pass
-        tmp = self._manifest_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
-        os.replace(tmp, self._manifest_path(name))
-        return n
+        # manifest read-modify-write must not interleave with a writer's
+        # commit — an unlocked vacuum could overwrite a concurrent
+        # mutation's freshly-committed manifest generation entirely
+        with self._table_lock(name):
+            m = self._load_manifest(name)
+            if m is None:
+                return 0
+            data = self.catalog.data_path(name)
+            n = 0
+            for t in m.get("tombstones", []):
+                try:
+                    os.remove(os.path.join(data, t["file"]))
+                    n += 1
+                except FileNotFoundError:
+                    pass
+            tmp = self._manifest_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
+            os.replace(tmp, self._manifest_path(name))
+            return n
 
     # ------------------------------------------------- pruned copy-on-write
 
@@ -1735,16 +1777,27 @@ class SnappySession:
 
     def _mutation_target(self, name: str, meta: TableMeta) -> DataFrame | None:
         """Raw table read for mutation (no broadcast hint, no RLS filter —
-        mutations see the whole table).  None = table has no data yet."""
+        mutations see the whole table).  None = table has no data yet.
+        Read FAILURES propagate — swallowing them into None turned broken
+        states (missing catalog entry, corrupt file) into silent no-op
+        UPDATE/DELETE and duplicate-key PUT-as-INSERT."""
+        if self._is_bucketed(meta):
+            cat = self._cat_name(meta.name)
+            if not self.spark.catalog.tableExists(cat):
+                raise ValueError(
+                    f"bucketed table {meta.name} has no catalog entry in "
+                    "this SparkSession (bucketed layouts live in the Spark "
+                    "catalog and do not survive a process restart — "
+                    "recreate the table; documented divergence)"
+                )
+            return self.spark.table(cat)
+        files = self._live_files(name)
+        if files is not None and not files:
+            return None  # manifest says: no data
         try:
-            if self._is_bucketed(meta):
-                return self.spark.table(self._cat_name(meta.name))
-            files = self._live_files(name)
-            if files is not None and not files:
-                return None  # manifest says: no data
             return self._managed_df(name)
-        except Exception:
-            return None
+        except FileNotFoundError:
+            return None  # pre-manifest table whose data dir is absent/empty
 
     def _bucket_affected_files(
         self, meta: TableMeta, source: DataFrame, keys: list[str]
@@ -2006,12 +2059,21 @@ class PreparedStatement:
 
     def __init__(self, session: SnappySession, text: str):
         self.session = session
-        parts = text.split("?")
-        self.n_params = len(parts) - 1
-        self.template = "".join(
-            p + (f":p{i}" if i < self.n_params else "")
-            for i, p in enumerate(parts)
-        )
+        # replace only BARE `?` markers: a ? inside a string literal is
+        # data, not a parameter (a naive split corrupted the literal and
+        # miscounted the parameters)
+        n = 0
+
+        def _mark(m: re.Match) -> str:
+            nonlocal n
+            if m.group(1) is not None:  # quoted literal — untouched
+                return m.group(1)
+            out = f":p{n}"
+            n += 1
+            return out
+
+        self.template = re.sub(r"('(?:[^'\\]|\\.)*')|\?", _mark, text)
+        self.n_params = n
 
     def execute(self, *params) -> DataFrame:
         if len(params) != self.n_params:

@@ -406,3 +406,48 @@ def test_check_constraints_on_merge_and_overwrite(snappy):
     rows = snappy.table("chk_m").collect()
     assert [(r.k, r.price) for r in rows] == [(1, 5.0)]
     snappy.drop_table("chk_m")
+
+
+def test_composite_primary_key_table_constraint(snappy):
+    """Table-level PRIMARY KEY (a, b): both columns become key_columns and
+    no garbage '(a, b)' column reaches the schema."""
+    snappy.sql(
+        "CREATE TABLE cpk_t (a INT, b INT, v STRING, PRIMARY KEY (a, b)) USING ROW"
+    )
+    meta = snappy.catalog.load_meta("cpk_t")
+    assert meta.key_columns == ["a", "b"]
+    assert [f.name for f in snappy.table("cpk_t").schema.fields] == ["a", "b", "v"]
+    snappy.put(
+        "cpk_t", snappy.spark.createDataFrame([(1, 2, "x")], "a int, b int, v string")
+    )
+    assert snappy.table("cpk_t").count() == 1
+    snappy.drop_table("cpk_t")
+
+
+def test_merge_update_set_with_newline(snappy):
+    """UPDATE <newline> SET must parse (the prefix is stripped by pattern,
+    not by fixed-length slice)."""
+    snappy.create_table(
+        "mnl_t",
+        options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([(1, "old")], "k int, v string"),
+    )
+    snappy.spark.createDataFrame([(1, "new")], "k int, v string").createOrReplaceTempView(
+        "mnl_src"
+    )
+    snappy.sql(
+        "MERGE INTO mnl_t t USING mnl_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE\n   SET v = s.v"
+    )
+    assert snappy.table("mnl_t").collect()[0].v == "new"
+    snappy.drop_table("mnl_t")
+
+
+def test_prepared_statement_question_mark_in_literal(snappy):
+    """A '?' inside a string literal is data, not a parameter marker."""
+    snappy.spark.createDataFrame(
+        [("pending?", 1), ("done", 2)], "status string, id int"
+    ).createOrReplaceTempView("pq_t")
+    ps = snappy.prepare("SELECT id FROM pq_t WHERE status = 'pending?' AND id = ?")
+    assert ps.n_params == 1
+    assert [r.id for r in ps.execute(1).collect()] == [1]

@@ -497,3 +497,40 @@ class TestBucketFunctionPruning:
         assert got == {3: "THREE", 950: "NEW"}
         assert snappy.table("bfp_m").count() == 801
         snappy.drop_table("bfp_m")
+
+
+def test_keyless_put_and_delete_from_refused(snappy):
+    """A table with no key_columns/partition_by must REFUSE put/deleteFrom
+    — the pruned path's keys=[] built a conditionless semi-join (every
+    file affected) and a conditionless anti-join (keep nothing), silently
+    replacing the whole table with the source rows."""
+    snappy.create_table(
+        "nk_t", df=snappy.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    src = snappy.spark.createDataFrame([(9, "z")], "k int, v string")
+    with pytest.raises(ValueError, match="key_columns"):
+        snappy.put("nk_t", src)
+    with pytest.raises(ValueError, match="key_columns"):
+        snappy.delete_from("nk_t", src.select("k"))
+    assert snappy.table("nk_t").count() == 2  # untouched
+    snappy.drop_table("nk_t")
+
+
+def test_merge_multi_source_match_raises(snappy):
+    """ANSI MERGE cardinality: two source rows matching one target row is
+    an error, not a silent key duplication."""
+    snappy.create_table(
+        "mc_t",
+        options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    snappy.spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k int, v string"
+    ).createOrReplaceTempView("mc_src")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        snappy.sql(
+            "MERGE INTO mc_t t USING mc_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    assert snappy.table("mc_t").count() == 1
+    snappy.drop_table("mc_t")
