@@ -487,6 +487,15 @@ class SnappySession:
             size = sum(
                 os.path.getsize(f) for f in live if os.path.exists(f)
             )
+        elif self._is_bucketed(meta):
+            # bucketed data lives in the Spark warehouse, not table_path
+            try:
+                for f in self.spark.table(self._cat_name(name)).inputFiles():
+                    p = self._local_path(f)
+                    if os.path.exists(p):
+                        size += os.path.getsize(p)
+            except Exception:  # noqa: BLE001 — stats stay best-effort
+                pass
         else:
             for root, _dirs, files in os.walk(self.catalog.table_path(name)):
                 size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
@@ -1180,11 +1189,16 @@ class SnappySession:
         fns = {"sum": F.sum, "avg": F.avg}
         agg_exprs = []
         for fn, col, alias in named:
-            e = (
-                F.count(F.lit(1)).cast("double")
-                if fn == "count"
-                else fns[fn](col)
-            )
+            if fn == "count":
+                # COUNT(col) excludes NULLs — only COUNT(*) / COUNT(1)
+                # may take the count-every-row shortcut
+                e = (
+                    F.count(F.lit(1))
+                    if col in (None, "*", "1")
+                    else F.count(col)
+                ).cast("double")
+            else:
+                e = fns[fn](col)
             agg_exprs.append(F.round(e.cast("double"), 4).alias(alias))
         exact = base.groupBy(*group_cols).agg(*agg_exprs)
         aliases = {alias for _, _, alias in named}
