@@ -38,6 +38,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def bigrams(token_array: Column) -> Column:
+    """Adjacent token pairs from a MATERIALIZED token array column.
+    Callers must select the token array into its own column first —
+    inlining tokens(text) here would re-split the text once per slice
+    (O(tokens²) work inside zip_with)."""
+    return F.zip_with(
+        F.slice(token_array, 1, F.size(token_array) - 1),
+        F.slice(token_array, 2, F.size(token_array) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
 def avg_token_len(col: Column) -> Column:
     t = tokens(col)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))

@@ -159,13 +159,8 @@ def txt_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(T.tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 2)
     )
-    bigrams = F.zip_with(
-        F.slice(F.col("t"), 1, F.size("t") - 1),
-        F.slice(F.col("t"), 2, F.size("t") - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     return (
-        toked.select(F.explode(bigrams).alias("ngram"))
+        toked.select(F.explode(T.bigrams(F.col("t"))).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -325,9 +320,14 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("ngrams").alias("ng"))
         .distinct()
     )
+    # no broadcast HINT: a real benchmark eval set broadcasts on its own
+    # under autoBroadcastJoinThreshold; this operator's eval side is a
+    # corpus split whose n-gram set grows with the corpus, and a forced
+    # broadcast would abort (no fallback exists for explicit hints) —
+    # letting AQE choose degrades to a shuffled semi-join instead
     contaminated = (
         train.select("doc_id", F.explode("ngrams").alias("ng"))
-        .join(F.broadcast(ev), "ng", "left_semi")
+        .join(ev, "ng", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -383,11 +383,7 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", toks.alias("t"))
         .filter(F.size("t") >= 2)
     )
-    bg = F.zip_with(
-        F.slice(F.col("t"), 1, F.size("t") - 1),
-        F.slice(F.col("t"), 2, F.size("t") - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    bg = T.bigrams(F.col("t"))
     x = d.select(
         "lang",
         (
@@ -532,8 +528,12 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("c")
     )
     total = cnts.agg(F.sum("c").alias("n"))
+    # cnts (the distinct-token vocabulary) carries no broadcast hint: a
+    # forced broadcast has no fallback past the hard limit, while AQE
+    # broadcasts a small vocab automatically and shuffles a huge one;
+    # the one-row `total` stays hinted (always tiny)
     return (
-        toks.join(F.broadcast(cnts), "tok")
+        toks.join(cnts, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

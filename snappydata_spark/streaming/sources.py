@@ -96,8 +96,13 @@ def stream_reader(
     raw = reader.load()
     if converter is not None:
         return converter(raw)
-    if schema is not None and "value" in raw.columns:
-        # kafka/socket style: parse the value payload as json
+    if (
+        schema is not None
+        and dict(raw.dtypes).get("value") in ("string", "binary")
+    ):
+        # kafka/socket style: parse the STRING/BINARY value payload as
+        # json.  Typed value columns (e.g. the rate source's LONG) are
+        # NOT payloads — from_json over them would yield all-null rows
         return raw.select(
             F.from_json(F.col("value").cast("string"), schema).alias("r")
         ).select("r.*")

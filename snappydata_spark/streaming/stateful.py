@@ -84,20 +84,22 @@ def sessionize_stream(
     session (start, end, events) for each key on every batch; a new
     session starts when an event arrives more than ``gap_seconds`` after
     the previous one.  State = (session_start, last_ts, n_events) as
-    epoch seconds.  Timestamps are handled as longs inside state (state
-    store columns must be Spark-serializable scalars)."""
+    FRACTIONAL epoch seconds (timestamp→double keeps microseconds;
+    unix_timestamp truncation made the stream disagree with the batch
+    twin ev_sessionize on gap-boundary sessions).  State store columns
+    must be Spark-serializable scalars — doubles are."""
     out_schema = StructType(
         [
             StructField(key_col, StringType()),
-            StructField("session_start", LongType()),
-            StructField("session_end", LongType()),
+            StructField("session_start", DoubleType()),
+            StructField("session_end", DoubleType()),
             StructField("n_events", LongType()),
         ]
     )
     state_schema = StructType(
         [
-            StructField("session_start", LongType()),
-            StructField("last_ts", LongType()),
+            StructField("session_start", DoubleType()),
+            StructField("last_ts", DoubleType()),
             StructField("n_events", LongType()),
         ]
     )
@@ -110,16 +112,23 @@ def sessionize_stream(
         else:
             start, last, n = None, None, 0
         rows = []
-        ts_all: list[int] = []
+        ts_all: list[float] = []
         for pdf in pdfs:
-            ts_all.extend(int(t) for t in pdf["__ts_epoch"].tolist())
+            ts_all.extend(float(t) for t in pdf["__ts_epoch"].tolist())
         for ts in sorted(ts_all):
             if last is not None and ts - last > gap_seconds:
                 rows.append((key[0], start, last, n))  # closed session
                 start, n = ts, 0
             if start is None:
                 start = ts
-            last = ts
+            # a LATE event (out of order across micro-batches: ts < last)
+            # merges into the current session by widening its bounds —
+            # regressing `last` to the late timestamp emitted sessions
+            # with end < start and made the NEXT gap check measure from
+            # the stale late event, splitting sessions the batch twin
+            # (ev_sessionize over totally-ordered data) keeps whole
+            start = min(start, ts)
+            last = ts if last is None else max(last, ts)
             n += 1
         state.update((start, last, n))
         rows.append((key[0], start, last, n))  # open session snapshot
@@ -130,7 +139,7 @@ def sessionize_stream(
     return (
         stream.selectExpr(
             f"CAST({key_col} AS STRING) AS {key_col}",
-            f"CAST(unix_timestamp({ts_col}) AS LONG) AS __ts_epoch",
+            f"CAST({ts_col} AS DOUBLE) AS __ts_epoch",
         )
         # a NULL/unparseable timestamp would arrive as NaN and int(NaN)
         # would fail the task (killing the whole streaming query) — drop

@@ -127,8 +127,14 @@ def range_join(
     """
     by = list(by)
     width = bucket_seconds or max(upper_seconds - lower_seconds, 1)
-    lsec = F.unix_timestamp(F.col(left_ts))
-    rsec = F.unix_timestamp(F.col(right_ts))
+    # MICROsecond-precision epochs (timestamp→double keeps the fraction):
+    # unix_timestamp() truncates to whole seconds, silently including/
+    # excluding events whose true offset is within 1s of a range bound —
+    # the oracle (DuckDB epoch()) compares fractional seconds
+    # (TIMESTAMP_NTZ casts to double only via TIMESTAMP; identity under
+    # the engine's UTC session timezone)
+    lsec = F.col(left_ts).cast("timestamp").cast("double")
+    rsec = F.col(right_ts).cast("timestamp").cast("double")
     b_lo = F.floor((lsec + lower_seconds) / width)
     b_hi = F.floor((lsec + upper_seconds) / width)
     l2 = left.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
@@ -137,8 +143,8 @@ def range_join(
         F.col("l.__bucket") == F.col("r.__bucket")
     ]
     joined = l2.alias("l").join(r2.alias("r"), cond)
-    lsec_j = F.unix_timestamp(F.col(f"l.{left_ts}"))
-    rsec_j = F.unix_timestamp(F.col(f"r.{right_ts}"))
+    lsec_j = F.col(f"l.{left_ts}").cast("timestamp").cast("double")
+    rsec_j = F.col(f"r.{right_ts}").cast("timestamp").cast("double")
     return joined.filter(
         (rsec_j >= lsec_j + lower_seconds) & (rsec_j < lsec_j + upper_seconds)
     ).drop("__bucket")
