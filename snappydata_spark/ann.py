@@ -42,14 +42,16 @@ def collect_centroids(
     assignment path.  Centroids are bounded by design (coarse quantizer);
     this guard turns an accidental full-table centroid frame into a clear
     error instead of a driver OOM."""
-    n = centroids.count()
-    if n > max_centroids:
+    # ONE bounded job: collecting max+1 rows both fetches the centroids
+    # and proves the bound (a separate count() re-ran the centroid plan)
+    rows = centroids.orderBy(centroids.columns[0]).limit(max_centroids + 1).collect()
+    if len(rows) > max_centroids:
         raise ValueError(
-            f"centroid table has {n} rows > max_centroids={max_centroids}; "
+            f"centroid table has > max_centroids={max_centroids} rows; "
             "IVF coarse quantizers are small by construction — check the "
             "centroid selection, or raise max_centroids explicitly"
         )
-    return [(r[0], list(r[1])) for r in centroids.orderBy(centroids.columns[0]).collect()]
+    return [(r[0], list(r[1])) for r in rows]
 
 
 def ivf_assign(
@@ -111,8 +113,11 @@ def ivf_assign_vectorized(
                 {id_col: pdf[id_col].values, "cell": [cids[i] for i in best]}
             )
 
+    # preserve the caller's actual id type (string/int32 ids would fail
+    # or miscast under a hardcoded long)
+    id_type = dict(emb.dtypes)[id_col]
     return emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, cell long"
+        assign, schema=f"{id_col} {id_type}, cell long"
     )
 
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from snappydata_spark.dialect import parse_ddl_schema as _parse_ddl_schema
 from snappydata_spark.session import SnappySession
 
 
@@ -49,14 +48,8 @@ class SnappyContext:
         if provider in ("parquet", "org.apache.spark.sql.parquet"):
             provider = "column"
         opts = {k.lower(): v for k, v in options.items()}
-        if isinstance(schema, str):
-            schema, keys, checks = _parse_ddl_schema(schema)
-            if keys and "key_columns" not in opts:
-                opts["key_columns"] = ",".join(keys)
-            if checks and "checks" not in opts:
-                import json as _json
-
-                opts["checks"] = _json.dumps(checks)
+        # DDL-string schemas (PRIMARY KEY → key_columns, CHECK → checks)
+        # are parsed by create_table itself — no pre-parse here
         if self._sn.catalog.exists(tableName.lower()):
             if allowExisting:
                 return self._sn.table(tableName)
@@ -73,22 +66,23 @@ class SnappyContext:
         self._sn.drop_table(tableName, if_exists=ifExists)
 
     # ----------------------------------------------------------- mutation
-    def _rows_df(self, tableName: str, rows) -> DataFrame:
+    def _rows_df(self, tableName: str, rows):
         if isinstance(rows, tuple):
             rows = [rows]
         if not isinstance(rows, list):
             raise TypeError("rows should be tuple or a list")
-        return self.spark.createDataFrame(rows, self._sn.table(tableName).schema)
+        df = self.spark.createDataFrame(rows, self._sn.table(tableName).schema)
+        # the row count is known locally — a df.count() here was a whole
+        # extra Spark job per call just to return len(rows)
+        return df, len(rows)
 
     def insert(self, tableName: str, rows) -> int:
-        df = self._rows_df(tableName, rows)
-        n = df.count()
+        df, n = self._rows_df(tableName, rows)
         self._sn.insert(tableName, df)
         return n
 
     def put(self, tableName: str, rows) -> int:
-        df = self._rows_df(tableName, rows)
-        n = df.count()
+        df, n = self._rows_df(tableName, rows)
         self._sn.put(tableName, df)
         return n
 
@@ -109,9 +103,11 @@ class SnappyContext:
         return matched
 
     def delete(self, tableName: str, filterExpr: str) -> int:
-        before = self._sn.table(tableName).count()
+        # delete removes exactly the pred-true rows: one predicate-pruned
+        # count (same accounting update() uses) instead of two full scans
+        n = self._sn.table(tableName).filter(filterExpr).count()
         self._sn.delete(tableName, filterExpr)
-        return before - self._sn.table(tableName).count()
+        return n
 
     # -------------------------------------------------------- passthrough
     def sql(self, sqlText: str):
@@ -168,6 +164,7 @@ class SnappyStreamingContext:
         self.spark = self._sn.spark
         if batchDuration is not None:
             self._sn._streaming_trigger = f"{int(batchDuration * 1000)} milliseconds"
+        self._next_cq = 0
 
     def sql(self, sqlText: str):
         """CREATE STREAM TABLE / CQ SQL / anything else — the reference's
@@ -178,7 +175,17 @@ class SnappyStreamingContext:
         df = self._sn.sql(queryStr)
         if df is None or not df.isStreaming:
             raise ValueError("registerCQ requires a query over a stream table")
-        return SchemaDStream(self, df, (name or f"cq{len(self._sn._cqs)}").lower())
+        return SchemaDStream(self, df, self._cq_name(name))
+
+    def _cq_name(self, name: str | None) -> str:
+        """Default names are reserved EAGERLY: deriving them from
+        len(_cqs) at foreachDataFrame time gave two unnamed CQs the same
+        name — the second silently replaced the first in the registry."""
+        if name is not None:
+            return name.lower()
+        n = f"cq{self._next_cq}"
+        self._next_cq += 1
+        return n
 
     def createSchemaDStream(self, df: DataFrame, name: str | None = None) -> SchemaDStream:
         """Wrap an existing streaming DataFrame (the reference wraps a
@@ -186,13 +193,16 @@ class SnappyStreamingContext:
         carries its schema)."""
         if not isinstance(df, DataFrame) or not df.isStreaming:
             raise TypeError("createSchemaDStream expects a streaming DataFrame")
-        return SchemaDStream(self, df, (name or f"cq{len(self._sn._cqs)}").lower())
+        return SchemaDStream(self, df, self._cq_name(name))
 
     def start(self) -> None:
         self._sn.start_streaming()
 
     def stop(self, stopSparkContext: bool = False, stopGraceFully: bool = True) -> None:
         self._sn.stop_streaming()
+        if stopSparkContext:
+            # reference semantics: tear the Spark application down too
+            self.spark.stop()
 
     def awaitTerminationOrTimeout(self, timeout: float) -> bool:
         """True once no CQ of this context is still active."""

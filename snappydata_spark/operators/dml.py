@@ -158,8 +158,6 @@ def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched source keys → INSERT as status 'NEW'.  One full-outer join
     on the key (mutate.merge_df) — the ANSI composition of the
     reference's PUT INTO + deleteFrom (ColumnTableBulkOps.scala:46-120)."""
-    from snappydata_spark import mutate
-
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"]
     src = (

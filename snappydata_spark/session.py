@@ -249,10 +249,7 @@ class SnappySession:
         meta = TableMeta.from_options(name, provider, options)
         self.catalog.save_meta(meta)
         if df is None and schema is not None:
-            if isinstance(schema, str):
-                df = self.spark.createDataFrame([], schema)
-            else:
-                df = self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
         if df is not None:
             self._write(df, meta, mode="overwrite")
         self._refresh_view(name)

@@ -84,10 +84,13 @@ def asof_join(
     merged = l2.unionByName(r2)
     # backward: scan forward in time, right rows sort before left on tie;
     # forward: scan backward in time (desc), so "last seen" = next ahead
+    # trailing struct tie-break: two right rows sharing (by, on) would
+    # otherwise leave "last seen" to partition row order (run-to-run
+    # nondeterministic); the struct compares field-wise, deterministically
     order = (
-        [F.col(on).asc(), F.col("__side").asc()]
+        [F.col(on).asc(), F.col("__side").asc(), F.col(row_col).asc_nulls_first()]
         if direction == "backward"
-        else [F.col(on).desc(), F.col("__side").asc()]
+        else [F.col(on).desc(), F.col("__side").asc(), F.col(row_col).asc_nulls_first()]
     )
     w = (
         Window.partitionBy(*by)
@@ -100,7 +103,13 @@ def asof_join(
     ).filter(F.col("__side") == 1)
     matched = F.col(f"{row_col}.{rts}")
     if tolerance is not None:
-        gap = F.abs(F.unix_timestamp(F.col(on)) - F.unix_timestamp(matched))
+        # fractional-second gap (unix_timestamp truncates to whole
+        # seconds — an event 0.2s beyond the tolerance would be kept;
+        # the oracles compare fractional epoch())
+        gap = F.abs(
+            F.col(on).cast("timestamp").cast("double")
+            - matched.cast("timestamp").cast("double")
+        )
         keep = matched.isNotNull() & (gap <= tolerance)
         out = out.withColumn(row_col, F.when(keep, F.col(row_col)))
     out = out.select(
