@@ -52,9 +52,13 @@ def minhash_lsh_candidates(
     # two projections: base shingle hashes (one md5 per shingle) then the
     # affine minhash family — see functions/text.shingle_hashes for why
     # this split is a ~num_hashes× cost difference
+    # docs too short to produce a shingle would all hash to ONE shared
+    # band bucket (minhash of an empty array is all-NULL → concat_ws
+    # drops NULLs → md5('')): k short docs → k² candidate pairs, and the
+    # oracle (WHERE len(t) >= 3) excludes them — drop them up front
     sig = df.withColumn(
         "__hs", T.shingle_hashes(F.col(text_col), shingle_n)
-    ).select(
+    ).filter(F.size("__hs") > 0).select(
         F.col(id_col),
         T.minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"),
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from snappydata_spark.functions import text as T
 from snappydata_spark.operators.registry import register
 from snappydata_spark.tables import load_tables
 
@@ -274,7 +275,8 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .agg(F.count(F.lit(1)))  # absent pivot cells arrive as NULL
+        # OUTSIDE the agg and are handled by na.fill below
         .na.fill(0, ["F", "O", "P"])
     )
 
@@ -308,7 +310,9 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = (
         t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     )
-    return machinery.intersect(finished).union(rich.exceptAll(building).distinct()).distinct()
+    # subtract() IS EXCEPT DISTINCT (the oracle's EXCEPT verbatim) —
+    # exceptAll().distinct() planned an ExceptAll plus an extra Aggregate
+    return machinery.intersect(finished).union(rich.subtract(building)).distinct()
 
 
 # ------------------------------------------------------------- lateral view / explode
@@ -329,9 +333,7 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return (
         t["documents"]
-        .select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-        )
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

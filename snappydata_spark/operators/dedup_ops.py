@@ -207,7 +207,10 @@ WITH pairs AS (
   SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
          ROUND({_COS_SQL}, 4) AS cos
   FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id),
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  -- zero-vector pairs have cosine 0/0 = NaN, which DuckDB orders ABOVE
+  -- every double; the engine drops them before ranking (dedup/__init__)
+  WHERE NOT isnan({_COS_SQL})),
 ranked AS (
   SELECT blk, v1, v2, cos,
          ROW_NUMBER() OVER (PARTITION BY blk ORDER BY cos DESC, v1, v2) AS rn

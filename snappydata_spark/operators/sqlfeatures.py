@@ -9,6 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
+from snappydata_spark.functions import text as T
 from snappydata_spark.operators.registry import register
 from snappydata_spark.tables import load_tables
 
@@ -59,7 +60,9 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 20)
         .select(
             "doc_id",
-            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+            # T.tokens: a bare split yields [''] for blank text, which the
+            # oracle's list_filter excludes
+            F.posexplode(T.tokens(F.col("text"))).alias("pos", "token"),
         )
     )
 

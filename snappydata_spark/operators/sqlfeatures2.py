@@ -177,8 +177,10 @@ SELECT l_returnflag,
        ROUND(VAR_POP(l_quantity), 4)          AS qty_var,
        ROUND(CORR(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
        ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-       MAX_BY(l_orderkey, l_extendedprice) AS priciest_order,
-       MIN_BY(l_orderkey, l_extendedprice) AS cheapest_order
+       (ARRAY_AGG(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey))[1]
+           AS priciest_order,
+       (ARRAY_AGG(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey))[1]
+           AS cheapest_order
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -198,8 +200,17 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
                 "qty_price_covar"
             ),
-            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
-            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+            # tie-break on the order key (registry determinism policy —
+            # a bare argmax is arbitrary on tied prices, and Spark's
+            # partial-agg merge order varies run to run)
+            F.max_by(
+                "l_orderkey",
+                F.struct(F.col("l_extendedprice"), (-F.col("l_orderkey")).alias("tb")),
+            ).alias("priciest_order"),
+            F.min_by(
+                "l_orderkey",
+                F.struct(F.col("l_extendedprice"), F.col("l_orderkey").alias("tb")),
+            ).alias("cheapest_order"),
         )
     )
 

@@ -114,3 +114,20 @@ def test_containment_finds_quote_in_much_larger_doc(spark):
         for r in containment_pairs(df, threshold=0.6).collect()
     }
     assert (1, 2) in got and got[(1, 2)] >= 0.9
+
+
+def test_minhash_short_docs_excluded_not_bucketed_together(spark):
+    """Docs with fewer than shingle_n tokens produce no shingles; they
+    must be EXCLUDED (like the oracle's WHERE len(t) >= 3), not all
+    dumped into one shared md5('') band bucket — k short docs would
+    otherwise emit k(k-1)/2 bogus candidate pairs."""
+    from snappydata_spark.dedup import minhash_lsh_candidates
+
+    docs = [(i, "hi") for i in range(20)] + [
+        (100, "a real document with enough tokens here"),
+        (101, "a real document with enough tokens here too"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df).collect()
+    short_ids = set(range(20))
+    assert not any(r.doc1 in short_ids or r.doc2 in short_ids for r in pairs)

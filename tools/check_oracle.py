@@ -88,6 +88,11 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
+        finally:
+            # some operators persist() intermediates for their own multi-
+            # action pipelines with no handle to unpersist — release them
+            # so a 170-query sweep doesn't accumulate cached blocks
+            spark.catalog.clearCache()
         if name not in ORACLES:
             print(f"ok?   {name}: rows={len(spdf)} (no oracle — rows-only)")
             continue
