@@ -416,3 +416,31 @@ def test_show_members(snappy):
     assert rows[0].kind == "loner"
     assert rows[0].status == "running"
     assert rows[0].host in rows[0].id
+
+
+def test_new_session_sql_sees_persisted_tables(snappy):
+    """A fresh session over an existing store must serve sql() SELECTs on
+    persisted managed tables immediately (views are re-exposed at init —
+    previously they only appeared after some mutation refreshed them),
+    and bucketed tables resolve through the store-derived catalog name so
+    a second session can MUTATE them instead of silently no-opping."""
+    from snappydata_spark import SnappySession
+
+    snappy.create_table(
+        "ns_t",
+        df=snappy.spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+    )
+    snappy.create_table(
+        "ns_b",
+        options={"key_columns": "k", "partition_by": "k", "buckets": "4"},
+        df=snappy.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
+    # sql() works without any prior mutation in sn2
+    assert sn2.sql("SELECT COUNT(*) AS n FROM ns_t").collect()[0].n == 2
+    assert sn2.sql("SELECT COUNT(*) AS n FROM ns_b").collect()[0].n == 2
+    # and a keyed mutation through the SECOND session really lands
+    sn2.put("ns_b", snappy.spark.createDataFrame([(1, "A2")], "k int, v string"))
+    assert snappy.table("ns_b").filter("k = 1").collect()[0].v == "A2"
+    snappy.drop_table("ns_t")
+    snappy.drop_table("ns_b")
