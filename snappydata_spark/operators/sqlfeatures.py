@@ -262,6 +262,56 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_lateral_split",
+    oracle="""
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       COUNT(DISTINCT word) AS n_distinct,
+       MAX(LENGTH(word)) AS max_len
+FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 40
+)
+WHERE word <> ''
+GROUP BY doc_id
+""",
+)
+def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the reference's table-valued-function +
+    LATERAL VIEW grammar, SnappyParser.scala:657-675,1137-1151): a
+    registered table function called per input row via SQL LATERAL,
+    fanning one document into one row per word.  The UDTF streams rows
+    out per partition (Arrow-batched) — no driver fan-out; the word
+    rows are aggregated back per doc so the result is hash-stable."""
+    from ..session import SnappySession
+
+    def split_words(text):
+        if text is None:
+            return
+        for pos, w in enumerate(text.split(" ")):
+            if w:
+                yield w, pos
+
+    SnappySession.register_table_function(
+        spark, "split_words_tf", split_words, "word string, pos int"
+    )
+    t = load_tables(spark, sf_dir, ("documents",))
+    t["documents"].filter(F.col("doc_id") < 40).createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS n_words,
+               COUNT(DISTINCT w.word) AS n_distinct,
+               MAX(LENGTH(w.word)) AS max_len
+        FROM docs_udtf_v d, LATERAL split_words_tf(d.text) w
+        GROUP BY d.doc_id
+        """
+    )
+
+
+@register(
     "join_types_matrix",
     oracle="""
 WITH big AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 60),

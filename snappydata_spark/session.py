@@ -1429,6 +1429,7 @@ class SnappySession:
         return_type="string",
         pandas: bool = False,
         aggregate: bool = False,
+        table: bool = False,
     ):
         """CREATE FUNCTION (SnappyDDLParser.createFunction:765-795) — the
         Python-engine analogue of the reference's jar-backed UDF1..UDF22
@@ -1441,8 +1442,21 @@ class SnappySession:
         grouped-agg pandas UDF: `fn` receives each group's values as one
         pd.Series and returns a scalar.  Executes as a real partial/final
         hash aggregate over Arrow batches — usable in GROUP BY and as a
-        window function, shuffles only group keys + partial states."""
-        if aggregate:
+        window function, shuffles only group keys + partial states.
+
+        table=True registers a TABLE function (the reference's
+        table-valued-function surface: UnresolvedTableValuedFunction,
+        SnappyParser.scala relationLeaf:657-675, plus LATERAL VIEW
+        grammar :1137-1151) as a Python UDTF: `fn` is either a class
+        with an `eval(self, *args)` generator method, or a plain
+        generator function (wrapped).  return_type is the output schema
+        string, e.g. "word string, pos int".  Callable from SQL both as
+        a relation — SELECT * FROM fn(...) — and as a per-row LATERAL
+        join; rows stream out Arrow-batched per input partition, no
+        driver materialization."""
+        if table:
+            self.register_table_function(self.spark, name, fn, return_type)
+        elif aggregate:
             self.register_aggregate(self.spark, name, fn, return_type)
         elif pandas:
             from pyspark.sql.functions import pandas_udf
@@ -1470,6 +1484,33 @@ class SnappySession:
         # (functionType inference); returnType still rules the SQL type
         _grouped.__annotations__ = {"v": _pd.Series, "return": float}
         spark.udf.register(name, pandas_udf(_grouped, returnType=return_type))
+        return name
+
+    @staticmethod
+    def register_table_function(spark: SparkSession, name: str, fn, return_type):
+        """Register a Python UDTF on a bare SparkSession (the
+        create_function(table=True) mechanics).  Accepts a UDTF class
+        (has `eval`) or a generator function, which is wrapped into a
+        one-method class.  useArrow=True keeps row emission on the
+        Arrow-batched fast path."""
+        from pyspark.sql.functions import udtf
+
+        if isinstance(fn, type):
+            cls = fn
+        else:
+            # plain generator function -> minimal UDTF class
+            cls = type(
+                f"_udtf_{name}",
+                (),
+                {"eval": staticmethod(fn)},
+            )
+        try:
+            tf = udtf(cls, returnType=return_type, useArrow=True)
+        except Exception:
+            # Arrow path unavailable (e.g. unsupported output type) —
+            # fall back to the pickled-row path, same semantics
+            tf = udtf(cls, returnType=return_type)
+        spark.udtf.register(name, tf)
         return name
 
     def drop_function(self, name: str) -> None:

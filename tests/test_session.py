@@ -105,6 +105,48 @@ def test_create_function_and_exec_python(snappy):
         snappy.sql("SELECT twice_len('abc') AS n").collect()
 
 
+def test_create_function_table_udtf(snappy):
+    """create_function(table=True) — Python UDTF (the reference's
+    table-valued-function surface, SnappyParser.scala:657-675): callable
+    as a bare relation and as a per-row LATERAL join; both a generator
+    function and an eval-class register."""
+
+    def splitter(s):
+        for i, w in enumerate((s or "").split(",")):
+            if w:
+                yield w, i
+
+    snappy.create_function(
+        "csv_split", splitter, "item string, idx int", table=True
+    )
+    rows = snappy.sql(
+        "SELECT item, idx FROM csv_split('a,b,c') ORDER BY idx"
+    ).collect()
+    assert [(r.item, r.idx) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
+
+    # LATERAL: fan each source row out through the UDTF
+    snappy.spark.createDataFrame(
+        [("r1", "x,y"), ("r2", "z")], "id string, csv string"
+    ).createOrReplaceTempView("udtf_src")
+    got = sorted(
+        (r.id, r.item)
+        for r in snappy.sql(
+            "SELECT s.id, t.item FROM udtf_src s, LATERAL csv_split(s.csv) t"
+        ).collect()
+    )
+    assert got == [("r1", "x"), ("r1", "y"), ("r2", "z")]
+
+    # class form (reference UDF-class analogue)
+    class Expand:
+        def eval(self, n):
+            for i in range(int(n)):
+                yield (i,)
+
+    snappy.create_function("seq_tf", Expand, "v int", table=True)
+    vals = [r.v for r in snappy.sql("SELECT v FROM seq_tf(3) ORDER BY v").collect()]
+    assert vals == [0, 1, 2]
+
+
 def test_create_function_aggregate(snappy):
     """create_function(aggregate=True) — custom UDAF (reference UDAF jars,
     SnappyUDFTest.scala): fn sees each group's values as a pd.Series,
