@@ -334,3 +334,106 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier per step, so state is O(frontier), not O(closure)."""
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ------------------------------------------------- JSON construction / VARIANT
+
+@register(
+    "json_roundtrip_extract",
+    oracle="""
+WITH e AS (
+  SELECT o_orderstatus AS st, o_totalprice AS price, o_orderkey % 7 AS tag
+  FROM orders WHERE o_orderkey <= 2000
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, o_orderkey % 11
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT st, COUNT(*) AS n_tag_rows, ROUND(SUM(price), 2) AS sum_price,
+       CAST(SUM(tag) AS BIGINT) AS sum_tags
+FROM e GROUP BY st
+""",
+)
+def json_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON construction + parse surface (to_json / from_json /
+    get_json_object — the reference exposes complex types as JSON,
+    complexTypeAsJson Literals.scala:423, and inherits Spark's JSON
+    function family wholesale, SnappySessionCatalog.scala:1280-1286).
+    Each order is serialized to a JSON doc (nested struct + array),
+    parsed back with an explicit schema, the tags array exploded, and a
+    cross-check field extracted path-wise; the oracle computes the same
+    result with no JSON detour, so serialize→parse→explode must be
+    lossless.  All JVM-side Catalyst expressions — codegen'd, no Python."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    doc = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("id"),
+                    F.col("o_orderstatus").alias("st"),
+                    F.col("o_totalprice").alias("price"),
+                    F.array(
+                        F.col("o_orderkey") % 7, F.col("o_orderkey") % 11
+                    ).alias("tags"),
+                )
+            ).alias("doc")
+        )
+    )
+    parsed = doc.select(
+        F.from_json(
+            "doc", "id bigint, st string, price double, tags array<bigint>"
+        ).alias("j"),
+        F.get_json_object("doc", "$.st").alias("st_path"),
+    )
+    exploded = parsed.select(
+        F.col("j.st").alias("st"),
+        F.col("j.price").alias("price"),
+        F.explode("j.tags").alias("tag"),
+        "st_path",
+    )
+    # st == st_path guards that path extraction agrees with schema parse
+    return (
+        exploded.filter(F.col("st") == F.col("st_path"))
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_tag_rows"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.sum("tag").alias("sum_tags"),
+        )
+    )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n,
+       COUNT(CAST(json_extract(props, '$.zzz') AS INTEGER)) AS n_missing
+FROM events WHERE event_id < 5000
+GROUP BY k_mod
+""",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: parse_json →
+    open binary VARIANT, variant_get typed extraction, try_variant_get
+    null-on-missing.  The scale rationale: VARIANT keeps the parsed tree
+    in a binary columnar form so repeated extractions don't re-parse the
+    string per path (vs get_json_object), the right default for wide
+    semi-structured event payloads at 100 TB.  Oracle extracts the same
+    paths with DuckDB's JSON functions."""
+    t = load_tables(spark, sf_dir, ("events",))
+    v = F.parse_json("props")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 5000)
+        .select(
+            (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+            F.try_variant_get(v, "$.zzz", "int").alias("missing"),
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("missing").alias("n_missing"),
+        )
+    )
