@@ -302,3 +302,139 @@ def pipeline_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ------------------------------------------------- PCA via power iteration
+
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle: covariance from an exploded
+    position self-join, then PCA_ITERS matrix-vector CTE steps."""
+    blocks = [
+        """
+x AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+mu AS (SELECT i, SUM(v) / (SELECT n FROM nn) AS m FROM x GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS s
+  FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
+),
+c AS (
+  SELECT g.i, g.j, g.s / (SELECT n FROM nn) - ma.m * mb.m AS c
+  FROM g JOIN mu ma ON g.i = ma.i JOIN mu mb ON g.j = mb.i
+),
+v0 AS (SELECT i, 1.0 AS val FROM mu)"""
+    ]
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        blocks.append(
+            f"""
+w{it} AS (
+  SELECT c.i, SUM(c.c * {prev}.val) AS val
+  FROM c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i
+),
+v{it} AS (
+  SELECT i, val / (SELECT SQRT(SUM(val * val)) FROM w{it}) AS val FROM w{it}
+)"""
+        )
+        prev = f"v{it}"
+    blocks.append(
+        f"""
+lam AS (
+  SELECT SUM(va.val * c.c * vb.val) AS l
+  FROM c JOIN {prev} va ON c.i = va.i JOIN {prev} vb ON c.j = vb.i
+),
+tr AS (SELECT SUM(c) AS t FROM c WHERE i = j)"""
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+SELECT {prev}.i AS dim, ROUND({prev}.val, 4) AS comp,
+       ROUND((SELECT l FROM lam), 3) AS eigval,
+       ROUND((SELECT l FROM lam) / (SELECT t FROM tr), 4) AS var_ratio
+FROM {prev}"""
+    )
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA building block: the covariance (Gram) matrix is
+    computed as PER-PARTITION numpy partials (each Arrow batch folds to
+    one d x d matrix + d sums + a count) merged by one d^2-key shuffle —
+    the classic tree-aggregate shape, O(n*d^2) flops but only
+    O(partitions * d^2) rows ever shuffled and a bounded d^2-cell driver
+    collect (d=64 here).  The dominant eigenvector then comes from
+    PCA_ITERS fixed power-iteration steps on the driver-side d x d
+    matrix (model-sized, like the k-means centroid update above).  At
+    100 TB nothing about this plan changes: the data pass is one
+    mapInPandas scan, state is d^2 doubles.  The oracle reproduces the
+    identical math with an exploded self-join + unrolled CTE steps, so
+    the whole pipeline (moments -> covariance -> iteration -> eigval/
+    trace) is hash-checked, not just row-counted."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+
+    def partial_moments(batches):
+        n = 0
+        s = np.zeros(DIMS, dtype=np.float64)
+        g = np.zeros((DIMS, DIMS), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(DIMS), np.arange(DIMS), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(DIMS), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(DIMS, -1), [-1]]),
+                "val": np.concatenate([g.ravel(), s, [float(n)]]),
+            }
+        )
+
+    parts = (
+        t["embeddings"]
+        .select("embedding")
+        .mapInPandas(partial_moments, "i long, j long, val double")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # bounded: d^2 + d + 1 rows of merged partials
+    )
+    g = np.zeros((DIMS, DIMS))
+    s = np.zeros(DIMS)
+    n = 0.0
+    for r in parts:
+        if r.i == -1:
+            n = r.val
+        elif r.j == -1:
+            s[r.i] = r.val
+        else:
+            g[r.i, r.j] = r.val
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    v = np.ones(DIMS)
+    for _ in range(PCA_ITERS):
+        w = cov @ v
+        v = w / math.sqrt(float(w @ w))
+    lam = float(v @ cov @ v)
+    ratio = lam / float(np.trace(cov))
+    rows = [
+        (int(i) + 1, round(float(v[i]), 4), round(lam, 3), round(ratio, 4))
+        for i in range(DIMS)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, comp double, eigval double, var_ratio double"
+    )

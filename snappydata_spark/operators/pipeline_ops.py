@@ -660,3 +660,84 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("long").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+sims AS (
+  SELECT q.q_id, c.vec_id,
+         ROUND(list_cosine_similarity(q.qe, c.embedding), 6) AS fs,
+         ROUND(list_cosine_similarity(q.qe[1:16], c.embedding[1:16]), 6) AS ts
+  FROM q, c),
+rf AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY fs DESC, vec_id) AS r
+  FROM sims),
+rt AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ts DESC, vec_id) AS r
+  FROM sims)
+SELECT rf.q_id, COUNT(rt.vec_id) AS n_overlap
+FROM rf LEFT JOIN rt
+  ON rf.q_id = rt.q_id AND rf.vec_id = rt.vec_id AND rt.r <= 5
+WHERE rf.r <= 5
+GROUP BY rf.q_id
+""",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality probe: for each query vector, the
+    top-5 neighbor set under full-dimension cosine vs under the first-16
+    -dims truncation (cosine renormalizes, so truncation is the whole
+    transform), reported as per-query overlap.  This is the measurement
+    a pipeline runs before switching its ANN index to truncated
+    embeddings (4x cheaper memory/flops).  Shape: the query side is tiny
+    and broadcast, the corpus side streams — one broadcast-nested-loop
+    scoring pass + per-query top-k windows over q_id; no corpus-corpus
+    pairing ever happens, so it scales linearly in corpus size.  Sims
+    are rounded to 6 dp on BOTH engines before ranking so ulp-order
+    differences cannot flip a rank."""
+    from snappydata_spark.functions import vector as V
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    sims = c.join(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("fs"),
+        F.round(
+            V.cosine(
+                F.slice(F.col("qe"), 1, 16), F.slice(F.col("embedding"), 1, 16)
+            ),
+            6,
+        ).alias("ts"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("fs"), F.asc("vec_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("ts"), F.asc("vec_id"))
+    ranked = sims.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    top_f = ranked.filter(F.col("rf") <= 5).select("q_id", "vec_id")
+    top_t = (
+        ranked.filter(F.col("rt") <= 5)
+        .select("q_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    # left join + count(hit): a query with a disjoint top-5 still rows out
+    return (
+        top_f.join(top_t, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_overlap"))
+    )
