@@ -200,6 +200,12 @@ def main() -> None:
         "pipeline_dataset_card",
         "ev_session_window_agg",
         "txt_length_histogram",
+        # round-3 late additions
+        "emb_pca_power_iteration",
+        "sim_matryoshka_recall",
+        "json_variant_extract",
+        "json_roundtrip_extract",
+        "udtf_lateral_split",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
