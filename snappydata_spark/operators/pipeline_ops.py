@@ -704,20 +704,35 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappydata_spark.functions import vector as V
 
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
-    q = (
-        emb.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    # norms are per-VECTOR, not per-pair: compute once per side before
+    # the join (the knn-graph discipline) so the scoring pass does only
+    # the two dot products per pair
+    emb = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        V.norm(F.col("embedding")).alias("nf"),
+        V.norm(F.slice(F.col("embedding"), 1, 16)).alias("nt"),
     )
-    c = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nf").alias("qnf"),
+        F.col("nt").alias("qnt"),
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
     sims = c.join(F.broadcast(q)).select(
         "q_id",
         "vec_id",
-        F.round(V.cosine(F.col("qe"), F.col("embedding")), 6).alias("fs"),
         F.round(
-            V.cosine(
+            V.dot(F.col("qe"), F.col("embedding"))
+            / (F.col("qnf") * F.col("nf")),
+            6,
+        ).alias("fs"),
+        F.round(
+            V.dot(
                 F.slice(F.col("qe"), 1, 16), F.slice(F.col("embedding"), 1, 16)
-            ),
+            )
+            / (F.col("qnt") * F.col("nt")),
             6,
         ).alias("ts"),
     )
