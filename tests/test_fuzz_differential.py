@@ -1,0 +1,21 @@
+"""Seeded-random SQL differential fuzzing against DuckDB (the
+generator's grammar and the divergence classes it guards against are
+documented in tools/fuzz_differential.py).  The fixed seeds make this a
+regression corpus: any engine-config or dialect change that breaks
+cross-engine agreement on the shared ANSI subset fails here before the
+driver's correctness gate can see it."""
+
+from tools.fuzz_differential import gen_query, run
+
+
+def test_fuzzed_queries_match_duckdb(spark, sf_dir):
+    failures = run(sf_dir, n=40, seed=7, spark=spark)
+    assert failures == [], "\n".join(f"{why}\n  {sql}" for sql, why in failures)
+
+
+def test_generator_is_deterministic():
+    import random
+
+    a = [gen_query(random.Random(123)) for _ in range(5)]
+    b = [gen_query(random.Random(123)) for _ in range(5)]
+    assert a == b

@@ -1,0 +1,262 @@
+"""Randomized SQL differential fuzzer: the SAME generated SQL text runs
+on Spark and DuckDB over the same parquet, results canonicalized and
+compared (check_oracle's canon).  This probes the ANSI subset both
+engines share — grouped aggregation, joins, predicates, CASE, string and
+date expressions, HAVING, ORDER BY+LIMIT — with seeded-random shapes the
+hand-written registry doesn't enumerate.
+
+The grammar is restricted to the cross-engine-DETERMINISTIC subset (see
+the divergence-class notes at AGG_EXPRS — two of which this fuzzer
+itself discovered): money aggregates sum in exact DECIMAL and round in
+decimal space, integer SUMs are CAST to BIGINT (DuckDB widens to
+HUGEINT), LIMIT queries carry a full unique tie-break, and no expression
+depends on engine-specific null ordering or collation.
+
+Usage: python tools/fuzz_differential.py [sf_dir] [n_queries] [seed]
+Exit 0 = every generated query matched.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import canon, duck_connect  # noqa: E402
+
+TABLES = ("orders", "lineitem", "customer", "nation")
+
+# (table, group-key expressions, numeric agg targets, predicates)
+GROUP_EXPRS = {
+    "orders": [
+        "o_orderstatus",
+        "o_orderpriority",
+        "(o_custkey % {m})",
+        "EXTRACT(YEAR FROM o_orderdate)",
+        "EXTRACT(MONTH FROM o_orderdate)",
+        "CASE WHEN o_totalprice > {price} THEN 'big' ELSE 'small' END",
+        "substr(o_orderpriority, 1, 1)",
+    ],
+    "lineitem": [
+        "l_returnflag",
+        "l_linestatus",
+        "(l_suppkey % {m})",
+        "CAST(l_quantity AS BIGINT)",
+        "EXTRACT(YEAR FROM l_shipdate)",
+        "CASE WHEN l_discount >= {disc} THEN 'hi' ELSE 'lo' END",
+    ],
+    "customer": [
+        "c_mktsegment",
+        "(c_nationkey % {m})",
+        "substr(c_name, 1, 8)",
+        "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END",
+    ],
+    "nation": ["n_regionkey", "substr(n_name, 1, 1)"],
+}
+
+# Two cross-engine divergence classes this fuzzer ITSELF found, and the
+# deterministic formulations it therefore generates:
+#
+# 1. double-SUM order dependence: with different partition/merge orders
+#    Spark and DuckDB can land on opposite sides of a .xx5 rounding
+#    boundary (seed 2 produced a revenue sum of 345139.15500000...1 that
+#    rounded to .15 on Spark and .16 on DuckDB).  Fix: cast each term to
+#    DECIMAL(18,4) — decimal addition is exact and associative, so the
+#    sum is identical under ANY execution order.
+# 2. ROUND(double) half-way disagreement: when a quotient is EXACTLY
+#    x.xxxx5 in decimal (common with .01-quantized money over small
+#    counts: seeds 6/8 hit 4233.01125 and 183112.82875), Spark rounds
+#    the shortest decimal repr HALF_UP while DuckDB rounds the binary
+#    value — one engine says .0112, the other .0113.  No rounding of a
+#    double quotient is cross-engine-safe, so averages are emitted as
+#    the exact (decimal sum, count) pair — the mergeable-partials
+#    discipline — rather than a rounded quotient.
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+# rounding must ALSO happen in decimal space: ROUND(decimal, 2) is
+# half-away-from-zero on both engines (verified incl. 1.005 / 2.675 /
+# -1.005), whereas decimal->decimal CAST is HALF_UP on Spark but
+# HALF_EVEN on DuckDB, and ROUND(double, 2) diverges on half-way points
+_DSUM_R2 = "CAST(ROUND(SUM(CAST({x} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+AGG_EXPRS = {
+    "orders": [
+        "COUNT(*) AS cnt",
+        f"{_DSUM_R2.format(x='o_totalprice')} AS s_price",
+        f"{_DSUM.format(x='o_totalprice')} AS s_price2, COUNT(o_totalprice)"
+        " AS n_price",
+        "CAST(SUM(o_orderkey % 97) AS BIGINT) AS s_key",
+        "CAST(MIN(o_orderkey) AS BIGINT) AS min_key",
+        "CAST(MAX(o_custkey) AS BIGINT) AS max_cust",
+        "COUNT(DISTINCT o_custkey) AS d_cust",
+        "MIN(o_orderdate) AS min_date",
+    ],
+    "lineitem": [
+        "COUNT(*) AS cnt",
+        f"{_DSUM_R2.format(x='l_extendedprice * (1 - l_discount)')}"
+        " AS revenue",
+        f"{_DSUM.format(x='l_quantity')} AS s_qty, COUNT(l_quantity) AS n_qty",
+        "CAST(MAX(l_linenumber) AS BIGINT) AS max_ln",
+        "COUNT(DISTINCT l_suppkey) AS d_supp",
+        "MAX(l_shipdate) AS max_ship",
+    ],
+    "customer": [
+        "COUNT(*) AS cnt",
+        f"{_DSUM_R2.format(x='c_acctbal')} AS s_bal",
+        f"{_DSUM.format(x='c_acctbal')} AS s_bal2, COUNT(c_acctbal) AS n_bal",
+        "COUNT(DISTINCT c_nationkey) AS d_nat",
+        "CAST(MIN(c_custkey) AS BIGINT) AS min_cust",
+    ],
+    "nation": ["COUNT(*) AS cnt", "CAST(MAX(n_nationkey) AS BIGINT) AS max_nk"],
+}
+
+PREDICATES = {
+    "orders": [
+        "o_totalprice > {price}",
+        "o_totalprice BETWEEN {price} AND {price2}",
+        "o_orderstatus IN ('F', 'O')",
+        "o_orderpriority LIKE '{d}-%'",
+        "o_custkey % {m} = 0",
+        "EXTRACT(YEAR FROM o_orderdate) >= {year}",
+    ],
+    "lineitem": [
+        "l_quantity >= {qty}",
+        "l_discount BETWEEN {disc} AND {disc2}",
+        "l_returnflag <> 'A'",
+        "l_suppkey % {m} <> 1",
+        "l_shipdate >= TIMESTAMP '{year}-03-01 00:00:00'",
+    ],
+    "customer": [
+        "c_acctbal > {bal}",
+        "c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')",
+        "c_nationkey % {m} <> 2",
+        "c_custkey <= {key}",
+    ],
+    "nation": ["n_regionkey <> {m5}", "n_nationkey < {key25}"],
+}
+
+JOINS = [
+    # (left, right, condition, prefix for group/agg/pred pools)
+    ("orders", "customer", "o_custkey = c_custkey", ("orders", "customer")),
+    ("lineitem", "orders", "l_orderkey = o_orderkey", ("lineitem", "orders")),
+    ("customer", "nation", "c_nationkey = n_nationkey", ("customer", "nation")),
+]
+
+
+def _fill(rng: random.Random, template: str) -> str:
+    return template.format(
+        m=rng.choice([2, 3, 5, 7, 13]),
+        m5=rng.randrange(5),
+        price=rng.randrange(1000, 200000),
+        price2=rng.randrange(200000, 400000),
+        disc=round(rng.uniform(0.0, 0.05), 2),
+        disc2=round(rng.uniform(0.05, 0.1), 2),
+        qty=rng.randrange(1, 40),
+        bal=rng.randrange(-500, 5000),
+        key=rng.randrange(10, 1500),
+        key25=rng.randrange(3, 25),
+        year=rng.randrange(1993, 1998),
+        d=rng.randrange(1, 6),
+    )
+
+
+def gen_query(rng: random.Random) -> str:
+    """One random aggregation query in the shared ANSI subset."""
+    if rng.random() < 0.35:
+        left, right, cond, pools = rng.choice(JOINS)
+        frm = f"{left} JOIN {right} ON {cond}"
+    else:
+        tbl = rng.choice(TABLES)
+        frm, pools = tbl, (tbl,)
+
+    def pick(pool_dict, k):
+        pool = [e for t in pools for e in pool_dict[t]]
+        return [_fill(rng, e) for e in rng.sample(pool, min(k, len(pool)))]
+
+    keys = pick(GROUP_EXPRS, rng.randrange(1, 3))
+    key_aliases = [f"k{i}" for i in range(len(keys))]
+    aggs = pick(AGG_EXPRS, rng.randrange(1, 4))
+    # dedupe agg aliases (sampling across pools can repeat a name)
+    seen, uniq = set(), []
+    for a in aggs:
+        alias = a.rsplit(" AS ", 1)[1]
+        if alias not in seen:
+            seen.add(alias)
+            uniq.append(a)
+    aggs = uniq
+
+    select = ", ".join(
+        [f"{k} AS {a}" for k, a in zip(keys, key_aliases)] + aggs
+    )
+    sql = f"SELECT {select} FROM {frm}"
+
+    preds = pick(PREDICATES, rng.randrange(0, 3))
+    if preds:
+        sql += " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(preds)
+    sql += " GROUP BY " + ", ".join(key_aliases)
+    if rng.random() < 0.3:
+        sql += f" HAVING COUNT(*) > {rng.randrange(0, 4)}"
+    if rng.random() < 0.25:
+        # LIMIT needs a total order: rounded agg desc + every key asc
+        first_agg = aggs[0].rsplit(" AS ", 1)[1]
+        sql += (
+            f" ORDER BY {first_agg} DESC, "
+            + ", ".join(key_aliases)
+            + f" LIMIT {rng.randrange(3, 12)}"
+        )
+    return sql
+
+
+def run(sf_dir: str, n: int, seed: int, spark=None) -> list[tuple[str, str]]:
+    """Generate n queries, run both engines, return [(sql, reason)] for
+    every mismatch (empty list = all matched)."""
+    if spark is None:
+        from snappydata_spark import get_spark
+
+        spark = get_spark("fuzz")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    con = duck_connect(sf_dir)
+
+    rng = random.Random(seed)
+    failures: list[tuple[str, str]] = []
+    for i in range(n):
+        sql = gen_query(rng)
+        try:
+            sp = canon(spark.sql(sql).toPandas())
+        except Exception as ex:  # noqa: BLE001 — report, keep fuzzing
+            failures.append((sql, f"spark error: {ex}"))
+            continue
+        try:
+            du = canon(con.execute(sql).df())
+        except Exception as ex:  # noqa: BLE001
+            failures.append((sql, f"duckdb error: {ex}"))
+            continue
+        if sp != du:
+            detail = "row count" if len(sp) != len(du) else "values"
+            for a, b in zip(sp, du):
+                if a != b:
+                    detail = f"first diff: spark={a!r} duck={b!r}"
+                    break
+            failures.append((sql, detail))
+        else:
+            print(f"ok    [{i}] {sql[:100]}")
+    return failures
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    failures = run(sf_dir, n, seed)
+    if failures:
+        print(f"\n{len(failures)} MISMATCHES:")
+        for sql, why in failures:
+            print(f"--- {why}\n    {sql}")
+        sys.exit(1)
+    print(f"\nall {n} fuzzed queries matched (seed={seed})")
+
+
+if __name__ == "__main__":
+    main()
