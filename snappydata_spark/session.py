@@ -33,6 +33,58 @@ from snappydata_spark.dialect import (
 )
 
 
+try:
+    import fcntl as _fcntl
+except ImportError:  # non-POSIX: in-process locking only
+    _fcntl = None
+
+
+class _TableMutationLock:
+    """Reentrant per-(store, table) mutation lock: a process-global RLock
+    serializes sessions/threads in this process; while the OUTERMOST
+    level is held, an OS flock on the table's lock file serializes
+    writers in other processes sharing the store directory (the
+    single-store analogue of the reference's store transaction).  The
+    flock is taken once per outermost entry — never re-taken on
+    reentrancy, since a second flock on a fresh fd would self-deadlock."""
+
+    def __init__(self, lock_path: str):
+        self._rlock = threading.RLock()
+        self._path = lock_path
+        self._depth = 0  # mutated only while _rlock is held
+        self._fh = None
+
+    def __enter__(self):
+        self._rlock.acquire()
+        self._depth += 1
+        if self._depth == 1 and _fcntl is not None:
+            try:
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                self._fh = open(self._path, "w")  # noqa: SIM115
+                _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+            except OSError:
+                # store on a filesystem without flock: fall back to
+                # in-process serialization only
+                if self._fh is not None:
+                    self._fh.close()
+                self._fh = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._depth == 1 and self._fh is not None:
+            try:
+                _fcntl.flock(self._fh, _fcntl.LOCK_UN)
+            finally:
+                self._fh.close()
+                self._fh = None
+        self._depth -= 1
+        self._rlock.release()
+
+
+_MUTATION_LOCKS: dict[tuple[str, str], _TableMutationLock] = {}
+_MUTATION_LOCKS_GUARD = threading.Lock()
+
+
 def _serialized(fn):
     """Serialize a (self, table_name, ...) mutation per table — one
     writer's read→rewrite→swap section at a time (see _table_lock)."""
@@ -150,11 +202,12 @@ class SnappySession:
         # per-table mutation serialization (the reference brackets
         # mutations in a store snapshot tx; here concurrent writers of the
         # SAME table serialize their read→rewrite→swap sections so one
-        # writer's swap can't drop another's files mid-flight).  Process-
-        # local by design — cross-process coordination is a documented
-        # divergence (SURVEY §8).
-        self._mutation_locks: dict[str, threading.RLock] = {}
-        self._mutation_locks_guard = threading.Lock()
+        # writer's swap can't drop another's files mid-flight).  Locks
+        # are keyed by (store dir, table) in a PROCESS-GLOBAL registry —
+        # two SnappySessions over the same store serialize against each
+        # other, not just threads of one session — and the outermost
+        # acquisition also takes an OS flock on <store>/_locks/<table>,
+        # so writers in SEPARATE processes serialize too.
         # re-expose persisted managed tables as temp views: without this a
         # fresh session over an existing store could table()/mutate them
         # but sql("SELECT ... FROM t") raised TABLE_OR_VIEW_NOT_FOUND
@@ -165,10 +218,17 @@ class SnappySession:
             except Exception:  # noqa: BLE001 — e.g. bucketed layout whose
                 pass  # catalog entry didn't survive the process restart
 
-    def _table_lock(self, name: str) -> threading.RLock:
-        # RLock: put() on an empty table delegates to insert() in-thread
-        with self._mutation_locks_guard:
-            return self._mutation_locks.setdefault(name.lower(), threading.RLock())
+    def _table_lock(self, name: str) -> "_TableMutationLock":
+        # RLock semantics: put() on an empty table delegates to insert()
+        # in-thread, so the same thread re-enters without re-flocking
+        key = (os.path.abspath(self.catalog.base_dir), name.lower())
+        with _MUTATION_LOCKS_GUARD:
+            lock = _MUTATION_LOCKS.get(key)
+            if lock is None:
+                lock = _MUTATION_LOCKS[key] = _TableMutationLock(
+                    os.path.join(key[0], "_locks", f"{key[1]}.lock")
+                )
+            return lock
 
     # -------------------------------------------------------- registry persist
 
