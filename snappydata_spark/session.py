@@ -259,7 +259,11 @@ class SnappySession:
     def _save_registry(self) -> None:
         import json
 
-        with open(self._registry_path, "w") as f:
+        # atomic replace (same discipline as table manifests): a crash
+        # mid-write must not leave a truncated registry, and a concurrent
+        # fresh session must never read a partial file
+        tmp = f"{self._registry_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "indexes": self._indexes,
@@ -271,6 +275,7 @@ class SnappySession:
                 f,
                 indent=2,
             )
+        os.replace(tmp, self._registry_path)
 
     # ------------------------------------------------------------------ DDL
 
