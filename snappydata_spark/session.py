@@ -1845,17 +1845,118 @@ class SnappySession:
             (drop if t["gen"] <= gen - self._TOMBSTONE_GRACE else keep).append(t)
         if schema is not None:
             sch = schema.jsonValue()
+        import time as _time
+
+        payload = {
+            "gen": gen,
+            "ts": _time.time(),
+            "files": live,
+            "tombstones": keep,
+            "schema": sch,
+        }
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"gen": gen, "files": live, "tombstones": keep, "schema": sch}, f
-            )
+            json.dump(payload, f)
         os.replace(tmp, self._manifest_path(name))
+        # history copy per generation → snapshot time travel
+        # (table_version): any generation still inside the tombstone
+        # grace window has every one of its files intact on disk, so the
+        # history manifest alone reconstructs that snapshot
+        hist = self._history_dir(name)
+        os.makedirs(hist, exist_ok=True)
+        htmp = os.path.join(hist, f".gen-{gen}.tmp")
+        with open(htmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(htmp, os.path.join(hist, f"gen-{gen}.json"))
+        for old in self._history_gens(name):
+            if old <= gen - self._TOMBSTONE_GRACE:
+                try:
+                    os.remove(os.path.join(hist, f"gen-{old}.json"))
+                except FileNotFoundError:
+                    pass
         for t in drop:
             try:
                 os.remove(os.path.join(data, t["file"]))
             except FileNotFoundError:
                 pass
+
+    def _history_dir(self, name: str) -> str:
+        return os.path.join(self.catalog.table_path(name.lower()), "_history")
+
+    def _history_gens(self, name: str) -> list[int]:
+        hist = self._history_dir(name)
+        if not os.path.isdir(hist):
+            return []
+        gens = []
+        for f in os.listdir(hist):
+            if f.startswith("gen-") and f.endswith(".json"):
+                try:
+                    gens.append(int(f[4:-5]))
+                except ValueError:
+                    pass
+        return sorted(gens)
+
+    def table_history(self, name: str) -> list[dict]:
+        """Snapshot history of a manifest-managed table, oldest first:
+        one row per readable generation — {gen, ts, n_files} (the
+        DESCRIBE HISTORY shape).  Retention = the tombstone grace
+        window: older generations' files may already be unlinked, so
+        their manifests are pruned with them."""
+        name = name.lower()
+        out = []
+        import json
+
+        for g in self._history_gens(name):
+            try:
+                with open(os.path.join(self._history_dir(name), f"gen-{g}.json")) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            out.append(
+                {"gen": g, "ts": m.get("ts"), "n_files": len(m["files"])}
+            )
+        return out
+
+    def table_version(self, name: str, gen: int) -> DataFrame:
+        """Time-travel read: the table AS OF manifest generation `gen`
+        (beyond the reference — its store keeps no version history; this
+        falls out of the manifest-commit design).  Grant-checked and
+        policy-filtered like table().  Raises if the generation has been
+        retired (older than the tombstone grace window, or vacuumed)."""
+        import json
+
+        name = name.lower()
+        granted = self._grants.get(name)
+        if granted and self.current_user and self.current_user not in granted:
+            raise PermissionError(
+                f"user '{self.current_user}' lacks SELECT on '{name}'"
+            )
+        path = os.path.join(self._history_dir(name), f"gen-{gen}.json")
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except OSError:
+            have = self._history_gens(name)
+            raise ValueError(
+                f"table {name} has no readable generation {gen}"
+                f" (available: {have})"
+            ) from None
+        data = self.catalog.data_path(name)
+        files = [os.path.join(data, f) for f in m["files"]]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"generation {gen} of {name} is no longer readable: "
+                f"{len(missing)} of its files were vacuumed"
+            )
+        if not files:
+            if m.get("schema"):
+                df = self.spark.createDataFrame([], StructType.fromJson(m["schema"]))
+            else:
+                raise FileNotFoundError(f"generation {gen} of {name} is empty")
+        else:
+            df = self.spark.read.parquet(*files)
+        return self._apply_policies(name, df)
 
     def vacuum(self, name: str) -> int:
         """Delete ALL tombstoned files now (no grace) — the explicit GC a
@@ -1884,6 +1985,20 @@ class SnappySession:
             with open(tmp, "w") as f:
                 json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
             os.replace(tmp, self._manifest_path(name))
+            # historical generations referenced the files just deleted —
+            # retire every time-travel snapshot along with them, then
+            # re-seed history with the surviving (live-files) generation
+            hist = self._history_dir(name)
+            for g in self._history_gens(name):
+                try:
+                    os.remove(os.path.join(hist, f"gen-{g}.json"))
+                except FileNotFoundError:
+                    pass
+            os.makedirs(hist, exist_ok=True)
+            htmp = os.path.join(hist, f".gen-{m['gen'] + 1}.tmp")
+            with open(htmp, "w") as f:
+                json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
+            os.replace(htmp, os.path.join(hist, f"gen-{m['gen'] + 1}.json"))
             return n
 
     # ------------------------------------------------- pruned copy-on-write
