@@ -1007,6 +1007,38 @@ class SnappySession:
                 self._validate_checks(meta, aligned)
                 self._rewrite(aligned, meta)
             return None
+        m = re.match(
+            r"\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", text, flags=re.I
+        )
+        if m:
+            # DESCRIBE HISTORY <table> — the SQL face of table_history()
+            hist = self.table_history(m.group(1))
+            return self.spark.createDataFrame(
+                [
+                    (h["gen"], float(h["ts"]) if h["ts"] else None, h["n_files"])
+                    for h in hist
+                ],
+                "gen long, ts double, n_files long",
+            )
+        if re.search(r"\bVERSION\s+AS\s+OF\b", text, flags=re.I):
+            # FROM <managed> VERSION AS OF <gen> — snapshot time travel in
+            # SQL: the generation's manifest resolves to a temp view named
+            # by (table, gen), so the rewritten text stays cache-keyable
+            # and the snapshot itself is immutable
+            def _asof_sub(vm: re.Match) -> str:
+                kw, tbl, gen = vm.group(1), vm.group(2), int(vm.group(3))
+                if not self.catalog.exists(tbl.lower()):
+                    return vm.group(0)
+                view = f"{tbl.lower()}__asof_{gen}"
+                self.table_version(tbl, gen).createOrReplaceTempView(view)
+                return f"{kw} {view}"
+
+            text = re.sub(
+                r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+                _asof_sub,
+                text,
+                flags=re.I,
+            )
         if re.search(r"\bWITH\s+ERROR\b", text, flags=re.I):
             parsed = parse_with_error(text)
             if parsed:

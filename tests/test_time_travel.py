@@ -89,3 +89,31 @@ def test_history_retention_is_grace_bounded(versioned):
     # every retained generation is actually readable
     for h in hist:
         assert sn.table_version("tt_orders", h["gen"]).count() == 50
+
+
+def test_sql_version_as_of_and_describe_history(versioned):
+    sn, base = versioned
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    sn.sql(f"DELETE FROM tt_orders WHERE o_orderkey = {key}")
+    hist = sn.sql("DESCRIBE HISTORY tt_orders").collect()
+    assert len(hist) >= 2
+    first_gen, last_gen = hist[0].gen, hist[-1].gen
+
+    n_now = sn.sql("SELECT COUNT(*) AS n FROM tt_orders").collect()[0].n
+    n_then = sn.sql(
+        f"SELECT COUNT(*) AS n FROM tt_orders VERSION AS OF {first_gen}"
+    ).collect()[0].n
+    assert (n_now, n_then) == (49, 50)
+    # reading the current generation via AS OF == the current read
+    assert (
+        sn.sql(
+            f"SELECT COUNT(*) AS n FROM tt_orders VERSION AS OF {last_gen}"
+        ).collect()[0].n
+        == 49
+    )
+    # join position works too
+    j = sn.sql(
+        f"SELECT COUNT(*) AS n FROM tt_orders t JOIN tt_orders VERSION AS OF {first_gen} o"
+        f" ON t.o_orderkey = o.o_orderkey"
+    ).collect()[0].n
+    assert j == 49
