@@ -1020,6 +1020,22 @@ class SnappySession:
                 ],
                 "gen long, ts double, n_files long",
             )
+        m = re.match(
+            r"\s*VACUUM\s+([A-Za-z_][\w.]*)\s*;?\s*$", text, flags=re.I
+        )
+        if m:
+            # VACUUM <table> — immediate tombstone GC (SQL face of
+            # vacuum(); retires time-travel history with the files)
+            n = self.vacuum(m.group(1))
+            return self.spark.createDataFrame([(n,)], "files_removed long")
+        m = re.match(
+            r"\s*COMPACT\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$", text, flags=re.I
+        )
+        if m:
+            # COMPACT TABLE <table> — small-file maintenance (SQL face of
+            # compact_table())
+            n = self.compact_table(m.group(1))
+            return self.spark.createDataFrame([(n,)], "files_after long")
         if re.search(r"\bVERSION\s+AS\s+OF\b", text, flags=re.I):
             # FROM <managed> VERSION AS OF <gen> — snapshot time travel in
             # SQL: the generation's manifest resolves to a temp view named

@@ -117,3 +117,14 @@ def test_sql_version_as_of_and_describe_history(versioned):
         f" ON t.o_orderkey = o.o_orderkey"
     ).collect()[0].n
     assert j == 49
+
+
+def test_sql_vacuum_and_compact(versioned):
+    sn, base = versioned
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    sn.sql(f"DELETE FROM tt_orders WHERE o_orderkey = {key}")
+    removed = sn.sql("VACUUM tt_orders").collect()[0].files_removed
+    assert removed >= 1
+    n_files = sn.sql("COMPACT TABLE tt_orders").collect()[0].files_after
+    assert n_files >= 1
+    assert sn.table("tt_orders").count() == 49
