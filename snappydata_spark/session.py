@@ -1036,21 +1036,31 @@ class SnappySession:
             # compact_table())
             n = self.compact_table(m.group(1))
             return self.spark.createDataFrame([(n,)], "files_after long")
-        if re.search(r"\bVERSION\s+AS\s+OF\b", text, flags=re.I):
-            # FROM <managed> VERSION AS OF <gen> — snapshot time travel in
-            # SQL: the generation's manifest resolves to a temp view named
-            # by (table, gen), so the rewritten text stays cache-keyable
-            # and the snapshot itself is immutable
+        if re.search(r"\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", text, flags=re.I):
+            # FROM <managed> VERSION AS OF <gen> | TIMESTAMP AS OF '<ts>'
+            # — snapshot time travel in SQL: the generation's manifest
+            # resolves to a temp view named by (table, gen), so the
+            # rewritten text stays cache-keyable and the snapshot itself
+            # is immutable
             def _asof_sub(vm: re.Match) -> str:
-                kw, tbl, gen = vm.group(1), vm.group(2), int(vm.group(3))
+                kw, tbl, kind, spec = vm.groups()
                 if not self.catalog.exists(tbl.lower()):
                     return vm.group(0)
-                view = f"{tbl.lower()}__asof_{gen}"
-                self.table_version(tbl, gen).createOrReplaceTempView(view)
+                if kind.upper() == "VERSION":
+                    df = self.table_version(tbl, int(spec))
+                    view = f"{tbl.lower()}__asof_{int(spec)}"
+                else:
+                    df = self.table_version(tbl, as_of_ts=spec.strip("'"))
+                    view = (
+                        f"{tbl.lower()}__asofts_"
+                        + re.sub(r"\W", "_", spec.strip("'"))
+                    )
+                df.createOrReplaceTempView(view)
                 return f"{kw} {view}"
 
             text = re.sub(
-                r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+                r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+"
+                r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']+')",
                 _asof_sub,
                 text,
                 flags=re.I,
@@ -1965,15 +1975,41 @@ class SnappySession:
             )
         return out
 
-    def table_version(self, name: str, gen: int) -> DataFrame:
-        """Time-travel read: the table AS OF manifest generation `gen`
-        (beyond the reference — its store keeps no version history; this
-        falls out of the manifest-commit design).  Grant-checked and
-        policy-filtered like table().  Raises if the generation has been
-        retired (older than the tombstone grace window, or vacuumed)."""
+    def table_version(
+        self, name: str, gen: int | None = None, as_of_ts: float | str | None = None
+    ) -> DataFrame:
+        """Time-travel read: the table AS OF manifest generation `gen`,
+        or AS OF a wall-clock instant `as_of_ts` (epoch seconds or an
+        ISO-8601 string, resolved to the newest generation committed at
+        or before it).  Beyond the reference — its store keeps no
+        version history; this falls out of the manifest-commit design.
+        Grant-checked and policy-filtered like table().  Raises if the
+        generation has been retired (older than the tombstone grace
+        window, or vacuumed)."""
         import json
 
         name = name.lower()
+        if gen is None:
+            if as_of_ts is None:
+                raise ValueError("table_version needs gen or as_of_ts")
+            if isinstance(as_of_ts, str):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(as_of_ts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of_ts = dt.timestamp()
+            eligible = [
+                h["gen"]
+                for h in self.table_history(name)
+                if h["ts"] is not None and h["ts"] <= as_of_ts
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"table {name} has no generation committed at or "
+                    f"before {as_of_ts} (history: {self.table_history(name)})"
+                )
+            gen = max(eligible)
         granted = self._grants.get(name)
         if granted and self.current_user and self.current_user not in granted:
             raise PermissionError(
@@ -2047,6 +2083,9 @@ class SnappySession:
             with open(htmp, "w") as f:
                 json.dump({**m, "gen": m["gen"] + 1, "tombstones": []}, f)
             os.replace(htmp, os.path.join(hist, f"gen-{m['gen'] + 1}.json"))
+            # cached plans (incl. VERSION AS OF snapshots) may pin the
+            # files just unlinked
+            self.plan_cache.clear()
             return n
 
     # ------------------------------------------------- pruned copy-on-write

@@ -128,3 +128,30 @@ def test_sql_vacuum_and_compact(versioned):
     n_files = sn.sql("COMPACT TABLE tt_orders").collect()[0].files_after
     assert n_files >= 1
     assert sn.table("tt_orders").count() == 49
+
+
+def test_timestamp_as_of(versioned):
+    import time as _t
+
+    sn, base = versioned
+    keys = [r.o_orderkey for r in base.select("o_orderkey").limit(2).collect()]
+    sn.sql(f"DELETE FROM tt_orders WHERE o_orderkey = {keys[0]}")
+    mid = _t.time()
+    _t.sleep(0.05)
+    sn.sql(f"DELETE FROM tt_orders WHERE o_orderkey = {keys[1]}")
+
+    # epoch float resolves to the newest generation committed <= mid
+    assert sn.table_version("tt_orders", as_of_ts=mid).count() == 49
+    # ISO string form through SQL
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).isoformat()
+    n = sn.sql(
+        f"SELECT COUNT(*) AS n FROM tt_orders TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n
+    assert n == 49
+    # an instant before any commit: clear error
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no generation committed"):
+        sn.table_version("tt_orders", as_of_ts=0.0)
