@@ -161,8 +161,60 @@ def _fill(rng: random.Random, template: str) -> str:
     )
 
 
+# window-function shapes: partition key + UNIQUE order key make ranking
+# deterministic; frame SUMs go through DECIMAL because DuckDB evaluates
+# windowed aggregates with a segment tree (different addition order than
+# Spark's running accumulation — the same class-1 divergence as GROUP BY)
+_WINDOW_TEMPLATES = [
+    (
+        "orders",
+        "SELECT o_orderkey, o_orderstatus,"
+        " ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn,"
+        " RANK() OVER (ORDER BY o_orderpriority, o_orderkey) AS rk,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER"
+        "   (PARTITION BY o_orderstatus ORDER BY o_orderkey"
+        "    ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) AS DOUBLE) AS wsum,"
+        " CAST(LAG(o_custkey, 1, -1) OVER"
+        "   (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS prev_cust"
+        " FROM orders WHERE o_orderkey <= {key}",
+    ),
+    (
+        "customer",
+        "SELECT c_custkey, c_mktsegment,"
+        " ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,"
+        " CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nat_n,"
+        " CAST(MIN(c_custkey) OVER"
+        "   (PARTITION BY c_mktsegment ORDER BY c_custkey"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_min"
+        " FROM customer WHERE c_custkey <= {key}",
+    ),
+]
+
+
+def gen_window_query(rng: random.Random) -> str:
+    _, tpl = rng.choice(_WINDOW_TEMPLATES)
+    return tpl.format(frame=rng.randrange(1, 6), key=rng.randrange(200, 1500))
+
+
 def gen_query(rng: random.Random) -> str:
-    """One random aggregation query in the shared ANSI subset."""
+    """One random query in the shared ANSI subset: grouped aggregation
+    (possibly joined / HAVING / LIMIT), a window-function scan, or a
+    derived-table requalification of an aggregate."""
+    roll = rng.random()
+    if roll < 0.15:
+        return gen_window_query(rng)
+    if roll < 0.3:
+        # derived table: aggregate inside, re-filter + re-project outside
+        inner = _gen_agg_query(rng, allow_order=False, require_cnt=True)
+        return (
+            f"SELECT k0, cnt FROM ({inner}) d WHERE cnt > {rng.randrange(0, 3)}"
+        )
+    return _gen_agg_query(rng, allow_order=True)
+
+
+def _gen_agg_query(
+    rng: random.Random, allow_order: bool = True, require_cnt: bool = False
+) -> str:
     if rng.random() < 0.35:
         left, right, cond, pools = rng.choice(JOINS)
         frm = f"{left} JOIN {right} ON {cond}"
@@ -185,6 +237,8 @@ def gen_query(rng: random.Random) -> str:
             seen.add(alias)
             uniq.append(a)
     aggs = uniq
+    if require_cnt and not any(a.endswith(" AS cnt") for a in aggs):
+        aggs.append("COUNT(*) AS cnt")
 
     select = ", ".join(
         [f"{k} AS {a}" for k, a in zip(keys, key_aliases)] + aggs
@@ -197,7 +251,7 @@ def gen_query(rng: random.Random) -> str:
     sql += " GROUP BY " + ", ".join(key_aliases)
     if rng.random() < 0.3:
         sql += f" HAVING COUNT(*) > {rng.randrange(0, 4)}"
-    if rng.random() < 0.25:
+    if allow_order and rng.random() < 0.25:
         # LIMIT needs a total order: rounded agg desc + every key asc
         first_agg = aggs[0].rsplit(" AS ", 1)[1]
         sql += (
