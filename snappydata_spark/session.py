@@ -1646,6 +1646,58 @@ class SnappySession:
         # cached plans resolved the old function at analysis time
         self.plan_cache.clear()
 
+    def run_script(self, script: str) -> list[DataFrame | None]:
+        """Execute a multi-statement SQL script (the reference's
+        snappy-sql CLI shape: statements separated by top-level `;`).
+        Splits outside quotes and comments, runs each statement through
+        sql(), returns the per-statement results in order."""
+        results = []
+        for stmt in self._split_script(script):
+            results.append(self.sql(stmt))
+        return results
+
+    @staticmethod
+    def _split_script(script: str) -> list[str]:
+        stmts, buf = [], []
+        i, n = 0, len(script)
+        in_s = in_d = False  # '...' / "..."
+        while i < n:
+            c = script[i]
+            if in_s:
+                buf.append(c)
+                if c == "'":
+                    # '' escape stays inside the literal
+                    if i + 1 < n and script[i + 1] == "'":
+                        buf.append("'")
+                        i += 1
+                    else:
+                        in_s = False
+            elif in_d:
+                buf.append(c)
+                if c == '"':
+                    in_d = False
+            elif c == "-" and script[i : i + 2] == "--":
+                # line comment: skip to end of line (kept out of the
+                # statement so a trailing comment can't swallow the `;`)
+                j = script.find("\n", i)
+                i = (j if j != -1 else n) - 1
+            elif c == "/" and script[i : i + 2] == "/*":
+                j = script.find("*/", i + 2)
+                # land ON the closing '/', the loop's i += 1 steps past it
+                i = (j + 1) if j != -1 else (n - 1)
+            elif c == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(c)
+                if c == "'":
+                    in_s = True
+                elif c == '"':
+                    in_d = True
+            i += 1
+        stmts.append("".join(buf))
+        return [s.strip() for s in stmts if s.strip()]
+
     def exec_python(self, code: str, **bindings):
         """EXEC SCALA analogue (interpretCode SnappyDDLParser.scala:
         476-517): run a Python code block with `session` and `spark` in

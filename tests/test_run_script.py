@@ -1,0 +1,44 @@
+"""Multi-statement SQL scripts (the reference's snappy-sql CLI shape)."""
+
+import shutil
+
+import pytest
+
+
+def test_run_script_end_to_end(snappy):
+    results = snappy.run_script(
+        """
+        -- managed table; the ; in this comment must not split
+        CREATE TABLE rs_t (k INT NOT NULL, v STRING) USING row
+            OPTIONS (key_columns 'k');
+        INSERT INTO rs_t VALUES (1, 'a;b');        /* ; in literal + block */
+        PUT INTO rs_t VALUES (1, 'it''s;fine');
+        INSERT INTO rs_t VALUES (2, 'plain');
+        SELECT k, v FROM rs_t ORDER BY k
+        """
+    )
+    rows = results[-1].collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "it's;fine"), (2, "plain")]
+
+
+def test_split_script_edges(snappy):
+    split = snappy._split_script
+    assert split("a; b ;; c") == ["a", "b", "c"]
+    assert split("SELECT ';' AS x; SELECT 2") == ["SELECT ';' AS x", "SELECT 2"]
+    assert split('SELECT ";" ; SELECT 1') == ['SELECT ";"', "SELECT 1"]
+    assert split("x -- c;d\n; y") == ["x", "y"]
+    assert split("x /* ; */; y") == ["x", "y"]
+    assert split("SELECT 'it''s; ok'") == ["SELECT 'it''s; ok'"]
+
+
+def test_table_reads_survive_missing_history(snappy, sf_dir):
+    # history is an add-on: deleting it must not affect current reads
+    base = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    snappy.create_table("rs_hist", options={"key_columns": "o_orderkey"}, df=base)
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    snappy.sql(f"DELETE FROM rs_hist WHERE o_orderkey = {key}")
+    shutil.rmtree(snappy._history_dir("rs_hist"))
+    assert snappy.table("rs_hist").count() == 19
+    assert snappy.table_history("rs_hist") == []
+    with pytest.raises(ValueError):
+        snappy.table_version("rs_hist", 1)
