@@ -31,7 +31,11 @@ class Statement:
     if_not_exists: bool = False
 
 
-_PUT = re.compile(r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(.*)$", re.I | re.S)
+_PUT = re.compile(
+    r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*"
+    r"(?:\(\s*(?!SELECT\b)([\w\s,]+?)\s*\)\s*)?(.+)$",
+    re.I | re.S,
+)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
 )
@@ -39,14 +43,19 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
 )
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
+# optional ANSI column list after the table name; the (?!SELECT\b)
+# lookahead keeps a parenthesized subselect from being eaten as a list
+_COL_LIST = r"(?:\(\s*(?!SELECT\b)([\w\s,]+?)\s*\)\s*)?"
 _INSERT_SELECT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*" + _COL_LIST + r"(SELECT\s+.*)$",
+    re.I | re.S,
 )
-# INSERT INTO t VALUES (...) — routed through the managed insert path
-# (positional binding + CHECK constraints), not Spark's direct file
-# append into the backing view
+# INSERT INTO t [(cols)] VALUES (...) — routed through the managed
+# insert path (positional binding + CHECK constraints), not Spark's
+# direct file append into the backing view
 _INSERT_VALUES = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+(VALUES\s*.+)$", re.I | re.S
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*" + _COL_LIST + r"(VALUES\s*.+)$",
+    re.I | re.S,
 )
 _INSERT_OVERWRITE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
@@ -760,11 +769,21 @@ def split_statement(text: str) -> Statement:
         )
     m = _PUT.match(text)
     if m:
-        body = m.group(2).strip()
+        body = m.group(3).strip()
+        cols = (
+            {"columns": [c.strip().lower() for c in m.group(2).split(",") if c.strip()]}
+            if m.group(2)
+            else {}
+        )
         if body.upper().startswith("SELECT"):
-            return Statement("put", table=m.group(1), source_sql=body)
+            return Statement("put", table=m.group(1), source_sql=body, options=cols)
         # VALUES (...) [, (...)] — let Spark parse it as an inline table
-        return Statement("put", table=m.group(1), source_sql=f"SELECT * FROM {body}")
+        return Statement(
+            "put",
+            table=m.group(1),
+            source_sql=f"SELECT * FROM {body}",
+            options=cols,
+        )
     m = _UPDATE.match(text)
     if m:
         return Statement(
@@ -779,15 +798,27 @@ def split_statement(text: str) -> Statement:
     m = _TRUNCATE.match(text)
     if m:
         return Statement("truncate", table=m.group(1))
+    def _cols_opt(group: str | None) -> dict:
+        if not group:
+            return {}
+        return {"columns": [c.strip().lower() for c in group.split(",") if c.strip()]}
+
     m = _INSERT_SELECT.match(text)
     if m:
-        return Statement("insert_select", table=m.group(1), source_sql=m.group(2))
+        return Statement(
+            "insert_select",
+            table=m.group(1),
+            source_sql=m.group(3),
+            options=_cols_opt(m.group(2)),
+        )
     m = _INSERT_VALUES.match(text)
     if m:
         # inline table → positional SELECT, same contract as PUT VALUES
         return Statement(
-            "insert_select", table=m.group(1),
-            source_sql=f"SELECT * FROM {m.group(2)}",
+            "insert_select",
+            table=m.group(1),
+            source_sql=f"SELECT * FROM {m.group(3)}",
+            options=_cols_opt(m.group(2)),
         )
     m = _INSERT_OVERWRITE.match(text)
     if m:

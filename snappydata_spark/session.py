@@ -971,7 +971,13 @@ class SnappySession:
         if stmt.kind == "put":
             self._resolve_read_access(stmt.source_sql)
             src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
-            self.put(stmt.table, self._align_source(stmt.table, src))
+            cols = stmt.options.get("columns")
+            src = (
+                self._apply_column_list(stmt.table, src, cols)
+                if cols
+                else self._align_source(stmt.table, src)
+            )
+            self.put(stmt.table, src)
             return None
         if stmt.kind == "update":
             self.update(stmt.table, stmt.where or F.lit(True), stmt.assignments)
@@ -984,10 +990,14 @@ class SnappySession:
             return None
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
             self._resolve_read_access(stmt.source_sql)
-            self.insert(
-                stmt.table,
-                self._align_source(stmt.table, self.spark.sql(stmt.source_sql)),
+            src = self.spark.sql(stmt.source_sql)
+            cols = stmt.options.get("columns")
+            src = (
+                self._apply_column_list(stmt.table, src, cols)
+                if cols
+                else self._align_source(stmt.table, src)
             )
+            self.insert(stmt.table, src)
             return None
         if stmt.kind == "merge":
             return self._merge(stmt)
@@ -1188,6 +1198,31 @@ class SnappySession:
                 "STREAMING STOP: failed to stop "
                 + ", ".join(f"{n} ({e})" for n, e in errors)
             ) from errors[0][1]
+
+    def _apply_column_list(self, name: str, src: DataFrame, cols: list[str]) -> DataFrame:
+        """ANSI column-list DML (INSERT/PUT INTO t (a, b) ...): the
+        source's columns bind positionally to the LISTED columns; every
+        unlisted table column is filled with NULL."""
+        fields = self.table(name).schema.fields
+        known = {f.name.lower() for f in fields}
+        unknown = [c for c in cols if c not in known]
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown} in INSERT column list for {name}")
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"column list names {len(cols)} column(s) but the source "
+                f"provides {len(src.columns)}"
+            )
+        named = src.toDF(*cols)
+        listed = set(cols)
+        return named.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name.lower() in listed
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
 
     def _align_source(self, name: str, src: DataFrame) -> DataFrame:
         """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the

@@ -451,3 +451,33 @@ def test_prepared_statement_question_mark_in_literal(snappy):
     ps = snappy.prepare("SELECT id FROM pq_t WHERE status = 'pending?' AND id = ?")
     assert ps.n_params == 1
     assert [r.id for r in ps.execute(1).collect()] == [1]
+
+
+def test_insert_put_column_lists(snappy):
+    """ANSI column-list DML: INSERT/PUT INTO t (cols) binds the source
+    positionally to the LISTED columns; unlisted columns fill with NULL;
+    unknown columns are rejected."""
+    import pytest as _pt
+
+    snappy.sql(
+        "CREATE TABLE cl_t (a INT NOT NULL, b INT NOT NULL, v STRING) "
+        "USING column OPTIONS (key_columns 'a,b')"
+    )
+    snappy.sql("INSERT INTO cl_t VALUES (1, 1, 'x')")
+    snappy.sql("INSERT INTO cl_t (a, b, v) VALUES (2, 1, 'z')")
+    snappy.sql("INSERT INTO cl_t (v, a, b) VALUES ('rev', 4, 4)")
+    snappy.sql("INSERT INTO cl_t (a, b) VALUES (3, 1)")
+    snappy.sql("PUT INTO cl_t (a, b, v) VALUES (1, 1, 'x2')")
+    snappy.sql("INSERT INTO cl_t (b, a) SELECT 7, 8")
+    got = sorted((r.a, r.b, r.v) for r in snappy.table("cl_t").collect())
+    assert got == [
+        (1, 1, "x2"),
+        (2, 1, "z"),
+        (3, 1, None),
+        (4, 4, "rev"),
+        (8, 7, None),
+    ]
+    with _pt.raises(ValueError, match="unknown column"):
+        snappy.sql("INSERT INTO cl_t (a, b, nope) VALUES (9, 9, 'q')")
+    with _pt.raises(ValueError, match="column list names"):
+        snappy.sql("INSERT INTO cl_t (a, b) VALUES (9, 9, 'q')")
