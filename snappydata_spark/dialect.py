@@ -36,12 +36,57 @@ _PUT = re.compile(
     r"(?:\(\s*(?!SELECT\b)([\w\s,]+?)\s*\)\s*)?(.+)$",
     re.I | re.S,
 )
+# optional ANSI table alias (UPDATE t [AS] a SET / DELETE FROM t [AS] a)
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
+    r"^\s*UPDATE\s+(\w+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
+    r"\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+    re.I | re.S,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*;?\s*$", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+    r"(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+    re.I | re.S,
 )
+
+
+def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
+    """Remove `alias.` qualifiers from an expression (quote-aware): the
+    mutation layer filters the bare table DataFrame, where qualified
+    references would not resolve.  Occurrences inside string literals
+    are preserved."""
+    if expr is None:
+        return None
+    out: list[str] = []
+    i, n = 0, len(expr)
+    in_s = in_d = False
+    a, la = alias.lower(), len(alias)
+    while i < n:
+        c = expr[i]
+        if in_s:
+            out.append(c)
+            if c == "'":
+                in_s = False
+        elif in_d:
+            out.append(c)
+            if c == '"':
+                in_d = False
+        elif (
+            not in_s
+            and not in_d
+            and expr[i : i + la].lower() == a
+            and i + la < n
+            and expr[i + la] == "."
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+        ):
+            i += la  # skip alias, the '.' is skipped by the loop step below
+        else:
+            out.append(c)
+            if c == "'":
+                in_s = True
+            elif c == '"':
+                in_d = True
+        i += 1
+    return "".join(out)
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
 # optional ANSI column list after the table name; the (?!SELECT\b)
 # lookahead keeps a parenthesized subselect from being eaten as a list
@@ -786,15 +831,23 @@ def split_statement(text: str) -> Statement:
         )
     m = _UPDATE.match(text)
     if m:
+        alias = m.group(2)
+        set_part, where = m.group(3), m.group(4)
+        if alias:
+            set_part = strip_alias_qualifier(set_part, alias)
+            where = strip_alias_qualifier(where, alias)
         return Statement(
             "update",
             table=m.group(1),
-            assignments=_split_assignments(m.group(2)),
-            where=m.group(3),
+            assignments=_split_assignments(set_part),
+            where=where,
         )
     m = _DELETE.match(text)
     if m:
-        return Statement("delete", table=m.group(1), where=m.group(2))
+        where = m.group(3)
+        if m.group(2):
+            where = strip_alias_qualifier(where, m.group(2))
+        return Statement("delete", table=m.group(1), where=where)
     m = _TRUNCATE.match(text)
     if m:
         return Statement("truncate", table=m.group(1))

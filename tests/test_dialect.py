@@ -481,3 +481,31 @@ def test_insert_put_column_lists(snappy):
         snappy.sql("INSERT INTO cl_t (a, b, nope) VALUES (9, 9, 'q')")
     with _pt.raises(ValueError, match="column list names"):
         snappy.sql("INSERT INTO cl_t (a, b) VALUES (9, 9, 'q')")
+
+
+def test_aliased_update_delete(snappy):
+    """ANSI table aliases on UPDATE/DELETE (UPDATE t AS a SET ... WHERE
+    a.x; DELETE FROM t a WHERE a.x): qualifiers are stripped quote-aware
+    before the mutation layer filters the bare table frame."""
+    snappy.sql(
+        "CREATE TABLE al_t (k INT NOT NULL, v INT, s STRING) "
+        "USING column OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO al_t VALUES (1, 10, 'a.b'), (2, 20, 'x'), (5, 50, 'y')")
+    snappy.sql("DELETE FROM al_t a WHERE a.k = 5")
+    assert sorted(r.k for r in snappy.table("al_t").collect()) == [1, 2]
+    snappy.sql("UPDATE al_t AS a SET v = a.v + 1 WHERE a.k = 1")
+    got = {r.k: r.v for r in snappy.table("al_t").collect()}
+    assert got == {1: 11, 2: 20}
+    # alias-looking text inside a string literal is untouched
+    snappy.sql("UPDATE al_t a SET v = 99 WHERE a.s = 'a.b'")
+    got = {r.k: r.v for r in snappy.table("al_t").collect()}
+    assert got == {1: 99, 2: 20}
+
+    from snappydata_spark.dialect import strip_alias_qualifier
+
+    assert (
+        strip_alias_qualifier("m.k = 'm.x' AND am.k > m.v", "m")
+        == "k = 'm.x' AND am.k > v"
+    )
+    assert strip_alias_qualifier(None, "m") is None
