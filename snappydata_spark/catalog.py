@@ -55,15 +55,33 @@ class TableMeta:
             or (provider.lower() == "row" and not partition_by)
         )
         return TableMeta(
-            name=name.lower(),
+            name=canon_name(name),
             provider=provider.lower(),
             key_columns=key_columns,
             partition_by=partition_by,
             buckets=int(opts.pop("buckets", 0) or 0),
-            colocate_with=str(opts.pop("colocate_with", "")).lower(),
+            colocate_with=canon_name(str(opts.pop("colocate_with", ""))),
             replicate=replicate,
             options=opts,
         )
+
+
+#: the reference's default schema (tables live in APP unless qualified,
+#: SnappySessionCatalog) — `app.t`, `default.t`, and `t` are the same table
+DEFAULT_SCHEMAS = ("app", "default")
+
+
+def canon_name(name: str) -> str:
+    """Canonical internal table id for a possibly schema-qualified name:
+    the default-schema prefix is stripped; any other schema flattens to
+    `schema__table` (dot-free, so the id is also a legal view name)."""
+    n = name.strip().lower()
+    if "." in n:
+        sch, t = n.split(".", 1)
+        if sch in DEFAULT_SCHEMAS:
+            return t
+        return f"{sch}__{t}"
+    return n
 
 
 class Catalog:
@@ -76,7 +94,7 @@ class Catalog:
         os.makedirs(self.base_dir, exist_ok=True)
 
     def table_path(self, name: str) -> str:
-        return os.path.join(self.base_dir, name.lower())
+        return os.path.join(self.base_dir, canon_name(name))
 
     def data_path(self, name: str) -> str:
         return os.path.join(self.table_path(name), "data")

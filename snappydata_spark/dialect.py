@@ -32,18 +32,18 @@ class Statement:
 
 
 _PUT = re.compile(
-    r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*"
+    r"^\s*PUT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*"
     r"(?:\(\s*(?!SELECT\b)([\w\s,]+?)\s*\)\s*)?(.+)$",
     re.I | re.S,
 )
 # optional ANSI table alias (UPDATE t [AS] a SET / DELETE FROM t [AS] a)
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
+    r"^\s*UPDATE\s+([\w.]+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
     r"\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
     re.I | re.S,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
     r"(?:\s+WHERE\s+(.*))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -76,7 +76,7 @@ def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
             and expr[i : i + la].lower() == a
             and i + la < n
             and expr[i + la] == "."
-            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_."))
         ):
             i += la  # skip alias, the '.' is skipped by the loop step below
         else:
@@ -87,27 +87,27 @@ def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
                 in_d = True
         i += 1
     return "".join(out)
-_TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
+_TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 # optional ANSI column list after the table name; the (?!SELECT\b)
 # lookahead keeps a parenthesized subselect from being eaten as a list
 _COL_LIST = r"(?:\(\s*(?!SELECT\b)([\w\s,]+?)\s*\)\s*)?"
 _INSERT_SELECT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*" + _COL_LIST + r"(SELECT\s+.*)$",
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*" + _COL_LIST + r"(SELECT\s+.*)$",
     re.I | re.S,
 )
 # INSERT INTO t [(cols)] VALUES (...) — routed through the managed
 # insert path (positional binding + CHECK constraints), not Spark's
 # direct file append into the backing view
 _INSERT_VALUES = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s*" + _COL_LIST + r"(VALUES\s*.+)$",
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*" + _COL_LIST + r"(VALUES\s*.+)$",
     re.I | re.S,
 )
 _INSERT_OVERWRITE = re.compile(
-    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT\s+.*)$", re.I | re.S
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(SELECT\s+.*)$", re.I | re.S
 )
 # CREATE TABLE t (schema)? USING column|row [OPTIONS (...)] [AS SELECT ...]
 _CREATE_TABLE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
     r"(\(.*?\))?\s*USING\s+(COLUMN|ROW)\s*"
     r"(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*)?$",
     re.I | re.S,
@@ -118,7 +118,7 @@ _CREATE_TABLE = re.compile(
 # USING/PARTITIONED BY/STORED/etc. fails this match and passes through
 # to Spark untouched.
 _CREATE_TABLE_NOUSING = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
     r"(\(.*?\))?\s*(?:OPTIONS\s*\((.*?)\))?\s*(AS\s+SELECT\s+.*?)?\s*;?\s*$",
     re.I | re.S,
 )
@@ -128,35 +128,35 @@ _CREATE_TABLE_NOUSING = re.compile(
 # session.create_external_table: path-providers read OPTIONS path;
 # jdbc reads url/dbtable.
 _CREATE_EXTERNAL = re.compile(
-    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
     r"USING\s+(\w+)\s*OPTIONS\s*\((.*?)\)\s*;?\s*$",
     re.I | re.S,
 )
 _CREATE_SAMPLE = re.compile(
-    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(\w+)\s+ON\s+(\w+)\s*"
+    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+([\w.]+)\s+ON\s+([\w.]+)\s*"
     r"OPTIONS\s*\((.*?)\)\s*$",
     re.I | re.S,
 )
 _CREATE_INDEX = re.compile(
-    r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((.*?)\)",
+    r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\((.*?)\)",
     re.I | re.S,
 )
 _DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
 _DROP_TABLE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I
 )
 # ALTER TABLE t ADD [COLUMN] c TYPE | DROP [COLUMN] c
 # (SnappyDDLParser.alterTable:697; API SnappySession.alterTable:1634)
 _ALTER_ADD = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\s,]+?)\s*;?\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\s,]+?)\s*;?\s*$",
     re.I,
 )
 _ALTER_DROP = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$", re.I
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$", re.I
 )
 # CREATE TABLE t LIKE s (SnappyDDLParser.createTableLike:349)
 _CREATE_LIKE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+LIKE\s+(\w+)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*;?\s*$",
     re.I,
 )
 
@@ -251,7 +251,7 @@ _SHOW_MEMBERS = re.compile(r"^\s*SHOW\s+MEMBERS\s*;?\s*$", re.I)
 # SHOW CREATE TABLE (SnappyParser.show:1292) — managed tables rebuild
 # their DDL from catalog metadata; others pass through to Spark
 _SHOW_CREATE = re.compile(
-    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I
 )
 
 # CREATE POLICY p ON t FOR SELECT [TO user] USING (<filter>)
@@ -274,7 +274,7 @@ _SET_CONF = re.compile(
 # SnappyDDLParser.scala:818-857 — the reference forwards these to the
 # store; we keep an engine-side grant registry enforced at SELECT)
 _GRANT_REVOKE = re.compile(
-    r"^\s*(GRANT|REVOKE)\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s+(?:TO|FROM)\s+(\w+)\s*;?\s*$",
+    r"^\s*(GRANT|REVOKE)\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO|FROM)\s+(\w+)\s*;?\s*$",
     re.I,
 )
 # DEPLOY PACKAGE name 'coords' / DEPLOY JAR name 'paths' / UNDEPLOY name /
@@ -477,6 +477,65 @@ _JOIN_TYPE_MAP = {
 _PRECEDING_TABLE = re.compile(r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.I)
 
 
+def rewrite_qualified_names(text: str, resolve) -> str:
+    """Replace schema-qualified relation references (`sch.tbl`) with the
+    canonical managed-table name `resolve(sch, tbl)` returns (None = not
+    a managed table, leave untouched — e.g. alias.column references).
+    Quote-aware: occurrences inside '...' / "..." literals are kept."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_s = in_d = False
+    pat = re.compile(r"[A-Za-z_]\w*\.[A-Za-z_]\w*")
+    while i < n:
+        c = text[i]
+        if in_s:
+            out.append(c)
+            if c == "'":
+                in_s = False
+            i += 1
+        elif in_d:
+            out.append(c)
+            if c == '"':
+                in_d = False
+            i += 1
+        elif c == "'":
+            out.append(c)
+            in_s = True
+            i += 1
+        elif c == '"':
+            out.append(c)
+            in_d = True
+            i += 1
+        elif (c.isalpha() or c == "_") and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.")
+        ):
+            m = pat.match(text, i)
+            if m:
+                sch, tbl = m.group(0).split(".", 1)
+                repl = resolve(sch, tbl)
+                if (
+                    i + len(m.group(0)) < n
+                    and text[i + len(m.group(0))] == "."
+                ):
+                    # a.b.c chain: schema.table.column when (a, b) is a
+                    # managed table — rewrite the relation part, keep the
+                    # column; otherwise an alias.struct.field path — keep
+                    out.append(
+                        (repl + ".") if repl is not None else m.group(0) + "."
+                    )
+                    i += len(m.group(0)) + 1
+                    continue
+                out.append(repl if repl is not None else m.group(0))
+                i += len(m.group(0))
+            else:
+                out.append(c)
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def rewrite_hints(text: str) -> str:
     """Translate reference comment hints into Spark /*+ */ hints injected
     after the first SELECT (where Spark requires them)."""
@@ -570,8 +629,8 @@ def _split_assignments(text: str) -> dict[str, str]:
 # (beyond the reference's surface: it composes PUT INTO + deleteFrom,
 # ColumnTableBulkOps.scala:46-120; MERGE is the one-statement ANSI form)
 _MERGE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
-    r"USING\s+(\(.*?\)|\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\(.*?\)|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
     r"ON\s+(.*?)\s+(WHEN\s+.*?)\s*;?\s*$",
     re.I | re.S,
 )

@@ -22,14 +22,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from snappydata_spark.catalog import Catalog, TableMeta
+from snappydata_spark.catalog import Catalog, TableMeta, canon_name
 from snappydata_spark import mutate
 from snappydata_spark.plans.cache import PlanCache
 from snappydata_spark.dialect import (
     parse_with_error,
     rewrite_builtins,
+    rewrite_qualified_names,
     rewrite_stream_windows,
     split_statement,
+    strip_alias_qualifier,
 )
 
 
@@ -221,7 +223,7 @@ class SnappySession:
     def _table_lock(self, name: str) -> "_TableMutationLock":
         # RLock semantics: put() on an empty table delegates to insert()
         # in-thread, so the same thread re-enters without re-flocking
-        key = (os.path.abspath(self.catalog.base_dir), name.lower())
+        key = (os.path.abspath(self.catalog.base_dir), canon_name(name))
         with _MUTATION_LOCKS_GUARD:
             lock = _MUTATION_LOCKS.get(key)
             if lock is None:
@@ -291,7 +293,7 @@ class SnappySession:
         """CREATE TABLE ... USING COLUMN/ROW OPTIONS(...) [AS SELECT]
         (SnappyDDLParser.createTable:301; SnappySession.createTable:1055-1363).
         """
-        name = name.lower()
+        name = canon_name(name)
         if self.catalog.exists(name):
             if not overwrite:
                 raise ValueError(f"table {name} already exists")
@@ -320,7 +322,7 @@ class SnappySession:
         self._refresh_view(name)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
-        name = name.lower()
+        name = canon_name(name)
         if not self.catalog.exists(name) and not if_exists:
             raise ValueError(f"table {name} does not exist")
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
@@ -345,7 +347,7 @@ class SnappySession:
             empty = self.spark.createDataFrame([], schema)
             self._write(empty, meta, mode="overwrite")
         else:
-            self._manifest_commit(name.lower(), full=[], schema=schema)
+            self._manifest_commit(canon_name(name), full=[], schema=schema)
         self._refresh_view(name)
 
     def create_external_table(
@@ -368,7 +370,7 @@ class SnappySession:
         for k, v in opts.items():
             reader = reader.option(k, v)
         df = reader.load(path) if path is not None else reader.load()
-        df.createOrReplaceTempView(name.lower())
+        df.createOrReplaceTempView(canon_name(name))
         return df
 
     @_serialized
@@ -380,7 +382,7 @@ class SnappySession:
         immutable columnar layout = one full rewrite — at scale this is a
         metadata-only op on formats with schema evolution (Parquet merge
         schema / Delta); we rewrite to keep single-format reads simple."""
-        name = name.lower()
+        name = canon_name(name)
         meta = self.catalog.load_meta(name)
         df = self._read_table(name)
         for col, sql_type in (add or {}).items():
@@ -416,7 +418,7 @@ class SnappySession:
         down as file count grows).  Rewrites to ceil(bytes/target) files
         — bucketed tables re-bucket instead (bucket count fixes their
         layout).  Returns the resulting file count."""
-        name = name.lower()
+        name = canon_name(name)
         meta = self.catalog.load_meta(name)
         df = self._read_table(name)
         if not self._is_bucketed(meta):
@@ -434,10 +436,10 @@ class SnappySession:
         table's view into Spark's columnar cache (the in-memory column-
         batch analogue: InMemoryTableScanExec does the stat-skipping the
         reference's ColumnTableScan does)."""
-        self.spark.catalog.cacheTable(name.lower())
+        self.spark.catalog.cacheTable(canon_name(name))
 
     def uncache_table(self, name: str) -> None:
-        self.spark.catalog.uncacheTable(name.lower())
+        self.spark.catalog.uncacheTable(canon_name(name))
 
     def list_tables(self) -> list[str]:
         return self.catalog.list_tables()
@@ -445,7 +447,7 @@ class SnappySession:
     def describe(self, name: str) -> DataFrame:
         """DESCRIBE (SnappyDDLParser.describe:889): schema plus the
         engine's layout options as trailing metadata rows."""
-        name = name.lower()
+        name = canon_name(name)
         df = self._read_table(name)
         rows = [(f.name, f.dataType.simpleString(), str(f.nullable)) for f in df.schema]
         if self.catalog.exists(name):
@@ -478,7 +480,7 @@ class SnappySession:
         Command): reconstruct the managed table's DDL from catalog
         metadata — schema, provider, and the engine's options vocabulary.
         Non-managed names fall through to Spark's own command."""
-        lname = name.lower()
+        lname = canon_name(name)
         if not self.catalog.exists(lname):
             return self.spark.sql(f"SHOW CREATE TABLE {name}")
         meta = self.catalog.load_meta(lname)
@@ -540,7 +542,7 @@ class SnappySession:
         1306): row count + on-disk bytes recorded into table metadata
         (Catalyst reads parquet sizes natively for broadcast decisions;
         these stats serve the user/describe surface)."""
-        name = name.lower()
+        name = canon_name(name)
         meta = self.catalog.load_meta(name)
         n = self._read_table(name).count()
         size = 0
@@ -577,7 +579,7 @@ class SnappySession:
         use _read_table: the reference's policies apply FOR SELECT only —
         a filtered mutation read would silently drop the invisible rows on
         copy-on-write rewrite."""
-        lname = name.lower()
+        lname = canon_name(name)
         granted = self._grants.get(lname)
         if granted and self.current_user and self.current_user not in granted:
             raise PermissionError(
@@ -587,7 +589,7 @@ class SnappySession:
         return self._apply_policies(lname, self._read_table(name))
 
     def _read_table(self, name: str) -> DataFrame:
-        name = name.lower()
+        name = canon_name(name)
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             if self._is_bucketed(meta):
@@ -794,7 +796,35 @@ class SnappySession:
         managed tables are dispatched to the mutation layer; everything else
         goes to spark.sql via the plan cache (normalized-literal keyed,
         mirroring ParamLiteral tokenization SnappyParser.scala:226-261)."""
+        if "." in text:
+            # schema-qualified relation references (APP.t / other.t) over
+            # MANAGED tables/streams canonicalize in the statement text;
+            # alias.column dotted pairs never resolve and stay untouched
+            text = rewrite_qualified_names(
+                text,
+                lambda sch, tbl: (
+                    canon_name(f"{sch}.{tbl}")
+                    if self.catalog.exists(f"{sch}.{tbl}")
+                    or canon_name(f"{sch}.{tbl}") in self._streams
+                    else None
+                ),
+            )
         stmt = split_statement(text)
+        if stmt.table:
+            # schema-qualified names (APP.t / other.t) canonicalize once
+            orig_table = stmt.table.lower()
+            stmt.table = canon_name(stmt.table)
+            if stmt.kind in ("update", "delete"):
+                # table-qualified column refs (t.k / app.t.k) must become
+                # bare names before the mutation layer filters the frame
+                # longest first: stripping `qt.` before `app.qt.` would
+                # mangle the qualified form into a dangling `app.`
+                for q in sorted({orig_table, stmt.table}, key=len, reverse=True):
+                    stmt.where = strip_alias_qualifier(stmt.where, q)
+                    stmt.assignments = {
+                        k: strip_alias_qualifier(v, q)
+                        for k, v in stmt.assignments.items()
+                    }
         if stmt.kind == "create_table":
             if self.catalog.exists(stmt.table) and stmt.if_not_exists:
                 return None
@@ -1394,7 +1424,7 @@ class SnappySession:
             name,
             provider="topk",
             options={
-                "base_table": base_table.lower(),
+                "base_table": canon_name(base_table),
                 "key": key_col.lower(),
                 "ts": ts_col.lower(),
                 "k": str(k),
@@ -1451,7 +1481,7 @@ class SnappySession:
             name,
             provider="sample",
             options={
-                "base_table": base_table.lower(),
+                "base_table": canon_name(base_table),
                 "qcs": ",".join(qcs),
                 "fraction": str(fraction),
             },
@@ -1755,7 +1785,7 @@ class SnappySession:
         store indexes colocate the same way); the registry entry alone
         still serves metadata queries."""
         cols = [c.strip().lower() for c in options["columns"].split(",")]
-        name = table.lower()
+        name = canon_name(table)
         self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
         if self.catalog.exists(name):
@@ -1836,7 +1866,7 @@ class SnappySession:
         """Spark-catalog identifier for a bucketed managed table (the
         bucketing spec lives in the session catalog, which is what lets
         EnsureRequirements elide the shuffle on colocated joins)."""
-        return f"snappy_managed_{self._session_id}_{name.lower()}"
+        return f"snappy_managed_{self._session_id}_{canon_name(name)}"
 
     def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
         """PARTITION_BY + BUCKETS → a real bucketed catalog table
@@ -2047,7 +2077,7 @@ class SnappySession:
         DESCRIBE HISTORY shape).  Retention = the tombstone grace
         window: older generations' files may already be unlinked, so
         their manifests are pruned with them."""
-        name = name.lower()
+        name = canon_name(name)
         out = []
         import json
 
@@ -2075,7 +2105,7 @@ class SnappySession:
         window, or vacuumed)."""
         import json
 
-        name = name.lower()
+        name = canon_name(name)
         if gen is None:
             if as_of_ts is None:
                 raise ValueError("table_version needs gen or as_of_ts")
@@ -2136,7 +2166,7 @@ class SnappySession:
         generation."""
         import json
 
-        name = name.lower()
+        name = canon_name(name)
         # manifest read-modify-write must not interleave with a writer's
         # commit — an unlocked vacuum could overwrite a concurrent
         # mutation's freshly-committed manifest generation entirely
@@ -2444,7 +2474,7 @@ class SnappySession:
         # any view change invalidates cached plans: analyzed DataFrames
         # capture the old view definition (and parquet file listing)
         self.plan_cache.clear()
-        name = name.lower()
+        name = canon_name(name)
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             try:

@@ -509,3 +509,43 @@ def test_aliased_update_delete(snappy):
         == "k = 'm.x' AND am.k > v"
     )
     assert strip_alias_qualifier(None, "m") is None
+
+
+def test_schema_qualified_names(snappy):
+    """Schema-qualified table names (the reference's APP default schema,
+    SnappySessionCatalog): APP.t / default.t / t are the same table;
+    any other schema flattens to its own namespace.  Works across DDL,
+    DML (incl. table-qualified column refs), SELECT, and joins."""
+    snappy.sql(
+        "CREATE TABLE app.sq_t (k INT NOT NULL, v INT) "
+        "USING column OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO app.sq_t VALUES (1, 10), (2, 20)")
+    snappy.sql("PUT INTO app.sq_t VALUES (1, 99)")
+    snappy.sql("UPDATE app.sq_t SET v = app.sq_t.v + 1 WHERE k = 2")
+    snappy.sql("DELETE FROM app.sq_t WHERE app.sq_t.v = 99")
+    assert sorted(
+        (r.k, r.v) for r in snappy.table("APP.SQ_T").collect()
+    ) == [(2, 21)]
+    # unqualified and default-qualified reads are the same table
+    assert snappy.sql("SELECT COUNT(*) AS n FROM sq_t").collect()[0].n == 1
+    assert (
+        snappy.sql("SELECT COUNT(*) AS n FROM default.sq_t").collect()[0].n == 1
+    )
+    # non-default schema is its own namespace
+    snappy.sql(
+        "CREATE TABLE s9.sq_t (k INT NOT NULL) USING row OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO s9.sq_t VALUES (7)")
+    assert snappy.sql("SELECT k FROM s9.sq_t").collect()[0].k == 7
+    assert snappy.table("sq_t").count() == 1  # app table untouched
+    got = snappy.sql(
+        "SELECT a.k FROM app.sq_t a JOIN s9.sq_t b ON a.k + 5 = b.k"
+    ).collect()
+    assert [r.k for r in got] == [2]
+    # alias.column dotted pairs in plain queries stay untouched
+    assert (
+        snappy.sql("SELECT t.v FROM sq_t t WHERE t.k = 2").collect()[0].v == 21
+    )
+    snappy.sql("DROP TABLE s9.sq_t")
+    assert "s9__sq_t" not in snappy.list_tables()
