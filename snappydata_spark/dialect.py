@@ -132,6 +132,16 @@ _CREATE_EXTERNAL = re.compile(
     r"USING\s+(\w+)\s*OPTIONS\s*\((.*?)\)\s*;?\s*$",
     re.I | re.S,
 )
+# CREATE [OR REPLACE] VIEW v AS SELECT (createView SnappyDDLParser:542)
+# — persistent views over managed (temp-view-backed) tables, which Spark
+# itself refuses; TEMPORARY/GLOBAL forms do not match and pass through.
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I
+)
 _CREATE_SAMPLE = re.compile(
     r"^\s*CREATE\s+SAMPLE\s+TABLE\s+([\w.]+)\s+ON\s+([\w.]+)\s*"
     r"OPTIONS\s*\((.*?)\)\s*$",
@@ -745,6 +755,15 @@ def split_statement(text: str) -> Statement:
             )
         return Statement(
             "streaming_ctl", options={"op": "start" if start else "stop"}
+        )
+    m = _CREATE_VIEW.match(text)
+    if m:
+        return Statement("create_view", table=m.group(1), source_sql=m.group(2))
+    m = _DROP_VIEW.match(text)
+    if m:
+        return Statement(
+            "drop_view", table=m.group(1),
+            if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
         )
     m = _CREATE_SAMPLE.match(text)
     if m:

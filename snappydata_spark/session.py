@@ -173,6 +173,11 @@ class SnappySession:
         # DEPLOY PACKAGE/JAR registry (deployPackages SnappyDDLParser:
         # 858-874) — dependency metadata only; see dialect.py divergence note
         self._packages: dict[str, dict[str, str]] = {}
+        # persistent views (createView SnappyDDLParser:542): name →
+        # defining SELECT; re-registered per session over the store, and
+        # re-bound per query so RLS/grants resolve against the CURRENT
+        # user through the view
+        self._views: dict[str, str] = {}
         self._load_registry()
         # stream tables declared via CREATE STREAM TABLE (createStream
         # SnappyDDLParser:716-737): name → streaming DataFrame.  Session-
@@ -219,6 +224,11 @@ class SnappySession:
                 self._refresh_view(tbl)
             except Exception:  # noqa: BLE001 — e.g. bucketed layout whose
                 pass  # catalog entry didn't survive the process restart
+        for vname, vsql in list(self._views.items()):
+            try:
+                self.spark.sql(vsql).createOrReplaceTempView(vname)
+            except Exception:  # noqa: BLE001 — underlying table gone
+                pass
 
     def _table_lock(self, name: str) -> "_TableMutationLock":
         # RLock semantics: put() on an empty table delegates to insert()
@@ -255,6 +265,7 @@ class SnappySession:
             }
             self._rls = set(data.get("rls", []))
             self._packages = dict(data.get("packages", {}))
+            self._views = dict(data.get("views", {}))
         except FileNotFoundError:
             pass
 
@@ -273,6 +284,7 @@ class SnappySession:
                     "grants": {k: sorted(v) for k, v in self._grants.items()},
                     "rls": sorted(self._rls),
                     "packages": self._packages,
+                    "views": self._views,
                 },
                 f,
                 indent=2,
@@ -628,6 +640,14 @@ class SnappySession:
         active when the view was last built."""
         if not text:
             return
+        # a view hides its base tables from the query text: expand every
+        # referenced view first (grant check + RLS refresh on its bases,
+        # then re-bind the view so it sees the refreshed policy filters)
+        for vname, vsql in list(self._views.items()):
+            if re.search(rf"\b{re.escape(vname)}\b", text, flags=re.I):
+                if vsql != text:  # cycle guard
+                    self._resolve_read_access(vsql)
+                    self.spark.sql(vsql).createOrReplaceTempView(vname)
         policy_tables = {t for (t, _, _) in self._policies.values()}
         for name in self._tables_in(text):
             granted = self._grants.get(name)
@@ -890,6 +910,32 @@ class SnappySession:
             else:
                 self.stop_streaming()
             return None
+        if stmt.kind == "create_view":
+            # persistent view over managed tables (createView
+            # SnappyDDLParser:542): recorded in the registry, re-bound per
+            # session AND per referencing query so grants/RLS resolve for
+            # the current user (see _resolve_read_access)
+            self._resolve_read_access(stmt.source_sql)
+            df = self.spark.sql(stmt.source_sql)
+            df.createOrReplaceTempView(stmt.table)
+            self._views[stmt.table] = stmt.source_sql
+            self._save_registry()
+            self.plan_cache.clear()
+            return None
+        if stmt.kind == "drop_view":
+            if stmt.table in self._views:
+                del self._views[stmt.table]
+                self._save_registry()
+                self.spark.catalog.dropTempView(stmt.table)
+                self.plan_cache.clear()
+                return None
+            # a plain temp view (or missing): Spark's own DROP VIEW
+            try:
+                return self.spark.sql(text)
+            except Exception:
+                if stmt.if_not_exists:
+                    return None
+                raise
         if stmt.kind == "create_sample":
             self._resolve_read_access(stmt.source_sql)
             return self._create_sample_table(stmt.table, stmt.source_sql, stmt.options)

@@ -486,3 +486,40 @@ def test_new_session_sql_sees_persisted_tables(snappy):
     assert snappy.table("ns_b").filter("k = 1").collect()[0].v == "A2"
     snappy.drop_table("ns_t")
     snappy.drop_table("ns_b")
+
+
+def test_persistent_views_over_managed_tables(snappy, sf_dir):
+    """CREATE VIEW (createView SnappyDDLParser:542) over a managed table:
+    Spark itself refuses persistent views on temp-view-backed relations,
+    so the engine records the view, re-binds it per query, and routes
+    grants/RLS through it."""
+    import pytest as _pt
+    from snappydata_spark import SnappySession
+
+    base = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet").limit(30)
+    snappy.create_table("pv_t", options={"key_columns": "o_orderkey"}, df=base)
+    snappy.sql(
+        "CREATE VIEW pv_v AS SELECT o_orderkey, o_totalprice FROM pv_t "
+        "WHERE o_totalprice > 0"
+    )
+    assert snappy.sql("SELECT COUNT(*) AS n FROM pv_v").collect()[0].n == 30
+    # view tracks mutations of the base table
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    snappy.sql(f"DELETE FROM pv_t WHERE o_orderkey = {key}")
+    assert snappy.sql("SELECT COUNT(*) AS n FROM pv_v").collect()[0].n == 29
+    # grants on the BASE table are enforced through the view
+    snappy.sql("GRANT SELECT ON pv_t TO alice")
+    snappy.current_user = "bob"
+    with _pt.raises(PermissionError):
+        snappy.sql("SELECT COUNT(*) AS n FROM pv_v").collect()
+    snappy.current_user = "alice"
+    assert snappy.sql("SELECT COUNT(*) AS n FROM pv_v").collect()[0].n == 29
+    snappy.current_user = None
+    snappy.sql("REVOKE SELECT ON pv_t FROM alice")
+
+    # the view survives a fresh session over the same store
+    sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
+    assert sn2.sql("SELECT COUNT(*) AS n FROM pv_v").collect()[0].n == 29
+
+    snappy.sql("DROP VIEW pv_v")
+    assert "pv_v" not in snappy._views
