@@ -139,6 +139,10 @@ _CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
     re.I | re.S,
 )
+_ALTER_VIEW = re.compile(
+    r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
+    re.I | re.S,
+)
 _DROP_VIEW = re.compile(
     r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I
 )
@@ -759,6 +763,9 @@ def split_statement(text: str) -> Statement:
     m = _CREATE_VIEW.match(text)
     if m:
         return Statement("create_view", table=m.group(1), source_sql=m.group(2))
+    m = _ALTER_VIEW.match(text)
+    if m:
+        return Statement("alter_view", table=m.group(1), source_sql=m.group(2))
     m = _DROP_VIEW.match(text)
     if m:
         return Statement(

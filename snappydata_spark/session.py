@@ -922,6 +922,19 @@ class SnappySession:
             self._save_registry()
             self.plan_cache.clear()
             return None
+        if stmt.kind == "alter_view":
+            # ALTER VIEW v AS SELECT (alterView SnappyDDLParser:606):
+            # redefine a registered persistent view; plain temp views
+            # fall through to Spark's own ALTER VIEW
+            if stmt.table in self._views:
+                self._resolve_read_access(stmt.source_sql)
+                self.spark.sql(stmt.source_sql).createOrReplaceTempView(stmt.table)
+                self._views[stmt.table] = stmt.source_sql
+                self._save_registry()
+                self.plan_cache.clear()
+                return None
+            self.plan_cache.clear()
+            return self.spark.sql(text)
         if stmt.kind == "drop_view":
             if stmt.table in self._views:
                 del self._views[stmt.table]

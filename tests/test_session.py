@@ -523,3 +523,14 @@ def test_persistent_views_over_managed_tables(snappy, sf_dir):
 
     snappy.sql("DROP VIEW pv_v")
     assert "pv_v" not in snappy._views
+
+
+def test_alter_view(snappy):
+    snappy.sql("CREATE TABLE av_t (k INT NOT NULL) USING row OPTIONS (key_columns 'k')")
+    snappy.sql("INSERT INTO av_t VALUES (1), (2), (3)")
+    snappy.sql("CREATE VIEW av_v AS SELECT k FROM av_t WHERE k > 1")
+    assert snappy.sql("SELECT COUNT(*) AS n FROM av_v").collect()[0].n == 2
+    snappy.sql("ALTER VIEW av_v AS SELECT k FROM av_t WHERE k > 2")
+    assert snappy.sql("SELECT COUNT(*) AS n FROM av_v").collect()[0].n == 1
+    assert snappy._views["av_v"].endswith("k > 2")
+    snappy.sql("DROP VIEW av_v")
