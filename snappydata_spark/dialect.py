@@ -260,6 +260,10 @@ _ALTER_RLS = re.compile(
 
 # SHOW MEMBERS (SnappyParser.show:1264-1270 → SELECT ID, HOST, KIND,
 # STATUS, ... FROM SYS.MEMBERS)
+_SET_SCHEMA = re.compile(
+    r"^\s*(?:SET\s+(?:CURRENT\s+)?SCHEMA\s*=?\s*|USE\s+)([A-Za-z_]\w*)\s*;?\s*$",
+    re.I,
+)
 _SHOW_MEMBERS = re.compile(r"^\s*SHOW\s+MEMBERS\s*;?\s*$", re.I)
 
 # SHOW CREATE TABLE (SnappyParser.show:1292) — managed tables rebuild
@@ -489,6 +493,45 @@ _JOIN_TYPE_MAP = {
 }
 # identifier (optionally "table alias") immediately before the hint
 _PRECEDING_TABLE = re.compile(r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.I)
+
+
+def _quote_mask(text: str) -> list[bool]:
+    mask = [False] * len(text)
+    in_s = in_d = False
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if in_s:
+            mask[i] = True
+            if c == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 1
+                else:
+                    in_s = False
+        elif in_d:
+            mask[i] = True
+            if c == '"':
+                in_d = False
+        elif c == "'":
+            mask[i] = True
+            in_s = True
+        elif c == '"':
+            mask[i] = True
+            in_d = True
+        i += 1
+    return mask
+
+
+def sub_outside_quotes(pattern: str, repl, text: str, flags=0) -> str:
+    """re.sub that leaves matches starting inside string literals alone."""
+    mask = _quote_mask(text)
+    return re.sub(
+        pattern,
+        lambda m: m.group(0) if mask[m.start()] else repl(m),
+        text,
+        flags=flags,
+    )
 
 
 def rewrite_qualified_names(text: str, resolve) -> str:
@@ -892,6 +935,9 @@ def split_statement(text: str) -> Statement:
         return Statement("undeploy", options={"name": m.group(1)})
     if _LIST_PACKAGES.match(text):
         return Statement("list_packages")
+    m = _SET_SCHEMA.match(text)
+    if m:
+        return Statement("set_schema", options={"schema": m.group(1)})
     m = _SET_CONF.match(text)
     if m:
         return Statement(

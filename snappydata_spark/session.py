@@ -32,6 +32,7 @@ from snappydata_spark.dialect import (
     rewrite_stream_windows,
     split_statement,
     strip_alias_qualifier,
+    sub_outside_quotes,
 )
 
 
@@ -178,6 +179,9 @@ class SnappySession:
         # re-bound per query so RLS/grants resolve against the CURRENT
         # user through the view
         self._views: dict[str, str] = {}
+        # current schema for unqualified names (setCurrentSchema,
+        # SnappySession.scala:1725) — APP is the reference default
+        self.current_schema = "app"
         self._load_registry()
         # stream tables declared via CREATE STREAM TABLE (createStream
         # SnappyDDLParser:716-737): name → streaming DataFrame.  Session-
@@ -230,10 +234,32 @@ class SnappySession:
             except Exception:  # noqa: BLE001 — underlying table gone
                 pass
 
+    def _canon(self, name: str) -> str:
+        """Schema-aware canonical table id: unqualified names resolve
+        against the session's current schema (setCurrentSchema,
+        SnappySession.scala:1725; default APP), qualified names through
+        catalog.canon_name."""
+        n = name.strip().lower()
+        if (
+            "." not in n
+            and "__" not in n  # already-canonical s__t must stay put
+            and getattr(self, "current_schema", "app") not in ("app", "default")
+        ):
+            n = f"{self.current_schema}.{n}"
+        return canon_name(n)
+
+    def set_current_schema(self, schema: str, create_if_not_exists: bool = True) -> None:
+        """setCurrentSchema (SnappySession.scala:1725; SQL: SET SCHEMA x /
+        USE x): unqualified table names in subsequent statements resolve
+        against `schema`.  APP (the reference default) and `default` mean
+        the root namespace."""
+        self.current_schema = schema.strip().lower()
+        self.plan_cache.clear()  # cached plans bound names in the old schema
+
     def _table_lock(self, name: str) -> "_TableMutationLock":
         # RLock semantics: put() on an empty table delegates to insert()
         # in-thread, so the same thread re-enters without re-flocking
-        key = (os.path.abspath(self.catalog.base_dir), canon_name(name))
+        key = (os.path.abspath(self.catalog.base_dir), self._canon(name))
         with _MUTATION_LOCKS_GUARD:
             lock = _MUTATION_LOCKS.get(key)
             if lock is None:
@@ -305,7 +331,7 @@ class SnappySession:
         """CREATE TABLE ... USING COLUMN/ROW OPTIONS(...) [AS SELECT]
         (SnappyDDLParser.createTable:301; SnappySession.createTable:1055-1363).
         """
-        name = canon_name(name)
+        name = self._canon(name)
         if self.catalog.exists(name):
             if not overwrite:
                 raise ValueError(f"table {name} already exists")
@@ -334,7 +360,7 @@ class SnappySession:
         self._refresh_view(name)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
-        name = canon_name(name)
+        name = self._canon(name)
         if not self.catalog.exists(name) and not if_exists:
             raise ValueError(f"table {name} does not exist")
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
@@ -359,7 +385,7 @@ class SnappySession:
             empty = self.spark.createDataFrame([], schema)
             self._write(empty, meta, mode="overwrite")
         else:
-            self._manifest_commit(canon_name(name), full=[], schema=schema)
+            self._manifest_commit(self._canon(name), full=[], schema=schema)
         self._refresh_view(name)
 
     def create_external_table(
@@ -382,7 +408,7 @@ class SnappySession:
         for k, v in opts.items():
             reader = reader.option(k, v)
         df = reader.load(path) if path is not None else reader.load()
-        df.createOrReplaceTempView(canon_name(name))
+        df.createOrReplaceTempView(self._canon(name))
         return df
 
     @_serialized
@@ -394,7 +420,7 @@ class SnappySession:
         immutable columnar layout = one full rewrite — at scale this is a
         metadata-only op on formats with schema evolution (Parquet merge
         schema / Delta); we rewrite to keep single-format reads simple."""
-        name = canon_name(name)
+        name = self._canon(name)
         meta = self.catalog.load_meta(name)
         df = self._read_table(name)
         for col, sql_type in (add or {}).items():
@@ -430,7 +456,7 @@ class SnappySession:
         down as file count grows).  Rewrites to ceil(bytes/target) files
         — bucketed tables re-bucket instead (bucket count fixes their
         layout).  Returns the resulting file count."""
-        name = canon_name(name)
+        name = self._canon(name)
         meta = self.catalog.load_meta(name)
         df = self._read_table(name)
         if not self._is_bucketed(meta):
@@ -448,10 +474,10 @@ class SnappySession:
         table's view into Spark's columnar cache (the in-memory column-
         batch analogue: InMemoryTableScanExec does the stat-skipping the
         reference's ColumnTableScan does)."""
-        self.spark.catalog.cacheTable(canon_name(name))
+        self.spark.catalog.cacheTable(self._canon(name))
 
     def uncache_table(self, name: str) -> None:
-        self.spark.catalog.uncacheTable(canon_name(name))
+        self.spark.catalog.uncacheTable(self._canon(name))
 
     def list_tables(self) -> list[str]:
         return self.catalog.list_tables()
@@ -459,7 +485,7 @@ class SnappySession:
     def describe(self, name: str) -> DataFrame:
         """DESCRIBE (SnappyDDLParser.describe:889): schema plus the
         engine's layout options as trailing metadata rows."""
-        name = canon_name(name)
+        name = self._canon(name)
         df = self._read_table(name)
         rows = [(f.name, f.dataType.simpleString(), str(f.nullable)) for f in df.schema]
         if self.catalog.exists(name):
@@ -492,7 +518,7 @@ class SnappySession:
         Command): reconstruct the managed table's DDL from catalog
         metadata — schema, provider, and the engine's options vocabulary.
         Non-managed names fall through to Spark's own command."""
-        lname = canon_name(name)
+        lname = self._canon(name)
         if not self.catalog.exists(lname):
             return self.spark.sql(f"SHOW CREATE TABLE {name}")
         meta = self.catalog.load_meta(lname)
@@ -554,7 +580,7 @@ class SnappySession:
         1306): row count + on-disk bytes recorded into table metadata
         (Catalyst reads parquet sizes natively for broadcast decisions;
         these stats serve the user/describe surface)."""
-        name = canon_name(name)
+        name = self._canon(name)
         meta = self.catalog.load_meta(name)
         n = self._read_table(name).count()
         size = 0
@@ -591,7 +617,7 @@ class SnappySession:
         use _read_table: the reference's policies apply FOR SELECT only —
         a filtered mutation read would silently drop the invisible rows on
         copy-on-write rewrite."""
-        lname = canon_name(name)
+        lname = self._canon(name)
         granted = self._grants.get(lname)
         if granted and self.current_user and self.current_user not in granted:
             raise PermissionError(
@@ -601,7 +627,7 @@ class SnappySession:
         return self._apply_policies(lname, self._read_table(name))
 
     def _read_table(self, name: str) -> DataFrame:
-        name = canon_name(name)
+        name = self._canon(name)
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             if self._is_bucketed(meta):
@@ -823,17 +849,40 @@ class SnappySession:
             text = rewrite_qualified_names(
                 text,
                 lambda sch, tbl: (
-                    canon_name(f"{sch}.{tbl}")
+                    self._canon(f"{sch}.{tbl}")
                     if self.catalog.exists(f"{sch}.{tbl}")
-                    or canon_name(f"{sch}.{tbl}") in self._streams
+                    or self._canon(f"{sch}.{tbl}") in self._streams
                     else None
                 ),
             )
+        if self.current_schema not in ("app", "default"):
+            # under SET SCHEMA s, bare relation references resolve into
+            # the schema's namespace (relation positions only, outside
+            # string literals)
+            def _bare_sub(m: re.Match) -> str:
+                cn = self._canon(m.group(2))
+                if (
+                    self.catalog.exists(cn)
+                    or cn in self._views
+                    or cn in self._streams
+                ):
+                    return f"{m.group(1)} {cn}"
+                return m.group(0)
+
+            text = sub_outside_quotes(
+                r"\b(FROM|JOIN|INTO|TABLE)\s+([A-Za-z_]\w*)\b",
+                _bare_sub,
+                text,
+                flags=re.I,
+            )
         stmt = split_statement(text)
+        if stmt.kind == "set_schema":
+            self.set_current_schema(stmt.options["schema"])
+            return None
         if stmt.table:
             # schema-qualified names (APP.t / other.t) canonicalize once
             orig_table = stmt.table.lower()
-            stmt.table = canon_name(stmt.table)
+            stmt.table = self._canon(stmt.table)
             if stmt.kind in ("update", "delete"):
                 # table-qualified column refs (t.k / app.t.k) must become
                 # bare names before the mutation layer filters the frame
@@ -1483,7 +1532,7 @@ class SnappySession:
             name,
             provider="topk",
             options={
-                "base_table": canon_name(base_table),
+                "base_table": self._canon(base_table),
                 "key": key_col.lower(),
                 "ts": ts_col.lower(),
                 "k": str(k),
@@ -1540,7 +1589,7 @@ class SnappySession:
             name,
             provider="sample",
             options={
-                "base_table": canon_name(base_table),
+                "base_table": self._canon(base_table),
                 "qcs": ",".join(qcs),
                 "fraction": str(fraction),
             },
@@ -1844,7 +1893,7 @@ class SnappySession:
         store indexes colocate the same way); the registry entry alone
         still serves metadata queries."""
         cols = [c.strip().lower() for c in options["columns"].split(",")]
-        name = canon_name(table)
+        name = self._canon(table)
         self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
         if self.catalog.exists(name):
@@ -1925,7 +1974,7 @@ class SnappySession:
         """Spark-catalog identifier for a bucketed managed table (the
         bucketing spec lives in the session catalog, which is what lets
         EnsureRequirements elide the shuffle on colocated joins)."""
-        return f"snappy_managed_{self._session_id}_{canon_name(name)}"
+        return f"snappy_managed_{self._session_id}_{self._canon(name)}"
 
     def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
         """PARTITION_BY + BUCKETS → a real bucketed catalog table
@@ -2136,7 +2185,7 @@ class SnappySession:
         DESCRIBE HISTORY shape).  Retention = the tombstone grace
         window: older generations' files may already be unlinked, so
         their manifests are pruned with them."""
-        name = canon_name(name)
+        name = self._canon(name)
         out = []
         import json
 
@@ -2164,7 +2213,7 @@ class SnappySession:
         window, or vacuumed)."""
         import json
 
-        name = canon_name(name)
+        name = self._canon(name)
         if gen is None:
             if as_of_ts is None:
                 raise ValueError("table_version needs gen or as_of_ts")
@@ -2225,7 +2274,7 @@ class SnappySession:
         generation."""
         import json
 
-        name = canon_name(name)
+        name = self._canon(name)
         # manifest read-modify-write must not interleave with a writer's
         # commit — an unlocked vacuum could overwrite a concurrent
         # mutation's freshly-committed manifest generation entirely
@@ -2533,7 +2582,7 @@ class SnappySession:
         # any view change invalidates cached plans: analyzed DataFrames
         # capture the old view definition (and parquet file listing)
         self.plan_cache.clear()
-        name = canon_name(name)
+        name = self._canon(name)
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             try:

@@ -549,3 +549,31 @@ def test_schema_qualified_names(snappy):
     )
     snappy.sql("DROP TABLE s9.sq_t")
     assert "s9__sq_t" not in snappy.list_tables()
+
+
+def test_set_current_schema(snappy):
+    """SET SCHEMA / USE (setCurrentSchema SnappySession.scala:1725):
+    unqualified names resolve into the current schema across DDL, DML,
+    and SELECT relation positions; USE app returns to the default."""
+    snappy.sql("SET SCHEMA sales")
+    snappy.sql(
+        "CREATE TABLE cs_t (k INT NOT NULL, v INT) "
+        "USING column OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO cs_t VALUES (1, 10), (2, 20)")
+    assert snappy.sql("SELECT COUNT(*) AS n FROM cs_t").collect()[0].n == 2
+    snappy.sql("UPDATE cs_t SET v = 0 WHERE k = 1")
+    snappy.sql("DELETE FROM cs_t WHERE v = 20")
+    assert sorted(
+        (r.k, r.v) for r in snappy.table("cs_t").collect()
+    ) == [(1, 0)]
+    # string literal containing a relation keyword is untouched
+    got = snappy.sql("SELECT ' FROM cs_t ' AS s, COUNT(*) AS n FROM cs_t").collect()
+    assert got[0].s == " FROM cs_t " and got[0].n == 1
+    snappy.sql("USE app")
+    assert snappy.current_schema == "app"
+    assert (
+        snappy.sql("SELECT COUNT(*) AS n FROM sales.cs_t").collect()[0].n == 1
+    )
+    assert "sales__cs_t" in snappy.list_tables()
+    snappy.sql("DROP TABLE sales.cs_t")
