@@ -110,6 +110,10 @@ class SnappyContext:
         return n
 
     # -------------------------------------------------------- passthrough
+    def setCurrentSchema(self, schemaName: str) -> None:
+        """SnappyContext.setCurrentSchema (SnappyContext.scala:620)."""
+        self._sn.set_current_schema(schemaName)
+
     def sql(self, sqlText: str):
         return self._sn.sql(sqlText)
 
