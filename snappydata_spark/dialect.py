@@ -635,9 +635,13 @@ def rewrite_hints(text: str) -> str:
     return stripped
 
 
-def rewrite_builtins(text: str) -> str:
+def rewrite_builtins(text: str, current_schema: str | None = None) -> str:
     text = _DSID.sub("spark_partition_id()", text)
-    text = _CURRENT_SCHEMA.sub("current_database()", text)
+    # CURRENT_SCHEMA returns the SESSION's schema (setCurrentSchema state)
+    # when the caller tracks one; current_database() otherwise
+    text = _CURRENT_SCHEMA.sub(
+        f"'{current_schema}'" if current_schema else "current_database()", text
+    )
     text = _LDAP_GROUPS.sub("array()", text)
     text = _FETCH_FIRST.sub(r"LIMIT \1", text)
     text = rewrite_hints(text)

@@ -1222,7 +1222,7 @@ class SnappySession:
         # current user before touching any managed view; plans are cached
         # per-user (policy-filtered views are user-dependent)
         self._resolve_read_access(text)
-        rewritten = rewrite_builtins(text)
+        rewritten = rewrite_builtins(text, self.current_schema)
         if self._streams:
             windowed = rewrite_stream_windows(
                 rewritten,
