@@ -206,6 +206,7 @@ def main() -> None:
         "json_variant_extract",
         "json_roundtrip_extract",
         "udtf_lateral_split",
+        "emb_logreg_train",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -438,3 +438,124 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim long, comp double, eigval double, var_ratio double"
     )
+
+
+# ------------------------------------------- logistic regression (GD)
+
+LR_STEPS = 3
+LR_RATE = 0.5
+LR_DIMS = 8  # first 8 embedding dims as features
+
+
+def _logreg_oracle() -> str:
+    """Unrolled full-batch gradient-descent oracle: features exploded by
+    position, each step = z/p per vector -> gradient sums -> weight
+    update, expressed as chained CTEs.  j=0 is the bias (x_0 = 1)."""
+    head = f"""
+x AS (
+  SELECT vec_id, CAST(label = 0 AS DOUBLE) AS y,
+         list_prepend(1.0, [CAST(v AS DOUBLE) FOR v IN embedding[1:{LR_DIMS}]]) AS f
+  FROM embeddings
+),
+xp AS (
+  SELECT vec_id, y, unnest(f) AS xv, generate_subscripts(f, 1) - 1 AS j
+  FROM x
+),
+nn AS (SELECT COUNT(*) AS n FROM x),
+w0 AS (SELECT j, 0.0 AS val FROM (SELECT unnest(range(0, {LR_DIMS + 1})) AS j))"""
+    blocks = [head]
+    prev = "w0"
+    for t in range(1, LR_STEPS + 1):
+        blocks.append(f"""
+z{t} AS (
+  SELECT xp.vec_id, MIN(xp.y) AS y,
+         1.0 / (1.0 + EXP(-SUM({prev}.val * xp.xv))) AS p
+  FROM xp JOIN {prev} ON xp.j = {prev}.j GROUP BY xp.vec_id
+),
+g{t} AS (
+  SELECT xp.j, SUM((z{t}.p - z{t}.y) * xp.xv) / (SELECT n FROM nn) AS val
+  FROM xp JOIN z{t} ON xp.vec_id = z{t}.vec_id GROUP BY xp.j
+),
+w{t} AS (
+  SELECT {prev}.j, {prev}.val - {LR_RATE} * g{t}.val AS val
+  FROM {prev} JOIN g{t} ON {prev}.j = g{t}.j
+)""")
+        prev = f"w{t}"
+    blocks.append(f"""
+zf AS (
+  SELECT xp.vec_id, MIN(xp.y) AS y,
+         1.0 / (1.0 + EXP(-SUM({prev}.val * xp.xv))) AS p
+  FROM xp JOIN {prev} ON xp.j = {prev}.j GROUP BY xp.vec_id
+),
+loss AS (
+  SELECT -SUM(y * LN(p) + (1 - y) * LN(1 - p)) / (SELECT n FROM nn) AS l
+  FROM zf
+)""")
+    return (
+        "WITH " + ",".join(blocks) + f"""
+SELECT {prev}.j AS j, ROUND({prev}.val, 6) AS weight,
+       ROUND((SELECT l FROM loss), 6) AS final_loss
+FROM {prev}"""
+    )
+
+
+@register("emb_logreg_train", oracle=_logreg_oracle())
+def emb_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (binary: cluster label 0
+    vs rest over the first LR_DIMS embedding dims + bias) by full-batch
+    gradient descent — the third iterative-operator pattern next to
+    k-means and PCA: each step is ONE distributed pass where the model
+    enters as literal weights folded into a Catalyst expression (no
+    Python, no shuffle beyond the d+1-cell aggregate), and only the
+    (d+1)-double model returns to the driver.  At 100 TB each pass is a
+    map + tree-aggregate of 9 sums; 100 steps plan exactly like 1 (no
+    lineage growth — each pass re-reads the scan with new literals).
+    The oracle unrolls the identical math as chained CTEs, so weights
+    AND final log-loss are hash-checked across engines."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    base = t["embeddings"].select(
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        *[
+            F.element_at(F.col("embedding"), j).cast("double").alias(f"x{j}")
+            for j in range(1, LR_DIMS + 1)
+        ],
+    )
+    base = base.persist()
+    try:
+        n = base.count()
+        w = [0.0] * (LR_DIMS + 1)  # w[0] = bias
+
+        def z_col():
+            z = F.lit(w[0])
+            for j in range(1, LR_DIMS + 1):
+                z = z + F.lit(w[j]) * F.col(f"x{j}")
+            return z
+
+        for _ in range(LR_STEPS):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
+            err = p - F.col("y")
+            sums = base.agg(
+                F.sum(err).alias("g0"),
+                *[
+                    F.sum(err * F.col(f"x{j}")).alias(f"g{j}")
+                    for j in range(1, LR_DIMS + 1)
+                ],
+            ).collect()[0]
+            w = [
+                w[j] - LR_RATE * float(sums[f"g{j}"]) / n
+                for j in range(LR_DIMS + 1)
+            ]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
+        loss_row = base.agg(
+            (
+                -F.sum(
+                    F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p)
+                )
+                / n
+            ).alias("l")
+        ).collect()[0]
+    finally:
+        base.unpersist()
+    loss = round(float(loss_row["l"]), 6)
+    rows = [(j, round(w[j], 6), loss) for j in range(LR_DIMS + 1)]
+    return spark.createDataFrame(rows, "j long, weight double, final_loss double")
