@@ -50,43 +50,31 @@ _DELETE = re.compile(
 
 
 def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
-    """Remove `alias.` qualifiers from an expression (quote-aware): the
-    mutation layer filters the bare table DataFrame, where qualified
-    references would not resolve.  Occurrences inside string literals
-    are preserved."""
+    """Remove `alias.` qualifiers from an expression (quote-aware, incl.
+    backslash escapes): the mutation layer filters the bare table
+    DataFrame, where qualified references would not resolve.
+    Occurrences inside string literals are preserved."""
     if expr is None:
         return None
+    mask = _quote_mask(expr)
     out: list[str] = []
     i, n = 0, len(expr)
-    in_s = in_d = False
     a, la = alias.lower(), len(alias)
     while i < n:
-        c = expr[i]
-        if in_s:
-            out.append(c)
-            if c == "'":
-                in_s = False
-        elif in_d:
-            out.append(c)
-            if c == '"':
-                in_d = False
-        elif (
-            not in_s
-            and not in_d
+        if (
+            not mask[i]
             and expr[i : i + la].lower() == a
             and i + la < n
             and expr[i + la] == "."
             and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_."))
         ):
-            i += la  # skip alias, the '.' is skipped by the loop step below
+            i += la + 1  # skip alias and its dot
         else:
-            out.append(c)
-            if c == "'":
-                in_s = True
-            elif c == '"':
-                in_d = True
-        i += 1
+            out.append(expr[i])
+            i += 1
     return "".join(out)
+
+
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 # optional ANSI column list after the table name; the (?!SELECT\b)
 # lookahead keeps a parenthesized subselect from being eaten as a list
@@ -496,23 +484,40 @@ _PRECEDING_TABLE = re.compile(r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.I)
 
 
 def _quote_mask(text: str) -> list[bool]:
+    """True at positions inside '...' / "..." literals or SQL comments
+    (-- line, /* block */) — regions a rewrite must never touch.
+    Handles both escape conventions Spark accepts: doubled quotes
+    ('it''s') and backslash escapes ('it\\'s')."""
     mask = [False] * len(text)
     in_s = in_d = False
     i = 0
     while i < len(text):
         c = text[i]
-        if in_s:
+        if in_s or in_d:
             mask[i] = True
-            if c == "'":
+            if c == "\\" and i + 1 < len(text):
+                mask[i + 1] = True
+                i += 1
+            elif in_s and c == "'":
                 if i + 1 < len(text) and text[i + 1] == "'":
                     mask[i + 1] = True
                     i += 1
                 else:
                     in_s = False
-        elif in_d:
-            mask[i] = True
-            if c == '"':
+            elif in_d and c == '"':
                 in_d = False
+        elif c == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = j if j != -1 else len(text)
+            for k in range(i, j):
+                mask[k] = True
+            i = j - 1
+        elif c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = (j + 2) if j != -1 else len(text)
+            for k in range(i, j):
+                mask[k] = True
+            i = j - 1
         elif c == "'":
             mask[i] = True
             in_s = True
@@ -538,45 +543,25 @@ def rewrite_qualified_names(text: str, resolve) -> str:
     """Replace schema-qualified relation references (`sch.tbl`) with the
     canonical managed-table name `resolve(sch, tbl)` returns (None = not
     a managed table, leave untouched — e.g. alias.column references).
-    Quote-aware: occurrences inside '...' / "..." literals are kept."""
+    Quote-aware (incl. backslash escapes): occurrences inside string
+    literals are kept.  For a.b.c chains, (a, b) resolving to a managed
+    table rewrites the relation part and keeps the column."""
+    mask = _quote_mask(text)
     out: list[str] = []
     i, n = 0, len(text)
-    in_s = in_d = False
     pat = re.compile(r"[A-Za-z_]\w*\.[A-Za-z_]\w*")
     while i < n:
         c = text[i]
-        if in_s:
-            out.append(c)
-            if c == "'":
-                in_s = False
-            i += 1
-        elif in_d:
-            out.append(c)
-            if c == '"':
-                in_d = False
-            i += 1
-        elif c == "'":
-            out.append(c)
-            in_s = True
-            i += 1
-        elif c == '"':
-            out.append(c)
-            in_d = True
-            i += 1
-        elif (c.isalpha() or c == "_") and (
-            i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.")
+        if (
+            not mask[i]
+            and (c.isalpha() or c == "_")
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_."))
         ):
             m = pat.match(text, i)
             if m:
                 sch, tbl = m.group(0).split(".", 1)
                 repl = resolve(sch, tbl)
-                if (
-                    i + len(m.group(0)) < n
-                    and text[i + len(m.group(0))] == "."
-                ):
-                    # a.b.c chain: schema.table.column when (a, b) is a
-                    # managed table — rewrite the relation part, keep the
-                    # column; otherwise an alias.struct.field path — keep
+                if i + len(m.group(0)) < n and text[i + len(m.group(0))] == ".":
                     out.append(
                         (repl + ".") if repl is not None else m.group(0) + "."
                     )
@@ -584,12 +569,9 @@ def rewrite_qualified_names(text: str, resolve) -> str:
                     continue
                 out.append(repl if repl is not None else m.group(0))
                 i += len(m.group(0))
-            else:
-                out.append(c)
-                i += 1
-        else:
-            out.append(c)
-            i += 1
+                continue
+        out.append(c)
+        i += 1
     return "".join(out)
 
 

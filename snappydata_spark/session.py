@@ -1838,7 +1838,10 @@ class SnappySession:
             c = script[i]
             if in_s:
                 buf.append(c)
-                if c == "'":
+                if c == "\\" and i + 1 < n:
+                    buf.append(script[i + 1])
+                    i += 1
+                elif c == "'":
                     # '' escape stays inside the literal
                     if i + 1 < n and script[i + 1] == "'":
                         buf.append("'")
@@ -1847,7 +1850,10 @@ class SnappySession:
                         in_s = False
             elif in_d:
                 buf.append(c)
-                if c == '"':
+                if c == "\\" and i + 1 < n:
+                    buf.append(script[i + 1])
+                    i += 1
+                elif c == '"':
                     in_d = False
             elif c == "-" and script[i : i + 2] == "--":
                 # line comment: skip to end of line (kept out of the

@@ -577,3 +577,25 @@ def test_set_current_schema(snappy):
     )
     assert "sales__cs_t" in snappy.list_tables()
     snappy.sql("DROP TABLE sales.cs_t")
+
+
+def test_scanner_escape_and_comment_awareness():
+    """The dialect's quote-aware scanners honor backslash escapes and
+    skip SQL comments (an apostrophe in a comment must not open a
+    string)."""
+    from snappydata_spark.dialect import (
+        rewrite_qualified_names,
+        strip_alias_qualifier,
+    )
+
+    res = lambda sch, t: ("X__" + t) if sch == "s" else None  # noqa: E731
+    t = "SELECT 1 -- don't touch s.t here\nFROM s.t /* nor s.t's */ JOIN s.t"
+    assert rewrite_qualified_names(t, res) == (
+        "SELECT 1 -- don't touch s.t here\nFROM X__t /* nor s.t's */ JOIN X__t"
+    )
+    assert rewrite_qualified_names(r"SELECT 'esc\' s.t', s.t.k FROM s.t", res) == (
+        r"SELECT 'esc\' s.t', X__t.k FROM X__t"
+    )
+    assert strip_alias_qualifier(r"m.k = 'bs\' m.x' AND m.v > 1", "m") == (
+        r"k = 'bs\' m.x' AND v > 1"
+    )
