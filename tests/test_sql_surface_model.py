@@ -1,0 +1,83 @@
+"""Model-based testing of the SQL DIALECT surface (hypothesis): the same
+logical mutation is rendered through randomly-chosen surface variants —
+schema-qualified or bare names, table aliases, qualified column refs,
+ANSI column lists, extra whitespace — and the table must end up exactly
+where a plain dict model says, regardless of which spelling was used.
+This is the end-to-end regression net for the pre-parser layer
+(canonicalization, alias stripping, column-list binding)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-20, max_value=20)
+
+# surface spellings for the table reference
+name_style = st.sampled_from(["sm_t", "app.sm_t", "APP.SM_T", "default.sm_t"])
+ins_style = st.sampled_from(["plain", "col_list", "col_list_reordered"])
+upd_style = st.sampled_from(["bare", "alias", "qualified"])
+
+put_op = st.tuples(
+    st.just("put"), st.tuples(name_style, ins_style, st.lists(st.tuples(keys, vals), min_size=1, max_size=3))
+)
+update_op = st.tuples(st.just("update"), st.tuples(name_style, upd_style, vals, vals))
+delete_op = st.tuples(st.just("delete"), st.tuples(name_style, upd_style, vals))
+ops = st.lists(st.one_of(put_op, update_op, delete_op), min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops)
+def test_sql_surface_variants_agree_with_model(snappy, ops):
+    snappy.sql("DROP TABLE IF EXISTS sm_t")
+    snappy.sql(
+        "CREATE TABLE sm_t (k INT NOT NULL, v INT) "
+        "USING column OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO sm_t VALUES (0, 0), (1, 1), (2, 2)")
+    model = {0: 0, 1: 1, 2: 2}
+
+    for kind, arg in ops:
+        if kind == "put":
+            name, style, rows = arg
+            if style == "plain":
+                vals_sql = ", ".join(f"({k}, {v})" for k, v in rows)
+                snappy.sql(f"PUT INTO {name} VALUES {vals_sql}")
+            elif style == "col_list":
+                vals_sql = ", ".join(f"({k}, {v})" for k, v in rows)
+                snappy.sql(f"PUT INTO {name} (k, v) VALUES {vals_sql}")
+            else:
+                vals_sql = ", ".join(f"({v}, {k})" for k, v in rows)
+                snappy.sql(f"PUT INTO {name} (v, k) VALUES {vals_sql}")
+            for k, v in rows:
+                model[k] = v
+        elif kind == "update":
+            name, style, add, thr = arg
+            if style == "bare":
+                snappy.sql(f"UPDATE {name} SET v = v + {add} WHERE v < {thr}")
+            elif style == "alias":
+                snappy.sql(
+                    f"UPDATE {name} AS u SET v = u.v + {add} WHERE u.v < {thr}"
+                )
+            else:
+                snappy.sql(
+                    f"UPDATE {name} SET v = {name}.v + {add} "
+                    f"WHERE {name}.v < {thr}"
+                )
+            model = {k: (v + add if v < thr else v) for k, v in model.items()}
+        else:
+            name, style, thr = arg
+            if style == "bare":
+                snappy.sql(f"DELETE FROM {name} WHERE v > {thr}")
+            elif style == "alias":
+                snappy.sql(f"DELETE FROM {name} d WHERE d.v > {thr}")
+            else:
+                snappy.sql(f"DELETE FROM {name} WHERE {name}.v > {thr}")
+            model = {k: v for k, v in model.items() if not v > thr}
+
+    got = {r.k: r.v for r in snappy.table("sm_t").collect()}
+    assert got == model
+    snappy.sql("DROP TABLE sm_t")
