@@ -19,3 +19,12 @@ def test_generator_is_deterministic():
     a = [gen_query(random.Random(123)) for _ in range(5)]
     b = [gen_query(random.Random(123)) for _ in range(5)]
     assert a == b
+
+
+def test_fuzzed_queries_through_snappy_session(spark, sf_dir):
+    """The dialect layer (plan cache, literal tokenization,
+    qualified-name and builtin rewrites) must be semantically
+    transparent for arbitrary SELECTs: the same fuzzed SQL through
+    SnappySession.sql still matches DuckDB."""
+    failures = run(sf_dir, n=25, seed=99, spark=spark, through_session=True)
+    assert failures == [], "\n".join(f"{why}\n  {sql}" for sql, why in failures)

@@ -262,9 +262,15 @@ def _gen_agg_query(
     return sql
 
 
-def run(sf_dir: str, n: int, seed: int, spark=None) -> list[tuple[str, str]]:
+def run(
+    sf_dir: str, n: int, seed: int, spark=None, through_session: bool = False
+) -> list[tuple[str, str]]:
     """Generate n queries, run both engines, return [(sql, reason)] for
-    every mismatch (empty list = all matched)."""
+    every mismatch (empty list = all matched).  through_session=True
+    routes the Spark side through SnappySession.sql — plan cache,
+    literal tokenization, qualified-name/builtin rewrites — so the
+    dialect layer itself is fuzzed for semantic transparency on
+    arbitrary SELECTs."""
     if spark is None:
         from snappydata_spark import get_spark
 
@@ -272,13 +278,20 @@ def run(sf_dir: str, n: int, seed: int, spark=None) -> list[tuple[str, str]]:
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     con = duck_connect(sf_dir)
+    if through_session:
+        from snappydata_spark import SnappySession
+
+        sn = SnappySession(spark)
+        run_sql = sn.sql
+    else:
+        run_sql = spark.sql
 
     rng = random.Random(seed)
     failures: list[tuple[str, str]] = []
     for i in range(n):
         sql = gen_query(rng)
         try:
-            sp = canon(spark.sql(sql).toPandas())
+            sp = canon(run_sql(sql).toPandas())
         except Exception as ex:  # noqa: BLE001 — report, keep fuzzing
             failures.append((sql, f"spark error: {ex}"))
             continue
