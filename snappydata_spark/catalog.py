@@ -104,8 +104,13 @@ class Catalog:
 
     def save_meta(self, meta: TableMeta) -> None:
         os.makedirs(self.table_path(meta.name), exist_ok=True)
-        with open(os.path.join(self.table_path(meta.name), _META_FILE), "w") as f:
+        # atomic replace: meta carries the live bucket generation — a
+        # torn write must never be observable
+        path = os.path.join(self.table_path(meta.name), _META_FILE)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(asdict(meta), f, indent=2)
+        os.replace(tmp, path)
 
     def load_meta(self, name: str) -> TableMeta:
         with open(os.path.join(self.table_path(name), _META_FILE)) as f:

@@ -225,6 +225,11 @@ class SnappySession:
         # until some mutation happened to refresh the view
         for tbl in list(self.catalog.list_tables()):
             try:
+                meta = self.catalog.load_meta(tbl)
+                if self._is_bucketed(meta):
+                    # finish any mutation a crash interrupted mid-swap
+                    with self._table_lock(tbl):
+                        self._recover_mutation_journal(meta)
                 self._refresh_view(tbl)
             except Exception:  # noqa: BLE001 — e.g. bucketed layout whose
                 pass  # catalog entry didn't survive the process restart
@@ -364,7 +369,14 @@ class SnappySession:
         if not self.catalog.exists(name) and not if_exists:
             raise ValueError(f"table {name} does not exist")
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._cat_name(name)}")
+            cur = int(
+                self.catalog.load_meta(name).options.get("bucket_gen", 0)
+            )
+            # current generation plus any crash orphans around it
+            for g in {cur, cur - 1, cur + 1, 0} - {-1}:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._cat_name(name, gen=g)}"
+                )
         self.catalog.drop(name)
         if name in self._rls:
             self._rls.discard(name)
@@ -1976,11 +1988,24 @@ class SnappySession:
     def _is_bucketed(self, meta: TableMeta) -> bool:
         return bool(meta.partition_by and meta.buckets)
 
-    def _cat_name(self, name: str) -> str:
+    def _cat_name(self, name: str, gen: int | None = None) -> str:
         """Spark-catalog identifier for a bucketed managed table (the
         bucketing spec lives in the session catalog, which is what lets
-        EnsureRequirements elide the shuffle on colocated joins)."""
-        return f"snappy_managed_{self._session_id}_{self._canon(name)}"
+        EnsureRequirements elide the shuffle on colocated joins).
+        Bucketed overwrites are generation-swapped for crash atomicity:
+        the LIVE generation comes from the table meta; gen 0 is the
+        legacy unsuffixed name so pre-existing stores stay readable."""
+        cname = self._canon(name)
+        if gen is None:
+            gen = 0
+            try:
+                gen = int(
+                    self.catalog.load_meta(cname).options.get("bucket_gen", 0)
+                )
+            except (OSError, ValueError):
+                pass
+        suffix = f"__g{gen}" if gen else ""
+        return f"snappy_managed_{self._session_id}_{cname}{suffix}"
 
     def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
         """PARTITION_BY + BUCKETS → a real bucketed catalog table
@@ -1996,15 +2021,35 @@ class SnappySession:
             codec, codec
         )
         if self._is_bucketed(meta):
+            cur_gen = int(meta.options.get("bucket_gen", 0))
+            # overwrite = generation swap (crash-atomic: saveAsTable's
+            # overwrite deletes-then-writes IN PLACE, so a crash there
+            # would truncate the table; writing gen+1 and flipping the
+            # meta pointer afterwards leaves the old generation intact
+            # through any crash).  Appends go into the live generation —
+            # Spark's commit protocol makes those all-or-nothing already.
+            target_gen = cur_gen + 1 if mode == "overwrite" else cur_gen
             writer = (
                 df.repartition(meta.buckets, *meta.partition_by)
                 .write.format("parquet")
                 .option("compression", codec)
                 .bucketBy(meta.buckets, *meta.partition_by)
                 .sortBy(*meta.partition_by)
-                .mode(mode)
+                .mode("overwrite" if mode == "overwrite" else mode)
             )
-            writer.saveAsTable(self._cat_name(meta.name))
+            writer.saveAsTable(self._cat_name(meta.name, gen=target_gen))
+            if mode == "overwrite":
+                meta.options["bucket_gen"] = target_gen
+                self.catalog.save_meta(meta)  # atomic pointer flip
+                for old in (cur_gen, cur_gen - 1):
+                    if old >= 0 and old != target_gen:
+                        try:
+                            self.spark.sql(
+                                "DROP TABLE IF EXISTS "
+                                + self._cat_name(meta.name, gen=old)
+                            )
+                        except Exception:  # noqa: BLE001 — orphan, GC later
+                            pass
         else:
             before = (
                 set(self._list_data_files(meta.name)) if mode == "append" else None
@@ -2491,6 +2536,45 @@ class SnappySession:
             return unquote(urlparse(uri).path)
         return uri
 
+    def _recover_mutation_journal(self, meta: TableMeta) -> None:
+        """Complete (or discard) a bucketed mutation interrupted between
+        its append and its old-file removals — see _replace_files.  Runs
+        under the table lock before any new mutation, and at session init
+        over an existing store."""
+        import json as _json
+
+        jpath = os.path.join(
+            self.catalog.table_path(meta.name), "mutation_journal.json"
+        )
+        try:
+            with open(jpath) as fh:
+                j = _json.load(fh)
+        except (OSError, ValueError):
+            return
+        tdir = j.get("dir")
+        if tdir and os.path.isdir(tdir):
+            current = {
+                f for f in os.listdir(tdir) if f.endswith(".parquet")
+            }
+            appended = current - set(j.get("existing", []))
+            if appended:
+                # the append committed: the removals are what is missing
+                for p in j.get("remove", []):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+            # else: the append never committed — pre-mutation state is
+            # already exact; just drop the journal
+        try:
+            os.remove(jpath)
+        except FileNotFoundError:
+            pass
+        try:
+            self.spark.catalog.refreshTable(self._cat_name(meta.name))
+        except Exception:  # noqa: BLE001 — table may not be registered yet
+            pass
+
     def _replace_files(
         self, meta: TableMeta, files: list[str], new_rows: DataFrame
     ) -> None:
@@ -2506,16 +2590,49 @@ class SnappySession:
 
         Bucketed tables append through the bucketed writer (rows re-hash
         into their buckets, so bucket pruning and colocated joins stay
-        correct even if an UPDATE moved a partition column); they rely on
-        Spark's catalog listing, so their delete is eager — a documented
-        divergence from the manifest path."""
+        correct even if an UPDATE moved a partition column) and rely on
+        Spark's catalog listing, so old-file deletion is eager — made
+        crash-exact by a mutation JOURNAL: the pre-append file listing is
+        recorded first, so recovery can tell whether the append committed
+        (new parquet files present ⇒ finish the removals; none ⇒ the
+        mutation never happened — drop the journal).  Either way a crash
+        replays to exactly-before or exactly-after, never duplicates."""
         if self._is_bucketed(meta):
+            self._recover_mutation_journal(meta)
+            import json as _json
+
+            local_remove = [self._local_path(f) for f in files]
+            table_dir = (
+                os.path.dirname(local_remove[0]) if local_remove else None
+            )
+            jpath = os.path.join(
+                self.catalog.table_path(meta.name), "mutation_journal.json"
+            )
+            if table_dir and os.path.isdir(table_dir):
+                existing = sorted(
+                    f for f in os.listdir(table_dir) if f.endswith(".parquet")
+                )
+                jtmp = jpath + ".tmp"
+                with open(jtmp, "w") as fh:
+                    _json.dump(
+                        {
+                            "dir": table_dir,
+                            "remove": local_remove,
+                            "existing": existing,
+                        },
+                        fh,
+                    )
+                os.replace(jtmp, jpath)
             self._write(new_rows, meta, mode="append")
-            for f in files:
+            for f in local_remove:
                 try:
-                    os.remove(self._local_path(f))
+                    os.remove(f)
                 except FileNotFoundError:
                     pass
+            try:
+                os.remove(jpath)
+            except FileNotFoundError:
+                pass
             self.spark.catalog.refreshTable(self._cat_name(meta.name))
         else:
             data = self.catalog.data_path(meta.name)

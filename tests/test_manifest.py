@@ -172,3 +172,110 @@ def test_pre_manifest_table_first_mutation_no_duplicates(snappy):
     assert len(m["files"]) == len(set(m["files"]))
     snappy.drop_table("pm_t")
     snappy.drop_table("pm_u")
+
+
+def test_bucketed_overwrite_is_generation_swapped(snappy, sf_dir):
+    """Bucketed mutations are crash-atomic via generation swap: the new
+    generation's catalog table is written FIRST, then the meta pointer
+    flips (atomic rename).  A crash between the two leaves the old
+    generation fully live."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    base = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet").limit(40)
+    snappy.create_table(
+        "bg_t",
+        options={"key_columns": "o_orderkey", "partition_by": "o_orderkey",
+                 "buckets": 4},
+        df=base,
+    )
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    before = snappy.table("bg_t").count()
+
+    # inject a crash between the new-generation write and the meta flip
+    # (INSERT OVERWRITE takes the full-rewrite path = generation swap)
+    orig_save = snappy.catalog.save_meta
+
+    def boom(meta):
+        raise RuntimeError("injected crash before pointer flip")
+
+    snappy.catalog.save_meta = boom
+    with _pt.raises(RuntimeError, match="injected crash"):
+        snappy.sql(
+            f"INSERT OVERWRITE bg_t SELECT * FROM bg_t WHERE o_orderkey <> {key}"
+        )
+    snappy.catalog.save_meta = orig_save
+
+    # a FRESH session over the store still serves the OLD generation in full
+    from snappydata_spark import SnappySession
+
+    sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
+    assert sn2.table("bg_t").count() == before
+    assert sn2.table("bg_t").filter(F.col("o_orderkey") == key).count() >= 1
+
+    # redo without the crash: mutation lands, old generation is retired
+    sn2.sql(
+        f"INSERT OVERWRITE bg_t SELECT * FROM bg_t WHERE o_orderkey <> {key}"
+    )
+    assert sn2.table("bg_t").count() == before - 1
+    assert sn2.table("bg_t").filter(F.col("o_orderkey") == key).count() == 0
+    # bucketed layout preserved through the swap (still a catalog table)
+    meta = sn2.catalog.load_meta("bg_t")
+    assert int(meta.options["bucket_gen"]) >= 1
+    snappy.drop_table("bg_t")
+
+
+def test_bucketed_pruned_mutation_journal_recovers(snappy, sf_dir):
+    """Pruned bucketed mutations (append new bucket rows, then remove the
+    touched files) are crash-exact through the mutation journal: a crash
+    after the append but before the removals would duplicate rows; on the
+    next session the journal replays the removals."""
+    import os as _os
+
+    import snappydata_spark.session as sess_mod
+    from snappydata_spark import SnappySession
+    from pyspark.sql import functions as F
+
+    base = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet").limit(40)
+    snappy.create_table(
+        "bj_t",
+        options={"key_columns": "o_orderkey", "partition_by": "o_orderkey",
+                 "buckets": 4},
+        df=base,
+    )
+    key = base.select("o_orderkey").collect()[0].o_orderkey
+    before = snappy.table("bj_t").count()
+
+    # crash injection: the first os.remove of a parquet file dies
+    real_remove = _os.remove
+    state = {"shot": False}
+
+    def exploding_remove(path):
+        if str(path).endswith(".parquet") and not state["shot"]:
+            state["shot"] = True
+            raise RuntimeError("injected crash during old-file removal")
+        return real_remove(path)
+
+    sess_mod.os.remove = exploding_remove
+    try:
+        try:
+            snappy.sql(
+                f"UPDATE bj_t SET o_totalprice = 1.5 WHERE o_orderkey = {key}"
+            )
+        except RuntimeError:
+            pass
+    finally:
+        sess_mod.os.remove = real_remove
+
+    # journal exists; duplicates are present in the raw listing until
+    # recovery runs
+    jpath = _os.path.join(snappy.catalog.table_path("bj_t"), "mutation_journal.json")
+    assert _os.path.exists(jpath)
+
+    # a fresh session recovers: exact post-mutation state, no duplicates
+    sn2 = SnappySession(snappy.spark, store_dir=snappy.catalog.base_dir)
+    assert not _os.path.exists(jpath)
+    assert sn2.table("bj_t").count() == before
+    got = sn2.table("bj_t").filter(F.col("o_orderkey") == key).collect()
+    assert len(got) == 1 and got[0].o_totalprice == 1.5
+    snappy.drop_table("bj_t")
