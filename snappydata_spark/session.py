@@ -88,13 +88,37 @@ _MUTATION_LOCKS: dict[tuple[str, str], _TableMutationLock] = {}
 _MUTATION_LOCKS_GUARD = threading.Lock()
 
 
+class TransactionConflict(Exception):
+    """Optimistic write-write conflict at COMMIT: another writer changed
+    a touched table after this transaction first read it (the engine's
+    analogue of the reference's write-lock acquisition failure → auto
+    rollback, consistency/using_transactions_row.md).  The transaction
+    is already rolled back when this raises."""
+
+
+_TX_STAGEABLE = {"insert", "put", "update", "delete", "delete_from"}
+# DDL/maintenance inside an explicit transaction is a syntax error in the
+# reference (use_transactions_isolation_levels.md) — reject the same ops
+_TX_FORBIDDEN = {"truncate_table", "alter_table", "compact_table"}
+
+
 def _serialized(fn):
     """Serialize a (self, table_name, ...) mutation per table — one
-    writer's read→rewrite→swap section at a time (see _table_lock)."""
+    writer's read→rewrite→swap section at a time (see _table_lock).
+    With an explicit transaction open, stageable mutations buffer into
+    the transaction instead of executing."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, name, *args, **kwargs):
+        if getattr(self, "_tx", None) is not None:
+            if fn.__name__ in _TX_STAGEABLE:
+                return self._tx_stage(fn.__name__, name, args, kwargs)
+            if fn.__name__ in _TX_FORBIDDEN:
+                raise ValueError(
+                    f"{fn.__name__} is not allowed inside a transaction "
+                    "(the reference rejects DDL with autocommit off)"
+                )
         with self._table_lock(name):
             return fn(self, name, *args, **kwargs)
 
@@ -182,6 +206,9 @@ class SnappySession:
         # current schema for unqualified names (setCurrentSchema,
         # SnappySession.scala:1725) — APP is the reference default
         self.current_schema = "app"
+        # explicit-transaction state (begin_transaction/commit/rollback)
+        self._tx: dict | None = None
+        self._isolation = "none"  # SET ISOLATION default for BEGIN
         self._load_registry()
         # stream tables declared via CREATE STREAM TABLE (createStream
         # SnappyDDLParser:716-737): name → streaming DataFrame.  Session-
@@ -252,6 +279,154 @@ class SnappySession:
         ):
             n = f"{self.current_schema}.{n}"
         return canon_name(n)
+
+    # ------------------------------------------------------- transactions
+
+    def begin_transaction(self, isolation: str | None = None) -> None:
+        """Explicit transaction (reference: JDBC tx isolation levels for
+        row tables, use_transactions_isolation_levels.md; snapshot tx
+        semantics consistency/using_transactions_row.md).  Mutations of
+        ROW tables buffer until commit(); reads in THIS session see the
+        buffered state (read-your-writes), other sessions never see
+        uncommitted data.  Commit takes all touched-table locks, checks
+        an optimistic write-write condition (table unchanged since first
+        touch — the reference's write-lock failure → auto-rollback
+        becomes TransactionConflict here), then applies every buffered
+        op.  Per-table application is crash-atomic (manifest/journal);
+        cross-table atomicity is best-effort (documented divergence from
+        the reference's distributed tx).  Column tables reject
+        transactional mutations, as in the reference."""
+        if self._tx is not None:
+            raise ValueError("a transaction is already in progress")
+        iso = (isolation or self._isolation or "read_committed").lower()
+        if iso == "none":
+            iso = "read_committed"
+        self._tx = {"isolation": iso, "ops": {}, "tokens": {}, "staged_dfs": []}
+
+    def commit(self) -> None:
+        tx = self._tx
+        if tx is None:
+            raise ValueError("no transaction in progress")
+        self._tx = None  # replay goes through the normal mutation paths
+        from contextlib import ExitStack
+
+        try:
+            with ExitStack() as stack:
+                for t in sorted(tx["ops"]):
+                    stack.enter_context(self._table_lock(t))
+                for t in sorted(tx["ops"]):
+                    if self._table_snapshot_token(t) != tx["tokens"][t]:
+                        raise TransactionConflict(
+                            f"table {t} was modified by another writer "
+                            "since this transaction first touched it"
+                        )
+                for t in sorted(tx["ops"]):
+                    for kind, args, kwargs in tx["ops"][t]:
+                        getattr(self, kind)(t, *args, **kwargs)
+        finally:
+            self._tx_cleanup(tx)
+
+    def rollback(self) -> None:
+        tx = self._tx
+        if tx is None:
+            raise ValueError("no transaction in progress")
+        self._tx = None
+        self._tx_cleanup(tx)
+
+    def _tx_cleanup(self, tx: dict) -> None:
+        for df in tx["staged_dfs"]:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        for t in tx["ops"]:
+            try:
+                self.spark.catalog.dropTempView(self._tx_view_name(t))
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _tx_reads(self, sql_text: str | None) -> str | None:
+        """Rewrite relation references in a READ (e.g. a DML source
+        subquery) so touched tables resolve to this transaction's
+        overlay views — a staged PUT INTO t SELECT ... FROM t must see
+        the transaction's own prior writes."""
+        if sql_text is None or self._tx is None or not self._tx["ops"]:
+            return sql_text
+        touched = set(self._tx["ops"])
+
+        def _sub(tm: re.Match) -> str:
+            cn = self._canon(tm.group(2))
+            if cn in touched:
+                return f"{tm.group(1)} {self._tx_view_name(cn)}"
+            return tm.group(0)
+
+        return sub_outside_quotes(
+            r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)\b", _sub, sql_text, flags=re.I
+        )
+
+    def _tx_view_name(self, name: str) -> str:
+        return f"snappy_tx_{self._session_id}_{self._canon(name)}"
+
+    def _tx_stage(self, kind: str, name: str, args: tuple, kwargs: dict):
+        name = self._canon(name)
+        meta = self.catalog.load_meta(name)
+        if meta.provider != "row":
+            raise ValueError(
+                f"{name} is a column table: transactions are supported "
+                "for row tables only (reference semantics)"
+            )
+        if name not in self._tx["ops"]:
+            self._tx["tokens"][name] = self._table_snapshot_token(name)
+            self._tx["ops"][name] = []
+        # pin DataFrame sources: the staged op must not re-evaluate
+        # against a base that later mutations change
+        args = tuple(
+            a.persist() if isinstance(a, DataFrame) else a for a in args
+        )
+        for a in args:
+            if isinstance(a, DataFrame):
+                a.count()
+                self._tx["staged_dfs"].append(a)
+        self._tx["ops"][name].append((kind, args, kwargs))
+        # refresh this session's read-your-writes overlay view
+        self._tx_overlay(name).createOrReplaceTempView(self._tx_view_name(name))
+        return None
+
+    def _tx_overlay(self, name: str) -> DataFrame:
+        """The table as THIS transaction sees it: base state + staged ops
+        replayed as pure DataFrame transforms (nothing is written)."""
+        name = self._canon(name)
+        df = self._read_table(name, tx_bypass=True)
+        keys = self.catalog.load_meta(name).key_columns
+        fields = df.schema.fields
+        for kind, args, kwargs in self._tx["ops"].get(name, []):
+            if kind == "insert":
+                df = df.unionByName(self._align_fields(fields, args[0]))
+            elif kind == "put":
+                df = mutate.put_into_df(df, self._align_fields(fields, args[0]), keys)
+            elif kind == "update":
+                df = mutate.update_df(df, args[0], args[1])
+            elif kind == "delete":
+                df = mutate.delete_df(df, args[0])
+            elif kind == "delete_from":
+                df = mutate.delete_from_df(df, args[0], keys)
+        return df
+
+    def _table_snapshot_token(self, name: str):
+        """Cheap change token for optimistic conflict detection: manifest
+        generation where one exists, else the live file listing."""
+        name = self._canon(name)
+        m = self._load_manifest(name)
+        if m is not None:
+            return ("manifest", m["gen"])
+        meta = self.catalog.load_meta(name)
+        if self._is_bucketed(meta):
+            return (
+                "bucketed",
+                int(meta.options.get("bucket_gen", 0)),
+                tuple(sorted(self.spark.table(self._cat_name(name)).inputFiles())),
+            )
+        return ("files", tuple(self._list_data_files(name)))
 
     def set_current_schema(self, schema: str, create_if_not_exists: bool = True) -> None:
         """setCurrentSchema (SnappySession.scala:1725; SQL: SET SCHEMA x /
@@ -638,8 +813,15 @@ class SnappySession:
             )
         return self._apply_policies(lname, self._read_table(name))
 
-    def _read_table(self, name: str) -> DataFrame:
+    def _read_table(self, name: str, tx_bypass: bool = False) -> DataFrame:
         name = self._canon(name)
+        if (
+            not tx_bypass
+            and self._tx is not None
+            and name in self._tx["ops"]
+        ):
+            # read-your-writes inside an open transaction
+            return self._tx_overlay(name)
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             if self._is_bucketed(meta):
@@ -887,6 +1069,53 @@ class SnappySession:
                 text,
                 flags=re.I,
             )
+        m = re.match(
+            r"\s*(BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION|COMMIT|ROLLBACK)"
+            r"\s*;?\s*$",
+            text,
+            flags=re.I,
+        )
+        if m:
+            head = m.group(1).upper().split()[0]
+            if head in ("BEGIN", "START"):
+                self.begin_transaction()
+            elif head == "COMMIT":
+                self.commit()
+            else:
+                self.rollback()
+            return None
+        m = re.match(
+            r"\s*SET\s+ISOLATION\s+(?:TO\s+)?([A-Za-z_ ]+?)\s*;?\s*$",
+            text,
+            flags=re.I,
+        )
+        if m:
+            # SET ISOLATION <level> (reference set-isolation SQL): stored
+            # as the default for the next BEGIN; RESET/NONE = autocommit
+            level = m.group(1).strip().lower().replace(" ", "_")
+            self._isolation = "none" if level in ("reset", "none") else level
+            return None
+        if (
+            self._tx is not None
+            and self._tx["ops"]
+            and re.match(r"\s*\(*\s*(SELECT|WITH|VALUES|TABLE)\b", text, re.I)
+        ):
+            # SELECT inside an open transaction: touched tables resolve
+            # to this session's overlay views (read-your-writes without
+            # leaking uncommitted state into the shared temp views).
+            # DML heads are excluded — their FROM clauses are mutation
+            # targets, not reads
+            touched = set(self._tx["ops"])
+
+            def _tx_sub(tm: re.Match) -> str:
+                cn = self._canon(tm.group(2))
+                if cn in touched:
+                    return f"{tm.group(1)} {self._tx_view_name(cn)}"
+                return tm.group(0)
+
+            text = sub_outside_quotes(
+                r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)\b", _tx_sub, text, flags=re.I
+            )
         stmt = split_statement(text)
         if stmt.kind == "set_schema":
             self.set_current_schema(stmt.options["schema"])
@@ -1120,7 +1349,11 @@ class SnappySession:
             return None
         if stmt.kind == "put":
             self._resolve_read_access(stmt.source_sql)
-            src = self.spark.sql(stmt.source_sql) if stmt.source_sql else stmt.source_df
+            src = (
+                self.spark.sql(self._tx_reads(stmt.source_sql))
+                if stmt.source_sql
+                else stmt.source_df
+            )
             cols = stmt.options.get("columns")
             src = (
                 self._apply_column_list(stmt.table, src, cols)
@@ -1140,7 +1373,7 @@ class SnappySession:
             return None
         if stmt.kind == "insert_select" and self.catalog.exists(stmt.table):
             self._resolve_read_access(stmt.source_sql)
-            src = self.spark.sql(stmt.source_sql)
+            src = self.spark.sql(self._tx_reads(stmt.source_sql))
             cols = stmt.options.get("columns")
             src = (
                 self._apply_column_list(stmt.table, src, cols)
@@ -1275,6 +1508,10 @@ class SnappySession:
                 return self.spark.sql(windowed)
         head = re.match(r"\s*\(*\s*(\w+)", rewritten)
         if head and head.group(1).upper() in ("SELECT", "WITH", "VALUES", "TABLE"):
+            if self._tx is not None:
+                # overlay views change per staged op — never cache plans
+                # resolved inside an open transaction
+                return self.spark.sql(rewritten)
             return self.plan_cache.get_or_build(
                 self.spark, rewritten, scope=self.current_user
             )
@@ -1378,7 +1615,10 @@ class SnappySession:
         """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the
         inline-table form arrives as col1..colN): rename + cast the source
         to the target's schema when arities match and names differ."""
-        fields = self.table(name).schema.fields
+        return self._align_fields(self.table(name).schema.fields, src)
+
+    @staticmethod
+    def _align_fields(fields, src: DataFrame) -> DataFrame:
         if len(src.columns) != len(fields):
             return src
         if [c.lower() for c in src.columns] == [f.name.lower() for f in fields]:
