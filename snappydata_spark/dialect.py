@@ -49,17 +49,23 @@ _DELETE = re.compile(
 )
 
 
-def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
-    """Remove `alias.` qualifiers from an expression (quote-aware, incl.
-    backslash escapes): the mutation layer filters the bare table
-    DataFrame, where qualified references would not resolve.
-    Occurrences inside string literals are preserved."""
+def replace_alias_qualifier(
+    expr: str | None, alias: str, new: str = ""
+) -> str | None:
+    """Rewrite `alias.` qualifiers in an expression to `new.` (or drop
+    them when new="").  Quote-aware incl. backslash escapes; occurrences
+    inside string literals are preserved.  Replacement (not removal) is
+    what correlated subqueries need: DELETE FROM t WHERE EXISTS (SELECT
+    1 FROM u WHERE u.k = t.k) must keep the OUTER qualifier resolvable
+    against the aliased target frame — dropping it would rebind the
+    correlation to the inner relation."""
     if expr is None:
         return None
     mask = _quote_mask(expr)
     out: list[str] = []
     i, n = 0, len(expr)
     a, la = alias.lower(), len(alias)
+    repl = f"{new}." if new else ""
     while i < n:
         if (
             not mask[i]
@@ -68,11 +74,16 @@ def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
             and expr[i + la] == "."
             and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_."))
         ):
-            i += la + 1  # skip alias and its dot
+            out.append(repl)
+            i += la + 1  # past alias and its dot
         else:
             out.append(expr[i])
             i += 1
     return "".join(out)
+
+
+def strip_alias_qualifier(expr: str | None, alias: str) -> str | None:
+    return replace_alias_qualifier(expr, alias, "")
 
 
 _TRUNCATE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
@@ -948,23 +959,21 @@ def split_statement(text: str) -> Statement:
         )
     m = _UPDATE.match(text)
     if m:
-        alias = m.group(2)
-        set_part, where = m.group(3), m.group(4)
-        if alias:
-            set_part = strip_alias_qualifier(set_part, alias)
-            where = strip_alias_qualifier(where, alias)
         return Statement(
             "update",
             table=m.group(1),
-            assignments=_split_assignments(set_part),
-            where=where,
+            assignments=_split_assignments(m.group(3)),
+            where=m.group(4),
+            options={"alias": m.group(2).lower()} if m.group(2) else {},
         )
     m = _DELETE.match(text)
     if m:
-        where = m.group(3)
-        if m.group(2):
-            where = strip_alias_qualifier(where, m.group(2))
-        return Statement("delete", table=m.group(1), where=where)
+        return Statement(
+            "delete",
+            table=m.group(1),
+            where=m.group(3),
+            options={"alias": m.group(2).lower()} if m.group(2) else {},
+        )
     m = _TRUNCATE.match(text)
     if m:
         return Statement("truncate", table=m.group(1))

@@ -31,7 +31,7 @@ from snappydata_spark.dialect import (
     rewrite_qualified_names,
     rewrite_stream_windows,
     split_statement,
-    strip_alias_qualifier,
+    replace_alias_qualifier,
     sub_outside_quotes,
 )
 
@@ -405,9 +405,11 @@ class SnappySession:
             elif kind == "put":
                 df = mutate.put_into_df(df, self._align_fields(fields, args[0]), keys)
             elif kind == "update":
-                df = mutate.update_df(df, args[0], args[1])
+                frame = df.alias(kwargs["alias"]) if kwargs.get("alias") else df
+                df = mutate.update_df(frame, args[0], args[1])
             elif kind == "delete":
-                df = mutate.delete_df(df, args[0])
+                frame = df.alias(kwargs["alias"]) if kwargs.get("alias") else df
+                df = mutate.delete_df(frame, args[0])
             elif kind == "delete_from":
                 df = mutate.delete_from_df(df, args[0], keys)
         return df
@@ -955,7 +957,7 @@ class SnappySession:
         )
 
     @_serialized
-    def update(self, name: str, where, assignments: dict) -> None:
+    def update(self, name: str, where, assignments: dict, alias: str | None = None) -> None:
         """UPDATE t SET ... WHERE ... — SnappySession.update:2054-2100.
         Key columns are immutable under UPDATE (the reference rejects
         SET on a key column; change-of-key is a DELETE + PUT).
@@ -972,6 +974,10 @@ class SnappySession:
         target = self._mutation_target(name, meta)
         if target is None:
             return
+        if alias:
+            # qualified refs (incl. correlated-subquery OUTER refs) bind
+            # against the aliased target frame
+            target = target.alias(alias)
         files = self._affected_files(target, pred=where)
         if files is None:
             updated = mutate.update_df(target, where, assignments)
@@ -981,12 +987,14 @@ class SnappySession:
         if not files:
             return  # nothing matched: zero writes
         touched = self._read_files(target.schema, files)
+        if alias:
+            touched = touched.alias(alias)
         updated = mutate.update_df(touched, where, assignments)
         self._validate_checks(meta, updated)
         self._replace_files(meta, files, updated)
 
     @_serialized
-    def delete(self, name: str, where) -> None:
+    def delete(self, name: str, where, alias: str | None = None) -> None:
         """DELETE FROM t WHERE ... — SnappySession.delete:2119.  File-pruned
         like update(); the reference's analogue is the per-batch delete
         bitmap (ColumnDeleteEncoder.scala:39)."""
@@ -994,6 +1002,8 @@ class SnappySession:
         target = self._mutation_target(name, meta)
         if target is None:
             return
+        if alias:
+            target = target.alias(alias)
         files = self._affected_files(target, pred=where)
         if files is None:
             self._rewrite(mutate.delete_df(target, where), meta)
@@ -1001,6 +1011,8 @@ class SnappySession:
         if not files:
             return
         touched = self._read_files(target.schema, files)
+        if alias:
+            touched = touched.alias(alias)
         self._replace_files(meta, files, mutate.delete_df(touched, where))
 
     @_serialized
@@ -1125,16 +1137,22 @@ class SnappySession:
             orig_table = stmt.table.lower()
             stmt.table = self._canon(stmt.table)
             if stmt.kind in ("update", "delete"):
-                # table-qualified column refs (t.k / app.t.k) must become
-                # bare names before the mutation layer filters the frame
-                # longest first: stripping `qt.` before `app.qt.` would
-                # mangle the qualified form into a dangling `app.`
-                for q in sorted({orig_table, stmt.table}, key=len, reverse=True):
-                    stmt.where = strip_alias_qualifier(stmt.where, q)
+                # normalize every qualifier spelling (user alias, bare
+                # or schema-qualified table name) to ONE alias that the
+                # mutation layer binds on the target frame — REPLACED,
+                # not stripped, so correlated subqueries keep their
+                # outer references (longest spelling first: rewriting
+                # `qt.` before `app.qt.` would mangle the longer form)
+                alias = stmt.options.get("alias") or stmt.table
+                for q in sorted(
+                    {orig_table, stmt.table} - {alias}, key=len, reverse=True
+                ):
+                    stmt.where = replace_alias_qualifier(stmt.where, q, alias)
                     stmt.assignments = {
-                        k: strip_alias_qualifier(v, q)
+                        k: replace_alias_qualifier(v, q, alias)
                         for k, v in stmt.assignments.items()
                     }
+                stmt.options["alias"] = alias
         if stmt.kind == "create_table":
             if self.catalog.exists(stmt.table) and stmt.if_not_exists:
                 return None
@@ -1363,10 +1381,19 @@ class SnappySession:
             self.put(stmt.table, src)
             return None
         if stmt.kind == "update":
-            self.update(stmt.table, stmt.where or F.lit(True), stmt.assignments)
+            self.update(
+                stmt.table,
+                stmt.where or F.lit(True),
+                stmt.assignments,
+                alias=stmt.options.get("alias"),
+            )
             return None
         if stmt.kind == "delete":
-            self.delete(stmt.table, stmt.where or F.lit(True))
+            self.delete(
+                stmt.table,
+                stmt.where or F.lit(True),
+                alias=stmt.options.get("alias"),
+            )
             return None
         if stmt.kind == "truncate":
             self.truncate_table(stmt.table)

@@ -599,3 +599,26 @@ def test_scanner_escape_and_comment_awareness():
     assert strip_alias_qualifier(r"m.k = 'bs\' m.x' AND m.v > 1", "m") == (
         r"k = 'bs\' m.x' AND v > 1"
     )
+
+
+def test_correlated_subqueries_in_dml(snappy):
+    """Correlated EXISTS / scalar subqueries in UPDATE/DELETE: the outer
+    qualifier binds against the ALIASED target frame (replacing, not
+    stripping, qualifiers — stripping would rebind the correlation to
+    the inner relation and mutate every row)."""
+    snappy.sql("CREATE TABLE cq_t (k INT NOT NULL, v INT) USING row OPTIONS (key_columns 'k')")
+    snappy.sql("CREATE TABLE cq_u (k INT NOT NULL) USING row OPTIONS (key_columns 'k')")
+    snappy.sql("INSERT INTO cq_t VALUES (1,1),(2,2),(3,3)")
+    snappy.sql("INSERT INTO cq_u VALUES (2),(3)")
+    snappy.sql("DELETE FROM cq_t WHERE EXISTS (SELECT 1 FROM cq_u WHERE cq_u.k = cq_t.k)")
+    assert sorted(r.k for r in snappy.table("cq_t").collect()) == [1]
+    snappy.sql("UPDATE cq_t SET v = v + (SELECT MAX(k) FROM cq_u) WHERE k = 1")
+    assert snappy.table("cq_t").collect()[0].v == 4
+    snappy.sql("INSERT INTO cq_t VALUES (7,7)")
+    snappy.sql(
+        "DELETE FROM cq_t p WHERE NOT EXISTS "
+        "(SELECT 1 FROM cq_u WHERE cq_u.k = p.k - 5)"
+    )
+    assert sorted(r.k for r in snappy.table("cq_t").collect()) == [7]
+    snappy.sql("DROP TABLE cq_t")
+    snappy.sql("DROP TABLE cq_u")
