@@ -295,7 +295,10 @@ class SnappySession:
         op.  Per-table application is crash-atomic (manifest/journal);
         cross-table atomicity is best-effort (documented divergence from
         the reference's distributed tx).  Column tables reject
-        transactional mutations, as in the reference."""
+        transactional mutations, as in the reference.  Known limit: a
+        VIEW over a touched table still reads the committed base inside
+        the transaction — only direct relation references rewrite to the
+        overlay."""
         if self._tx is not None:
             raise ValueError("a transaction is already in progress")
         iso = (isolation or self._isolation or "read_committed").lower()
