@@ -121,3 +121,42 @@ def test_dml_source_sees_own_writes(row_table):
     assert _state(sn)[105] == 50
     sn.sql("COMMIT")
     assert _state(sn)[105] == 50
+
+
+def test_randomized_transaction_sequences(row_table):
+    """Model-based: random sequences of BEGIN / staged ops / COMMIT /
+    ROLLBACK must land exactly where a dict model (with its own staged
+    overlay) says — commits apply everything, rollbacks nothing."""
+    import random
+
+    sn = row_table
+    committed = {1: 10, 2: 20, 3: 30}
+    rng = random.Random(31)
+
+    for _round in range(6):
+        sn.sql("BEGIN")
+        staged = dict(committed)
+        for _ in range(rng.randrange(1, 4)):
+            op = rng.choice(["put", "update", "delete"])
+            if op == "put":
+                k, v = rng.randrange(0, 6), rng.randrange(100)
+                sn.sql(f"PUT INTO tx_t VALUES ({k}, {v})")
+                staged[k] = v
+            elif op == "update":
+                thr, add = rng.randrange(0, 80), rng.randrange(1, 9)
+                sn.sql(f"UPDATE tx_t SET v = v + {add} WHERE v < {thr}")
+                staged = {
+                    k: (v + add if v < thr else v) for k, v in staged.items()
+                }
+            else:
+                thr = rng.randrange(0, 120)
+                sn.sql(f"DELETE FROM tx_t WHERE v > {thr}")
+                staged = {k: v for k, v in staged.items() if not v > thr}
+            # read-your-writes after every op
+            assert _state(sn) == staged
+        if rng.random() < 0.5:
+            sn.sql("COMMIT")
+            committed = staged
+        else:
+            sn.sql("ROLLBACK")
+        assert _state(sn) == committed
