@@ -1132,6 +1132,22 @@ class SnappySession:
                 r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)\b", _tx_sub, text, flags=re.I
             )
         stmt = split_statement(text)
+        if (
+            self._tx is not None
+            and stmt.kind
+            in (
+                "create_table", "drop_table", "create_table_like",
+                "truncate", "alter_add", "alter_drop", "create_index",
+                "drop_index", "create_view", "drop_view", "alter_view",
+                "create_sample", "insert_overwrite", "merge",
+                "create_external", "create_stream", "drop_stream",
+            )
+        ):
+            # the reference rejects DDL inside an explicit transaction
+            # (autocommit off); MERGE/OVERWRITE would bypass the buffer
+            raise ValueError(
+                f"{stmt.kind} is not allowed inside a transaction"
+            )
         if stmt.kind == "set_schema":
             self.set_current_schema(stmt.options["schema"])
             return None

@@ -160,3 +160,22 @@ def test_randomized_transaction_sequences(row_table):
         else:
             sn.sql("ROLLBACK")
         assert _state(sn) == committed
+
+
+def test_ddl_and_merge_rejected_in_tx_sql(row_table):
+    sn = row_table
+    sn.sql("BEGIN")
+    for stmt in (
+        "CREATE TABLE tx_new (k INT) USING row",
+        "DROP TABLE tx_t",
+        "TRUNCATE TABLE tx_t",
+        "INSERT OVERWRITE tx_t SELECT * FROM tx_t",
+        "MERGE INTO tx_t t USING (SELECT 1 AS k, 1 AS v) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+    ):
+        with pytest.raises(ValueError, match="not allowed inside"):
+            sn.sql(stmt)
+    sn.rollback()
+    # and everything works again after the transaction ends
+    sn.sql("TRUNCATE TABLE tx_t")
+    assert sn.table("tx_t").count() == 0
