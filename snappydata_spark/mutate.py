@@ -18,7 +18,7 @@ rewrite only rewrites matched buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _anti_on_keys(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -37,19 +37,35 @@ def _anti_on_keys(target: DataFrame, source: DataFrame, keys: list[str]) -> Data
 
 def put_into_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
     """Upsert semantics of PUT INTO: rows of `target` whose key is absent
-    from `source`, plus all rows of `source` (source wins on key match).
+    from `source`, plus `source` conflated per key (source wins on key
+    match).
 
     Mirrors ColumnTableBulkOps.transformPutPlan:46-120 — update matched
-    rows with source values, insert unmatched source rows.  Like the
-    reference, duplicate keys *within* source are passed through as-is
-    (the sink layer conflates, not put itself — SnappySinkCallback.scala:
-    286-309).
-    """
+    rows with source values, insert unmatched source rows.  Duplicate
+    keys WITHIN one source batch conflate to the LAST occurrence (the
+    CDC sink's keep-last discipline, SnappySinkCallback.scala:286-309):
+    passing them through would write two rows under one key — a
+    key_columns-contract violation — and which survived a later upsert
+    would depend on partition order."""
     if not keys:
         raise ValueError("PUT INTO requires key columns (PrePutCheck)")
     cols = target.columns
-    keep = _anti_on_keys(target, source, keys)
-    return keep.select(*cols).unionByName(source.select(*cols))
+    conflated = conflate_last(source.select(*cols), keys)
+    keep = _anti_on_keys(target, conflated, keys)
+    return keep.select(*cols).unionByName(conflated.select(*cols))
+
+
+def conflate_last(source: DataFrame, keys: list[str]) -> DataFrame:
+    """Keep the LAST occurrence per key tuple (batch order): the order
+    marker attaches BEFORE any shuffle, so for an inline VALUES batch
+    the monotonic id follows statement order and keep-last is exact."""
+    marked = source.withColumn("__put_ord", F.monotonically_increasing_id())
+    w = Window.partitionBy(*keys).orderBy(F.desc("__put_ord"))
+    return (
+        marked.withColumn("__put_rn", F.row_number().over(w))
+        .filter(F.col("__put_rn") == 1)
+        .drop("__put_ord", "__put_rn")
+    )
 
 
 def update_df(

@@ -943,6 +943,11 @@ class SnappySession:
             raise ValueError(
                 f"PUT INTO {name} requires key_columns (or partition_by)"
             )
+        # duplicate keys within one batch conflate to the LAST occurrence
+        # (CDC keep-last discipline) BEFORE any path — the pruned path
+        # unions the source verbatim, so an unconflated batch would write
+        # two rows under one key
+        df = mutate.conflate_last(df, keys)
         target = self._mutation_target(name, meta)
         if target is None:  # empty table: put == insert
             self.insert(name, df)

@@ -38,12 +38,20 @@ def test_put_into_null_key_matches_null(spark):
     assert got == {(None, "new"), (1, "one")}
 
 
-def test_put_into_duplicate_source_keys_pass_through(spark, target):
-    # reference put-into does NOT conflate duplicate keys in source —
-    # that's the sink's job (SnappySinkCallback:286-309)
-    src = spark.createDataFrame([(2, "x", 1.0), (2, "y", 2.0)], "k int, v string, x double")
+def test_put_into_duplicate_source_keys_conflate_keep_last(spark, target):
+    # duplicate keys within one source batch conflate to the LAST
+    # occurrence (the CDC sink's keep-last discipline,
+    # SnappySinkCallback:286-309): passing both through would leave two
+    # rows under one key — a key_columns-contract violation — and later
+    # upserts would keep an arbitrary one (surfaced by the SQL-surface
+    # hypothesis model, which caught the nondeterminism)
+    src = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "k int, v string, x double"
+    )
     out = mutate.put_into_df(target, src, ["k"])
-    assert out.filter(F.col("k") == 2).count() == 2
+    got = out.filter(F.col("k") == 2).collect()
+    assert len(got) == 1
+    assert (got[0].v, got[0].x) == ("y", 2.0)
 
 
 def test_put_requires_keys(spark, target):
