@@ -78,27 +78,39 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sp AS (
   SELECT l_suppkey, l_partkey,
-         SUM(l_extendedprice * (1 - l_discount)) AS value
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS value_dec
   FROM lineitem GROUP BY l_suppkey, l_partkey)
-SELECT l_suppkey, l_partkey, ROUND(value, 2) AS value
+SELECT l_suppkey, l_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS value
 FROM sp
-WHERE value > (SELECT SUM(value) * 0.00008 FROM sp)
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.00008 FROM sp)
 """,
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (getQuery11, lineitem standing in for partsupp):
-    groups above a global-total threshold (uncorrelated scalar subquery)."""
+    groups above a global-total threshold (uncorrelated scalar subquery).
+    Revenue sums go through exact DECIMAL on both engines (the fuzzer's
+    class-1 divergence: at sf0.001 this query's double sums landed on a
+    .xx5 rounding boundary with different summation orders — decimal
+    addition is associative, so the result is order-independent)."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     sp = (
         t["lineitem"]
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_rev()).alias("value"))
+        .agg(F.sum(_rev().cast("decimal(18,4)")).alias("value_dec"))
     )
-    threshold = sp.agg((F.sum("value") * 0.00008).alias("thr"))
+    threshold = sp.agg(
+        (F.sum("value_dec").cast("double") * 0.00008).alias("thr")
+    )
     return (
         sp.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("thr"))
-        .select("l_suppkey", "l_partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value_dec").cast("double") > F.col("thr"))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round("value_dec", 2).cast("double").alias("value"),
+        )
     )
 
 
