@@ -148,7 +148,9 @@ merged AS (
   UNION ALL
   SELECT 'NEW', price FROM src s
   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = s.k))
-SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total
 FROM merged GROUP BY o_orderstatus
 """,
 )
@@ -191,7 +193,11 @@ def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ),
     )
+    # money sums through exact DECIMAL (order-independent — the fuzzer's
+    # class-1 divergence surfaced here at sf0.1)
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
     )
