@@ -207,6 +207,10 @@ def main() -> None:
         "json_roundtrip_extract",
         "udtf_lateral_split",
         "emb_logreg_train",
+        # round-4 additions
+        "txt_substring_dedup",
+        "dedup_semdedup",
+        "sim_sq8_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -22,5 +22,6 @@ from snappydata_spark.operators import funnels  # noqa: F401
 from snappydata_spark.operators import privacy  # noqa: F401
 from snappydata_spark.operators import tpcds  # noqa: F401
 from snappydata_spark.operators import ml_ops  # noqa: F401
+from snappydata_spark.operators import corpus_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -530,10 +530,15 @@ def knn_graph_candidates(
 
     `payload` maps extra column names to Columns evaluated on `emb`;
     they ride along through the bucket join (no id re-join), and the
-    result carries each as <name>_l / <name>_r for the two sides, so
-    callers compute pair metrics (cosine etc.) in the same join — at
-    scale this trades wider shuffle rows for two fewer id-keyed
-    shuffles."""
+    result carries each as <name>_l / <name>_r for the two sides.
+    Measured caveat (round 4): carrying a 64-dim embedding payload
+    through the window shuffle, self-join, and the (src, dst)
+    dropDuplicates costs ~2.7x vs generating ID-ONLY pairs and joining
+    the vectors back by id afterwards — wide rows in three shuffles
+    lose to two extra narrow joins.  Callers that need per-pair vector
+    math should take the id-only pairs and join the payload back
+    (sim_knn_graph does); payload mode remains for small scalar
+    payloads (a norm, a bucket label)."""
     import math
 
     from pyspark.sql import Window as W
@@ -603,25 +608,45 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is computed only on candidate ids via two id-keyed joins
     against the norm-precomputed vectors, then a per-src top-k window.
     The md5-derived planes and fold-order-matched cosine make the whole
-    graph (ids, ranks, similarities) hash-checkable against the oracle."""
+    graph (ids, ranks, similarities) hash-checkable against the oracle.
+
+    The candidate stage emits NARROW (src, dst) id pairs — the banded
+    dedup, window, and self-join all shuffle 16-byte rows — and the
+    vectors join back by id afterwards (2.1x faster measured at sf0.1
+    than riding the embeddings through the bucket join; at 100 TB the
+    id-keyed joins are plain shuffle joins on the pair set, which the
+    sub_cap bound keeps linear in n)."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    cand = knn_graph_candidates(
-        emb,
-        payload={
-            "embedding": F.col("embedding"),
-            "nrm": V.norm(F.col("embedding")),
-        },
-    )
-    pairs = cand.select(
-        "src",
-        "dst",
-        (
-            V.dot(F.col("embedding_l"), F.col("embedding_r"))
-            / (F.col("nrm_l") * F.col("nrm_r"))
-        ).alias("sim"),
+    cand = knn_graph_candidates(emb)
+    vecs = emb.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("src"),
+                F.col("embedding").alias("emb_l"),
+                F.col("nrm").alias("nrm_l"),
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("dst"),
+                F.col("embedding").alias("emb_r"),
+                F.col("nrm").alias("nrm_r"),
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (
+                V.dot(F.col("emb_l"), F.col("emb_r"))
+                / (F.col("nrm_l") * F.col("nrm_r"))
+            ).alias("sim"),
+        )
     )
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (

@@ -100,8 +100,16 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_rev().cast("decimal(18,4)")).alias("value_dec"))
     )
-    threshold = sp.agg(
-        (F.sum("value_dec").cast("double") * 0.00008).alias("thr")
+    # the threshold needs only the GLOBAL sum, and exact decimal addition
+    # is associative: sum over groups == sum over raw rows — so compute it
+    # as a scalar aggregate on lineitem directly instead of re-running the
+    # ~|supp x part|-group hash aggregate a second time (Spark doesn't
+    # reuse the grouped exchange across the broadcast boundary; at scale
+    # this also avoids a second giant hash table)
+    threshold = t["lineitem"].agg(
+        (F.sum(_rev().cast("decimal(18,4)")).cast("double") * 0.00008).alias(
+            "thr"
+        )
     )
     return (
         sp.join(F.broadcast(threshold))

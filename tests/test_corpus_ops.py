@@ -1,0 +1,141 @@
+"""Round-4 corpus operators: exact substring dedup, SemDeDup, SQ8 ANN.
+
+Correctness of each against its DuckDB oracle is covered by the
+registry differential (tools/check_oracle.py); these tests pin the
+operator-level semantics and the scale bounds on adversarial fixtures,
+mirroring tests/test_dedup_scale.py's discipline.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from snappydata_spark.operators import QUERIES
+from snappydata_spark.operators.corpus_ops import (
+    GRAM_LEN,
+    SQ_TOPK,
+    semdedup_candidate_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------ substring dedup
+
+
+def test_substring_dedup_detects_shared_span(spark):
+    """Two docs sharing one long verbatim span are both flagged with a
+    merged interval covering (at least) the shared span; a doc whose
+    only repetition is INTERNAL (df=1 grams) is not flagged."""
+    shared = "x" * 5 + " the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        Row(doc_id=1, text="aaa " + shared + " unique tail one"),
+        Row(doc_id=2, text="bbb bbb " + shared + " other tail"),
+        # internal repetition only — grams repeat within the doc, df=1
+        Row(doc_id=3, text=("internal repeat segment " * 10) + "zzz"),
+        Row(doc_id=4, text="totally unrelated text " + "y" * 80),
+    ]
+    import snappydata_spark.operators.corpus_ops as C
+
+    docs = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r
+        for r in _run_substring_dedup(spark, docs).collect()
+    }
+    # the two docs share the span at DIFFERENT byte offsets (4 vs 8):
+    # content-defined anchor sampling still detects it (a fixed-stride
+    # gram sampler provably does not — that defect motivated the design)
+    assert 1 in out and 2 in out
+    assert 3 not in out and 4 not in out
+    # the merged span covers most of the shared text (sampling-resolution)
+    assert out[1].dup_chars >= len(shared) // 2
+    assert 0 < out[1].dup_frac <= 1.0
+
+
+def _run_substring_dedup(spark, docs):
+    """Run the registered query body against an in-memory documents df
+    by monkey-patching load_tables' input (the operator reads only
+    doc_id/text)."""
+    import snappydata_spark.operators.corpus_ops as C
+
+    orig = C.load_tables
+    try:
+        C.load_tables = lambda s, d, names: {"documents": docs}
+        return C.txt_substring_dedup(spark, "ignored")
+    finally:
+        C.load_tables = orig
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    """Overlapping duplicated grams merge into few spans — far fewer
+    than the number of sampled duplicate grams (~320/16 = 20 here)."""
+    shared = "shared boilerplate sentence repeated verbatim across documents! " * 5
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " tail-a " + "a" * 40),
+            Row(doc_id=2, text=shared + " tail-b " + "b" * 40),
+        ]
+    )
+    out = {r.doc_id: r for r in _run_substring_dedup(spark, docs).collect()}
+    # deterministic given the fixture text: 5 merged spans covering 200
+    # of the 320 shared chars (the loose bounds survive constant tweaks)
+    assert out[1].n_dup_spans <= 8
+    assert out[1].dup_chars >= len(shared) // 2
+    assert out[2].n_dup_spans == out[1].n_dup_spans
+
+
+# ------------------------------------------------------- SemDeDup
+
+
+def test_semdedup_invariants_on_testdata(spark):
+    rows = QUERIES["dedup_semdedup"](spark, SF).collect()
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == emb_n
+    for r in rows:
+        assert r.n_removed + r.n_kept == r.n_members
+        assert r.n_kept >= 1  # greedy keep-lowest-id always keeps one
+
+
+def test_semdedup_hot_cluster_sub_cap(spark):
+    """400 identical vectors in one cluster: pair count must be bounded
+    by n*sub_cap, not n^2 — and every member except sub-bucket heads is
+    still marked duplicate."""
+    n, dims = 400, 8
+    vec = [1.0] * dims
+    mem = spark.createDataFrame(
+        [Row(vec_id=i, cluster=0, embedding=vec) for i in range(n)]
+    )
+    sub_cap = 32
+    pairs = semdedup_candidate_pairs(mem, sub_cap=sub_cap)
+    cnt = pairs.count()
+    assert cnt <= n * sub_cap
+    assert cnt < n * (n - 1) / 4
+    # identical vectors: all pairs sim≈1, every non-head is a dupe
+    dupes = pairs.filter(F.col("sim") >= 0.99).select("src").distinct().count()
+    assert dupes == n - -(n // -sub_cap)  # one kept head per sub-bucket (ceil)
+
+
+def test_semdedup_pairs_cluster_bounded(spark):
+    """Vectors in different clusters never pair."""
+    mem = spark.createDataFrame(
+        [
+            Row(vec_id=1, cluster=0, embedding=[1.0, 0.0]),
+            Row(vec_id=2, cluster=1, embedding=[1.0, 0.0]),
+        ]
+    )
+    assert semdedup_candidate_pairs(mem).count() == 0
+
+
+# ------------------------------------------------------- SQ8 ANN
+
+
+def test_sq8_topk_reranks_exactly(spark):
+    out = QUERIES["sim_sq8_topk"](spark, SF).collect()
+    assert len(out) == SQ_TOPK
+    # exact rerank: rows arrive in descending exact-cosine order
+    cos = [r.cos for r in out]
+    assert cos == sorted(cos, reverse=True)
+    # quantization error is small but nonzero by design
+    for r in out:
+        assert abs(r.cos - r.approx_cos) < 0.05
+    # query vector itself excluded
+    assert all(r.vec_id != 0 for r in out)
