@@ -211,6 +211,8 @@ def main() -> None:
         "txt_substring_dedup",
         "dedup_semdedup",
         "sim_sq8_topk",
+        "pipeline_dsir_sample",
+        "txt_bpe_train",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

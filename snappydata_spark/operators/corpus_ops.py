@@ -95,26 +95,25 @@ def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw string is kept here for an exact cross-engine oracle."""
     L, A = GRAM_LEN, ANCHOR_LEN
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # position selection + gram extraction run INSIDE array lambdas on
+    # each document row, so only the ~1/16 selected (pos, gram) structs
+    # are ever exploded — exploding every position first and filtering
+    # after materialized the full text per position row (1.4x slower
+    # measured; the remaining cost is the n_chars md5(anchor) calls,
+    # which a production variant would replace with a rolling hash)
+    sel = (
+        f"transform(filter(sequence(1, greatest(length(text) - {L} + 1, 0)),"
+        f" s -> substring(md5(substring(text, s, {A})), 1, 1) = '{ANCHOR_SEL}'),"
+        f" s -> struct(s, substring(text, s, {L}) AS gram))"
+    )
     g = (
-        docs.select("doc_id", "text", F.length("text").alias("len"))
-        .filter(F.col("len") >= L)
+        docs.filter(F.length("text") >= L)
         .select(
             "doc_id",
-            "len",
-            F.explode(
-                F.sequence(F.lit(1), F.col("len") - L + 1)
-            ).alias("s"),
-            F.col("text"),
+            F.length("text").alias("len"),
+            F.explode(F.expr(sel)).alias("sg"),
         )
-        .filter(
-            F.substring(
-                F.md5(F.col("text").substr(F.col("s"), F.lit(A))), 1, 1
-            )
-            == ANCHOR_SEL
-        )
-        .select(
-            "doc_id", "len", "s", F.col("text").substr(F.col("s"), F.lit(L)).alias("gram")
-        )
+        .select("doc_id", "len", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram"))
     )
     dup_grams = (
         g.groupBy("gram")
@@ -222,6 +221,234 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dup").alias("n_removed"),
             (F.count(F.lit(1)) - F.count("is_dup")).alias("n_kept"),
         )
+    )
+
+
+# ------------------------------------- DSIR importance resampling
+
+DSIR_BUCKETS = 64
+DSIR_TOPN = 100
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+
+
+def _dsir_oracle() -> str:
+    B = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir~' || t.token), 1, 15))::BIGINT % {B} AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents) t),
+cnt AS (
+  SELECT r.b,
+         COALESCE(SUM(CASE WHEN tok.lang = 'en' THEN 1 ELSE 0 END), 0) AS tc,
+         COUNT(tok.b) AS sc
+  FROM range(0, {B}) r(b) LEFT JOIN tok ON tok.b = r.b
+  GROUP BY r.b),
+tot AS (SELECT SUM(tc) AS t, SUM(sc) AS s FROM cnt),
+lr AS (
+  SELECT list(ROUND(LN((c.tc + 1.0) / (tot.t + {B}))
+                    - LN((c.sc + 1.0) / (tot.s + {B})), 9)
+              ORDER BY c.b) AS l
+  FROM cnt c, tot),
+cb AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b),
+per AS (
+  SELECT cb.doc_id,
+         CAST(SUM(cb.c) AS BIGINT) AS n_tokens,
+         list_aggregate(list(cb.c * lr.l[cb.b + 1] ORDER BY cb.b), 'sum')
+           AS fold
+  FROM cb, lr GROUP BY cb.doc_id)
+SELECT d.doc_id, d.lang, p.n_tokens,
+       ROUND(p.fold / p.n_tokens, 6) AS score
+FROM per p JOIN documents d ON d.doc_id = p.doc_id
+ORDER BY p.fold / p.n_tokens DESC, d.doc_id
+LIMIT {DSIR_TOPN}"""
+
+
+@register("pipeline_dsir_sample", oracle=_dsir_oracle())
+def pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    score every document by the average hashed-unigram log-likelihood
+    ratio between a TARGET distribution (here: the lang='en' slice) and
+    the full SOURCE corpus, and keep the top DSIR_TOPN — the published
+    recipe for selecting in-domain pretraining data at corpus scale.
+
+    Scale: hashed features (md5 % 64 buckets) keep the model at B
+    cells; the bucket stats are one shuffle + a B-row collect (model,
+    not data), the log-ratios re-enter as a literal array, and the
+    per-doc score is a (doc, bucket)-count shuffle + a fold over <= B
+    sorted cells.  Nothing grows with corpus size except the two linear
+    passes.  Determinism: lr values round to 9 (Python libm vs DuckDB
+    libm may differ in the last ulp), the per-doc fold walks buckets in
+    ascending order on both engines, so the unrounded score doubles —
+    and hence the top-N cut — are bit-identical."""
+    import math
+
+    B = DSIR_BUCKETS
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok = tok.withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir~"), F.col("token"))), 1, 15), 16, 10)
+        .cast("long")
+        % B,
+    )
+    stats = {
+        r.b: (r.tc, r.sc)
+        for r in tok.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+            F.count(F.lit(1)).alias("sc"),
+        )
+        .collect()  # bounded: B rows of model stats
+    }
+    tc_tot = sum(v[0] for v in stats.values())
+    sc_tot = sum(v[1] for v in stats.values())
+    lr = [
+        round(
+            math.log((stats.get(b, (0, 0))[0] + 1.0) / (tc_tot + B))
+            - math.log((stats.get(b, (0, 0))[1] + 1.0) / (sc_tot + B)),
+            9,
+        )
+        for b in range(B)
+    ]
+    lr_lit = F.expr("array(" + ", ".join(repr(v) + "D" for v in lr) + ")")
+    per = (
+        tok.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.c.cast("double") * F.element_at(
+                    lr_lit, s.b.cast("int") + 1
+                ),
+            ).alias("fold"),
+        )
+    )
+    return (
+        per.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("_s", F.col("fold") / F.col("n_tokens"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(DSIR_TOPN)
+        .select(
+            "doc_id", "lang", "n_tokens", F.round("_s", 6).alias("score")
+        )
+    )
+
+
+# ------------------------------------- distributed BPE-merge training
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    head = f"""
+w0 AS (
+  SELECT ' ' || regexp_replace(t.word, '(.)', '\\1 ', 'g') AS ws,
+         COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents) t
+  GROUP BY t.word)"""
+    blocks = [head]
+    prev = "w0"
+    outs = []
+    for i in range(1, BPE_MERGES + 1):
+        blocks.append(f"""
+p{i} AS (
+  SELECT l[j] || ' ' || l[j + 1] AS pair, CAST(SUM(w.cnt) AS BIGINT) AS freq
+  FROM (SELECT string_split(trim(ws), ' ') AS l, cnt FROM {prev}) w,
+       unnest(range(1, len(w.l))) t(j)
+  GROUP BY pair),
+b{i} AS (SELECT pair, freq FROM p{i} ORDER BY freq DESC, pair LIMIT 1),
+w{i} AS (
+  SELECT replace(w.ws, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS ws, w.cnt
+  FROM {prev} w CROSS JOIN b{i} b)""")
+        outs.append(
+            f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, freq FROM b{i}"
+        )
+        prev = f"w{i}"
+    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register("txt_bpe_train", oracle=_bpe_oracle())
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training (the byte-pair-encoding vocab
+    induction of Sennrich et al. 2016), BPE_MERGES rounds: split the
+    corpus into whitespace words, aggregate to a WORD-FREQUENCY table
+    (the classic trainer trick — iterations then run over the
+    vocabulary, not the corpus), then per round count adjacent symbol
+    pairs weighted by word frequency, pick the global argmax (ties to
+    the lexicographically smallest pair), and merge it into one symbol
+    everywhere.
+
+    Scale: the corpus is touched ONCE (tokenize + word count, one
+    shuffle); each merge round is a pair-count shuffle over the bounded
+    vocab table plus a 1-row argmax collect (the model), and the merge
+    itself is a map-only string replace with the pair as a literal —
+    the same data-pass/model-collect discipline as kmeans/logreg.
+    Merge semantics: left-to-right non-overlapping replace on the
+    space-delimited symbol string (both engines' replace(); a shared-
+    boundary occurrence immediately after a replacement is skipped —
+    documented divergence from classic BPE's rescan, deterministic and
+    identical across engines).  Output: (step, pair, merged, freq)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            ).alias("ws"),
+            "cnt",
+        )
+    )
+    words = words.persist()
+    try:
+        merges = []
+        for step in range(1, BPE_MERGES + 1):
+            syms = F.split(F.trim("ws"), " ")
+            pairs = (
+                words.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.concat(a, F.lit(" "), b),
+                        )
+                    ).alias("pair"),
+                    "cnt",
+                )
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("freq"))
+            )
+            top = pairs.orderBy(F.desc("freq"), "pair").limit(1).collect()
+            if not top:
+                break
+            pair, freq = top[0].pair, int(top[0].freq)
+            merged = pair.replace(" ", "")
+            merges.append((step, pair, merged, freq))
+            nxt = words.select(
+                F.replace(
+                    F.col("ws"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                ).alias("ws"),
+                "cnt",
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, freq bigint"
     )
 
 

@@ -125,6 +125,39 @@ def test_semdedup_pairs_cluster_bounded(spark):
     assert semdedup_candidate_pairs(mem).count() == 0
 
 
+# ------------------------------------------------------- DSIR
+
+
+def test_dsir_prefers_target_language_docs(spark):
+    """The top-scored docs skew toward the target (en) distribution:
+    the en fraction among selected docs exceeds the corpus fraction."""
+    out = QUERIES["pipeline_dsir_sample"](spark, SF).collect()
+    assert len(out) > 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_en = docs.filter("lang = 'en'").count() / docs.count()
+    sel_en = sum(1 for r in out if r.lang == "en") / len(out)
+    assert sel_en > corpus_en
+    # scores arrive sorted descending, ties impossible at double width
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------------- BPE
+
+
+def test_bpe_merges_are_monotone_and_applied(spark):
+    """Merge frequencies never increase across steps (each merge removes
+    the argmax pair), and each merged symbol is the concatenation of its
+    pair."""
+    out = QUERIES["txt_bpe_train"](spark, SF).collect()
+    assert [r.step for r in out] == [1, 2, 3]
+    freqs = [r.freq for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in out:
+        assert r.merged == r.pair.replace(" ", "")
+        assert r.freq > 0
+
+
 # ------------------------------------------------------- SQ8 ANN
 
 
