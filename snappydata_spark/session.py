@@ -2298,6 +2298,21 @@ class SnappySession:
         suffix = f"__g{gen}" if gen else ""
         return f"snappy_managed_{self._session_id}_{cname}{suffix}"
 
+    def _bloom_opts(self, meta: TableMeta) -> dict[str, str]:
+        """KEY_COLUMNS get parquet bloom filters: the engine's
+        point-lookup / PUT-INTO probe columns (the reference's row-table
+        primary-key index analogue, StoreUtils KEY_COLUMNS) — at 100 TB
+        a keyed lookup then skips row groups whose bloom excludes the
+        key, on top of min/max stats (which don't help on
+        hash-distributed key values whose ranges overlap every row
+        group).  Applied on EVERY path that writes table data files
+        (create/insert, mutation appends, copy-on-write rewrites) so the
+        property doesn't decay with mutations."""
+        return {
+            f"parquet.bloom.filter.enabled#{c}": "true"
+            for c in meta.key_columns
+        }
+
     def _write(self, df: DataFrame, meta: TableMeta, mode: str) -> None:
         """PARTITION_BY + BUCKETS → a real bucketed catalog table
         (bucketBy on the partition keys: Catalyst then knows
@@ -2311,6 +2326,7 @@ class SnappySession:
         codec = {"lz4": "lz4", "snappy": "snappy", "none": "uncompressed"}.get(
             codec, codec
         )
+        blooms = self._bloom_opts(meta)
         if self._is_bucketed(meta):
             cur_gen = int(meta.options.get("bucket_gen", 0))
             # overwrite = generation swap (crash-atomic: saveAsTable's
@@ -2324,6 +2340,7 @@ class SnappySession:
                 df.repartition(meta.buckets, *meta.partition_by)
                 .write.format("parquet")
                 .option("compression", codec)
+                .options(**blooms)
                 .bucketBy(meta.buckets, *meta.partition_by)
                 .sortBy(*meta.partition_by)
                 .mode("overwrite" if mode == "overwrite" else mode)
@@ -2345,9 +2362,9 @@ class SnappySession:
             before = (
                 set(self._list_data_files(meta.name)) if mode == "append" else None
             )
-            df.write.mode(mode).option("compression", codec).parquet(
-                self.catalog.data_path(meta.name)
-            )
+            df.write.mode(mode).option("compression", codec).options(
+                **blooms
+            ).parquet(self.catalog.data_path(meta.name))
             after = self._list_data_files(meta.name)
             if mode == "append":
                 self._manifest_commit(
@@ -2937,7 +2954,9 @@ class SnappySession:
                 )
             schema = new_rows.schema
             tmp = self.catalog.table_path(meta.name) + "/mut-" + uuid.uuid4().hex[:8]
-            new_rows.write.mode("overwrite").parquet(tmp)
+            new_rows.write.mode("overwrite").options(
+                **self._bloom_opts(meta)
+            ).parquet(tmp)
             stamp = uuid.uuid4().hex[:8]
             added = []
             for f in os.listdir(tmp):
@@ -2969,7 +2988,9 @@ class SnappySession:
             result = self._cluster_for_index(result, cols, n_files)
         schema = result.schema
         tmp = self.catalog.table_path(meta.name) + "/rewrite-" + uuid.uuid4().hex[:8]
-        result.write.mode("overwrite").parquet(tmp)
+        result.write.mode("overwrite").options(
+            **self._bloom_opts(meta)
+        ).parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         if self._is_bucketed(meta):
             self._write(staged, meta, mode="overwrite")
