@@ -56,3 +56,102 @@ def export_shards(
         .mode("overwrite")
         .save(path)
     )
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    payload_col: str,
+    n_shards: int,
+    meta_cols: tuple[str, ...] = (),
+    ext: str = "bin",
+    seed: str = "shard~",
+) -> DataFrame:
+    """WebDataset-style tar shard export — the standard container for
+    multimodal training corpora (image/audio/video bytes + JSON
+    metadata, consumed sequentially by data loaders): each shard is one
+    tar holding `<key>.<ext>` (the binary payload column) and
+    `<key>.json` (the metadata columns) per sample, samples in the
+    deterministic md5-shuffled order of shard_assignment.
+
+    Scale design: one shuffle (groupBy shard), then EACH TASK streams
+    its own tar — samples never funnel through the driver, and tar
+    append is O(payload) sequential IO, the access pattern object
+    stores and data loaders both want.  Writes are atomic per shard
+    (tmp file + rename).  Reproducibility: fixed tar metadata
+    (mtime=0, uid/gid=0) + the deterministic order make re-exports
+    BYTE-IDENTICAL for the same (seed, keys, payloads) — so shard
+    checksums can gate pipeline re-runs.  `path` must be a filesystem
+    every executor can reach (shared fs / fuse mount at cluster scale;
+    an object-store variant would stream multipart uploads instead of
+    rename).
+
+    Returns a summary DataFrame (shard, n_samples, data_bytes,
+    tar_sha256) — the manifest a training job records."""
+    import hashlib
+    import io
+    import json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    assigned = shard_assignment(df, key_col, n_shards, seed).select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.col(payload_col).alias("__payload"),
+        *[F.col(c) for c in meta_cols],
+        "shard",
+        "shuffle_rank",
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard", "n_samples", "data_bytes", "tar_sha256"]
+            )
+        sid = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["shuffle_rank", "__key"])
+        final = os.path.join(path, f"shard-{sid:05d}.tar")
+        tmp = final + ".tmp"
+        data_bytes = 0
+        with tarfile.open(tmp, "w") as tar:
+            for row in pdf.to_dict("records"):
+                key = row["__key"]
+                payload = (
+                    bytes(row["__payload"]) if row["__payload"] is not None else b""
+                )
+                meta = {
+                    c: (None if pd.isna(row[c]) else row[c]) for c in meta_cols
+                }
+                for name, blob in (
+                    (f"{key}.{ext}", payload),
+                    (
+                        f"{key}.json",
+                        json.dumps(meta, sort_keys=True, default=str).encode(),
+                    ),
+                ):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(blob)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(blob))
+                    data_bytes += len(blob)
+        os.replace(tmp, final)  # atomic per shard
+        with open(final, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        return pd.DataFrame(
+            {
+                "shard": [sid],
+                "n_samples": [len(pdf)],
+                "data_bytes": [data_bytes],
+                "tar_sha256": [sha],
+            }
+        )
+
+    return assigned.groupBy("shard").applyInPandas(
+        write_shard,
+        "shard int, n_samples long, data_bytes long, tar_sha256 string",
+    )

@@ -1,0 +1,77 @@
+"""WebDataset tar-shard export: structure, determinism, reproducibility.
+
+The multimodal training-data handoff: binary payload + JSON metadata per
+sample, packed into per-shard tars in a deterministic shuffled order.
+"""
+
+import hashlib
+import json
+import os
+import tarfile
+import tempfile
+
+from pyspark.sql import functions as F
+
+from snappydata_spark.export import export_webdataset
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.md5(F.col("id").cast("string")), "utf-8").alias("payload"),
+        (F.col("id") % 3).alias("label"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias("source"),
+    )
+
+
+def test_webdataset_structure_and_counts(spark):
+    out = tempfile.mkdtemp(prefix="wds_")
+    summary = export_webdataset(
+        _docs(spark),
+        out,
+        key_col="doc_id",
+        payload_col="payload",
+        n_shards=4,
+        meta_cols=("label", "source"),
+        ext="txt",
+    ).collect()
+    assert sum(r.n_samples for r in summary) == 200
+    assert {r.shard for r in summary} <= set(range(4))
+    seen = 0
+    for r in summary:
+        p = os.path.join(out, f"shard-{r.shard:05d}.tar")
+        with tarfile.open(p) as tar:
+            members = tar.getmembers()
+            # two entries per sample: payload + json, adjacent
+            assert len(members) == 2 * r.n_samples
+            for i in range(0, len(members), 2):
+                base = members[i].name.rsplit(".", 1)[0]
+                assert members[i].name == f"{base}.txt"
+                assert members[i + 1].name == f"{base}.json"
+                meta = json.load(tar.extractfile(members[i + 1]))
+                assert set(meta) == {"label", "source"}
+                body = tar.extractfile(members[i]).read().decode()
+                assert body == hashlib.md5(base.encode()).hexdigest()
+                seen += 1
+        # recorded checksum matches the file on disk
+        with open(p, "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == r.tar_sha256
+    assert seen == 200
+    # no stray tmp files (atomic rename per shard)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_webdataset_reexport_is_byte_identical(spark):
+    a, b = tempfile.mkdtemp(prefix="wds_a"), tempfile.mkdtemp(prefix="wds_b")
+    df = _docs(spark, 120)
+    # different input partitioning must not change a single byte
+    kw = dict(
+        key_col="doc_id", payload_col="payload", n_shards=3, meta_cols=("label",)
+    )
+    export_webdataset(df.repartition(7), a, **kw).collect()
+    export_webdataset(df.coalesce(1), b, **kw).collect()
+    for f in sorted(os.listdir(a)):
+        with open(os.path.join(a, f), "rb") as fa, open(
+            os.path.join(b, f), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), f
