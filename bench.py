@@ -213,6 +213,7 @@ def main() -> None:
         "sim_sq8_topk",
         "pipeline_dsir_sample",
         "txt_bpe_train",
+        "ev_percentile_rollup",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -348,3 +348,95 @@ def ev_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------- mergeable percentile rollup
+
+PCT_W = 0.25  # log-domain bin width
+PCT_QS = ((50, "p50"), (95, "p95"), (99, "p99"))
+
+
+def percentile_histogram_partials(
+    ev: DataFrame, keys: tuple[str, ...], value_col: str = "value"
+) -> DataFrame:
+    """(keys..., bin, cnt) log-width histogram partials — the MERGEABLE
+    percentile state: partials from any split of the data merge by
+    summing cnt per (keys, bin), which is exactly what a streaming
+    rollup (ContinuousAggregate PUT-merge) or a partition-parallel
+    two-phase aggregate needs.  bin = floor(ln(1+max(v,0)) / PCT_W):
+    log-width bins give ~2.5% relative error at any magnitude with a
+    few hundred bins of bounded state per key."""
+    b = F.floor(
+        F.log(F.lit(1.0) + F.greatest(F.col(value_col), F.lit(0.0))) / PCT_W
+    ).cast("long")
+    return ev.groupBy(*keys, b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def percentiles_from_partials(partials: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Finalize: per key group, the q-th percentile estimate is the UPPER
+    edge exp((bin+1)*W)-1 of the first bin whose cumulative count
+    reaches ceil(q/100 * n) — deterministic (no interpolation), so the
+    estimate is reproducible bit-for-bit across engines and across any
+    partial/merge split of the input."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy("bin")
+    cum = partials.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy(*keys))
+    )
+    aggs = [F.max("n").alias("n")]
+    for q, name in PCT_QS:
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.col("n") * q / 100.0), F.col("bin")
+        )
+        aggs.append(
+            F.round(
+                F.exp((F.min(hit) + 1) * PCT_W) - 1.0, 4
+            ).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+@register(
+    "ev_percentile_rollup",
+    oracle=f"""
+WITH part AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         CAST(FLOOR(LN(1.0 + GREATEST(value, 0.0)) / {PCT_W}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY hour_start, event_type, bin),
+cum AS (
+  SELECT hour_start, event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY hour_start, event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY hour_start, event_type) AS n
+  FROM part)
+SELECT hour_start, event_type, CAST(MAX(n) AS BIGINT) AS n,
+  {", ".join(
+    f"ROUND(EXP((MIN(CASE WHEN cum >= CEIL(n * {q} / 100.0) THEN bin END) + 1)"
+    f" * {PCT_W}) - 1.0, 4) AS {name}" for q, name in PCT_QS)}
+FROM cum GROUP BY hour_start, event_type
+""",
+)
+def ev_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rollup from MERGEABLE log-histogram partials (the
+    fixed-state alternative to exact percentile_disc, which needs a full
+    sort): phase 1 folds events to (hour, type, bin) counts — partial
+    state is a few hundred rows per key, merges by addition, so the same
+    partials serve a streaming ContinuousAggregate PUT-merge or any
+    partition split; phase 2 walks the cumulative histogram to the
+    p50/p95/p99 bin edges.  ~2.5% relative error by construction
+    (PCT_W=0.25 log bins), deterministic output (upper bin edge, no
+    interpolation).  At 100 TB: one partial-aggregated shuffle bounded
+    by |keys|·|bins| — never a per-key sort of raw values.  A pytest
+    asserts partial-merge equality (full data vs merged disjoint-half
+    partials)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    keyed = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+        "value",
+    )
+    partials = percentile_histogram_partials(
+        keyed, ("hour_start", "event_type")
+    )
+    return percentiles_from_partials(partials, ("hour_start", "event_type"))

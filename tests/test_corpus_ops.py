@@ -172,3 +172,44 @@ def test_sq8_topk_reranks_exactly(spark):
         assert abs(r.cos - r.approx_cos) < 0.05
     # query vector itself excluded
     assert all(r.vec_id != 0 for r in out)
+
+
+# --------------------------------------------- percentile rollup
+
+
+def test_percentile_partials_merge_equals_full(spark):
+    """The histogram partials are truly mergeable: computing partials on
+    two disjoint halves and summing them yields bit-identical
+    percentiles to the single-pass computation."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators.events import (
+        percentile_histogram_partials,
+        percentiles_from_partials,
+    )
+    from snappydata_spark.tables import load_tables
+
+    ev = load_tables(spark, SF, ("events",))["events"].select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    keys = ("hour_start", "event_type")
+    full = percentiles_from_partials(
+        percentile_histogram_partials(ev, keys), keys
+    )
+    h1 = percentile_histogram_partials(ev.filter("event_id % 2 = 0"), keys)
+    h2 = percentile_histogram_partials(ev.filter("event_id % 2 = 1"), keys)
+    merged_hist = (
+        h1.unionByName(h2)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = percentiles_from_partials(merged_hist, keys)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # monotone: p50 <= p95 <= p99 everywhere
+    for r in full.collect():
+        assert r.p50 <= r.p95 <= r.p99
