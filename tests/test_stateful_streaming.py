@@ -533,3 +533,64 @@ def test_stream_static_enrichment_join(snappy, stream_dir):
     }
     assert got == {"gold": 17.0, "silver": 5.0}
     snappy.drop_table("enrich_dim")
+
+
+def test_streaming_percentile_rollup_matches_batch(snappy, stream_dir):
+    """The mergeable percentile histogram (operators/events.py) running
+    through the streaming ContinuousAggregate: bin counts PUT-merge
+    across micro-batches, and finalizing percentiles from the rollup
+    table equals the single-pass batch computation over the same data —
+    the partials really are state, not an approximation of one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators.events import (
+        PCT_W,
+        percentile_histogram_partials,
+        percentiles_from_partials,
+    )
+    from snappydata_spark.streaming.rollup import ContinuousAggregate
+
+    rows0 = [
+        {"ts": "2024-01-01T00:%02d:00Z" % (i % 60), "et": "click", "v": float(i)}
+        for i in range(40)
+    ]
+    rows1 = [
+        {"ts": "2024-01-01T00:%02d:30Z" % (i % 60), "et": "click", "v": float(i * 7 % 100)}
+        for i in range(40)
+    ] + [{"ts": "2024-01-01T01:05:00Z", "et": "view", "v": 3.0}]
+    _write_batch(stream_dir, "b0.json", rows0, mtime=1_000_000)
+    _write_batch(stream_dir, "b1.json", rows1, mtime=1_000_100)
+
+    stream = stream_reader(
+        snappy.spark, "file_stream", schema="ts timestamp, et string, v double",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    ).withColumn(
+        "bin",
+        F.floor(F.log(F.lit(1.0) + F.greatest("v", F.lit(0.0))) / PCT_W).cast(
+            "long"
+        ),
+    )
+    ca = ContinuousAggregate(
+        snappy, "ca_pct", ts_col="ts", bucket="1 hour", keys=["et", "bin"]
+    )
+    q = stream.writeStream.foreachBatch(ca).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    stored = snappy.table("ca_pct").select(
+        F.col("bucket_start").alias("hour_start"), "et", "bin", "cnt"
+    )
+    streamed = percentiles_from_partials(stored, ("hour_start", "et"))
+
+    batch = snappy.spark.read.schema("ts timestamp, et string, v double").json(
+        stream_dir
+    ).select(F.date_trunc("hour", "ts").alias("hour_start"), "et", "v")
+    direct = percentiles_from_partials(
+        percentile_histogram_partials(batch, ("hour_start", "et"), value_col="v"),
+        ("hour_start", "et"),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    snappy.drop_table("ca_pct")
