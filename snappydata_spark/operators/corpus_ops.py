@@ -124,21 +124,41 @@ def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = g.join(dup_grams, "gram").select(
         "doc_id", "len", "s", (F.col("s") + L).alias("e")
     )
-    w = W.partitionBy("doc_id").orderBy("s")
-    prev_max_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    m = d.withColumn(
-        "ni",
-        F.when(F.col("s") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn("island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0)))
-    spans = m.groupBy("doc_id", "island").agg(
-        F.min("len").alias("len"), F.min("s").alias("st"), F.max("e").alias("en")
-    )
+    spans = merge_intervals(d, group_cols=("doc_id",), carry_cols=("len",))
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("en") - F.col("st")).alias("dup_chars"),
         F.round(
             F.sum(F.col("en") - F.col("st")).cast("double") / F.min("len"), 4
         ).alias("dup_frac"),
+    )
+
+
+def merge_intervals(
+    d: DataFrame,
+    group_cols: tuple[str, ...],
+    s_col: str = "s",
+    e_col: str = "e",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Classic interval merge per group via a running-max window: a row
+    opens a new island iff its start exceeds the max end seen so far
+    (half-open [s, e) intervals — touching intervals merge).  Returns
+    one row per merged island: (group_cols..., carry_cols... (min),
+    island, st, en).  One shuffle on the group key; window state is one
+    running max — linear in rows per group."""
+    w = W.partitionBy(*group_cols).orderBy(s_col, e_col)
+    prev_max_end = F.max(e_col).over(w.rowsBetween(W.unboundedPreceding, -1))
+    m = d.withColumn(
+        "ni",
+        F.when(
+            F.col(s_col) > F.coalesce(prev_max_end, F.lit(None)), 1
+        ).otherwise(F.when(prev_max_end.isNull(), 1).otherwise(0)),
+    ).withColumn("island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return m.groupBy(*group_cols, "island").agg(
+        *[F.min(c).alias(c) for c in carry_cols],
+        F.min(s_col).alias("st"),
+        F.max(e_col).alias("en"),
     )
 
 

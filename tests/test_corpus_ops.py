@@ -213,3 +213,102 @@ def test_percentile_partials_merge_equals_full(spark):
     # monotone: p50 <= p95 <= p99 everywhere
     for r in full.collect():
         assert r.p50 <= r.p95 <= r.p99
+
+
+# ------------------------------------------- property: interval merge
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _merge_ref(intervals):
+    """Pure-Python reference: sort, sweep, merge touching/overlapping
+    half-open intervals."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=200),
+                st.integers(min_value=1, max_value=60),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_merge_intervals_matches_reference(spark, groups):
+    from snappydata_spark.operators.corpus_ops import merge_intervals
+
+    rows = [
+        (gid, s, s + ln) for gid, ivs in groups.items() for s, ln in ivs
+    ]
+    df = spark.createDataFrame(rows, "gid long, s long, e long")
+    got = {}
+    for r in merge_intervals(df, group_cols=("gid",)).collect():
+        got.setdefault(r.gid, []).append((r.st, r.en))
+    for gid, ivs in groups.items():
+        expect = _merge_ref([(s, s + ln) for s, ln in ivs])
+        assert sorted(got[gid]) == expect, gid
+
+
+# --------------------------------- property: percentile error bound
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_percentile_rollup_error_bound(spark, values):
+    """The bin-edge estimate is always an OVERestimate of the exact
+    percentile, within one log bin: 1+exact <= 1+est <= (1+exact)*e^W."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators.events import (
+        PCT_W,
+        PCT_QS,
+        percentile_histogram_partials,
+        percentiles_from_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "value double"
+    ).withColumn("g", F.lit(1))
+    out = percentiles_from_partials(
+        percentile_histogram_partials(df, ("g",)), ("g",)
+    ).collect()[0]
+    n = len(values)
+    sv = sorted(values)
+    for q, name in PCT_QS:
+        exact = sv[max(0, math.ceil(n * q / 100.0) - 1)]
+        est = getattr(out, name)
+        assert 1 + est >= (1 + exact) * (1 - 1e-9)
+        assert 1 + est <= (1 + exact) * math.exp(PCT_W) * (1 + 1e-6)
