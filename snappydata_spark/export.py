@@ -155,3 +155,61 @@ def export_webdataset(
         write_shard,
         "shard int, n_samples long, data_bytes long, tar_sha256 string",
     )
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    ext: str = "bin",
+) -> DataFrame:
+    """Read WebDataset tar shards (export_webdataset's layout, or any
+    webdataset-style tar with `<key>.<ext>` + `<key>.json` members)
+    back into a DataFrame of (shard, key, payload, meta_json) — the
+    re-import half of the multimodal round trip (reshard, filter, or
+    join corpus metadata back onto sample bytes).
+
+    Scale: Spark's binaryFile source assigns each tar to one task
+    (shards are the parallelism unit, as in data loaders); the tar is
+    parsed from bytes with the stdlib reader inside mapInPandas, so
+    samples stream out as Arrow batches without driver involvement.
+    Shards larger than a task's memory should use smaller n_shards at
+    export time (the standard WebDataset practice)."""
+    import io
+    import os as _os
+    import re
+    import tarfile
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        _os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                m = re.search(r"shard-(\d+)\.tar$", row["path"])
+                sid = int(m.group(1)) if m else -1
+                out = {"shard": [], "key": [], "payload": [], "meta_json": []}
+                with tarfile.open(fileobj=io.BytesIO(row["content"])) as tar:
+                    samples: dict[str, dict] = {}
+                    order: list[str] = []
+                    for mem in tar.getmembers():
+                        base, suffix = mem.name.rsplit(".", 1)
+                        if base not in samples:
+                            samples[base] = {}
+                            order.append(base)
+                        samples[base][suffix] = tar.extractfile(mem).read()
+                    for base in order:
+                        s = samples[base]
+                        out["shard"].append(sid)
+                        out["key"].append(base)
+                        out["payload"].append(s.get(ext, b""))
+                        out["meta_json"].append(
+                            s.get("json", b"{}").decode("utf-8")
+                        )
+                yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        parse, "shard int, key string, payload binary, meta_json string"
+    )

