@@ -950,3 +950,171 @@ def ds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q38/Q87 shape: INTERSECT of per-channel customer sets.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_intersect_channel_customers",
+    oracle="""
+WITH ret AS (
+  SELECT DISTINCT o.o_custkey FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R' AND l.l_quantity >= 30),
+sal AS (
+  SELECT DISTINCT o.o_custkey FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag <> 'R' AND l.l_quantity >= 30),
+both_ch AS (SELECT o_custkey FROM ret INTERSECT SELECT o_custkey FROM sal)
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM both_ch b JOIN customer c ON c.c_custkey = b.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def ds_intersect_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: customers present in BOTH channels (returns
+    fact INTERSECT sales fact, high-quantity lines only), rolled up per
+    nation.  INTERSECT plans as a distinct + left-semi pair; both inputs
+    are already distinct projections of the same join, so the set op
+    shuffles only (custkey) — the dimension joins broadcast."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer", "nation"))
+    base = _oi(t).filter(F.col("l_quantity") >= 30)
+    ret = base.filter(F.col("l_returnflag") == "R").select("o_custkey").distinct()
+    sal = base.filter(F.col("l_returnflag") != "R").select("o_custkey").distinct()
+    both = ret.intersect(sal)
+    return (
+        both.join(
+            F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 shape: ROLLUP with share-of-parent via NULL-level self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_rollup_share_of_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS y,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY ROLLUP(n.n_name, EXTRACT(YEAR FROM o.o_orderdate)))
+SELECT d.n_name, CAST(d.y AS BIGINT) AS y, d.qty,
+       ROUND(d.qty::DOUBLE / p.qty, 6) AS share_of_nation
+FROM rev d JOIN rev p
+  ON d.n_name = p.n_name AND p.y IS NULL AND d.y IS NOT NULL
+WHERE d.n_name IS NOT NULL
+""",
+)
+def ds_rollup_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: ROLLUP(nation, year) with each leaf row's share
+    of its parent level, computed by self-joining the rollup on the
+    NULL-marked parent rows (portable across engines without GROUPING_ID
+    semantics differences).  Shares are ratios of exact integer quantity
+    sums — order-independent, so ROUND(.,6) hashes identically.  The
+    rollup is one pass (Spark expands grouping sets map-side); the
+    parent join is |nations|-sized and broadcasts."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer", "nation"))
+    rev = (
+        _oi(t)
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("y"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .rollup("n_name", "y")
+        .agg(F.sum("q").alias("qty"))
+    )
+    d = rev.filter(F.col("n_name").isNotNull() & F.col("y").isNotNull()).select(
+        "n_name", F.col("y").cast("long").alias("y"), "qty"
+    )
+    p = rev.filter(F.col("n_name").isNotNull() & F.col("y").isNull()).select(
+        F.col("n_name").alias("p_name"), F.col("qty").alias("p_qty")
+    )
+    return d.join(F.broadcast(p), F.col("n_name") == F.col("p_name")).select(
+        "n_name",
+        "y",
+        "qty",
+        F.round(F.col("qty").cast("double") / F.col("p_qty"), 6).alias(
+            "share_of_nation"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# "Mover" shape: customers with strictly increasing consecutive quarters.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_consecutive_growth_customers",
+    oracle="""
+WITH q AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 4
+              + (EXTRACT(MONTH FROM o_orderdate) - 1) // 3 AS BIGINT) AS idx,
+         COUNT(*) AS c
+  FROM orders GROUP BY o_custkey, idx),
+w AS (
+  SELECT o_custkey, idx, c,
+         LAG(idx, 1) OVER (PARTITION BY o_custkey ORDER BY idx) AS i1,
+         LAG(c, 1)  OVER (PARTITION BY o_custkey ORDER BY idx) AS c1,
+         LAG(idx, 2) OVER (PARTITION BY o_custkey ORDER BY idx) AS i2,
+         LAG(c, 2)  OVER (PARTITION BY o_custkey ORDER BY idx) AS c2
+  FROM q)
+SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM w
+WHERE i1 = idx - 1 AND i2 = idx - 2 AND c > c1 AND c1 > c2
+GROUP BY o_custkey
+""",
+)
+def ds_consecutive_growth_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS 'mover' shape: customers whose per-quarter order count
+    strictly grew across 3 CONSECUTIVE quarters (gaps disqualify — the
+    lag row must be exactly the previous quarter index), with the number
+    of such streaks per customer.  One shuffle for the (customer,
+    quarter) aggregate; the lag window rides the same key.  All
+    comparisons are exact integer counts — no float in the filter."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    q = (
+        t["orders"]
+        .groupBy(
+            "o_custkey",
+            (
+                F.year("o_orderdate") * 4
+                + F.floor((F.month("o_orderdate") - 1) / 3)
+            )
+            .cast("long")
+            .alias("idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("idx")
+    lagged = q.select(
+        "o_custkey",
+        "idx",
+        "c",
+        F.lag("idx", 1).over(w).alias("i1"),
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("idx", 2).over(w).alias("i2"),
+        F.lag("c", 2).over(w).alias("c2"),
+    )
+    return (
+        lagged.filter(
+            (F.col("i1") == F.col("idx") - 1)
+            & (F.col("i2") == F.col("idx") - 2)
+            & (F.col("c") > F.col("c1"))
+            & (F.col("c1") > F.col("c2"))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_streaks"))
+    )
