@@ -214,6 +214,7 @@ def main() -> None:
         "pipeline_dsir_sample",
         "txt_bpe_train",
         "ev_percentile_rollup",
+        "pipeline_end_to_end",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

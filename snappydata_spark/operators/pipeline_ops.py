@@ -93,7 +93,9 @@ def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("token_count")
     )
-    n_parts = max(docs.rdd.getNumPartitions(), 8)
+    # not docs.rdd.getNumPartitions(): under AQE, .rdd executes the
+    # upstream plan just to expose the partition count
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     ranged = (
         docs.repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -755,4 +757,170 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_f.join(top_t, ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(F.count("hit").alias("n_overlap"))
+    )
+
+
+_E2E_SQL = """
+WITH m AS (
+  SELECT doc_id, source, text,
+         len({_TOKS})::BIGINT AS tc,
+         list_aggregate([length(x) for x in {_TOKS}], 'sum')::DOUBLE
+             / len({_TOKS}) AS atl,
+         len([x for x in {_TOKS}
+              if x in ('the', 'a', 'and', 'of', 'to', 'in')])::DOUBLE
+             / len({_TOKS}) AS swr
+  FROM documents),
+q AS (
+  SELECT doc_id, source, text, tc,
+         0.4 * least(1.0, tc / 50.0) + 0.3 * (1.0 - swr)
+             + 0.3 * least(1.0, atl / 6.0) AS q
+  FROM m),
+f AS (
+  SELECT doc_id, source, tc, q, md5({_NORM}) AS fp,
+         ('0x' || substr(md5('split~' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 100 < 90 AS is_train
+  FROM q),
+k AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+    FROM f WHERE q >= 0.55)
+  WHERE doc_id = keeper),
+vg AS (
+  SELECT DISTINCT unnest([array_to_string(t[i:i+12], ' ')
+                          for i in generate_series(1, len(t)-12)]) AS ng
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) d
+  JOIN f USING (doc_id)
+  WHERE NOT f.is_train AND len(d.t) >= 13),
+tg AS (
+  SELECT d.doc_id, unnest([array_to_string(d.t[i:i+12], ' ')
+                           for i in generate_series(1, len(d.t)-12)]) AS ng
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) d
+  JOIN k ON d.doc_id = k.doc_id
+  WHERE k.is_train AND len(d.t) >= 13),
+c AS (SELECT DISTINCT tg.doc_id FROM tg JOIN vg USING (ng)),
+s AS (
+  SELECT k.doc_id, k.source, k.tc, k.q FROM k
+  WHERE k.is_train AND k.doc_id NOT IN (SELECT doc_id FROM c)),
+p AS (
+  SELECT doc_id, source, tc, q,
+         SUM(tc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s)
+SELECT ('0x' || substr(md5('shard~' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 8 AS shard,
+       COUNT(*) AS n_docs,
+       SUM(tc)::BIGINT AS total_tokens,
+       CAST(SUM((cum - 1) // {B} - (cum - tc) // {B} + 1) AS BIGINT)
+           AS pack_slots,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM p GROUP BY shard
+""".replace("{_TOKS}", _TOKS).replace("{_NORM}", _DUCK_NORM).replace(
+    "{B}", str(PACK_BUDGET)
+)
+
+
+@register("pipeline_end_to_end", oracle=_E2E_SQL)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRAND composed pipeline — every stage a real corpus run
+    chains, in one hash-checked dataflow: quality filter → exact dedup
+    (keep lowest doc_id per fingerprint) → train/val split →
+    decontamination (drop train docs sharing a 13-gram with the RAW val
+    split) → concat-and-chunk sequence packing (two-phase distributed
+    prefix sum) → deterministic shard assignment → per-shard corpus
+    stats.
+
+    Scale shape per stage: the scalar frame (id, source, tc, q, fp)
+    rides every shuffle — TEXT and n-grams never do.  N-grams are
+    exploded twice map-side (val side → distinct eval set; kept-train
+    side → semi-join against it) exactly like txt_decontaminate; the
+    dedup window shuffles the fingerprint; the prefix sum collects one
+    row per partition; shard stats are one partial-agg shuffle.  The
+    composed oracle reproduces every stage in CTEs, so a drift anywhere
+    in the chain flips the hash."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    is_train = T.hash32(F.col("doc_id").cast("string"), "split~") % 100 < 90
+    scal = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("tc"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        is_train.alias("is_train"),
+    )
+    kept = (
+        scal.filter(F.col("q") >= 0.55)
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    ev = (
+        docs.filter(~is_train)
+        .select(F.explode(T.shingles(F.col("text"), 13)).alias("ng"))
+        .distinct()
+    )
+    kept_train_ids = kept.filter("is_train").select("doc_id")
+    contaminated = (
+        docs.join(kept_train_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(T.shingles(F.col("text"), 13)).alias("ng"))
+        .join(ev, "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    surv = kept.filter("is_train").join(contaminated, "doc_id", "left_anti")
+
+    # two-phase distributed prefix sum (txt_pack_sequences discipline):
+    # per-partition window cumsum + broadcast partition offsets.
+    # NOTE: not surv.rdd.getNumPartitions() — under AQE, .rdd executes
+    # the whole upstream chain just to read the partition count (a
+    # measured 30 s of redundant work at sf0.1 on this composed plan)
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        surv.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("tc").alias("s")).collect()
+    run, offs = 0, []
+    for r in sorted(psums, key=lambda r: r.pid):
+        offs.append((r.pid, run))
+        run += r.s
+    if not offs:
+        offs = [(0, 0)]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = F.lit(PACK_BUDGET).cast("long")
+    p = (
+        ranged.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "source",
+            "tc",
+            "q",
+            (F.sum("tc").over(w) + F.col("off")).alias("cum"),
+        )
+    )
+    return (
+        p.select(
+            (T.hash32(F.col("doc_id").cast("string"), "shard~") % 8).alias(
+                "shard"
+            ),
+            "tc",
+            "q",
+            (
+                F.floor((F.col("cum") - 1) / b)
+                - F.floor((F.col("cum") - F.col("tc")) / b)
+                + 1
+            ).alias("slots"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.sum("slots").cast("long").alias("pack_slots"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
     )
