@@ -215,6 +215,7 @@ def main() -> None:
         "txt_bpe_train",
         "ev_percentile_rollup",
         "pipeline_end_to_end",
+        "txt_substring_dedup_clean",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -69,6 +69,33 @@ SELECT doc_id, COUNT(*) AS n_dup_spans,
 FROM sp GROUP BY doc_id"""
 
 
+def sampled_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, len, s, gram) at content-defined positions.  Position
+    selection + gram extraction run INSIDE array lambdas on each
+    document row, so only the ~1/16 selected (pos, gram) structs are
+    ever exploded — exploding every position first and filtering after
+    materialized the full text per position row (1.4x slower measured;
+    the remaining cost is the n_chars md5(anchor) calls, which a
+    production variant would replace with a rolling hash)."""
+    L, A = GRAM_LEN, ANCHOR_LEN
+    sel = (
+        f"transform(filter(sequence(1, greatest(length(text) - {L} + 1, 0)),"
+        f" s -> substring(md5(substring(text, s, {A})), 1, 1) = '{ANCHOR_SEL}'),"
+        f" s -> struct(s, substring(text, s, {L}) AS gram))"
+    )
+    return (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.length("text").alias("len"),
+            F.explode(F.expr(sel)).alias("sg"),
+        )
+        .select(
+            "doc_id", "len", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram")
+        )
+    )
+
+
 @register("txt_substring_dedup", oracle=_substring_dedup_oracle())
 def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (the ExactSubstr discipline of
@@ -93,28 +120,9 @@ def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge windows per doc_id — state bounded by doc length.
     At 100 TB you'd group on xxhash64(gram) to shrink the shuffle key;
     the raw string is kept here for an exact cross-engine oracle."""
-    L, A = GRAM_LEN, ANCHOR_LEN
+    L = GRAM_LEN
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    # position selection + gram extraction run INSIDE array lambdas on
-    # each document row, so only the ~1/16 selected (pos, gram) structs
-    # are ever exploded — exploding every position first and filtering
-    # after materialized the full text per position row (1.4x slower
-    # measured; the remaining cost is the n_chars md5(anchor) calls,
-    # which a production variant would replace with a rolling hash)
-    sel = (
-        f"transform(filter(sequence(1, greatest(length(text) - {L} + 1, 0)),"
-        f" s -> substring(md5(substring(text, s, {A})), 1, 1) = '{ANCHOR_SEL}'),"
-        f" s -> struct(s, substring(text, s, {L}) AS gram))"
-    )
-    g = (
-        docs.filter(F.length("text") >= L)
-        .select(
-            "doc_id",
-            F.length("text").alias("len"),
-            F.explode(F.expr(sel)).alias("sg"),
-        )
-        .select("doc_id", "len", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram"))
-    )
+    g = sampled_grams(docs)
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -159,6 +167,145 @@ def merge_intervals(
         *[F.min(c).alias(c) for c in carry_cols],
         F.min(s_col).alias("st"),
         F.max(e_col).alias("en"),
+    )
+
+
+def _substring_clean_oracle() -> str:
+    L, A = GRAM_LEN, ANCHOR_LEN
+    return f"""
+WITH g AS (
+  SELECT doc_id, t.s AS s, substr(text, t.s, {L}) AS gram, length(text) AS len
+  FROM documents, LATERAL (
+    SELECT unnest(range(1, length(text) - {L} + 2)) AS s) t
+  WHERE length(text) >= {L}
+    AND substr(md5(substr(text, t.s, {A})), 1, 1) = '{ANCHOR_SEL}'
+),
+own AS (
+  SELECT gram, MIN(doc_id) AS owner FROM g
+  GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+rem AS (
+  SELECT g.doc_id, g.len, g.s, g.s + {L} AS e
+  FROM g JOIN own USING (gram) WHERE g.doc_id <> own.owner),
+mm AS (
+  SELECT doc_id, s, e, len,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM rem),
+ii AS (SELECT doc_id, len, s, e,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS island
+       FROM mm),
+m AS (SELECT doc_id, MIN(len) AS len, island,
+             MIN(s) AS st, MAX(e) AS en
+      FROM ii GROUP BY doc_id, island),
+gaps_a AS (
+  SELECT doc_id,
+         COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+         st AS ge
+  FROM m),
+gaps_b AS (
+  SELECT doc_id, MAX(en) AS gs, MIN(len) + 1 AS ge FROM m GROUP BY doc_id),
+pieces AS (
+  SELECT * FROM gaps_a WHERE ge > gs
+  UNION ALL SELECT * FROM gaps_b WHERE ge > gs),
+cleaned AS (
+  SELECT p.doc_id,
+         string_agg(substr(d.text, p.gs, p.ge - p.gs), '' ORDER BY p.gs) AS ct
+  FROM pieces p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id),
+stats AS (SELECT doc_id, SUM(en - st) AS rc FROM m GROUP BY doc_id)
+SELECT d.source,
+       COUNT(*) AS n_docs_affected,
+       CAST(SUM(s.rc) AS BIGINT) AS chars_removed,
+       CAST(SUM(('0x' || substr(md5(COALESCE(c.ct, '')), 1, 8))::BIGINT)
+            AS BIGINT) AS cleaned_sig
+FROM stats s
+LEFT JOIN cleaned c ON c.doc_id = s.doc_id
+JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source"""
+
+
+@register("txt_substring_dedup_clean", oracle=_substring_clean_oracle())
+def txt_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2021): every
+    duplicated span is CUT from every document except the owner (lowest
+    doc_id holding the gram), and the surviving text is reconstructed
+    from the complement intervals.  Output: per-source affected-doc
+    counts, removed chars, and an order-independent signature of the
+    cleaned texts (sum of md5-derived 32-bit hashes) — so the oracle
+    hash-checks the RECONSTRUCTED BYTES, not just counts.
+
+    Scale: inherits the detection shape (one shuffle on the gram, no
+    pair generation; the owner is a min aggregate on the same key).
+    Removal intervals merge per doc (running-max window), complements
+    come from a lag window on the merged spans, and reconstruction is
+    one join back to the text + a per-doc sorted-struct fold — every
+    stage keyed on doc_id, text crossing the wire exactly once."""
+    L = GRAM_LEN
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = sampled_grams(docs)
+    own = (
+        g.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("df") > 1)
+        .select("gram", "owner")
+    )
+    rem = (
+        g.join(own, "gram")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "len", "s", (F.col("s") + L).alias("e"))
+    )
+    m = merge_intervals(rem, group_cols=("doc_id",), carry_cols=("len",))
+    w = W.partitionBy("doc_id").orderBy("st")
+    gaps_a = m.select(
+        "doc_id",
+        F.coalesce(F.lag("en").over(w), F.lit(1)).alias("gs"),
+        F.col("st").alias("ge"),
+    )
+    gaps_b = m.groupBy("doc_id").agg(
+        F.max("en").alias("gs"), (F.min("len") + 1).alias("ge")
+    )
+    pieces = gaps_a.filter("ge > gs").unionByName(gaps_b.filter("ge > gs"))
+    cleaned = (
+        pieces.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "gs",
+            F.col("text").substr(F.col("gs"), F.col("ge") - F.col("gs")).alias(
+                "piece"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gs", "piece"))),
+                    lambda x: x.piece,
+                ),
+            ).alias("ct")
+        )
+    )
+    stats = m.groupBy("doc_id").agg(
+        F.sum(F.col("en") - F.col("st")).alias("rc")
+    )
+    sig = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("ct"), F.lit(""))), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        stats.join(cleaned, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_affected"),
+            F.sum("rc").cast("long").alias("chars_removed"),
+            F.sum(sig).cast("long").alias("cleaned_sig"),
+        )
     )
 
 

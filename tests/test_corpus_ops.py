@@ -312,3 +312,31 @@ def test_percentile_rollup_error_bound(spark, values):
         est = getattr(out, name)
         assert 1 + est >= (1 + exact) * (1 - 1e-9)
         assert 1 + est <= (1 + exact) * math.exp(PCT_W) * (1 + 1e-6)
+
+
+# ------------------------------------------- substring removal
+
+
+def test_substring_clean_removes_only_non_owner_copies(spark):
+    """The owner (lowest doc_id) keeps its copy; every other doc loses
+    the span; untouched docs don't appear in the stats."""
+    import snappydata_spark.operators.corpus_ops as C
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="xx " + shared + " owner tail"),
+            Row(doc_id=2, source="a", text="yyyy " + shared + " copy tail"),
+            Row(doc_id=3, source="b", text="completely unrelated text " + "z" * 60),
+        ]
+    )
+    orig = C.load_tables
+    try:
+        C.load_tables = lambda s, d, n: {"documents": docs}
+        out = {r.source: r for r in C.txt_substring_dedup_clean(spark, "x").collect()}
+    finally:
+        C.load_tables = orig
+    # only source 'a' is affected, and only ONE doc in it (the non-owner)
+    assert set(out) == {"a"}
+    assert out["a"].n_docs_affected == 1
+    assert out["a"].chars_removed >= len(shared) // 2
