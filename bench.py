@@ -216,6 +216,7 @@ def main() -> None:
         "ev_percentile_rollup",
         "pipeline_end_to_end",
         "txt_substring_dedup_clean",
+        "sim_ivf_sq8_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -666,16 +666,19 @@ def _sq8_expr_sql() -> tuple[str, str]:
     return mn, mx
 
 
+def _sq8_deq_sql(vec: str) -> str:
+    """Dequantized value per element of `vec` against the stats CTE `s`:
+    q = clamp(floor((v - mn)/(mx - mn) * 255)), deq = mn + q/255*(mx-mn)."""
+    return f"""[ CASE WHEN s.mx[i] = s.mn[i] THEN s.mn[i]
+         ELSE s.mn[i] + GREATEST(0, LEAST(255,
+                FLOOR(({vec}[i]::DOUBLE - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255)))
+              / 255.0 * (s.mx[i] - s.mn[i]) END
+       for i in range(1, len({vec}) + 1) ]"""
+
+
 def _sq8_oracle() -> str:
     mn, mx = _sq8_expr_sql()
-    # dequantized value for element i of vector v given stats lists:
-    #   q = clamp(floor((v - mn)/(mx - mn) * 255)), deq = mn + q/255*(mx-mn)
-    def deq(vec: str) -> str:
-        return f"""[ CASE WHEN s.mx[i] = s.mn[i] THEN s.mn[i]
-             ELSE s.mn[i] + GREATEST(0, LEAST(255,
-                    FLOOR(({vec}[i]::DOUBLE - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255)))
-                  / 255.0 * (s.mx[i] - s.mn[i]) END
-           for i in range(1, len({vec}) + 1) ]"""
+    deq = _sq8_deq_sql
 
     from snappydata_spark.operators.dedup_ops import _cos_sql
 
@@ -700,21 +703,11 @@ ORDER BY {_cos_sql('c.embedding', 'q.qe')} DESC, c.vec_id
 LIMIT {SQ_TOPK}"""
 
 
-@register("sim_sq8_topk", oracle=_sq8_oracle())
-def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantization ANN: compress each dim to int8 against
-    per-dim corpus [min, max] (the standard SQ8 codec of FAISS/
-    Milvus), search by cosine in the DEQUANTIZED domain, keep SQ_CAND
-    approximate candidates, rerank them with exact full-precision
-    cosine, return the top SQ_TOPK.
-
-    Scale: the stats pass is one posexplode agg collecting d rows (the
-    model, like the kmeans centroids); the search scan reads int8-width
-    data (4x less bandwidth than float32 — the reason this codec exists)
-    and the exact rerank touches only SQ_CAND rows.  Quantization error
-    never affects correctness of the rerank set hash because both
-    engines quantize with the identical clamp/floor arithmetic."""
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+def sq8_stats_literals(emb: DataFrame):
+    """(mn_lit, mx_lit): per-dim [min, max] codec stats collected as the
+    model (d rows) and re-entered as double-array literals — repr()
+    round-trips the exact doubles, so both engines quantize against
+    bit-identical bounds."""
     stats = (
         emb.select(F.posexplode("embedding").alias("pos", "v"))
         .groupBy("pos")
@@ -733,32 +726,52 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx_lit = F.expr(
         "array(" + ", ".join(repr(mx[i]) + "D" for i in range(dims)) + ")"
     )
+    return mn_lit, mx_lit
 
-    def dequant(vec):
-        """elementwise: mn + clamp(floor((v-mn)/(mx-mn)*255))/255*(mx-mn)"""
-        dv = F.transform(vec, lambda x: x.cast("double"))
-        return F.zip_with(
-            F.zip_with(dv, mn_lit, lambda v, lo: F.struct(v.alias("v"), lo.alias("lo"))),
-            mx_lit,
-            lambda s, hi: F.when(hi == s.lo, s.lo).otherwise(
-                s.lo
-                + F.greatest(
-                    F.lit(0.0),
-                    F.least(
-                        F.lit(255.0),
-                        F.floor((s.v - s.lo) / (hi - s.lo) * 255).cast("double"),
-                    ),
-                )
-                / 255.0
-                * (hi - s.lo)
-            ),
-        )
 
+def sq8_dequant(vec, mn_lit, mx_lit):
+    """elementwise: mn + clamp(floor((v-mn)/(mx-mn)*255))/255*(mx-mn)"""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    return F.zip_with(
+        F.zip_with(dv, mn_lit, lambda v, lo: F.struct(v.alias("v"), lo.alias("lo"))),
+        mx_lit,
+        lambda s, hi: F.when(hi == s.lo, s.lo).otherwise(
+            s.lo
+            + F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(255.0),
+                    F.floor((s.v - s.lo) / (hi - s.lo) * 255).cast("double"),
+                ),
+            )
+            / 255.0
+            * (hi - s.lo)
+        ),
+    )
+
+
+@register("sim_sq8_topk", oracle=_sq8_oracle())
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN: compress each dim to int8 against
+    per-dim corpus [min, max] (the standard SQ8 codec of FAISS/
+    Milvus), search by cosine in the DEQUANTIZED domain, keep SQ_CAND
+    approximate candidates, rerank them with exact full-precision
+    cosine, return the top SQ_TOPK.
+
+    Scale: the stats pass is one posexplode agg collecting d rows (the
+    model, like the kmeans centroids); the search scan reads int8-width
+    data (4x less bandwidth than float32 — the reason this codec exists)
+    and the exact rerank touches only SQ_CAND rows.  Quantization error
+    never affects correctness of the rerank set hash because both
+    engines quantize with the identical clamp/floor arithmetic."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    mn_lit, mx_lit = sq8_stats_literals(emb)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
     base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
-    de, dq = dequant(F.col("embedding")), dequant(F.col("qe"))
+    de = sq8_dequant(F.col("embedding"), mn_lit, mx_lit)
+    dq = sq8_dequant(F.col("qe"), mn_lit, mx_lit)
     approx = base.select(
         "vec_id",
         "embedding",
@@ -766,6 +779,118 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (V.dot(de, dq) / (V.norm(de) * V.norm(dq))).alias("acos"),
     )
     cand = approx.orderBy(F.desc("acos"), "vec_id").limit(SQ_CAND)
+    return (
+        cand.select(
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+            F.round(F.col("acos"), 4).alias("approx_cos"),
+            V.cosine(F.col("embedding"), F.col("qe")).alias("_exact"),
+        )
+        .orderBy(F.desc("_exact"), "vec_id")
+        .limit(SQ_TOPK)
+        .drop("_exact")
+    )
+
+
+# ----------------------------------------- IVF-SQ8 composed index
+
+IVFSQ_NPROBE = 4
+
+
+def _ivf_sq8_oracle() -> str:
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+    from snappydata_spark.operators.ml_ops import _kmeans_cte_blocks
+
+    blocks, prev = _kmeans_cte_blocks()
+    mn, mx = _sq8_expr_sql()
+    deq = _sq8_deq_sql
+    search = f"""
+s AS (SELECT {mn} AS mn, {mx} AS mx),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cc AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS cc
+       FROM embeddings e, {prev} c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM cc) WHERE rn = 1),
+probe AS (SELECT cid AS cell FROM
+    (SELECT c.cid, {_cos_sql('c.ce', 'q.qe')} AS qc FROM {prev} c, q)
+    ORDER BY qc DESC, cid LIMIT {IVFSQ_NPROBE}),
+dq AS (
+  SELECT e.vec_id, e.embedding,
+         {deq('e.embedding')} AS de, {deq('q.qe')} AS dqv
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe p ON p.cell = a.cell
+  CROSS JOIN q CROSS JOIN s
+  WHERE e.vec_id <> 0),
+approx AS (
+  SELECT vec_id, embedding, {_cos_sql('de', 'dqv')} AS acos FROM dq),
+cand AS (
+  SELECT vec_id, embedding, acos FROM approx
+  ORDER BY acos DESC, vec_id LIMIT {SQ_CAND})
+SELECT c.vec_id,
+       ROUND({_cos_sql('c.embedding', 'q.qe')}, 4) AS cos,
+       ROUND(c.acos, 4) AS approx_cos
+FROM cand c CROSS JOIN q
+ORDER BY {_cos_sql('c.embedding', 'q.qe')} DESC, c.vec_id
+LIMIT {SQ_TOPK}"""
+    return "WITH " + ",".join(blocks) + "," + search
+
+
+@register("sim_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production vector index composition (FAISS's IVF-SQ8): TRAIN
+    a k-means coarse quantizer → ASSIGN every vector to its cell
+    (vectorized numpy path) → at query time probe the IVFSQ_NPROBE
+    nearest cells and scan ONLY those — in the int8-DEQUANTIZED domain
+    (4x less bandwidth) — then exact-rerank the SQ_CAND survivors.
+
+    Scale: the two prunes COMPOSE — IVF cuts the scan to ~nprobe/C of
+    the corpus, SQ8 cuts the bytes per scanned vector by 4x; model
+    state (centroids + d codec stats) is collected once and re-enters
+    as literals/closures.  Every stage (training iterations, cell
+    assignment, probe list, quantized scores, final ranks) is
+    reproduced by the composed CTE oracle."""
+    from snappydata_spark import ann
+    from snappydata_spark.operators.ml_ops import kmeans_train
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids, _ = kmeans_train(emb)
+    cent = spark.createDataFrame(
+        sorted((int(cid), ce) for cid, ce in centroids.items()),
+        "cid long, ce array<double>",
+    )
+    assign = ann.ivf_assign_vectorized(emb, ann.collect_centroids(cent))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    probe = (
+        cent.join(F.broadcast(query))
+        .select("cid", V.cosine(F.col("ce"), F.col("qe")).alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("cid"))
+        .limit(IVFSQ_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    mn_lit, mx_lit = sq8_stats_literals(emb)
+    base = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .crossJoin(F.broadcast(query))
+    )
+    de = sq8_dequant(F.col("embedding"), mn_lit, mx_lit)
+    dq = sq8_dequant(F.col("qe"), mn_lit, mx_lit)
+    cand = (
+        base.select(
+            "vec_id",
+            "embedding",
+            "qe",
+            (V.dot(de, dq) / (V.norm(de) * V.norm(dq))).alias("acos"),
+        )
+        .orderBy(F.desc("acos"), "vec_id")
+        .limit(SQ_CAND)
+    )
     return (
         cand.select(
             "vec_id",
