@@ -594,3 +594,60 @@ def test_streaming_percentile_rollup_matches_batch(snappy, stream_dir):
         map(tuple, direct.collect())
     )
     snappy.drop_table("ca_pct")
+
+
+def test_streaming_ann_index_maintenance(snappy, stream_dir):
+    """Incremental vector-index maintenance: vectors arriving on a
+    stream are cell-assigned (IVF coarse quantizer) per micro-batch and
+    PUT into a keyed managed index table — re-delivered vectors upsert
+    instead of duplicate, and the final index equals the batch
+    assignment over all data."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from snappydata_spark import ann
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+
+    def vec(i):
+        base = [0.05, 0.05, 0.05, 0.05]
+        base[i % 3] = 1.0
+        return [v + (i % 7) * 0.01 for v in base]
+
+    rows0 = [{"vec_id": i, "embedding": vec(i)} for i in range(30)]
+    # batch 1 re-delivers 5 vectors (same ids) plus 20 new ones
+    rows1 = [{"vec_id": i, "embedding": vec(i)} for i in range(25, 50)]
+    _write_batch(stream_dir, "b0.json", rows0, mtime=1_000_000)
+    _write_batch(stream_dir, "b1.json", rows1, mtime=1_000_100)
+
+    snappy.create_table(
+        "ann_index",
+        schema="vec_id long, cell long",
+        options={"key_columns": "vec_id"},
+    )
+
+    def maintain(batch, batch_id):
+        assigned = ann.ivf_assign_vectorized(batch, cents)
+        snappy.put("ann_index", assigned)
+
+    stream = stream_reader(
+        snappy.spark, "file_stream",
+        schema="vec_id long, embedding array<double>",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    )
+    q = stream.writeStream.foreachBatch(maintain).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.vec_id: r.cell for r in snappy.table("ann_index").collect()}
+    assert len(got) == 50  # re-delivered ids upserted, not duplicated
+    full = snappy.spark.read.schema("vec_id long, embedding array<double>").json(
+        stream_dir
+    )
+    expect = {
+        r.vec_id: r.cell
+        for r in ann.ivf_assign_vectorized(full, cents).collect()
+    }
+    assert got == expect
+    snappy.drop_table("ann_index")
