@@ -217,6 +217,7 @@ def main() -> None:
         "pipeline_end_to_end",
         "txt_substring_dedup_clean",
         "sim_ivf_sq8_topk",
+        "emb_logreg_eval",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

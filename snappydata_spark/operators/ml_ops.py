@@ -447,10 +447,10 @@ LR_RATE = 0.5
 LR_DIMS = 8  # first 8 embedding dims as features
 
 
-def _logreg_oracle() -> str:
-    """Unrolled full-batch gradient-descent oracle: features exploded by
-    position, each step = z/p per vector -> gradient sums -> weight
-    update, expressed as chained CTEs.  j=0 is the bias (x_0 = 1)."""
+def _logreg_cte_blocks() -> tuple[list[str], str]:
+    """The unrolled gradient-descent CTE blocks and the final weight CTE
+    name — shared by the train oracle and the composed train→eval
+    oracle (the kmeans-blocks pattern above)."""
     head = f"""
 x AS (
   SELECT vec_id, CAST(label = 0 AS DOUBLE) AS y,
@@ -486,11 +486,20 @@ zf AS (
   SELECT xp.vec_id, MIN(xp.y) AS y,
          1.0 / (1.0 + EXP(-SUM({prev}.val * xp.xv))) AS p
   FROM xp JOIN {prev} ON xp.j = {prev}.j GROUP BY xp.vec_id
-),
+)""")
+    return blocks, prev
+
+
+def _logreg_oracle() -> str:
+    """Unrolled full-batch gradient-descent oracle: features exploded by
+    position, each step = z/p per vector -> gradient sums -> weight
+    update, expressed as chained CTEs.  j=0 is the bias (x_0 = 1)."""
+    blocks, prev = _logreg_cte_blocks()
+    blocks = blocks + [f"""
 loss AS (
   SELECT -SUM(y * LN(p) + (1 - y) * LN(1 - p)) / (SELECT n FROM nn) AS l
   FROM zf
-)""")
+)"""]
     return (
         "WITH " + ",".join(blocks) + f"""
 SELECT {prev}.j AS j, ROUND({prev}.val, 6) AS weight,
@@ -513,26 +522,39 @@ def emb_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical math as chained CTEs, so weights
     AND final log-loss are hash-checked across engines."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    base = t["embeddings"].select(
+    w, loss = logreg_fit(t["embeddings"], with_loss=True)
+    rows = [(j, round(w[j], 6), loss) for j in range(LR_DIMS + 1)]
+    return spark.createDataFrame(rows, "j long, weight double, final_loss double")
+
+
+def _logreg_base(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
         *[
             F.element_at(F.col("embedding"), j).cast("double").alias(f"x{j}")
             for j in range(1, LR_DIMS + 1)
         ],
     )
-    base = base.persist()
+
+
+def _logreg_z(w: list[float]):
+    z = F.lit(w[0])
+    for j in range(1, LR_DIMS + 1):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    return z
+
+
+def logreg_fit(emb: DataFrame, with_loss: bool = False):
+    """Full-batch GD fit; returns (weights, final_loss | None).  One
+    distributed pass per step (model as literals, d+1-cell aggregate);
+    only the model returns to the driver."""
+    base = _logreg_base(emb).persist()
     try:
         n = base.count()
         w = [0.0] * (LR_DIMS + 1)  # w[0] = bias
-
-        def z_col():
-            z = F.lit(w[0])
-            for j in range(1, LR_DIMS + 1):
-                z = z + F.lit(w[j]) * F.col(f"x{j}")
-            return z
-
         for _ in range(LR_STEPS):
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
             err = p - F.col("y")
             sums = base.agg(
                 F.sum(err).alias("g0"),
@@ -545,17 +567,64 @@ def emb_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w[j] - LR_RATE * float(sums[f"g{j}"]) / n
                 for j in range(LR_DIMS + 1)
             ]
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
-        loss_row = base.agg(
-            (
-                -F.sum(
-                    F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p)
-                )
-                / n
-            ).alias("l")
-        ).collect()[0]
+        loss = None
+        if with_loss:
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+            loss_row = base.agg(
+                (
+                    -F.sum(
+                        F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p)
+                    )
+                    / n
+                ).alias("l")
+            ).collect()[0]
+            loss = round(float(loss_row["l"]), 6)
     finally:
         base.unpersist()
-    loss = round(float(loss_row["l"]), 6)
-    rows = [(j, round(w[j], 6), loss) for j in range(LR_DIMS + 1)]
-    return spark.createDataFrame(rows, "j long, weight double, final_loss double")
+    return w, loss
+
+
+def _logreg_eval_oracle() -> str:
+    blocks, prev = _logreg_cte_blocks()
+    return (
+        "WITH " + ",".join(blocks) + """
+SELECT CAST(SUM(CASE WHEN ROUND(p, 6) >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN ROUND(p, 6) >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN ROUND(p, 6) < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN ROUND(p, 6) < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       ROUND(SUM(CASE WHEN (ROUND(p, 6) >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+             ::DOUBLE / COUNT(*), 4) AS accuracy
+FROM zf"""
+    )
+
+
+@register("emb_logreg_eval", oracle=_logreg_eval_oracle())
+def emb_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→infer→evaluate in one dataflow: fit the logistic model
+    (logreg_fit — model-sized collects only), score every vector with
+    the trained weights as a literal expression (map-only pass), and
+    report the confusion matrix + accuracy of the 0.5-threshold
+    classifier against the cluster-0 label.  The composed oracle
+    re-derives the weights with the shared unrolled-GD CTE blocks, so
+    training AND inference are hash-checked together.  Probabilities
+    round to 6 before thresholding on both engines (the sigmoid's last
+    ulp differs with summation order; the rounded compare is exact)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    w, _ = logreg_fit(t["embeddings"])
+    base = _logreg_base(t["embeddings"])
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w))), 6
+    )
+    pred = (p >= 0.5).cast("int")
+    y = F.col("y").cast("int")
+    return base.select(pred.alias("pred"), y.alias("yy")).agg(
+        F.sum(((F.col("pred") == 1) & (F.col("yy") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("yy") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("yy") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("pred") == 0) & (F.col("yy") == 1)).cast("long")).alias("fn"),
+        F.round(
+            F.sum((F.col("pred") == F.col("yy")).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )
