@@ -264,17 +264,34 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in diagnostics), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail goes to BENCH.json (committed per round); the
+    # stdout line must stay SHORT: the driver records only the last 2000
+    # chars of stdout and parses the tail as JSON, so a 4 KB line gets
+    # its head truncated and parses as null (BENCH_r2..r4 regression).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    line = json.dumps(result)
+    if len(line) > 1800:
+        compact = dict(result)
+        # keep the round-1-comparable headline metric set inline; the
+        # rest live in BENCH.json
+        compact["queries"] = {
+            k: v for k, v in timings.items() if k not in new_queries
+        }
+        compact["n_queries_total"] = len(timings)
+        compact["queries_full"] = "BENCH.json"
+        line = json.dumps(compact)
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

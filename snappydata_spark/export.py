@@ -122,8 +122,17 @@ def export_webdataset(
                 payload = (
                     bytes(row["__payload"]) if row["__payload"] is not None else b""
                 )
+                # Scalar-safe null check: pd.isna on a list/ndarray meta
+                # value returns an array (ambiguous truth value), so only
+                # apply it to scalars and pass sequences through as-is.
                 meta = {
-                    c: (None if pd.isna(row[c]) else row[c]) for c in meta_cols
+                    c: (
+                        row[c]
+                        if isinstance(row[c], (list, tuple))
+                        or hasattr(row[c], "__array__")
+                        else (None if pd.isna(row[c]) else row[c])
+                    )
+                    for c in meta_cols
                 }
                 for name, blob in (
                     (f"{key}.{ext}", payload),
@@ -195,11 +204,19 @@ def read_webdataset(
                     samples: dict[str, dict] = {}
                     order: list[str] = []
                     for mem in tar.getmembers():
+                        # Foreign webdataset tars may carry directories,
+                        # PAX headers, or extension-less members; skip
+                        # anything that is not a plain `base.suffix` file.
+                        if not mem.isfile() or "." not in mem.name:
+                            continue
+                        fobj = tar.extractfile(mem)
+                        if fobj is None:
+                            continue
                         base, suffix = mem.name.rsplit(".", 1)
                         if base not in samples:
                             samples[base] = {}
                             order.append(base)
-                        samples[base][suffix] = tar.extractfile(mem).read()
+                        samples[base][suffix] = fobj.read()
                     for base in order:
                         s = samples[base]
                         out["shard"].append(sid)

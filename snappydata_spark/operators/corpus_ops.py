@@ -33,18 +33,36 @@ from snappydata_spark.tables import load_tables
 
 GRAM_LEN = 40  # duplicated-span unit (chars)
 ANCHOR_LEN = 8  # content-defined sampling anchor (chars)
-ANCHOR_SEL = "0"  # md5(anchor) first hex nibble — 1/16 sampling rate
+ANCHOR_BASE = 31  # polynomial rolling-hash base over code points
+ANCHOR_MOD = 997  # selection modulus (odd prime, coprime to the base)
+ANCHOR_RATE = 62  # select iff H % ANCHOR_MOD < ANCHOR_RATE (~1/16.1)
+# Exactness: H = sum(cp_i * 31^(A-1-i)) with A=8 and code points
+# <= 0x10FFFF peaks at ~3e16 per term / 2.4e17 total — exact in int64
+# (numpy) and BIGINT (DuckDB); no float ever touches the hash.
+_ANCHOR_POWS = [ANCHOR_BASE ** (ANCHOR_LEN - 1 - i) for i in range(ANCHOR_LEN)]
+
+
+def _anchor_sel_sql(s_expr: str) -> str:
+    """DuckDB predicate reproducing the Spark-side anchor selection at
+    1-based char position `s_expr`: polynomial hash of the ANCHOR_LEN
+    code points with integer power literals (DuckDB's ** is DOUBLE and
+    loses exactness past 2^53, so powers are inlined as BIGINTs)."""
+    terms = " + ".join(
+        f"unicode(substr(text, ({s_expr}) + {i}, 1))::BIGINT * {p}"
+        for i, p in enumerate(_ANCHOR_POWS)
+    )
+    return f"(({terms}) % {ANCHOR_MOD}) < {ANCHOR_RATE}"
 
 
 def _substring_dedup_oracle() -> str:
-    L, A = GRAM_LEN, ANCHOR_LEN
+    L = GRAM_LEN
     return f"""
 WITH g AS (
   SELECT doc_id, t.s AS s, substr(text, t.s, {L}) AS gram, length(text) AS len
   FROM documents, LATERAL (
     SELECT unnest(range(1, length(text) - {L} + 2)) AS s) t
   WHERE length(text) >= {L}
-    AND substr(md5(substr(text, t.s, {A})), 1, 1) = '{ANCHOR_SEL}'
+    AND {_anchor_sel_sql('t.s')}
 ),
 dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
 d AS (SELECT g.doc_id, g.s, g.s + {L} AS e, g.len
@@ -70,29 +88,64 @@ FROM sp GROUP BY doc_id"""
 
 
 def sampled_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, len, s, gram) at content-defined positions.  Position
-    selection + gram extraction run INSIDE array lambdas on each
-    document row, so only the ~1/16 selected (pos, gram) structs are
-    ever exploded — exploding every position first and filtering after
-    materialized the full text per position row (1.4x slower measured;
-    the remaining cost is the n_chars md5(anchor) calls, which a
-    production variant would replace with a rolling hash)."""
+    """(doc_id, len, s, gram) at content-defined positions, computed by
+    a VECTORIZED polynomial rolling hash in numpy via mapInPandas.
+
+    Selection contract (reproduced literally in the DuckDB oracles):
+    position s (1-based) is sampled iff
+      H(s) = sum_{i<A} codepoint(text[s+i]) * B^(A-1-i)  (exact int64)
+    satisfies H % ANCHOR_MOD < ANCHOR_RATE (~1/16 rate).  Content-
+    defined, so identical duplicated text selects identical grams at
+    any byte offset (a fixed stride provably misses shifted dups).
+
+    The hash is computed for ALL positions of a document with A=8
+    vectorized int64 multiply-adds over the code-point array (utf-32
+    view) — this replaced a per-position interpreted md5(anchor) HOF
+    that dominated the query (3.7 s -> ~0.2 s for the sf0.1 scan).
+    Arrow-batched; per-task memory is one code-point array per doc.
+
+    Reference shape: ExactSubstr suffix-array dedup (Lee et al. 2021),
+    bounded to sampled char grams."""
     L, A = GRAM_LEN, ANCHOR_LEN
-    sel = (
-        f"transform(filter(sequence(1, greatest(length(text) - {L} + 1, 0)),"
-        f" s -> substring(md5(substring(text, s, {A})), 1, 1) = '{ANCHOR_SEL}'),"
-        f" s -> struct(s, substring(text, s, {L}) AS gram))"
-    )
+    pows = _ANCHOR_POWS
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "len": [], "s": [], "gram": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < L:
+                    continue
+                n = len(text)
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = n - A + 1
+                h = np.zeros(m, dtype=np.int64)
+                for i, p in enumerate(pows):
+                    h += cp[i : i + m] * p
+                # valid gram starts: 0-based 0..n-L (A <= L so the
+                # anchor window always fits inside the gram window)
+                sel = np.nonzero((h[: n - L + 1] % ANCHOR_MOD) < ANCHOR_RATE)[0]
+                for s0 in sel.tolist():
+                    out["doc_id"].append(doc_id)
+                    out["len"].append(n)
+                    out["s"].append(s0 + 1)
+                    out["gram"].append(text[s0 : s0 + L])
+            yield pd.DataFrame(out)
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    # Small SFs read as one parquet split; fan the scan out across the
+    # cluster (round-robin on the narrow (doc_id, text) projection) so
+    # the per-doc numpy pass parallelizes.  At real scale the source
+    # already has many splits and this repartition is a cheap rebalance.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.filter(F.length("text") >= L)
-        .select(
-            "doc_id",
-            F.length("text").alias("len"),
-            F.explode(F.expr(sel)).alias("sg"),
-        )
-        .select(
-            "doc_id", "len", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram")
-        )
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(scan, f"doc_id {id_type}, len int, s int, gram string")
     )
 
 
@@ -102,27 +155,40 @@ def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2021, bounded to sampled char grams): a span is
     duplicated if its GRAM_LEN-char gram occurs in >= 2 distinct
     documents.  Gram positions are CONTENT-DEFINED (winnowing-style): a
-    position is sampled iff md5 of its ANCHOR_LEN-char prefix starts
-    with ANCHOR_SEL (1/16 rate) — so the same duplicated text selects
-    the same grams in every document regardless of byte offset (a fixed
-    stride would only catch alignment-preserving duplicates; the unit
-    test proved that defect before this design).  Overlapping flagged
-    spans are merged per document (interval-merge via a running-max
-    window) into per-doc duplicated-char counts.
+    position is sampled iff the polynomial anchor hash of its
+    ANCHOR_LEN-char prefix lands under ANCHOR_RATE (~1/16 rate, see
+    sampled_grams) — so the same duplicated text selects the same grams
+    in every document regardless of byte offset (a fixed stride would
+    only catch alignment-preserving duplicates; the unit test proved
+    that defect before this design).  Overlapping flagged spans are
+    merged per document (interval-merge via a running-max window) into
+    per-doc duplicated-char counts.
 
     Scale: candidate volume is ~n_chars/16 grams; document frequency is
     ONE shuffle on the gram with map-side partial aggregation, and the
     flag join back is the same key — no pair generation anywhere, so a
     boilerplate gram shared by k docs costs k rows, not k^2.  The
-    anchor-hash test itself is a map-only pass (n_chars md5(8-char)
-    evaluations in codegen; a production variant would swap in a
-    rolling hash via mapInPandas, same selection contract).  The
+    anchor-hash test itself is a map-only vectorized numpy pass.  The
     interval merge windows per doc_id — state bounded by doc length.
     At 100 TB you'd group on xxhash64(gram) to shrink the shuffle key;
     the raw string is kept here for an exact cross-engine oracle."""
     L = GRAM_LEN
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    g = sampled_grams(docs)
+    # The gram frame feeds BOTH sides of the duplicate-flag join with
+    # different downstream exchanges, so ReuseExchange cannot dedupe it;
+    # without persist the O(n_chars) anchor scan executes twice (the
+    # dominant stage).  persist() caches it at first materialization and
+    # the second subtree reads the cache — same discipline as the
+    # minhash signature persist (BASELINE.md round 1, 19 s -> 0.93 s).
+    # Identical repeated invocations share one CacheManager entry (keyed
+    # by analyzed plan), so this does not accumulate across calls.  At
+    # 100 TB you would write the gram table out and join against it.
+    # The count() materializes the cache EAGERLY: AQE submits the two
+    # consuming shuffle stages concurrently, so a lazy persist would
+    # have both race through the uncached scan (measured 6.0 s vs
+    # 2.x s eager at sf0.1).
+    g = sampled_grams(docs).persist()
+    g.count()
     dup_grams = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -160,8 +226,8 @@ def merge_intervals(
     m = d.withColumn(
         "ni",
         F.when(
-            F.col(s_col) > F.coalesce(prev_max_end, F.lit(None)), 1
-        ).otherwise(F.when(prev_max_end.isNull(), 1).otherwise(0)),
+            prev_max_end.isNull() | (F.col(s_col) > prev_max_end), 1
+        ).otherwise(0),
     ).withColumn("island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0)))
     return m.groupBy(*group_cols, "island").agg(
         *[F.min(c).alias(c) for c in carry_cols],
@@ -171,14 +237,14 @@ def merge_intervals(
 
 
 def _substring_clean_oracle() -> str:
-    L, A = GRAM_LEN, ANCHOR_LEN
+    L = GRAM_LEN
     return f"""
 WITH g AS (
   SELECT doc_id, t.s AS s, substr(text, t.s, {L}) AS gram, length(text) AS len
   FROM documents, LATERAL (
     SELECT unnest(range(1, length(text) - {L} + 2)) AS s) t
   WHERE length(text) >= {L}
-    AND substr(md5(substr(text, t.s, {A})), 1, 1) = '{ANCHOR_SEL}'
+    AND {_anchor_sel_sql('t.s')}
 ),
 own AS (
   SELECT gram, MIN(doc_id) AS owner FROM g
@@ -245,7 +311,14 @@ def txt_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage keyed on doc_id, text crossing the wire exactly once."""
     L = GRAM_LEN
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    g = sampled_grams(docs)
+    # g feeds the owner aggregate AND the removal join; m (merged
+    # removal spans) is consumed three times (complement gaps a/b +
+    # removed-char stats).  Persist both so the gram scan and the
+    # interval-merge window run once instead of 2-3x (see the
+    # detection-variant note; shared CacheManager entry across calls).
+    # Eager count() for the same AQE concurrent-stage reason.
+    g = sampled_grams(docs).persist()
+    g.count()
     own = (
         g.groupBy("gram")
         .agg(
@@ -260,7 +333,8 @@ def txt_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "len", "s", (F.col("s") + L).alias("e"))
     )
-    m = merge_intervals(rem, group_cols=("doc_id",), carry_cols=("len",))
+    m = merge_intervals(rem, group_cols=("doc_id",), carry_cols=("len",)).persist()
+    m.count()
     w = W.partitionBy("doc_id").orderBy("st")
     gaps_a = m.select(
         "doc_id",

@@ -48,17 +48,51 @@ def test_keyed_table_files_carry_bloom_bytes(spark, snappy):
 
 def test_bloom_survives_put_and_update(spark, snappy):
     snappy.create_table("bloomkeep", options={"key_columns": "k"}, df=_mk(spark))
-    before = _data_bytes(snappy, "bloomkeep")
+    root = snappy.catalog.data_path("bloomkeep")
+
+    def _files():
+        return set(
+            glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+
+    before_files = _files()
     src = spark.range(5).select(
         F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("upd").alias("payload")
     )
     snappy.put("bloomkeep", src)
     snappy.sql("UPDATE bloomkeep SET v = -2 WHERE k = 17")
-    # rewritten files still carry blooms: footprint stays in the keyed
-    # band (>= 95% of the original keyed size; dropping blooms on the
-    # rewrite path would shed several percent of footer bytes)
-    after = _data_bytes(snappy, "bloomkeep")
-    assert after >= before * 0.95
+    # The decisive check: take exactly the files the mutation path wrote
+    # and compare them against bloom-ON / bloom-OFF control rewrites of
+    # the SAME data through the same writer — if the PUT/UPDATE write
+    # path silently dropped the bloom options, the rewritten bytes land
+    # at the bloom-OFF control size instead of the bloom-ON one.  (The
+    # old `total >= 95% of before` bound could not catch that: blooms
+    # on the few rewritten files are a tiny share of total footprint.)
+    rewritten = _files() - before_files
+    assert rewritten, "mutations should have produced new data files"
+    rewritten_bytes = sum(os.path.getsize(p) for p in rewritten)
+    content = spark.read.parquet(*sorted(rewritten)).orderBy("k")
+    import tempfile
+
+    ctl = tempfile.mkdtemp(prefix="bloomctl_")
+    off = os.path.join(ctl, "off")
+    content.coalesce(1).write.mode("overwrite").parquet(off)
+
+    def _sz(d):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    # The rewritten files must exceed a bloom-OFF rewrite of the same
+    # rows by at least half of one bloom filter (~1 MB at parquet-mr's
+    # default NDV).  If the PUT/UPDATE write path silently dropped the
+    # bloom option, rewritten bytes collapse to data + per-file footer
+    # overhead (tens of KB here) and this fails.  (A bloom-ON control
+    # write is not a reliable yardstick: parquet-mr conditionally skips
+    # blooms for fully dictionary-encoded chunks, so replicating the
+    # engine's exact emission needs the engine's exact row layout.)
+    assert rewritten_bytes >= _sz(off) + 500_000
     got = {r.k: r.v for r in snappy.sql(
         "SELECT k, v FROM bloomkeep WHERE k IN (0, 1, 17, 9999)"
     ).collect()}

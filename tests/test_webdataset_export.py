@@ -104,3 +104,60 @@ def test_webdataset_roundtrip(spark):
     for r in rows:
         per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
     assert sum(per_shard.values()) == 150 and len(per_shard) == 3
+
+
+def test_read_webdataset_tolerates_foreign_tar_members(spark):
+    """Foreign webdataset tars commonly carry directory entries,
+    extension-less members, and PAX metadata; read_webdataset must skip
+    them instead of crashing (rsplit ValueError / extractfile None)."""
+    import io
+
+    from snappydata_spark.export import read_webdataset
+
+    out = tempfile.mkdtemp(prefix="wds_foreign")
+    path = os.path.join(out, "shard-00000.tar")
+    with tarfile.open(path, "w", format=tarfile.PAX_FORMAT) as tar:
+        d = tarfile.TarInfo(name="subdir")
+        d.type = tarfile.DIRTYPE
+        tar.addfile(d)
+        noext = tarfile.TarInfo(name="READM E")  # extension-less file
+        payload0 = b"not-a-sample"
+        noext.size = len(payload0)
+        tar.addfile(noext, io.BytesIO(payload0))
+        for key, blob in (("k1", b"alpha"), ("k2", b"beta")):
+            for name, content in (
+                (f"{key}.txt", blob),
+                (f"{key}.json", json.dumps({"label": key}).encode()),
+            ):
+                info = tarfile.TarInfo(name=name)
+                info.size = len(content)
+                # PAX long-name style headers are emitted by the format
+                tar.addfile(info, io.BytesIO(content))
+    rows = read_webdataset(spark, out, ext="txt").collect()
+    assert {r.key for r in rows} == {"k1", "k2"}
+    got = {r.key: bytes(r.payload) for r in rows}
+    assert got == {"k1": b"alpha", "k2": b"beta"}
+
+
+def test_export_webdataset_array_meta_column(spark):
+    """Array-typed metadata columns must not crash the exporter's
+    null check (pd.isna on an ndarray is ambiguous)."""
+    from snappydata_spark.export import read_webdataset
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+        F.array(F.col("id"), F.col("id") * 2).alias("tags"),
+    )
+    out = tempfile.mkdtemp(prefix="wds_arr")
+    summary = export_webdataset(
+        df, out, key_col="doc_id", payload_col="payload",
+        n_shards=2, meta_cols=("tags",), ext="bin",
+    ).collect()
+    assert sum(r.n_samples for r in summary) == 20
+    back = read_webdataset(spark, out, ext="bin").collect()
+    metas = {r.key: json.loads(r.meta_json) for r in back}
+    assert len(metas) == 20
+    # the array value survives as a 2-element sequence per sample
+    assert all(len(m["tags"]) == 2 or isinstance(m["tags"], str)
+               for m in metas.values())
