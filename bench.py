@@ -218,6 +218,8 @@ def main() -> None:
         "txt_substring_dedup_clean",
         "sim_ivf_sq8_topk",
         "emb_logreg_eval",
+        # round-5 additions
+        "sim_ivf_sq8_index_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -151,7 +151,8 @@ _CREATE_SAMPLE = re.compile(
     re.I | re.S,
 )
 _CREATE_INDEX = re.compile(
-    r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\((.*?)\)",
+    r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)"
+    r"\s*\((.*?)\)(?:\s+USING\s+(\w+))?\s*;?\s*$",
     re.I | re.S,
 )
 _DROP_INDEX = re.compile(r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I)
@@ -861,7 +862,11 @@ def split_statement(text: str) -> Statement:
     if m:
         return Statement(
             "create_index", table=m.group(2),
-            options={"index": m.group(1), "columns": m.group(3)},
+            options={
+                "index": m.group(1),
+                "columns": m.group(3),
+                "using": (m.group(4) or "").lower(),
+            },
         )
     m = _DROP_INDEX.match(text)
     if m:

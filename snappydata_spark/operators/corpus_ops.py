@@ -976,3 +976,64 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SQ_TOPK)
         .drop("_exact")
     )
+
+
+# ------------------------------------ materialized IVF-SQ8 index
+
+_ANN_SESSIONS: dict[str, object] = {}
+
+
+def _ann_index_session(spark: SparkSession, sf_dir: str):
+    """Build-once/query-many: a per-(process, sf_dir) SnappySession whose
+    store holds the managed embeddings copy + its materialized ivf_sq8
+    index.  First call trains and materializes (CREATE INDEX ... USING
+    ivf_sq8); every later call — and every later QUERY — reuses the
+    stored model and index table with zero training jobs (the
+    build-once contract of the reference's CREATE INDEX,
+    SnappyDDLParser.scala:519, IndexColumnFormatRelation)."""
+    key = sf_dir.rstrip("/")
+    sn = _ANN_SESSIONS.get(key)
+    if sn is not None:
+        return sn
+    import tempfile
+
+    from snappydata_spark import SnappySession
+
+    sn = SnappySession(
+        spark, store_dir=tempfile.mkdtemp(prefix="ann_index_store_")
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sn.create_table("emb_base", options={"key_columns": "vec_id"}, df=emb)
+    sn.sql("CREATE INDEX emb_ivf ON emb_base(embedding) USING ivf_sq8")
+    _ANN_SESSIONS[key] = sn
+    return sn
+
+
+@register("sim_ivf_sq8_index_topk", oracle=_ivf_sq8_oracle())
+def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index twin of sim_ivf_sq8_topk: identical
+    semantics and oracle, but the coarse quantizer, codec stats, and
+    per-vector (cell, int8 code) rows come from the PERSISTED index
+    built once per session (index_ann.py) instead of being retrained
+    per query.  The query path is: probe nprobe cells against the
+    stored centroids → scan only those cells' STORED codes (file-pruned
+    by the cell-range clustering) → exact rerank against the base
+    table.  Exactness: stored code == clamp(floor(...)) of the build,
+    so dequantized scores are bit-identical to the composed path and
+    the same DuckDB CTE oracle validates both."""
+    from snappydata_spark import index_ann
+
+    sn = _ann_index_session(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    return index_ann.search_ivf_sq8(
+        sn,
+        "emb_ivf",
+        query,
+        topk=SQ_TOPK,
+        cand=SQ_CAND,
+        nprobe=IVFSQ_NPROBE,
+        exclude_ids=[0],
+    )

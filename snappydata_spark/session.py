@@ -120,9 +120,28 @@ def _serialized(fn):
                     "(the reference rejects DDL with autocommit off)"
                 )
         with self._table_lock(name):
-            return fn(self, name, *args, **kwargs)
+            result = fn(self, name, *args, **kwargs)
+            # maintain materialized ANN indexes on the mutated table with
+            # the stored model — assignment + encoding only, never a
+            # training job (IndexColumnFormatRelation's index-updated-on-
+            # mutation contract).  put/insert narrow the refresh to the
+            # source rows; other mutations re-derive + prune stale keys.
+            if fn.__name__ in _ANN_MAINTAINED and getattr(
+                self, "_ann_indexes", None
+            ):
+                src = (
+                    args[0]
+                    if fn.__name__ in ("put", "insert") and args
+                    else kwargs.get("df")
+                )
+                self._ann_maintain(name, source=src)
+            return result
 
     return wrapper
+
+
+_ANN_MAINTAINED = {"put", "insert", "update", "delete", "delete_from",
+                   "truncate_table"}
 
 
 def get_spark(
@@ -180,6 +199,10 @@ class SnappySession:
         # row-group min/max stats + key-clustered layout provide the
         # skipping; the registry records intent and drives sort-on-write.
         self._indexes: dict[str, tuple[str, list[str]]] = {}
+        # materialized ANN indexes (CREATE INDEX ... USING ivf_sq8):
+        # name → model + index-table meta (index_ann.py; the reference's
+        # index-as-column-table, IndexColumnFormatRelation)
+        self._ann_indexes: dict[str, dict] = {}
         # row-level security: policy name → (table, filter SQL, user)
         # (createPolicy SnappyDDLParser:392-418; filter injected at read
         # like the RowLevelSecurity rule, SnappySessionState.scala:422)
@@ -468,6 +491,7 @@ class SnappySession:
             self._indexes = {
                 k: (v[0], list(v[1])) for k, v in data.get("indexes", {}).items()
             }
+            self._ann_indexes = dict(data.get("ann_indexes", {}))
             self._policies = {
                 k: tuple(v) for k, v in data.get("policies", {}).items()
             }
@@ -491,6 +515,7 @@ class SnappySession:
             json.dump(
                 {
                     "indexes": self._indexes,
+                    "ann_indexes": self._ann_indexes,
                     "policies": self._policies,
                     "grants": {k: sorted(v) for k, v in self._grants.items()},
                     "rls": sorted(self._rls),
@@ -1287,6 +1312,12 @@ class SnappySession:
         if stmt.kind == "create_index":
             return self._create_index(stmt.table, stmt.options)
         if stmt.kind == "drop_index":
+            ann_info = self._ann_indexes.pop(stmt.options["index"].lower(), None)
+            if ann_info is not None:
+                self._indexes.pop(f"{stmt.options['index'].lower()}__cell", None)
+                self.drop_table(ann_info["index_table"])
+                self._save_registry()
+                return None
             self._indexes.pop(stmt.options["index"].lower(), None)
             self._save_registry()
             return None
@@ -2203,6 +2234,15 @@ class SnappySession:
         still serves metadata queries."""
         cols = [c.strip().lower() for c in options["columns"].split(",")]
         name = self._canon(table)
+        if options.get("using") == "ivf_sq8":
+            # materialized vector index (index_ann.py): model trained
+            # once, codes stored in a managed keyed table
+            from snappydata_spark import index_ann
+
+            if len(cols) != 1:
+                raise ValueError("USING ivf_sq8 indexes exactly one vector column")
+            index_ann.build_ivf_sq8(self, options["index"], name, cols[0])
+            return None
         self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
         if self.catalog.exists(name):
@@ -2273,6 +2313,18 @@ class SnappySession:
 
     def list_indexes(self) -> dict:
         return dict(self._indexes)
+
+    def _ann_maintain(self, name: str, source: DataFrame | None = None) -> None:
+        """Refresh every ANN index registered on `name` (no-op for the
+        index tables themselves — they carry no ANN index)."""
+        cname = self._canon(name)
+        hits = [k for k, v in self._ann_indexes.items() if v["table"] == cname]
+        if not hits:
+            return
+        from snappydata_spark import index_ann
+
+        for k in hits:
+            index_ann.refresh_ivf_sq8(self, k, source=source)
 
     # ------------------------------------------------------------------ io
 

@@ -1,0 +1,135 @@
+"""Materialized IVF-SQ8 index (CREATE INDEX ... USING ivf_sq8):
+build-once/query-many, mutation maintenance with the stored model, and
+registry persistence across sessions.
+
+Reference contract: CREATE INDEX materializes a maintained structure
+(SnappyDDLParser.scala:519; IndexColumnFormatRelation — an index is a
+column table updated alongside its base table)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappydata_spark import index_ann
+from snappydata_spark.operators import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _query_df(spark, vec_id=0):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qe"))
+    )
+
+
+@pytest.fixture()
+def indexed(spark, snappy):
+    snappy.create_table(
+        "vecs", options={"key_columns": "vec_id"}, df=_emb(spark)
+    )
+    snappy.sql("CREATE INDEX vec_ivf ON vecs(embedding) USING ivf_sq8")
+    return snappy
+
+
+def _no_train(monkeypatch):
+    """Arm a tripwire: any k-means training after this point fails."""
+    from snappydata_spark.operators import ml_ops
+
+    def boom(*a, **k):
+        raise AssertionError("kmeans_train ran — index retrained!")
+
+    monkeypatch.setattr(ml_ops, "kmeans_train", boom)
+
+
+def test_index_matches_composed_query(spark):
+    """The registry query over the materialized index returns exactly
+    the composed (train-per-query) result — same rows, same scores."""
+    a = sorted(
+        (r.vec_id, r.cos, r.approx_cos)
+        for r in QUERIES["sim_ivf_sq8_topk"](spark, SF).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cos, r.approx_cos)
+        for r in QUERIES["sim_ivf_sq8_index_topk"](spark, SF).collect()
+    )
+    assert a == b
+
+
+def test_second_query_runs_no_training(indexed, spark, monkeypatch):
+    _no_train(monkeypatch)
+    out = index_ann.search_ivf_sq8(
+        indexed, "vec_ivf", _query_df(spark), topk=5, exclude_ids=[0]
+    ).collect()
+    assert len(out) == 5
+    out2 = index_ann.search_ivf_sq8(
+        indexed, "vec_ivf", _query_df(spark, vec_id=3), topk=5, exclude_ids=[3]
+    ).collect()
+    assert len(out2) == 5
+
+
+def test_put_maintains_index_without_retraining(indexed, spark, monkeypatch):
+    _no_train(monkeypatch)
+    # insert a near-duplicate of the query vector under a fresh id: the
+    # maintained index must surface it as the TOP neighbour
+    q = _emb(spark).filter(F.col("vec_id") == 0).collect()[0]
+    near = [float(x) * 1.001 for x in q.embedding]
+    new_id = 999_999
+    src = spark.createDataFrame(
+        [(new_id, near)], "vec_id long, embedding array<double>"
+    )
+    # align to the base schema (extra columns null-filled)
+    base_cols = indexed.table("vecs").columns
+    for c in base_cols:
+        if c not in ("vec_id", "embedding"):
+            src = src.withColumn(c, F.lit(None))
+    indexed.put("vecs", src.select(*base_cols))
+    idx_rows = indexed.table("vec_ivf__ann").filter(
+        F.col("vec_id") == new_id
+    ).collect()
+    assert len(idx_rows) == 1 and idx_rows[0].cell is not None
+    top = index_ann.search_ivf_sq8(
+        indexed, "vec_ivf", _query_df(spark), topk=3, exclude_ids=[0]
+    ).collect()
+    assert top[0].vec_id == new_id
+
+
+def test_delete_prunes_index(indexed, spark, monkeypatch):
+    _no_train(monkeypatch)
+    victim = spark.createDataFrame([(7,)], "vec_id long")
+    indexed.delete_from("vecs", victim)
+    assert (
+        indexed.table("vec_ivf__ann").filter(F.col("vec_id") == 7).count() == 0
+    )
+    got = index_ann.search_ivf_sq8(
+        indexed, "vec_ivf", _query_df(spark), topk=50, exclude_ids=[0]
+    ).collect()
+    assert all(r.vec_id != 7 for r in got)
+
+
+def test_index_rebinds_across_sessions(spark, monkeypatch):
+    from snappydata_spark import SnappySession
+
+    store = tempfile.mkdtemp(prefix="ann_rebind_")
+    sn1 = SnappySession(spark, store_dir=store)
+    sn1.create_table("vecs", options={"key_columns": "vec_id"}, df=_emb(spark))
+    sn1.sql("CREATE INDEX vec_ivf ON vecs(embedding) USING ivf_sq8")
+    _no_train(monkeypatch)
+    sn2 = SnappySession(spark, store_dir=store)
+    out = index_ann.search_ivf_sq8(
+        sn2, "vec_ivf", _query_df(spark), topk=5, exclude_ids=[0]
+    ).collect()
+    assert len(out) == 5
+
+
+def test_drop_index_drops_table(indexed):
+    assert "vec_ivf" in indexed._ann_indexes
+    indexed.sql("DROP INDEX vec_ivf")
+    assert "vec_ivf" not in indexed._ann_indexes
+    assert not indexed.catalog.exists("vec_ivf__ann")
