@@ -180,6 +180,14 @@ def get_spark(
             ),
         )
     )
+    # perturbation hook for robustness sweeps (BASELINE.md): semicolon-
+    # separated k=v pairs applied LAST so they override any default —
+    # e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.ansi.enabled=true;
+    # spark.driver.extraJavaOptions=-Duser.timezone=America/New_York"
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or f"local[{cpus}]")
     spark = builder.getOrCreate()
@@ -327,7 +335,17 @@ class SnappySession:
         iso = (isolation or self._isolation or "read_committed").lower()
         if iso == "none":
             iso = "read_committed"
-        self._tx = {"isolation": iso, "ops": {}, "tokens": {}, "staged_dfs": []}
+        self._tx = {
+            "isolation": iso,
+            "ops": {},
+            "tokens": {},
+            "staged_dfs": [],
+            # key-level optimistic CC: per table, the set of key tuples
+            # this tx writes and a fingerprint of each key's COMMITTED
+            # base row at first touch (None key set = table-level mode)
+            "keys": {},
+            "row_fps": {},
+        }
 
     def commit(self) -> None:
         tx = self._tx
@@ -341,10 +359,33 @@ class SnappySession:
                 for t in sorted(tx["ops"]):
                     stack.enter_context(self._table_lock(t))
                 for t in sorted(tx["ops"]):
-                    if self._table_snapshot_token(t) != tx["tokens"][t]:
+                    if self._table_snapshot_token(t) == tx["tokens"][t]:
+                        continue  # table untouched since first touch
+                    # Key-level check (reference: row write locks /
+                    # use_transactions_isolation_levels.md — writers on
+                    # DISJOINT rows of one table both commit): the table
+                    # changed, but conflict only if a row THIS tx writes
+                    # was itself changed.  Re-fingerprint the committed
+                    # rows under our touched keys and compare with the
+                    # fingerprints taken at stage time.
+                    touched = tx["keys"].get(t)
+                    if touched is None:
                         raise TransactionConflict(
                             f"table {t} was modified by another writer "
                             "since this transaction first touched it"
+                        )
+                    now_fps = self._key_fingerprints(t, touched)
+                    before_fps = tx["row_fps"].get(t, {})
+                    changed = [
+                        k
+                        for k in touched
+                        if before_fps.get(k) != now_fps.get(k)
+                    ]
+                    if changed:
+                        raise TransactionConflict(
+                            f"row(s) {sorted(changed)[:5]} of {t} were "
+                            "modified by another writer since this "
+                            "transaction staged its writes"
                         )
                 for t in sorted(tx["ops"]):
                     for kind, args, kwargs in tx["ops"][t]:
@@ -414,6 +455,7 @@ class SnappySession:
                 a.count()
                 self._tx["staged_dfs"].append(a)
         self._tx["ops"][name].append((kind, args, kwargs))
+        self._tx_record_keys(name, meta, kind, args, kwargs)
         # refresh this session's read-your-writes overlay view
         self._tx_overlay(name).createOrReplaceTempView(self._tx_view_name(name))
         return None
@@ -439,6 +481,71 @@ class SnappySession:
             elif kind == "delete_from":
                 df = mutate.delete_from_df(df, args[0], keys)
         return df
+
+    _KEYCC_CAP = 100_000  # write-set size above which key-level CC
+    # falls back to the table-level token check (the key set and row
+    # fingerprints are driver-held state; bulk rewrites don't need
+    # per-row precision)
+
+    def _tx_record_keys(self, name: str, meta, kind: str, args, kwargs) -> None:
+        """Record the key tuples this staged op writes plus a fingerprint
+        of each key's COMMITTED base row, enabling ROW-level optimistic
+        conflict detection at commit (reference: row write locks —
+        use_transactions_isolation_levels.md; two writers on disjoint
+        rows of one table both commit)."""
+        tx = self._tx
+        keys = meta.key_columns
+        if not keys or tx["keys"].get(name, ...) is None:
+            tx["keys"][name] = None  # keyless table → table-level mode
+            return
+        if kind in ("put", "insert", "delete_from"):
+            src = args[0].select(*keys)
+        else:  # update / delete: rows the predicate matches in the
+            # committed base (phantom rows staged by other txs are
+            # caught by the token + fingerprint re-read at commit)
+            base = self._read_table(name, tx_bypass=True)
+            if base is None:
+                tx["keys"].setdefault(name, set())
+                tx["row_fps"].setdefault(name, {})
+                return
+            frame = base.alias(kwargs["alias"]) if kwargs.get("alias") else base
+            pred = args[0]
+            cond = F.expr(pred) if isinstance(pred, str) else pred
+            src = frame.filter(F.coalesce(cond, F.lit(False))).select(*keys)
+        rows = src.distinct().limit(self._KEYCC_CAP + 1).collect()
+        if len(rows) > self._KEYCC_CAP:
+            tx["keys"][name] = None
+            tx["row_fps"].pop(name, None)
+            return
+        new_keys = {tuple(r) for r in rows}
+        seen = tx["keys"].setdefault(name, set())
+        fps = tx["row_fps"].setdefault(name, {})
+        fresh = new_keys - seen
+        if fresh:
+            fps.update(self._key_fingerprints(name, fresh))
+        seen |= new_keys
+
+    def _key_fingerprints(self, name: str, key_tuples) -> dict:
+        """{key_tuple: md5(row-json)} over the COMMITTED rows of `name`
+        whose key is in `key_tuples` (absent keys are simply missing —
+        a row that appears or disappears flips the comparison)."""
+        if not key_tuples:
+            return {}
+        keys = self.catalog.load_meta(name).key_columns
+        base = self._read_table(name, tx_bypass=True)
+        if base is None:
+            return {}
+        kschema = base.select(*keys).schema
+        kdf = self.spark.createDataFrame(
+            [list(k) for k in key_tuples], kschema
+        )
+        fp = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in sorted(base.columns)]))
+        )
+        rows = base.join(F.broadcast(kdf), keys).select(
+            *keys, fp.alias("__fp")
+        ).collect()
+        return {tuple(r[:-1]): r[-1] for r in rows}
 
     def _table_snapshot_token(self, name: str):
         """Cheap change token for optimistic conflict detection: manifest

@@ -133,6 +133,23 @@ def test_zorder_index_narrows_both_columns(snappy):
     assert sum(wx) / len(wx) < 0.7 * 200, wx
     assert sum(wy) / len(wy) < 0.7 * 200, wy
     assert snappy.table("zord_t").count() == before
+
+    # --- index maintained through mutation + maintenance (reference:
+    # IndexColumnFormatRelation — indexes update alongside the base
+    # table): a pruned UPDATE rewrites only touched files, and a
+    # compact_table cycle rewrites everything; BOTH must preserve the
+    # Z-ORDER clustering (footer ranges stay narrowed on x AND y).
+    snappy.sql("UPDATE zord_t SET v = -v WHERE v BETWEEN 100 AND 120")
+    snappy.compact_table("zord_t", target_file_bytes=64 * 1024)
+    snappy.vacuum("zord_t")
+    wx2, wy2 = widths("x"), widths("y")
+    assert len(wx2) > 2
+    assert sum(wx2) / len(wx2) < 0.7 * 200, wx2
+    assert sum(wy2) / len(wy2) < 0.7 * 200, wy2
+    assert snappy.table("zord_t").count() == before
+    assert (
+        snappy.table("zord_t").filter("v BETWEEN -120 AND -100").count() == 21
+    )
     snappy.sql("DROP INDEX zord_i")
     snappy.drop_table("zord_t")
 

@@ -70,7 +70,10 @@ def test_rollback_discards(row_table):
     assert _state(sn)[9] == 90
 
 
-def test_write_write_conflict_detected(row_table, spark):
+def test_disjoint_key_writers_both_commit(row_table, spark):
+    """ROW-level conflict detection (reference: row write locks,
+    use_transactions_isolation_levels.md): a rival committing to a
+    DIFFERENT key of the same table does not abort this transaction."""
     from snappydata_spark import SnappySession
 
     sn = row_table
@@ -78,13 +81,49 @@ def test_write_write_conflict_detected(row_table, spark):
 
     sn.begin_transaction("repeatable_read")
     sn.sql("UPDATE tx_t SET v = 111 WHERE k = 1")
-    # a rival writer commits first
+    # a rival writer commits first — to a DISJOINT key
     other.sql("UPDATE tx_t SET v = 222 WHERE k = 2")
+    sn.commit()  # must NOT conflict
+    assert _state(sn) == {1: 111, 2: 222, 3: 30}
+
+
+def test_same_key_write_write_conflict_detected(row_table, spark):
+    from snappydata_spark import SnappySession
+
+    sn = row_table
+    other = SnappySession(spark, store_dir=sn.catalog.base_dir)
+
+    sn.begin_transaction("repeatable_read")
+    sn.sql("UPDATE tx_t SET v = 111 WHERE k = 1")
+    # a rival writer commits first — to the SAME row
+    other.sql("UPDATE tx_t SET v = 222 WHERE k = 1")
     with pytest.raises(TransactionConflict):
         sn.commit()
     # auto-rolled-back: rival's write stands, ours is gone
-    assert _state(sn) == {1: 10, 2: 222, 3: 30}
+    assert _state(sn) == {1: 222, 2: 20, 3: 30}
     assert sn._tx is None
+
+
+def test_insert_same_new_key_conflicts_disjoint_commits(row_table, spark):
+    """Insert-insert on the same NEW key conflicts (the row appeared
+    under our staged key); inserts of distinct new keys coexist."""
+    from snappydata_spark import SnappySession
+
+    sn = row_table
+    other = SnappySession(spark, store_dir=sn.catalog.base_dir)
+
+    sn.begin_transaction()
+    sn.sql("PUT INTO tx_t VALUES (7, 70)")
+    other.sql("PUT INTO tx_t VALUES (8, 80)")  # disjoint new key
+    sn.commit()
+    assert _state(sn) == {1: 10, 2: 20, 3: 30, 7: 70, 8: 80}
+
+    sn.begin_transaction()
+    sn.sql("PUT INTO tx_t VALUES (9, 90)")
+    other.sql("PUT INTO tx_t VALUES (9, 91)")  # same new key
+    with pytest.raises(TransactionConflict):
+        sn.commit()
+    assert _state(sn)[9] == 91
 
 
 def test_column_table_and_ddl_rejected(row_table, sf_dir):
