@@ -1,0 +1,190 @@
+"""Materialized MinHash-LSH near-dup index: build once, probe many.
+
+`CREATE INDEX idx ON t(text) USING minhash` computes each document's
+MinHash signature ONCE and stores its LSH band hashes in a managed keyed
+table `idx__ann`:
+
+    (<id_col>, band int, band_hash string)   -- key = (<id_col>, band)
+
+(the reference materializes CREATE INDEX structures as maintained column
+tables — IndexColumnFormatRelation, ColumnFormatRelation.scala:633; this
+is the text-dedup analogue of index_ann.py's IVF-SQ8 index).
+
+Served operations:
+- `candidate_pairs(sn, idx)` — all near-dup candidate pairs via a
+  self-join of the STORED band table on (band, band_hash): the
+  shingle→md5→minhash signature pipeline (the dominant cost of
+  dedup_minhash_lsh) never re-runs.
+- `near_dup_lookup(sn, idx, probe_df)` — bands of the probe documents
+  (computed with the same expressions) joined against the stored band
+  table: "which existing docs is this new batch a near-dup of?" — the
+  incoming-batch dedup gate of a training-data pipeline.
+- Mutations maintain the band table via the session's `_ann_maintain`
+  hook: touched docs re-band and PUT (per-doc work only), deleted docs'
+  bands are pruned.
+
+Scale: band rows are (id, int, 32-char hash) — signature bytes << text
+bytes, so the self-join reads a tiny fraction of corpus bandwidth; the
+join key (band, band_hash) is the classic LSH bucket, bounded by the
+banding threshold.  Hash arithmetic is the md5+affine family of
+functions/text.py, reproduced exactly by the dedup_minhash oracle CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from snappydata_spark.functions import text as T
+
+
+def _band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, band_hash) for every doc with >= 1 shingle — the same
+    two-projection signature build as dedup.minhash_lsh_candidates
+    (short docs are dropped exactly as there: an all-NULL signature
+    would put every short doc in one shared bucket)."""
+    rows = num_hashes // bands
+    sig = (
+        df.withColumn("__hs", T.shingle_hashes(F.col(text_col), shingle_n))
+        .filter(F.size("__hs") > 0)
+        .select(
+            F.col(id_col),
+            T.minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"),
+        )
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+    ).select(
+        F.col(id_col),
+        F.col("b.band").cast("int").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+def build_minhash(
+    sn,
+    index_name: str,
+    table: str,
+    text_col: str,
+    id_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands}"
+        )
+    meta = sn.catalog.load_meta(sn._canon(table))
+    if id_col is None:
+        if not meta.key_columns:
+            raise ValueError(
+                f"minhash index on {table} needs KEY_COLUMNS (or an "
+                "explicit id column) to key the band table"
+            )
+        id_col = meta.key_columns[0]
+    idx_table = f"{index_name}__ann"
+    rows = _band_rows(
+        sn.table(table), text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sn.create_table(
+        idx_table, options={"key_columns": f"{id_col},band"}, df=rows
+    )
+    info = {
+        "method": "minhash",
+        "table": sn._canon(table),
+        "column": text_col,
+        "id_col": id_col,
+        "index_table": idx_table,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
+    sn._ann_indexes[index_name.lower()] = info
+    sn._save_registry()
+    return info
+
+
+def candidate_pairs(sn, index_name: str) -> DataFrame:
+    """Distinct candidate pairs (doc1 < doc2) from the STORED band
+    table — the LSH bucket self-join with zero signature recompute."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    banded = sn.table(info["index_table"])
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_lookup(
+    sn, index_name: str, probe: DataFrame, text_col: str | None = None
+) -> DataFrame:
+    """Candidate near-dup ids for each probe document: band the probes
+    with the index's own parameters, join against the stored band
+    table.  `probe` carries (<id_col>, <text_col>); returns distinct
+    (probe_id, match_id)."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    pb = _band_rows(
+        probe,
+        text_col or info["column"],
+        id_col,
+        info["num_hashes"],
+        info["bands"],
+        info["shingle_n"],
+    ).select(
+        F.col(id_col).alias("probe_id"), "band", "band_hash"
+    )
+    idx = sn.table(info["index_table"])
+    return (
+        idx.join(F.broadcast(pb), ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col).alias("match_id"))
+        .distinct()
+    )
+
+
+def refresh_minhash(sn, index_name: str, source: DataFrame | None = None) -> None:
+    """Maintain the band table after a base-table mutation: re-band the
+    touched docs and PUT; prune bands of docs that left the table.
+    Per-doc work only — no corpus-wide recompute when `source` names
+    the mutated rows."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    base = sn.table(info["table"])
+    rows_src = base if source is None else base.join(
+        source.select(id_col).distinct(), id_col, "left_semi"
+    )
+    upserts = _band_rows(
+        rows_src,
+        info["column"],
+        id_col,
+        info["num_hashes"],
+        info["bands"],
+        info["shingle_n"],
+    )
+    if not upserts.isEmpty():
+        sn.put(info["index_table"], upserts)
+    stale = sn.table(info["index_table"]).select(id_col, "band").join(
+        base.select(id_col), id_col, "left_anti"
+    )
+    if not stale.isEmpty():
+        sn.delete_from(info["index_table"], stale)

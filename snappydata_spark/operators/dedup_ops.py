@@ -707,3 +707,48 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_shingles=3,
         max_df=30,
     )
+
+
+# ------------------------------------ materialized MinHash-LSH index
+
+_MINHASH_SESSIONS: dict[str, object] = {}
+
+
+def _minhash_index_session(spark: SparkSession, sf_dir: str):
+    """Build-once/probe-many session for the minhash band index over
+    the perturbed corpus (the index twin of _ann_index_session in
+    corpus_ops.py; reference: CREATE INDEX materialized as a maintained
+    table, IndexColumnFormatRelation)."""
+    key = sf_dir.rstrip("/")
+    sn = _MINHASH_SESSIONS.get(key)
+    if sn is not None:
+        return sn
+    import tempfile
+
+    from snappydata_spark import SnappySession
+
+    sn = SnappySession(
+        spark, store_dir=tempfile.mkdtemp(prefix="minhash_index_store_")
+    )
+    sn.create_table(
+        "corpus_base",
+        options={"key_columns": "doc_id"},
+        df=_corpus(spark, sf_dir),
+    )
+    sn.sql("CREATE INDEX corpus_mh ON corpus_base(text) USING minhash")
+    _MINHASH_SESSIONS[key] = sn
+    return sn
+
+
+@register("dedup_minhash_lsh_index", oracle=_minhash_oracle())
+def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index twin of dedup_minhash_lsh: identical
+    candidate-pair semantics and oracle, but the shingle->md5->minhash
+    signature pipeline runs ONCE at CREATE INDEX time (the dominant
+    cost); every query is just the band-bucket self-join over the
+    stored (doc_id, band, band_hash) table.  Mutations re-band only the
+    touched docs (index_minhash.refresh_minhash)."""
+    from snappydata_spark import index_minhash
+
+    sn = _minhash_index_session(spark, sf_dir)
+    return index_minhash.candidate_pairs(sn, "corpus_mh")

@@ -2341,14 +2341,21 @@ class SnappySession:
         still serves metadata queries."""
         cols = [c.strip().lower() for c in options["columns"].split(",")]
         name = self._canon(table)
-        if options.get("using") == "ivf_sq8":
-            # materialized vector index (index_ann.py): model trained
-            # once, codes stored in a managed keyed table
-            from snappydata_spark import index_ann
-
+        using = options.get("using")
+        if using in ("ivf_sq8", "minhash"):
+            # materialized similarity indexes (index_ann / index_minhash):
+            # model/signatures computed once, stored in a managed keyed
+            # table, maintained on mutation via _ann_maintain
             if len(cols) != 1:
-                raise ValueError("USING ivf_sq8 indexes exactly one vector column")
-            index_ann.build_ivf_sq8(self, options["index"], name, cols[0])
+                raise ValueError(f"USING {using} indexes exactly one column")
+            if using == "ivf_sq8":
+                from snappydata_spark import index_ann
+
+                index_ann.build_ivf_sq8(self, options["index"], name, cols[0])
+            else:
+                from snappydata_spark import index_minhash
+
+                index_minhash.build_minhash(self, options["index"], name, cols[0])
             return None
         self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
@@ -2428,10 +2435,15 @@ class SnappySession:
         hits = [k for k, v in self._ann_indexes.items() if v["table"] == cname]
         if not hits:
             return
-        from snappydata_spark import index_ann
-
         for k in hits:
-            index_ann.refresh_ivf_sq8(self, k, source=source)
+            if self._ann_indexes[k].get("method") == "minhash":
+                from snappydata_spark import index_minhash
+
+                index_minhash.refresh_minhash(self, k, source=source)
+            else:
+                from snappydata_spark import index_ann
+
+                index_ann.refresh_ivf_sq8(self, k, source=source)
 
     # ------------------------------------------------------------------ io
 

@@ -1,0 +1,93 @@
+"""Materialized MinHash-LSH index (CREATE INDEX ... USING minhash):
+stored band table equals the direct signature pipeline, mutations
+re-band only touched docs, probe lookup finds near-dups of new text."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from snappydata_spark import dedup, index_minhash
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        Row(doc_id=1, text=base * 3),
+        Row(doc_id=2, text=(base * 3) + " zzz"),  # near-dup of 1
+        Row(doc_id=3, text="completely different content about spark "
+                           "query engines and columnar storage designs " * 2),
+        Row(doc_id=4, text="short"),  # < 3 tokens of shingle: excluded
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def indexed(snappy, corpus):
+    snappy.create_table("mh_docs", options={"key_columns": "doc_id"}, df=corpus)
+    snappy.sql("CREATE INDEX mh_idx ON mh_docs(text) USING minhash")
+    return snappy
+
+
+def test_pairs_match_direct_pipeline(indexed, corpus):
+    direct = {
+        (r.doc1, r.doc2)
+        for r in dedup.minhash_lsh_candidates(corpus).collect()
+    }
+    from_index = {
+        (r.doc1, r.doc2)
+        for r in index_minhash.candidate_pairs(indexed, "mh_idx").collect()
+    }
+    assert from_index == direct
+    assert (1, 2) in from_index
+
+
+def test_put_rebands_only_touched_docs(indexed, spark):
+    """PUT of a near-dup doc must surface a new candidate pair; the
+    band rows of untouched docs must be byte-identical afterwards."""
+    before = {
+        (r.doc_id, r.band): r.band_hash
+        for r in indexed.table("mh_idx__ann").collect()
+    }
+    base_text = indexed.table("mh_docs").filter("doc_id = 3").collect()[0].text
+    src = spark.createDataFrame(
+        [Row(doc_id=10, text=base_text + " extra")]
+    )
+    indexed.put("mh_docs", src)
+    after = {
+        (r.doc_id, r.band): r.band_hash
+        for r in indexed.table("mh_idx__ann").collect()
+    }
+    assert all(after[k] == v for k, v in before.items())
+    assert any(k[0] == 10 for k in after)
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in index_minhash.candidate_pairs(indexed, "mh_idx").collect()
+    }
+    assert (3, 10) in pairs
+
+
+def test_delete_prunes_bands(indexed, spark):
+    victim = spark.createDataFrame([Row(doc_id=2)])
+    indexed.delete_from("mh_docs", victim)
+    assert (
+        indexed.table("mh_idx__ann").filter("doc_id = 2").count() == 0
+    )
+    pairs = index_minhash.candidate_pairs(indexed, "mh_idx").collect()
+    assert all(r.doc1 != 2 and r.doc2 != 2 for r in pairs)
+
+
+def test_near_dup_lookup_gates_incoming_batch(indexed, spark):
+    """The pipeline gate: probe a new batch against the stored index —
+    near-dups of existing docs are flagged, fresh content is not."""
+    existing = indexed.table("mh_docs").filter("doc_id = 1").collect()[0].text
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=existing + " tail"),
+            Row(doc_id=101, text="entirely novel text that matches "
+                                 "nothing in the corpus at all here " * 2),
+        ]
+    )
+    got = index_minhash.near_dup_lookup(indexed, "mh_idx", probe).collect()
+    flagged = {r.probe_id for r in got}
+    assert 100 in flagged and 101 not in flagged
+    assert {r.match_id for r in got if r.probe_id == 100} >= {1}
