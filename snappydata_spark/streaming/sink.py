@@ -61,6 +61,11 @@ def conflate_events(batch: DataFrame, keys: list[str], order_col: str | None = N
     NOT arrival order — so a later update for a key landing in an
     earlier-numbered partition would silently lose; we refuse instead."""
     if order_col is None:
+        # .rdd here is deliberate and safe: we need the batch's ACTUAL
+        # partition count (defaultParallelism would be wrong), and
+        # foreachBatch frames are already materialized so the AQE
+        # re-execution trap (executing the upstream plan to answer
+        # getNumPartitions) does not apply.
         if batch.rdd.getNumPartitions() > 1:
             raise ValueError(
                 "conflate_events: multi-partition batch needs an explicit "
