@@ -221,6 +221,7 @@ def main() -> None:
         # round-5 additions
         "sim_ivf_sq8_index_topk",
         "dedup_minhash_lsh_index",
+        "pipeline_rag_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

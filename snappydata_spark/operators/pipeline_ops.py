@@ -924,3 +924,117 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("q"), 4).alias("avg_quality"),
         )
     )
+
+
+# ----------------------------------------------------- RAG ingestion
+
+RAG_DIMS = 8
+RAG_TOPK = 10
+RAG_QUERY = "customer order priority shipping analysis"
+
+
+def _rag_embed_sql(text_expr: str) -> str:
+    """Deterministic hash embedding in DuckDB: dim i =
+    (hash32('em{i}~' || text) % 2001 - 1000)/1000.0 — the exact
+    arithmetic of the Spark side (functions/text.hash32)."""
+    dims = ", ".join(
+        f"((('0x' || substr(md5('em{i}~' || ({text_expr})), 1, 8))::BIGINT"
+        f" % 2001) - 1000) / 1000.0"
+        for i in range(RAG_DIMS)
+    )
+    return f"[{dims}]"
+
+
+def _rag_oracle() -> str:
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 48)) AS s
+  FROM tok
+), chunks AS (
+  SELECT doc_id,
+         CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+         array_to_string(t[s : least(s + 63, len(t))], ' ') AS ct
+  FROM starts
+), emb AS (
+  SELECT doc_id, chunk_idx, md5(ct) AS chunk_sig,
+         {_rag_embed_sql('ct')} AS ce
+  FROM chunks
+), q AS (SELECT {_rag_embed_sql(f"'{RAG_QUERY}'")} AS qe)
+SELECT doc_id, chunk_idx, chunk_sig,
+       ROUND({_cos_sql('e.ce', 'q.qe')}, 4) AS cos
+FROM emb e CROSS JOIN q
+ORDER BY {_cos_sql('e.ce', 'q.qe')} DESC, doc_id, chunk_idx
+LIMIT {RAG_TOPK}"""
+
+
+@register("pipeline_rag_topk", oracle=_rag_oracle())
+def pipeline_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion + retrieval in ONE dataflow: sliding-window chunk
+    (64-token windows, 48 stride — the txt_chunk_documents contract) →
+    per-chunk embedding → cosine top-k against a query embedding.  The
+    embedder here is a deterministic hash projection (the container has
+    no model runtime — documented stub, same plumbing as the multimodal
+    decode stubs): dim i = (hash32('em{i}~'+chunk)%2001-1000)/1000, so
+    both engines compute bit-identical vectors and the oracle
+    hash-checks the ENTIRE chunk→embed→rank pipeline, not just shapes.
+
+    Scale: chunk+embed is pure map-side Catalyst (no Python, no
+    shuffle); the query vector is a literal broadcast; top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows).  Swap the hash embedder for a real encoder via mapInPandas
+    and the index path (CREATE INDEX ... USING ivf_sq8) serves the
+    same retrieval at corpus scale."""
+    from snappydata_spark.functions import vector as V
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toked = t["documents"].select("doc_id", T.tokens(F.col("text")).alias("t"))
+    size, stride = 64, 48
+    exploded = toked.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(stride))
+        ).alias("s"),
+    )
+    ct = F.array_join(F.slice("t", F.col("s"), F.lit(size)), " ")
+    chunks = exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("long").alias("chunk_idx"),
+        ct.alias("ct"),
+    )
+
+    def embed(text_col):
+        return F.array(
+            *[
+                (
+                    (T.hash32(text_col, f"em{i}~") % 2001) - 1000
+                ).cast("double")
+                / 1000.0
+                for i in range(RAG_DIMS)
+            ]
+        )
+
+    emb = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("ct").alias("chunk_sig"),
+        embed(F.col("ct")).alias("ce"),
+        embed(F.lit(RAG_QUERY)).alias("qe"),
+    )
+    scored = emb.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_sig",
+        V.cosine(F.col("ce"), F.col("qe")).alias("_c"),
+    )
+    return (
+        scored.orderBy(F.desc("_c"), "doc_id", "chunk_idx")
+        .limit(RAG_TOPK)
+        .select(
+            "doc_id", "chunk_idx", "chunk_sig", F.round("_c", 4).alias("cos")
+        )
+    )
