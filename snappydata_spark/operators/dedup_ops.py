@@ -752,3 +752,53 @@ def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sn = _minhash_index_session(spark, sf_dir)
     return index_minhash.candidate_pairs(sn, "corpus_mh")
+
+
+def _gate_oracle() -> str:
+    """Probe-vs-corpus candidate pairs: the perturbed copies (doc_id >=
+    1000000) act as the INCOMING batch probed against the base corpus'
+    stored bands — exactly the mh_pairs CTE restricted to
+    (base, probe) pairs."""
+    return f"""WITH {_minhash_ctes(16, 4)}
+SELECT doc2 - 1000000 AS probe_id, doc1 AS match_id
+FROM mh_pairs WHERE doc1 < 1000000 AND doc2 >= 1000000
+UNION
+SELECT doc1 - 1000000 AS probe_id, doc2 AS match_id
+FROM mh_pairs WHERE doc2 < 1000000 AND doc1 >= 1000000"""
+
+
+@register("dedup_incoming_batch_gate", oracle=_gate_oracle())
+def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-pipeline ingestion gate, served by the MATERIALIZED
+    minhash index: band the incoming batch (the perturbed near-dup
+    copies, probe ids re-based to the original doc ids) and join
+    against the STORED band table of the base corpus — "which existing
+    documents is each incoming document a near-duplicate of?".  The
+    corpus' signature pipeline never re-runs; per-probe work is banding
+    the probe text + one broadcast join into the band table.
+
+    Note the index here is built over the BASE corpus only (not the
+    augmented corpus of dedup_minhash_lsh_index) — a separate keyed
+    store in the same build-once session."""
+    from snappydata_spark import index_minhash
+
+    sn = _minhash_index_session(spark, sf_dir)
+    if "base_mh" not in sn._ann_indexes:
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+            "doc_id", "text"
+        )
+        sn.create_table(
+            "docs_base", options={"key_columns": "doc_id"}, df=docs
+        )
+        sn.sql("CREATE INDEX base_mh ON docs_base(text) USING minhash")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # probe ids offset out of the corpus id space (so a probe's match
+    # with its own original is a REAL pair, not a self-match to filter),
+    # re-based back in the output
+    probes = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return index_minhash.near_dup_lookup(sn, "base_mh", probes).select(
+        (F.col("probe_id") - 1000000).alias("probe_id"), F.col("match_id")
+    )

@@ -651,3 +651,67 @@ def test_streaming_ann_index_maintenance(snappy, stream_dir):
     }
     assert got == expect
     snappy.drop_table("ann_index")
+
+
+def test_streaming_minhash_index_maintenance(snappy, stream_dir):
+    """Incremental near-dup-index maintenance: documents arriving on a
+    stream are banded per micro-batch and PUT into the keyed band table
+    — re-delivered docs upsert (idempotent), and the final band table
+    equals the batch banding over all data (the streaming twin of
+    CREATE INDEX ... USING minhash maintenance)."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.index_minhash import _band_rows
+
+    def text(i):
+        core = f"document number {i % 6} shares this long boilerplate "
+        return (core * 4) + f"tail {i}"
+
+    rows0 = [{"doc_id": i, "text": text(i)} for i in range(20)]
+    # batch 1 re-delivers 5 docs (same ids) plus 15 new ones
+    rows1 = [{"doc_id": i, "text": text(i)} for i in range(15, 35)]
+    _write_batch(stream_dir, "d0.json", rows0, mtime=2_000_000)
+    _write_batch(stream_dir, "d1.json", rows1, mtime=2_000_100)
+
+    snappy.create_table(
+        "mh_bands",
+        schema="doc_id long, band int, band_hash string",
+        options={"key_columns": "doc_id,band"},
+    )
+
+    def maintain(batch, batch_id):
+        snappy.put(
+            "mh_bands", _band_rows(batch, "text", "doc_id", 16, 4, 3)
+        )
+
+    stream = stream_reader(
+        snappy.spark, "file_stream",
+        schema="doc_id long, text string",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    )
+    q = stream.writeStream.foreachBatch(maintain).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.band): r.band_hash
+        for r in snappy.table("mh_bands").collect()
+    }
+    assert len(got) == 35 * 4  # 4 bands per doc, upserted not duplicated
+    full = snappy.spark.read.schema("doc_id long, text string").json(stream_dir)
+    expect = {
+        (r.doc_id, r.band): r.band_hash
+        for r in _band_rows(full, "text", "doc_id", 16, 4, 3).collect()
+    }
+    assert got == expect
+    # the maintained index serves the gate query: same-template docs
+    # (i % 6) are candidate pairs via the stored bands
+    a = snappy.table("mh_bands").alias("a")
+    b = snappy.table("mh_bands").alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert pairs > 0
+    snappy.drop_table("mh_bands")
