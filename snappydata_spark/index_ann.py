@@ -225,34 +225,46 @@ def search_ivf_sq8(
     )
 
 
-def refresh_ivf_sq8(sn, index_name: str, source: DataFrame | None = None) -> None:
+def refresh_ivf_sq8(
+    sn,
+    index_name: str,
+    source: DataFrame | None = None,
+    delete_only: bool = False,
+) -> None:
     """Maintain the index after a base-table mutation using the STORED
     model (no retraining): re-assign + re-encode the touched rows and
     PUT them into the index table; rows whose keys left the base table
     are deleted from the index.
 
-    `source` narrows the refresh to the mutated rows (the PUT source);
-    without it the refresh re-derives the full index content — still a
-    map-only pass over the base table (assignment + encoding), never a
-    training job."""
+    `source` narrows the refresh to the mutated rows (the PUT source or
+    an UPDATE's matched rows); `delete_only` skips the encode pass
+    entirely (deletes touch no surviving rows).  Without either, the
+    refresh re-derives the full index content — still a map-only pass
+    over the base table (assignment + encoding), never a training
+    job."""
     from snappydata_spark import ann
 
     info = sn._ann_indexes[index_name.lower()]
     id_col, vec_col = info["id_col"], info["column"]
     base = sn.table(info["table"])
-    rows_src = base if source is None else base.join(
-        source.select(id_col).distinct(), id_col, "left_semi"
-    )
-    cent_rows = [(i, v) for i, v in enumerate(info["centroids"])]
-    assign = ann.ivf_assign_vectorized(
-        rows_src.select(id_col, vec_col), cent_rows, vec_col=vec_col, id_col=id_col
-    )
-    codes = rows_src.select(
-        id_col, _quantize_codes(F.col(vec_col), info["mn"], info["mx"]).alias("code")
-    )
-    upserts = assign.join(codes, id_col)
-    if not upserts.isEmpty():
-        sn.put(info["index_table"], upserts)
+    if not delete_only:
+        rows_src = base if source is None else base.join(
+            source.select(id_col).distinct(), id_col, "left_semi"
+        )
+        cent_rows = [(i, v) for i, v in enumerate(info["centroids"])]
+        assign = ann.ivf_assign_vectorized(
+            rows_src.select(id_col, vec_col),
+            cent_rows,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        codes = rows_src.select(
+            id_col,
+            _quantize_codes(F.col(vec_col), info["mn"], info["mx"]).alias("code"),
+        )
+        upserts = assign.join(codes, id_col)
+        if not upserts.isEmpty():
+            sn.put(info["index_table"], upserts)
     # drop index rows whose key no longer exists in the base table
     stale = sn.table(info["index_table"]).select(id_col).join(
         base.select(id_col), id_col, "left_anti"

@@ -162,27 +162,34 @@ def near_dup_lookup(
     )
 
 
-def refresh_minhash(sn, index_name: str, source: DataFrame | None = None) -> None:
+def refresh_minhash(
+    sn,
+    index_name: str,
+    source: DataFrame | None = None,
+    delete_only: bool = False,
+) -> None:
     """Maintain the band table after a base-table mutation: re-band the
     touched docs and PUT; prune bands of docs that left the table.
     Per-doc work only — no corpus-wide recompute when `source` names
-    the mutated rows."""
+    the mutated rows; `delete_only` skips banding entirely (deletes
+    touch no surviving rows)."""
     info = sn._ann_indexes[index_name.lower()]
     id_col = info["id_col"]
     base = sn.table(info["table"])
-    rows_src = base if source is None else base.join(
-        source.select(id_col).distinct(), id_col, "left_semi"
-    )
-    upserts = _band_rows(
-        rows_src,
-        info["column"],
-        id_col,
-        info["num_hashes"],
-        info["bands"],
-        info["shingle_n"],
-    )
-    if not upserts.isEmpty():
-        sn.put(info["index_table"], upserts)
+    if not delete_only:
+        rows_src = base if source is None else base.join(
+            source.select(id_col).distinct(), id_col, "left_semi"
+        )
+        upserts = _band_rows(
+            rows_src,
+            info["column"],
+            id_col,
+            info["num_hashes"],
+            info["bands"],
+            info["shingle_n"],
+        )
+        if not upserts.isEmpty():
+            sn.put(info["index_table"], upserts)
     stale = sn.table(info["index_table"]).select(id_col, "band").join(
         base.select(id_col), id_col, "left_anti"
     )

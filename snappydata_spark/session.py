@@ -129,12 +129,14 @@ def _serialized(fn):
             if fn.__name__ in _ANN_MAINTAINED and getattr(
                 self, "_ann_indexes", None
             ):
-                src = (
-                    args[0]
-                    if fn.__name__ in ("put", "insert") and args
-                    else kwargs.get("df")
+                src = pred = None
+                if fn.__name__ in ("put", "insert", "delete_from") and args:
+                    src = args[0]
+                elif fn.__name__ in ("update", "delete") and args:
+                    pred = args[0]
+                self._ann_maintain(
+                    name, source=src, pred=pred, kind=fn.__name__
                 )
-                self._ann_maintain(name, source=src)
             return result
 
     return wrapper
@@ -2428,22 +2430,47 @@ class SnappySession:
     def list_indexes(self) -> dict:
         return dict(self._indexes)
 
-    def _ann_maintain(self, name: str, source: DataFrame | None = None) -> None:
+    def _ann_maintain(
+        self,
+        name: str,
+        source: DataFrame | None = None,
+        pred=None,
+        kind: str | None = None,
+    ) -> None:
         """Refresh every ANN index registered on `name` (no-op for the
-        index tables themselves — they carry no ANN index)."""
+        index tables themselves — they carry no ANN index).  The refresh
+        is narrowed to the mutated rows whenever the mutation tells us
+        which they are: put/insert/delete_from pass their source frame;
+        update passes its predicate (the changed rows are exactly the
+        post-mutation rows matching it); delete/delete_from touch no
+        surviving rows, so only the stale-key prune runs.  truncate and
+        predicate shapes we can't evaluate fall back to a full
+        re-derive — still assignment+encoding only, never training."""
         cname = self._canon(name)
         hits = [k for k, v in self._ann_indexes.items() if v["table"] == cname]
         if not hits:
             return
+        delete_only = kind in ("delete", "delete_from")
+        if pred is not None and not delete_only:
+            try:
+                base = self.table(cname)
+                cond = F.expr(pred) if isinstance(pred, str) else pred
+                source = base.filter(F.coalesce(cond, F.lit(False)))
+            except Exception:  # noqa: BLE001 — unresolvable alias/pred
+                source = None
         for k in hits:
             if self._ann_indexes[k].get("method") == "minhash":
                 from snappydata_spark import index_minhash
 
-                index_minhash.refresh_minhash(self, k, source=source)
+                index_minhash.refresh_minhash(
+                    self, k, source=source, delete_only=delete_only
+                )
             else:
                 from snappydata_spark import index_ann
 
-                index_ann.refresh_ivf_sq8(self, k, source=source)
+                index_ann.refresh_ivf_sq8(
+                    self, k, source=source, delete_only=delete_only
+                )
 
     # ------------------------------------------------------------------ io
 

@@ -133,3 +133,40 @@ def test_drop_index_drops_table(indexed):
     indexed.sql("DROP INDEX vec_ivf")
     assert "vec_ivf" not in indexed._ann_indexes
     assert not indexed.catalog.exists("vec_ivf__ann")
+
+
+def test_update_reencodes_only_matched_rows(indexed, spark, monkeypatch):
+    """UPDATE narrows maintenance to the predicate-matched rows: the
+    updated vector's index row changes, every other row stays
+    byte-identical, and no training runs."""
+    _no_train(monkeypatch)
+    before = {
+        r.vec_id: (r.cell, list(r.code))
+        for r in indexed.table("vec_ivf__ann").collect()
+    }
+    # flip vector 5 to (a scaled copy of) vector 11's embedding: its
+    # cell/code must move to vector 11's
+    target = _emb(spark).filter(F.col("vec_id") == 11).collect()[0]
+    arr = "array(" + ", ".join(repr(float(x)) + "D" for x in target.embedding) + ")"
+    indexed.sql(f"UPDATE vecs SET embedding = {arr} WHERE vec_id = 5")
+    after = {
+        r.vec_id: (r.cell, list(r.code))
+        for r in indexed.table("vec_ivf__ann").collect()
+    }
+    assert after[5] == after[11]
+    assert all(after[k] == v for k, v in before.items() if k != 5)
+
+
+def test_delete_where_prunes_without_reencode(indexed, monkeypatch):
+    _no_train(monkeypatch)
+    before = {
+        r.vec_id: (r.cell, list(r.code))
+        for r in indexed.table("vec_ivf__ann").collect()
+    }
+    indexed.sql("DELETE FROM vecs WHERE vec_id IN (4, 6)")
+    after = {
+        r.vec_id: (r.cell, list(r.code))
+        for r in indexed.table("vec_ivf__ann").collect()
+    }
+    assert set(before) - set(after) == {4, 6}
+    assert all(after[k] == v for k, v in before.items() if k not in (4, 6))
