@@ -1980,8 +1980,35 @@ class SnappySession:
                 "ts": ts_col.lower(),
                 "k": str(k),
                 "window": window,
+                # keyed so topk_stream_updater can PUT-merge per-window
+                # partial counts (the reference maintains the structure
+                # from the stream, SnappySession.scala:958-1026)
+                "key_columns": f"window_start,{key_col.lower()}",
             },
             df=panel,
+        )
+
+    def topk_stream_updater(self, name: str):
+        """foreachBatch callable that maintains an approx-TS-topk
+        structure from a STREAM: per micro-batch, additive (window, key)
+        count partials PUT-merge into the panel with the in-row
+        last_batch_id ledger (exactly-once under replay — the
+        ContinuousAggregate discipline).  The reference's
+        createApproxTSTopK is stream-fed the same way (CMS +
+        StreamSummary updated per batch)."""
+        from snappydata_spark.streaming.rollup import ContinuousAggregate
+
+        meta = self.catalog.load_meta(name.lower())
+        if meta.provider != "topk":
+            raise ValueError(f"{name} is not an approx TS topk structure")
+        return ContinuousAggregate(
+            self,
+            name,
+            ts_col=meta.options["ts"],
+            bucket=meta.options["window"],
+            keys=[meta.options["key"]],
+            bucket_col="window_start",
+            query_name=f"topk_{name.lower()}",
         )
 
     def query_approx_ts_topk(

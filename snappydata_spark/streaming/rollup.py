@@ -55,11 +55,13 @@ class ContinuousAggregate:
         agg_cols: list[str] | tuple[str, ...] = (),
         query_name: str | None = None,
         state_dir: str | None = None,
+        bucket_col: str = "bucket_start",
     ):
         self.session = session
         self.table = table.lower()
         self.ts_col = ts_col
         self.bucket = bucket
+        self.bucket_col = bucket_col.lower()
         self.keys = [k.lower() for k in keys]
         self.agg_cols = [c.lower() for c in agg_cols]
         self.query_name = query_name or f"ca_{self.table}"
@@ -93,7 +95,7 @@ class ContinuousAggregate:
             F.sum(c).alias(f"sum_{c}") for c in self.agg_cols
         ]
         return (
-            batch.groupBy(win.start.alias("bucket_start"), *self.keys)
+            batch.groupBy(win.start.alias(self.bucket_col), *self.keys)
             .agg(*aggs)
         )
 
@@ -104,7 +106,7 @@ class ContinuousAggregate:
         # validation pass, and the PUT would otherwise each re-run the
         # batch aggregation on the streaming hot path
         part = self._partial(batch).localCheckpoint(eager=True)
-        key_cols = ["bucket_start", *self.keys]
+        key_cols = [self.bucket_col, *self.keys]
         if not self.session.catalog.exists(self.table):
             self.session.create_table(
                 self.table,
@@ -116,7 +118,7 @@ class ContinuousAggregate:
         # merge partials with current state, touching only the batch's
         # bucket range (late data merges into its own old bucket)
         bounds = part.agg(
-            F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+            F.min(self.bucket_col).alias("lo"), F.max(self.bucket_col).alias("hi")
         ).first()
         if bounds.lo is None:
             self._record_batch(batch_id)
@@ -135,8 +137,8 @@ class ContinuousAggregate:
             self._record_batch(batch_id)
             return
         tgt = raw.filter(
-            (F.col("bucket_start") >= bounds.lo)
-            & (F.col("bucket_start") <= bounds.hi)
+            (F.col(self.bucket_col) >= bounds.lo)
+            & (F.col(self.bucket_col) <= bounds.hi)
         )
         if "last_batch_id" not in tgt.columns:
             # migration: a rollup table created before the in-row ledger

@@ -715,3 +715,76 @@ def test_streaming_minhash_index_maintenance(snappy, stream_dir):
     )
     assert pairs > 0
     snappy.drop_table("mh_bands")
+
+
+def test_streaming_approx_ts_topk_maintenance(snappy, stream_dir):
+    """Stream-fed approx TS topk (createApproxTSTopK's real shape in
+    the reference: CMS/StreamSummary updated per batch): per-window key
+    counts PUT-merge into the panel across micro-batches; the final
+    query equals the batch top-k over all streamed events, and replay
+    of a delivered batch cannot double-count (in-row ledger)."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark import aqp as aqp_mod
+
+    # empty keyed base: the structure starts empty and is fed by the stream
+    snappy.create_table(
+        "tk_ev",
+        schema="user_id string, ts timestamp",
+        options={"key_columns": "user_id"},
+    )
+    snappy.create_approx_ts_topk(
+        "tk_live", "tk_ev", key_col="user_id", ts_col="ts",
+        k=3, window="1 hour",
+    )
+
+    def ev(i):
+        # users u0..u4 with frequencies 15,12,9,6,3 over two hours
+        u = 0 if i % 5 < 3 else (1 if i % 5 == 3 else i % 5)
+        hour = 10 + (i % 2)
+        return {
+            "user_id": f"u{u}",
+            "ts": f"2024-03-01 {hour}:0{i % 6}:00",
+        }
+
+    rows = [ev(i) for i in range(45)]
+    _write_batch(stream_dir, "t0.json", rows[:25], mtime=3_000_000)
+    _write_batch(stream_dir, "t1.json", rows[25:], mtime=3_000_100)
+
+    updater = snappy.topk_stream_updater("tk_live")
+    stream = stream_reader(
+        snappy.spark, "file_stream",
+        schema="user_id string, ts timestamp",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    )
+    q = stream.writeStream.foreachBatch(updater).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = [
+        (r.user_id, r.estimated_count)
+        for r in snappy.query_approx_ts_topk("tk_live", k=3).collect()
+    ]
+    full = snappy.spark.read.schema("user_id string, ts timestamp").json(
+        stream_dir
+    )
+    expect_panel = aqp_mod.approx_topk_time(
+        full, "user_id", "ts", k=100, window="1 hour"
+    )
+    expect = [
+        (r.user_id, r.total)
+        for r in expect_panel.groupBy("user_id")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.desc("total"), "user_id")
+        .limit(3)
+        .collect()
+    ]
+    assert got == expect
+    # replay the last batch verbatim: ledger must keep counts unchanged
+    updater(full, batch_id=1)
+    again = [
+        (r.user_id, r.estimated_count)
+        for r in snappy.query_approx_ts_topk("tk_live", k=3).collect()
+    ]
+    assert again == expect
+    snappy.drop_table("tk_live")
+    snappy.drop_table("tk_ev")
