@@ -193,6 +193,13 @@ def search_ivf_sq8(
     # helpers yields the identical double sequence
     dq = _dequant_codes(_quantize_codes(F.col("qe"), mn, mx), mn, mx)
     idx = sn.table(info["index_table"])
+    # restrict to base rows the CURRENT USER can see before the
+    # candidate limit: an RLS-hidden row must neither leak its id nor
+    # consume candidate slots (the rerank inner-join alone would stop
+    # the leak but silently shrink recall)
+    idx = idx.join(
+        sn.table(info["table"]).select(id_col), id_col, "left_semi"
+    )
     if exclude_ids:
         idx = idx.filter(~F.col(id_col).isin(exclude_ids))
     scanned = (

@@ -112,12 +112,24 @@ def build_minhash(
     return info
 
 
-def candidate_pairs(sn, index_name: str) -> DataFrame:
-    """Distinct candidate pairs (doc1 < doc2) from the STORED band
-    table — the LSH bucket self-join with zero signature recompute."""
-    info = sn._ann_indexes[index_name.lower()]
+def _visible_bands(sn, info) -> DataFrame:
+    """The band table restricted to docs the CURRENT USER can see in the
+    base table: an index is derived data — serving pairs/matches for
+    rows an RLS policy or grant hides from the base read path would leak
+    their existence through the side door."""
     id_col = info["id_col"]
     banded = sn.table(info["index_table"])
+    visible = sn.table(info["table"]).select(id_col)
+    return banded.join(visible, id_col, "left_semi")
+
+
+def candidate_pairs(sn, index_name: str) -> DataFrame:
+    """Distinct candidate pairs (doc1 < doc2) from the STORED band
+    table — the LSH bucket self-join with zero signature recompute.
+    Pairs are restricted to base rows visible to the current user."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    banded = _visible_bands(sn, info)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -153,7 +165,7 @@ def near_dup_lookup(
     ).select(
         F.col(id_col).alias("probe_id"), "band", "band_hash"
     )
-    idx = sn.table(info["index_table"])
+    idx = _visible_bands(sn, info)
     return (
         idx.join(F.broadcast(pb), ["band", "band_hash"])
         .filter(F.col(id_col) != F.col("probe_id"))

@@ -170,3 +170,20 @@ def test_delete_where_prunes_without_reencode(indexed, monkeypatch):
     }
     assert set(before) - set(after) == {4, 6}
     assert all(after[k] == v for k, v in before.items() if k not in (4, 6))
+
+
+def test_rls_hidden_vectors_never_leak_through_index(indexed, spark):
+    """RLS on the base table filters the index scan BEFORE the candidate
+    limit: a hidden vector neither appears in results nor consumes a
+    candidate slot."""
+    sn = indexed
+    sn.sql("CREATE POLICY p_vec ON vecs FOR SELECT USING (vec_id <> 7)")
+    sn.sql("ALTER TABLE vecs ENABLE ROW LEVEL SECURITY")
+    try:
+        got = index_ann.search_ivf_sq8(
+            sn, "vec_ivf", _query_df(spark), topk=50, exclude_ids=[0]
+        ).collect()
+        assert len(got) > 0
+        assert all(r.vec_id != 7 for r in got)
+    finally:
+        sn.sql("ALTER TABLE vecs DISABLE ROW LEVEL SECURITY")

@@ -91,3 +91,25 @@ def test_near_dup_lookup_gates_incoming_batch(indexed, spark):
     flagged = {r.probe_id for r in got}
     assert 100 in flagged and 101 not in flagged
     assert {r.match_id for r in got if r.probe_id == 100} >= {1}
+
+
+def test_rls_hidden_docs_never_leak_through_index(indexed, spark):
+    """An index is derived data: rows an RLS policy hides from the base
+    table must not surface their ids through candidate_pairs or
+    near_dup_lookup (and must stop pairing entirely)."""
+    sn = indexed
+    sn.sql("CREATE POLICY p_vis ON mh_docs FOR SELECT USING (doc_id <> 2)")
+    sn.sql("ALTER TABLE mh_docs ENABLE ROW LEVEL SECURITY")
+    try:
+        pairs = index_minhash.candidate_pairs(sn, "mh_idx").collect()
+        assert all(r.doc1 != 2 and r.doc2 != 2 for r in pairs)
+        probe = sn.spark.createDataFrame(
+            [Row(doc_id=200,
+                 text="the quick brown fox jumps over the lazy dog "
+                      "again and again " * 3)]
+        )
+        got = index_minhash.near_dup_lookup(sn, "mh_idx", probe).collect()
+        # doc 1 (visible near-dup) matches; doc 2 (hidden near-dup) never
+        assert {r.match_id for r in got} == {1}
+    finally:
+        sn.sql("ALTER TABLE mh_docs DISABLE ROW LEVEL SECURITY")
