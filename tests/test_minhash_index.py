@@ -113,3 +113,45 @@ def test_rls_hidden_docs_never_leak_through_index(indexed, spark):
         assert {r.match_id for r in got} == {1}
     finally:
         sn.sql("ALTER TABLE mh_docs DISABLE ROW LEVEL SECURITY")
+
+
+def test_concurrent_puts_keep_index_consistent(indexed, spark):
+    """Two writers PUT-ing different docs concurrently: the per-table
+    lock chain (base -> index table) must neither deadlock nor lose a
+    maintenance pass — the final band table equals a fresh banding of
+    the final base content."""
+    import threading
+
+    from snappydata_spark.index_minhash import _band_rows
+
+    errs = []
+
+    def writer(lo):
+        try:
+            for i in range(lo, lo + 4):
+                src = spark.createDataFrame(
+                    [Row(doc_id=50 + i,
+                         text=f"writer {i % 2} unique content block {i} "
+                              * 12)]
+                )
+                indexed.put("mh_docs", src)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(lo,)) for lo in (0, 10)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert not errs
+    got = {
+        (r.doc_id, r.band): r.band_hash
+        for r in indexed.table("mh_idx__ann").collect()
+    }
+    expect = {
+        (r.doc_id, r.band): r.band_hash
+        for r in _band_rows(
+            indexed.table("mh_docs"), "text", "doc_id", 16, 4, 3
+        ).collect()
+    }
+    assert got == expect
