@@ -196,10 +196,13 @@ def search_ivf_sq8(
     # restrict to base rows the CURRENT USER can see before the
     # candidate limit: an RLS-hidden row must neither leak its id nor
     # consume candidate slots (the rerank inner-join alone would stop
-    # the leak but silently shrink recall)
-    idx = idx.join(
-        sn.table(info["table"]).select(id_col), id_col, "left_semi"
-    )
+    # the leak but silently shrink recall).  Skipped when no RLS/grant
+    # can filter the base — the semi-join would re-scan the base id
+    # projection on every probe for nothing.
+    if sn._read_is_filtered(info["table"]):
+        idx = idx.join(
+            sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
     if exclude_ids:
         idx = idx.filter(~F.col(id_col).isin(exclude_ids))
     scanned = (

@@ -116,9 +116,13 @@ def _visible_bands(sn, info) -> DataFrame:
     """The band table restricted to docs the CURRENT USER can see in the
     base table: an index is derived data — serving pairs/matches for
     rows an RLS policy or grant hides from the base read path would leak
-    their existence through the side door."""
-    id_col = info["id_col"]
+    their existence through the side door.  The semi-join is skipped
+    when no RLS/grant can filter the base (it would re-scan the base id
+    projection per probe for nothing)."""
     banded = sn.table(info["index_table"])
+    if not sn._read_is_filtered(info["table"]):
+        return banded
+    id_col = info["id_col"]
     visible = sn.table(info["table"]).select(id_col)
     return banded.join(visible, id_col, "left_semi")
 

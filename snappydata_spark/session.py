@@ -974,6 +974,15 @@ class SnappySession:
             return df
         return self.spark.table(name)
 
+    def _read_is_filtered(self, name: str) -> bool:
+        """True when the user-facing read of `name` can differ from the
+        raw data: RLS enabled, or SELECT grants restrict access.  Index
+        search paths use this to skip their visibility semi-join when
+        it provably filters nothing (at scale that join re-scans the
+        base id projection on every probe)."""
+        cname = self._canon(name)
+        return cname in self._rls or bool(self._grants.get(cname))
+
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
         if name not in self._rls:
             # policies exist but do not filter until the table is
