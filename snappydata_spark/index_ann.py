@@ -81,6 +81,82 @@ def _dequant_codes(code, mn: list[float], mx: list[float]):
     )
 
 
+def sq8_scores_pandas(
+    rows: DataFrame,
+    col: str,
+    id_col: str,
+    mn: list,
+    mx: list,
+    q_vec: list,
+    from_codes: bool,
+    echo_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine per row in the SQ8-dequantized domain,
+    vectorized in numpy via mapInPandas and FLOAT-EXACT to the Catalyst
+    composition sq8_dequant + V.cosine (and to the DuckDB oracle):
+
+    - quantize: floor((v-mn)/(mx-mn)*255) clamped to [0,255], degenerate
+      dims (mx==mn) dequantize to mn — the same expression order;
+    - every sum (dot, norms) is the LEFT-TO-RIGHT sequential fold, via
+      np.cumsum's prefix semantics (np.sum is pairwise and drifts in the
+      last ulps — enough to flip a near-tie candidate rank).
+
+    `col` holds stored int codes (from_codes=True, the index path) or
+    raw vectors (False, the composed path); `q_vec` is the RAW query
+    vector (quantized+dequantized here, exactly as the expression side
+    does).  `echo_col` passes one input column through (the composed
+    path echoes the raw embedding for the exact rerank).  Replaces a
+    per-row interpreted zip_with/fold chain — the dominant scan cost."""
+    import numpy as np
+
+    mnv = np.array(mn, dtype=np.float64)
+    mxv = np.array(mx, dtype=np.float64)
+    span = mxv - mnv
+    deg = span == 0.0
+
+    def _quantize(vecs):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((vecs - mnv) / span * 255)
+        q = np.clip(q, 0.0, 255.0)
+        q[:, deg] = 0.0
+        return q
+
+    def _deq(codes):
+        return mnv + codes / 255.0 * span
+
+    def _seq_sum(a):
+        return np.cumsum(a, axis=1)[:, -1]
+
+    qv = np.array(q_vec, dtype=np.float64)[None, :]
+    dq = _deq(_quantize(qv))[0]
+    dq_norm = np.sqrt(np.cumsum(dq * dq)[-1])
+
+    types = dict(rows.dtypes)
+    out_schema = f"{id_col} {types[id_col]}"
+    if echo_col:
+        out_schema += f", {echo_col} {types[echo_col]}"
+    out_schema += ", acos double"
+    sel = [id_col, col] + ([echo_col] if echo_col and echo_col != col else [])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = np.array(pdf[col].tolist(), dtype=np.float64)
+            de = _deq(arr) if from_codes else _deq(_quantize(arr))
+            num = _seq_sum(de * dq)
+            den = np.sqrt(_seq_sum(de * de)) * dq_norm
+            out = {id_col: pdf[id_col].values}
+            if echo_col:
+                out[echo_col] = pdf[echo_col]
+            out["acos"] = num / den
+            yield pd.DataFrame(out)
+
+    return rows.select(*sel).mapInPandas(run, out_schema)
+
+
 def codec_stats(emb: DataFrame, vec_col: str) -> tuple[list, list]:
     """Per-dim [min, max] over the corpus — the SQ8 codec model (d rows
     collected; bounded like kmeans centroids)."""
@@ -188,10 +264,10 @@ def search_ivf_sq8(
         .limit(nprobe)
         .select(F.col("cid").alias("cell"))
     )
-    # mirror sq8_dequant's query-side arithmetic exactly: quantize the
-    # raw query vector, then dequantize — composing the two stored-code
-    # helpers yields the identical double sequence
-    dq = _dequant_codes(_quantize_codes(F.col("qe"), mn, mx), mn, mx)
+    # 1-row model-sized collect: the query vector enters the vectorized
+    # scorer as a closure constant (quantized+dequantized there with
+    # the exact expression-order arithmetic)
+    q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
     idx = sn.table(info["index_table"])
     # restrict to base rows the CURRENT USER can see before the
     # candidate limit: an RLS-hidden row must neither leak its id nor
@@ -205,16 +281,14 @@ def search_ivf_sq8(
         )
     if exclude_ids:
         idx = idx.filter(~F.col(id_col).isin(exclude_ids))
-    scanned = (
-        idx.join(F.broadcast(probe), "cell", "left_semi")
-        .crossJoin(F.broadcast(query))
-        .select(
-            id_col,
-            (
-                V.dot(_dequant_codes(F.col("code"), mn, mx), dq)
-                / (V.norm(_dequant_codes(F.col("code"), mn, mx)) * V.norm(dq))
-            ).alias("acos"),
-        )
+    scanned = sq8_scores_pandas(
+        idx.join(F.broadcast(probe), "cell", "left_semi"),
+        col="code",
+        id_col=id_col,
+        mn=mn,
+        mx=mx,
+        q_vec=q_vec,
+        from_codes=True,
     )
     cand_df = scanned.orderBy(F.desc("acos"), id_col).limit(cand)
     base = sn.table(info["table"]).select(

@@ -838,23 +838,38 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact rerank touches only SQ_CAND rows.  Quantization error
     never affects correctness of the rerank set hash because both
     engines quantize with the identical clamp/floor arithmetic."""
+    from snappydata_spark.index_ann import codec_stats, sq8_scores_pandas
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    mn_lit, mx_lit = sq8_stats_literals(emb)
+    mn, mx = codec_stats(emb, "embedding")
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
-    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
-    de = sq8_dequant(F.col("embedding"), mn_lit, mx_lit)
-    dq = sq8_dequant(F.col("qe"), mn_lit, mx_lit)
-    approx = base.select(
-        "vec_id",
-        "embedding",
-        "qe",
-        (V.dot(de, dq) / (V.norm(de) * V.norm(dq))).alias("acos"),
+    q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
+    # vectorized quantize+score (float-exact to the expression-side
+    # composition — see sq8_scores_pandas); raw embedding echoed
+    # through for the exact rerank of the bounded candidate set
+    approx = sq8_scores_pandas(
+        emb.filter(F.col("vec_id") != 0),
+        col="embedding",
+        id_col="vec_id",
+        mn=mn,
+        mx=mx,
+        q_vec=q_vec,
+        from_codes=False,
     )
-    cand = approx.orderBy(F.desc("acos"), "vec_id").limit(SQ_CAND)
+    # narrow (id, acos) through the top-k, then join the raw vectors
+    # back by id for the exact rerank — echoing the vectors through the
+    # scorer would pay the Arrow transfer twice (memory: narrow pairs +
+    # join-back beats carrying wide payloads)
+    cand = (
+        approx.orderBy(F.desc("acos"), "vec_id")
+        .limit(SQ_CAND)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
     return (
-        cand.select(
+        cand.crossJoin(F.broadcast(query))
+        .select(
             "vec_id",
             F.round(V.cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
             F.round(F.col("acos"), 4).alias("approx_cos"),
@@ -946,27 +961,32 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVFSQ_NPROBE)
         .select(F.col("cid").alias("cell"))
     )
-    mn_lit, mx_lit = sq8_stats_literals(emb)
+    from snappydata_spark.index_ann import codec_stats, sq8_scores_pandas
+
+    mn, mx = codec_stats(emb, "embedding")
+    q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
     base = (
         emb.filter(F.col("vec_id") != 0)
         .join(assign, "vec_id")
         .join(F.broadcast(probe), "cell", "left_semi")
-        .crossJoin(F.broadcast(query))
     )
-    de = sq8_dequant(F.col("embedding"), mn_lit, mx_lit)
-    dq = sq8_dequant(F.col("qe"), mn_lit, mx_lit)
     cand = (
-        base.select(
-            "vec_id",
-            "embedding",
-            "qe",
-            (V.dot(de, dq) / (V.norm(de) * V.norm(dq))).alias("acos"),
+        sq8_scores_pandas(
+            base,
+            col="embedding",
+            id_col="vec_id",
+            mn=mn,
+            mx=mx,
+            q_vec=q_vec,
+            from_codes=False,
         )
         .orderBy(F.desc("acos"), "vec_id")
         .limit(SQ_CAND)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
     )
     return (
-        cand.select(
+        cand.crossJoin(F.broadcast(query))
+        .select(
             "vec_id",
             F.round(V.cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
             F.round(F.col("acos"), 4).alias("approx_cos"),
