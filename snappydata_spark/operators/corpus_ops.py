@@ -777,53 +777,6 @@ ORDER BY {_cos_sql('c.embedding', 'q.qe')} DESC, c.vec_id
 LIMIT {SQ_TOPK}"""
 
 
-def sq8_stats_literals(emb: DataFrame):
-    """(mn_lit, mx_lit): per-dim [min, max] codec stats collected as the
-    model (d rows) and re-entered as double-array literals — repr()
-    round-trips the exact doubles, so both engines quantize against
-    bit-identical bounds."""
-    stats = (
-        emb.select(F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(
-            F.min(F.col("v").cast("double")).alias("mn"),
-            F.max(F.col("v").cast("double")).alias("mx"),
-        )
-        .collect()  # bounded: d rows of model stats
-    )
-    mn = {r.pos: r.mn for r in stats}
-    mx = {r.pos: r.mx for r in stats}
-    dims = len(mn)
-    mn_lit = F.expr(
-        "array(" + ", ".join(repr(mn[i]) + "D" for i in range(dims)) + ")"
-    )
-    mx_lit = F.expr(
-        "array(" + ", ".join(repr(mx[i]) + "D" for i in range(dims)) + ")"
-    )
-    return mn_lit, mx_lit
-
-
-def sq8_dequant(vec, mn_lit, mx_lit):
-    """elementwise: mn + clamp(floor((v-mn)/(mx-mn)*255))/255*(mx-mn)"""
-    dv = F.transform(vec, lambda x: x.cast("double"))
-    return F.zip_with(
-        F.zip_with(dv, mn_lit, lambda v, lo: F.struct(v.alias("v"), lo.alias("lo"))),
-        mx_lit,
-        lambda s, hi: F.when(hi == s.lo, s.lo).otherwise(
-            s.lo
-            + F.greatest(
-                F.lit(0.0),
-                F.least(
-                    F.lit(255.0),
-                    F.floor((s.v - s.lo) / (hi - s.lo) * 255).cast("double"),
-                ),
-            )
-            / 255.0
-            * (hi - s.lo)
-        ),
-    )
-
-
 @register("sim_sq8_topk", oracle=_sq8_oracle())
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization ANN: compress each dim to int8 against
