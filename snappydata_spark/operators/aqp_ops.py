@@ -69,3 +69,181 @@ def aqp_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------ differentially-verified HLL sketch
+
+HLL_B = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+# alpha_256 = 0.7213/(1 + 1.079/m), rounded to 9 (libm-derived literal
+# discipline: inline the SAME constant in both engines)
+HLL_ALPHA = 0.718274843
+
+
+def _hll_registers_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('hll~' || user_id), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL),
+parts AS (
+  SELECT hv >> 52 AS bucket, hv & {(1 << 52) - 1} AS rest FROM h),
+rho AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN 53
+              ELSE 53 - length(bin(rest)) END AS rho
+  FROM parts)
+SELECT bucket, MAX(rho) AS max_rho FROM rho GROUP BY bucket"""
+
+
+@register("ev_hll_registers", oracle=_hll_registers_sql())
+def ev_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch STATE, differentially verified bit-for-bit: a
+    60-bit md5-derived hash per user splits into an {HLL_B}-bit bucket
+    (top bits) and a 52-bit remainder whose leading-zero count gives
+    rho = 53 - bitlength(remainder) (53 when zero) — both engines
+    compute bucket and rho with pure integer+string ops (bin() drops
+    leading zeros in both), so the per-bucket register maxima
+    hash-match EXACTLY.  This upgrades the sketch evidence from
+    'estimate within 5%' (aqp_hll_union_daily, engine-specific
+    Datasketches bytes) to 'sketch state identical across engines'.
+
+    Scale: one map pass + one {HLL_M}-key shuffle with max partial
+    aggregation — registers are mergeable by max, the HLL union
+    property the reference's distributed sketches rely on."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("hll~"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv")
+        )
+    )
+    parts = h.select(
+        F.shiftright("hv", 52).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit((1 << 52) - 1)).alias("rest"),
+    )
+    rho = parts.select(
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin("rest")))
+        .alias("rho"),
+    )
+    return rho.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def _hll_estimate_oracle() -> str:
+    # the CTE-in-CTE shorthand above is invalid SQL; build it properly
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('hll~' || user_id), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL),
+parts AS (
+  SELECT hv >> 52 AS bucket, hv & {(1 << 52) - 1} AS rest FROM h),
+rho AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN 53
+              ELSE 53 - length(bin(rest)) END AS rho
+  FROM parts),
+regs AS (SELECT bucket, MAX(rho) AS max_rho FROM rho GROUP BY bucket),
+folded AS (
+  SELECT (SELECT COUNT(*) FROM regs) AS present,
+         (SELECT list_aggregate(
+            [pow(2.0, -r) for r in list(max_rho ORDER BY bucket)], 'sum')
+          FROM regs) AS s_present),
+est AS (
+  SELECT {HLL_M} AS m, present,
+         {HLL_M} - present AS zeros,
+         ROUND(s_present + ({HLL_M} - present) * 1.0, 9) AS s,
+         ROUND({HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / (s_present + ({HLL_M} - present) * 1.0), 4) AS est_raw
+  FROM folded),
+corr AS (
+  SELECT m, present, zeros, s, est_raw,
+         CASE WHEN est_raw <= 2.5 * m AND zeros > 0
+              THEN ROUND(m * ln(m::DOUBLE / zeros), 4)
+              ELSE est_raw END AS est
+  FROM est),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n FROM events
+          WHERE user_id IS NOT NULL)
+SELECT e.m, e.present, e.zeros, e.s, e.est_raw, e.est,
+       x.n AS exact_distinct,
+       ROUND(ABS(e.est - x.n) / x.n, 3) AS rel_err
+FROM corr e CROSS JOIN exact x"""
+
+
+@register("ev_hll_estimate_exact", oracle=_hll_estimate_oracle())
+def ev_hll_estimate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL ESTIMATE from the verified registers, with every float
+    step order-pinned so both engines produce the identical value: the
+    2^-rho terms fold over registers sorted by bucket (array_sort +
+    sequential fold on both sides), absent buckets contribute
+    (m - present) * 1.0 as one term, and the raw estimate
+    alpha*m^2/S rounds to 4.  rel_err against the exact distinct count
+    rides along, so the artifact shows the sketch's accuracy AND its
+    cross-engine determinism in one row.  (The standard small-range
+    linear-counting correction is a driver-side finisher — it needs
+    ln(), whose last-ulp differences across libms would poison the
+    hash; the correction INPUTS (zeros, m) are in the row.)"""
+    regs = ev_hll_registers(spark, sf_dir)
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("present"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "max_rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x.max_rho.cast("double")),
+        ).alias("s_present"),
+    )
+    t = load_tables(spark, sf_dir, ("events",))
+    exact = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    m = HLL_M
+    s_full = F.col("s_present") + (F.lit(m) - F.col("present")) * 1.0
+    est = folded.select(
+        F.lit(m).alias("m"),
+        "present",
+        (F.lit(m) - F.col("present")).alias("zeros"),
+        F.round(s_full, 9).alias("s"),
+        F.round(F.lit(HLL_ALPHA) * m * m / s_full, 4).alias("est_raw"),
+    )
+    # standard HLL small-range correction: linear counting m*ln(m/zeros)
+    # when est_raw <= 2.5m and empty registers remain.  ln() is libm on
+    # both engines; round(.,4) of a ~1e2-scale value gives ~1e10x margin
+    # over a last-ulp difference, so the hash stays stable.
+    corrected = est.withColumn(
+        "est",
+        F.when(
+            (F.col("est_raw") <= 2.5 * m) & (F.col("zeros") > 0),
+            F.round(
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+                4,
+            ),
+        ).otherwise(F.col("est_raw")),
+    )
+    return corrected.crossJoin(exact).select(
+        "m",
+        "present",
+        "zeros",
+        "s",
+        "est_raw",
+        "est",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            3,
+        ).alias("rel_err"),
+    )

@@ -357,3 +357,18 @@ def test_ht_estimate_exact_under_mixed_stratum_weights(spark):
     st_full = SampleTable(full, ["grp"], {"*": 1.0}, -1)
     got = aqp.approx_agg(st_full, [], "y", agg="sum").collect()[0]
     assert got.estimate == 20.0 and got.absolute_error == 0.0
+
+
+def test_hll_differential_registers_accuracy(spark, sf_dir):
+    """The differentially-verified HLL (ev_hll_registers /
+    ev_hll_estimate_exact): estimate within the ~1.04/sqrt(m) HLL error
+    regime of the exact distinct count (m=256 -> ~6.5%; assert 15% for
+    slack), and the register frame is bounded by m rows."""
+    from snappydata_spark.operators import QUERIES
+
+    regs = QUERIES["ev_hll_registers"](spark, sf_dir).collect()
+    assert 0 < len(regs) <= 256
+    assert all(1 <= r.max_rho <= 53 for r in regs)
+    row = QUERIES["ev_hll_estimate_exact"](spark, sf_dir).collect()[0]
+    assert row.rel_err <= 0.15
+    assert row.present + row.zeros == row.m == 256
