@@ -247,3 +247,156 @@ def ev_hll_estimate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("rel_err"),
     )
+
+
+# -------------------------- differentially-verified count-min sketch
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+
+
+def _cms_counters_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL),
+cells AS (
+  SELECT i.i AS row_idx,
+         ('0x' || substr(md5('cms' || i.i || '~' || event_type), 1, 8))::BIGINT
+             % {CMS_W} AS bucket
+  FROM keyed, LATERAL (SELECT unnest(range(0, {CMS_D})) AS i) i)
+SELECT row_idx, bucket, COUNT(*)::BIGINT AS cnt
+FROM cells GROUP BY row_idx, bucket"""
+
+
+@register("ev_cms_counters", oracle=_cms_counters_sql())
+def ev_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch STATE, differentially verified cell-for-cell —
+    the sketch behind the reference's TopK structures (vendored
+    clearspring CountMinSketch, core/src/main/java/io/snappydata/util/
+    com/clearspring/analytics/stream/; createApproxTSTopK
+    SnappySession.scala:958-1026).  CMS_D md5-derived hash rows x CMS_W
+    counters; every cell is an integer count, so the cross-engine hash
+    check is exact with zero float risk.
+
+    Scale: one map pass exploding each event into CMS_D (row, bucket)
+    cells + one bounded {CMS_D}x{CMS_W}-key shuffle with additive
+    partial aggregation — CMS merges by cell addition, which is why the
+    reference ships per-partition sketches and merges on the driver."""
+    t = load_tables(spark, sf_dir, ("events",))
+    keyed = t["events"].filter(F.col("event_type").isNotNull())
+    cells = keyed.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_idx"),
+        F.col("event_type"),
+    ).select(
+        "row_idx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("row_idx").cast("string"),
+                            F.lit("~"),
+                            F.col("event_type"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        ).alias("bucket"),
+    )
+    return cells.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _cms_estimate_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL),
+cells AS (
+  SELECT i.i AS row_idx,
+         ('0x' || substr(md5('cms' || i.i || '~' || event_type), 1, 8))::BIGINT
+             % {CMS_W} AS bucket
+  FROM keyed, LATERAL (SELECT unnest(range(0, {CMS_D})) AS i) i),
+sketch AS (
+  SELECT row_idx, bucket, COUNT(*)::BIGINT AS cnt
+  FROM cells GROUP BY row_idx, bucket),
+keys AS (SELECT DISTINCT event_type FROM keyed),
+probes AS (
+  SELECT k.event_type, i.i AS row_idx,
+         ('0x' || substr(md5('cms' || i.i || '~' || k.event_type), 1, 8))::BIGINT
+             % {CMS_W} AS bucket
+  FROM keys k, LATERAL (SELECT unnest(range(0, {CMS_D})) AS i) i),
+est AS (
+  SELECT p.event_type, MIN(s.cnt) AS est
+  FROM probes p JOIN sketch s
+    ON s.row_idx = p.row_idx AND s.bucket = p.bucket
+  GROUP BY p.event_type),
+exact AS (
+  SELECT event_type, COUNT(*)::BIGINT AS exact_cnt
+  FROM keyed GROUP BY event_type)
+SELECT e.event_type, e.est, x.exact_cnt,
+       e.est - x.exact_cnt AS overcount
+FROM est e JOIN exact x USING (event_type)"""
+
+
+@register("ev_cms_topk_estimate", oracle=_cms_estimate_sql())
+def ev_cms_topk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point queries against the verified CMS: estimated frequency per
+    event type = MIN over the CMS_D rows of the probed counters — the
+    count-min property guarantees est >= exact (overcount >= 0, never
+    under), which the exact side of this very query demonstrates.  All
+    integers; the min-probe plan is a broadcast join of the tiny probe
+    frame into the {CMS_D}x{CMS_W}-cell sketch."""
+    t = load_tables(spark, sf_dir, ("events",))
+    keyed = t["events"].filter(F.col("event_type").isNotNull())
+    sketch = ev_cms_counters(spark, sf_dir)
+
+    def buckets(df):
+        return df.select(
+            F.col("event_type"),
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_idx"),
+        ).select(
+            "event_type",
+            "row_idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cms"),
+                                F.col("row_idx").cast("string"),
+                                F.lit("~"),
+                                F.col("event_type"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ).alias("bucket"),
+        )
+
+    probes = buckets(keyed.select("event_type").distinct())
+    est = (
+        sketch.join(F.broadcast(probes), ["row_idx", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est",
+        "exact_cnt",
+        (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -372,3 +372,15 @@ def test_hll_differential_registers_accuracy(spark, sf_dir):
     row = QUERIES["ev_hll_estimate_exact"](spark, sf_dir).collect()[0]
     assert row.rel_err <= 0.15
     assert row.present + row.zeros == row.m == 256
+
+
+def test_cms_overcount_never_negative(spark, sf_dir):
+    """Count-min property on the verified sketch: estimates never
+    undercount (min over rows >= true count), and with 5 event types in
+    64 buckets collisions are rare enough that most estimates are exact."""
+    from snappydata_spark.operators import QUERIES
+
+    rows = QUERIES["ev_cms_topk_estimate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.overcount >= 0 for r in rows)
+    assert sum(1 for r in rows if r.overcount == 0) >= len(rows) // 2
