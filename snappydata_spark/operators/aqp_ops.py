@@ -400,3 +400,100 @@ def ev_cms_topk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         (F.col("est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# --------------------- deterministic (hash-sampled) WITH ERROR query
+
+HSMP_PCT = 10  # 10% inclusion: hash(key) % 100 < 10
+HSMP_Z = 1.959963985  # 95% two-sided z, rounded-9 literal (both engines)
+
+
+def _hashed_sample_sql() -> str:
+    w = 100.0 / HSMP_PCT
+    return f"""
+WITH smp AS (
+  SELECT l_returnflag, l_extendedprice
+  FROM lineitem
+  WHERE ('0x' || substr(md5('smp~' || l_orderkey || '~' || l_linenumber),
+                        1, 8))::BIGINT % 100 < {HSMP_PCT}),
+g AS (
+  SELECT l_returnflag,
+         COUNT(*)::BIGINT AS n_sampled,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
+  FROM smp GROUP BY l_returnflag)
+SELECT l_returnflag, n_sampled,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE, 2) AS est_revenue,
+       ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2)
+           AS absolute_error,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE
+           - ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2), 2)
+           AS lower_bound,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE
+           + ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2), 2)
+           AS upper_bound
+FROM g"""
+
+
+@register("aqp_sample_hashed_estimate", oracle=_hashed_sample_sql())
+def aqp_sample_hashed_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH ERROR estimation over a DETERMINISTIC hash sample — the
+    oracle-checkable twin of aqp_sample_estimate_with_error (whose
+    engine-RNG sampling forces a rows-only check): row (orderkey,
+    linenumber) is sampled iff its md5-derived hash lands under
+    HSMP_PCT%, so BOTH engines draw the identical sample and the
+    Horvitz-Thompson estimate, the closed-form 95% half-width, and the
+    bounds all hash-match.  Float discipline: the revenue sums
+    accumulate in DECIMAL (exact, order-independent); only the variance
+    term touches double, and its sqrt rounds to 2 (~1e9x margin over a
+    libm last-ulp).
+
+    Scale: sampling is a map-side predicate on the scan (no shuffle,
+    pushes down beside the filters); one groupBy(stratum) with additive
+    partials.  Hash sampling is also the industry norm for
+    REPRODUCIBLE pipeline sampling (same sample every run, resumable)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    w = 100.0 / HSMP_PCT
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    smp = t["lineitem"].filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("smp~"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("~"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < HSMP_PCT
+    )
+    g = smp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    err = F.round(
+        F.lit(HSMP_Z) * F.sqrt(F.lit(w) * (w - 1.0) * F.col("s2").cast("double")),
+        2,
+    )
+    # decimal accumulation keeps the sums exact/order-independent; the
+    # FINAL values cast to double + round(2) so both engines render the
+    # same canonical form (DuckDB decimals arrive as float64 in pandas)
+    est = F.round((F.col("s1") * w).cast("decimal(38,2)").cast("double"), 2)
+    return g.select(
+        "l_returnflag",
+        "n_sampled",
+        est.alias("est_revenue"),
+        err.alias("absolute_error"),
+        F.round(est - err, 2).alias("lower_bound"),
+        F.round(est + err, 2).alias("upper_bound"),
+    )

@@ -384,3 +384,30 @@ def test_cms_overcount_never_negative(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.overcount >= 0 for r in rows)
     assert sum(1 for r in rows if r.overcount == 0) >= len(rows) // 2
+
+
+def test_hashed_sample_bounds_cover_truth(spark, sf_dir):
+    """The deterministic hash sample's 95% CI covers the true revenue
+    for (at least most of) the strata — the statistical contract of the
+    WITH ERROR surface, here on a fully differentially-verified path."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators import QUERIES
+
+    est = {
+        r.l_returnflag: r
+        for r in QUERIES["aqp_sample_hashed_estimate"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    true = {
+        r.l_returnflag: float(r.rev)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .collect()
+    }
+    covered = sum(
+        1
+        for flag, r in est.items()
+        if float(r.lower_bound) <= true[flag] <= float(r.upper_bound)
+    )
+    assert covered >= len(est) - 1  # 95% CI: allow one miss
