@@ -497,3 +497,234 @@ def aqp_sample_hashed_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est - err, 2).alias("lower_bound"),
         F.round(est + err, 2).alias("upper_bound"),
     )
+
+
+# -------------------- differentially-verified KMV (theta) sketch
+
+KMV_K = 64
+KMV_SCALE = float(1 << 60)  # hash domain: 60-bit md5-derived ints
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv~' || user_id), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL),
+ranked AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+sk AS (SELECT event_type, hv, rn FROM ranked WHERE rn <= {KMV_K}),
+kth AS (
+  SELECT event_type, MAX(rn) AS n_kept, MAX(hv) AS kth
+  FROM sk GROUP BY event_type),
+est AS (
+  SELECT event_type, n_kept,
+         CASE WHEN n_kept < {KMV_K} THEN n_kept::DOUBLE
+              ELSE ROUND(({KMV_K} - 1) / (kth / {KMV_SCALE!r}), 4) END AS est
+  FROM kth),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT e.event_type, e.n_kept, e.est, x.exact_distinct,
+       ROUND(ABS(e.est - x.exact_distinct) / x.exact_distinct, 3) AS rel_err
+FROM est e JOIN exact x USING (event_type)"""
+
+
+@register("ev_kmv_distinct_by_type", oracle=_kmv_sql())
+def ev_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / k-minimum-values sketch (the theta-sketch family behind
+    DataSketches set operations), differentially verified: per event
+    type, keep the KMV_K smallest 60-bit md5-derived user hashes; the
+    distinct-count estimate is (k-1)/normalized_kth_min — or the kept
+    count itself when fewer than k distinct hashes exist (exact
+    regime).  Hash selection, ordering, and the kth value are pure
+    integers, so both engines keep the IDENTICAL sketch; the single
+    division + round(4) is the only float step.
+
+    Why KMV next to HLL: KMV sketches support SET OPERATIONS (union =
+    merge + re-truncate, intersection via the Jaccard of the merged
+    k-set) — the audience-overlap estimator HLL cannot provide.  Scale:
+    one shuffle on event_type with a bounded top-k per group (the
+    rank-filter compiles to a windowed TopK, state = k rows/group)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from pyspark.sql import Window as W
+
+    h = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv~"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("event_type").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    kth = sk.groupBy("event_type").agg(
+        F.max("rn").alias("n_kept"), F.max("hv").alias("kth")
+    )
+    est = kth.select(
+        "event_type",
+        "n_kept",
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1)) / (F.col("kth") / F.lit(KMV_SCALE)), 4
+            )
+        )
+        .alias("est"),
+    )
+    exact = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_kept",
+        "est",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            3,
+        ).alias("rel_err"),
+    )
+
+
+def _kmv_union_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv~' || user_id), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL),
+types AS (SELECT DISTINCT event_type FROM h),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+merged AS (
+  SELECT p.ta, p.tb, h.hv,
+         ROW_NUMBER() OVER (PARTITION BY p.ta, p.tb ORDER BY h.hv) AS rn
+  FROM pairs p JOIN (SELECT DISTINCT event_type, hv FROM h) h
+    ON h.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, h.hv),
+msk AS (SELECT ta, tb, hv, rn FROM merged WHERE rn <= {KMV_K}),
+kth AS (
+  SELECT ta, tb, MAX(rn) AS n_kept, MAX(hv) AS kth FROM msk
+  GROUP BY ta, tb),
+est AS (
+  SELECT ta, tb, n_kept,
+         CASE WHEN n_kept < {KMV_K} THEN n_kept::DOUBLE
+              ELSE ROUND(({KMV_K} - 1) / (kth / {KMV_SCALE!r}), 4) END
+             AS est_union
+  FROM kth),
+exact AS (
+  SELECT p.ta, p.tb, COUNT(DISTINCT e.user_id)::BIGINT AS exact_union
+  FROM pairs p JOIN events e
+    ON e.event_type IN (p.ta, p.tb) AND e.user_id IS NOT NULL
+  GROUP BY p.ta, p.tb)
+SELECT e.ta, e.tb, e.n_kept, e.est_union, x.exact_union,
+       ROUND(ABS(e.est_union - x.exact_union) / x.exact_union, 3) AS rel_err
+FROM est e JOIN exact x USING (ta, tb)"""
+
+
+@register("ev_kmv_union_pairs", oracle=_kmv_union_sql())
+def ev_kmv_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation: union cardinality for every event-type pair
+    by MERGING the two sketches (union of hash sets, re-truncate to the
+    k smallest) — the sketch-merge never touches raw rows again, which
+    is the audience-overlap workflow at scale (segment sketches
+    maintained incrementally, pairwise unions served from sketches).
+    Differentially verified like the per-type sketch; exact union
+    distinct + rel_err ride along."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from pyspark.sql import Window as W
+
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv~"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    types = h.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    merged = (
+        pairs.join(
+            h,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    w = W.partitionBy("ta", "tb").orderBy("hv")
+    msk = merged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    kth = msk.groupBy("ta", "tb").agg(
+        F.max("rn").alias("n_kept"), F.max("hv").alias("kth")
+    )
+    est = kth.select(
+        "ta",
+        "tb",
+        "n_kept",
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1)) / (F.col("kth") / F.lit(KMV_SCALE)), 4
+            )
+        )
+        .alias("est_union"),
+    )
+    exact = (
+        pairs.join(
+            ev,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    return est.join(exact, ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        "n_kept",
+        "est_union",
+        "exact_union",
+        F.round(
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            / F.col("exact_union"),
+            3,
+        ).alias("rel_err"),
+    )

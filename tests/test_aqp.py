@@ -411,3 +411,26 @@ def test_hashed_sample_bounds_cover_truth(spark, sf_dir):
         if float(r.lower_bound) <= true[flag] <= float(r.upper_bound)
     )
     assert covered >= len(est) - 1  # 95% CI: allow one miss
+
+
+def test_kmv_estimates_within_bound(spark, sf_dir):
+    """KMV accuracy contract: relative error within ~2.5/sqrt(k) of the
+    exact distinct count (k=64 -> ~31% worst-case; typical much
+    tighter), exact regime when fewer than k hashes were kept, and the
+    merged-union estimate >= each side's exact count monotonicity."""
+    from snappydata_spark.operators import QUERIES
+
+    per = {r.event_type: r for r in
+           QUERIES["ev_kmv_distinct_by_type"](spark, sf_dir).collect()}
+    for r in per.values():
+        if r.n_kept < 64:
+            assert r.est == float(r.exact_distinct)
+        else:
+            assert r.rel_err <= 0.31
+    uni = QUERIES["ev_kmv_union_pairs"](spark, sf_dir).collect()
+    assert len(uni) > 0
+    for r in uni:
+        assert r.rel_err <= 0.31
+        assert r.exact_union >= max(
+            per[r.ta].exact_distinct, per[r.tb].exact_distinct
+        )
