@@ -1038,3 +1038,89 @@ def pipeline_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_idx", "chunk_sig", F.round("_c", 4).alias("cos")
         )
     )
+
+
+# --------------------------- weighted reproducible sampling (ES keys)
+
+PRI_K = 200
+PRI_SCALE = float(1 << 60)
+
+
+def _priority_sample_sql() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         (('0x' || substr(md5('pri~' || doc_id), 1, 15))::BIGINT + 1)
+             / {PRI_SCALE!r} AS u
+  FROM documents WHERE n_chars > 0),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln(u) / n_chars, 12) AS k,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(ln(u) / n_chars, 12) DESC, doc_id) AS rn
+  FROM keyed),
+sel AS (SELECT * FROM ranked WHERE rn <= {PRI_K})
+SELECT source,
+       COUNT(*)::BIGINT AS n_selected,
+       CAST(SUM(('0x' || substr(md5('sig~' || doc_id), 1, 8))::BIGINT)
+            AS BIGINT) AS id_sig,
+       ROUND(AVG(n_chars), 2) AS avg_weight
+FROM sel GROUP BY source"""
+
+
+@register("pipeline_priority_sample", oracle=_priority_sample_sql())
+def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, reproducible by
+    construction (Efraimidis-Spirakis priority keys): each document
+    draws u from its own md5-derived hash (not an RNG), gets key
+    ln(u)/w with w = n_chars, and the global top-PRI_K keys are the
+    sample — inclusion probability proportional to weight, identical
+    sample on every run/engine (the upsample-by-quality primitive of a
+    training-data pipeline, where reproducibility of the sample IS the
+    requirement).  Keys round to 12 before ranking in BOTH engines so a
+    libm last-ulp in ln() cannot flip a rank; doc_id breaks exact ties.
+    Output: per-source counts + an order-independent md5-derived id-set
+    signature, so the oracle checks the EXACT selected set.
+
+    Scale: key assignment is map-only; global top-k is
+    TakeOrderedAndProject (per-partition heaps, driver merges k rows) —
+    no global sort materializes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pri~"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(PRI_SCALE)
+    )
+    keyed = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 12).alias("k"),
+        )
+    )
+    sel = keyed.orderBy(F.desc("k"), "doc_id").limit(PRI_K)
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sig~"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(sig).cast("long").alias("id_sig"),
+        F.round(F.avg("n_chars"), 2).alias("avg_weight"),
+    )

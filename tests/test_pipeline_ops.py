@@ -129,3 +129,28 @@ def test_export_shards_deterministic(spark, sf_dir, tmp_path):
     db = {(r.shard, r.doc_id) for r in b.select("shard", "doc_id").collect()}
     assert da == db
     assert {r.shard for r in a.select("shard").distinct().collect()} == set(range(8))
+
+
+def test_priority_sample_weight_proportionality(spark, sf_dir):
+    """Efraimidis-Spirakis contract: the deterministic weighted sample
+    leans toward heavy documents — mean weight of selected docs exceeds
+    the corpus mean — and re-running yields the identical id signature."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators import QUERIES
+
+    out1 = {r.source: (r.n_selected, r.id_sig)
+            for r in QUERIES["pipeline_priority_sample"](spark, sf_dir).collect()}
+    out2 = {r.source: (r.n_selected, r.id_sig)
+            for r in QUERIES["pipeline_priority_sample"](spark, sf_dir).collect()}
+    assert out1 == out2  # reproducible by construction
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_avg = docs.filter("n_chars > 0").agg(
+        F.avg("n_chars")
+    ).collect()[0][0]
+    sel_rows = QUERIES["pipeline_priority_sample"](spark, sf_dir).collect()
+    sel_avg = (
+        sum(r.avg_weight * r.n_selected for r in sel_rows)
+        / sum(r.n_selected for r in sel_rows)
+    )
+    assert sel_avg > corpus_avg
