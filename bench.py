@@ -222,6 +222,15 @@ def main() -> None:
         "sim_ivf_sq8_index_topk",
         "dedup_minhash_lsh_index",
         "pipeline_rag_topk",
+        "dedup_incoming_batch_gate",
+        "ev_hll_registers",
+        "ev_hll_estimate_exact",
+        "ev_cms_counters",
+        "ev_cms_topk_estimate",
+        "ev_kmv_distinct_by_type",
+        "ev_kmv_union_pairs",
+        "aqp_sample_hashed_estimate",
+        "pipeline_priority_sample",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

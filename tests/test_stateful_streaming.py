@@ -788,3 +788,94 @@ def test_streaming_approx_ts_topk_maintenance(snappy, stream_dir):
     assert again == expect
     snappy.drop_table("tk_live")
     snappy.drop_table("tk_ev")
+
+
+def test_streaming_hll_and_cms_sketch_maintenance(snappy, stream_dir):
+    """Stream-fed sketch maintenance, the mergeable-partial property
+    the verified sketches are built on: per micro-batch HLL register
+    partials PUT-merge by MAX and CMS cell partials by ADDITION into
+    keyed tables; after the stream drains, both sketch states equal the
+    batch computation over all streamed data."""
+    from pyspark.sql import functions as F
+
+    def ev(i):
+        return {"user_id": 1000 + (i * 7) % 260, "event_type": f"t{i % 3}"}
+
+    rows = [ev(i) for i in range(300)]
+    _write_batch(stream_dir, "s0.json", rows[:150], mtime=4_000_000)
+    _write_batch(stream_dir, "s1.json", rows[150:], mtime=4_000_100)
+
+    snappy.create_table(
+        "hll_regs", schema="bucket long, max_rho int",
+        options={"key_columns": "bucket"},
+    )
+    snappy.create_table(
+        "cms_cells", schema="row_idx int, bucket long, cnt long",
+        options={"key_columns": "row_idx,bucket"},
+    )
+
+    def hll_partial(df):
+        h = df.filter(F.col("user_id").isNotNull()).select(
+            F.conv(F.substring(F.md5(F.concat(F.lit("hll~"),
+                F.col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").alias("hv"))
+        parts = h.select(
+            F.shiftright("hv", 52).alias("bucket"),
+            F.col("hv").bitwiseAND(F.lit((1 << 52) - 1)).alias("rest"))
+        return parts.select(
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin("rest"))).alias("rho")
+        ).groupBy("bucket").agg(F.max("rho").cast("int").alias("max_rho"))
+
+    def cms_partial(df):
+        cells = df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_idx"),
+            "event_type",
+        ).select("row_idx", (F.conv(F.substring(F.md5(F.concat(
+            F.lit("cms"), F.col("row_idx").cast("string"),
+            F.lit("~"), F.col("event_type"))), 1, 8), 16, 10)
+            .cast("long") % 64).alias("bucket"))
+        return cells.groupBy("row_idx", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    def maintain(batch, batch_id):
+        # HLL: register merge is MAX(stored, partial)
+        p = hll_partial(batch).alias("p")
+        t = snappy.table("hll_regs").alias("t")
+        merged = p.join(t, "bucket", "left").select(
+            "bucket",
+            F.greatest(F.col("p.max_rho"),
+                       F.coalesce(F.col("t.max_rho"), F.lit(0)))
+            .cast("int").alias("max_rho"))
+        snappy.put("hll_regs", merged)
+        # CMS: cell merge is ADDITION
+        cp = cms_partial(batch).alias("p")
+        ct = snappy.table("cms_cells").alias("t")
+        cmerged = cp.join(ct, ["row_idx", "bucket"], "left").select(
+            "row_idx", "bucket",
+            (F.col("p.cnt") + F.coalesce(F.col("t.cnt"), F.lit(0)))
+            .alias("cnt"))
+        snappy.put("cms_cells", cmerged)
+
+    stream = stream_reader(
+        snappy.spark, "file_stream",
+        schema="user_id long, event_type string",
+        format="json", path=stream_dir, maxFilesPerTrigger=1,
+    )
+    q = stream.writeStream.foreachBatch(maintain).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    full = snappy.spark.read.schema("user_id long, event_type string").json(
+        stream_dir)
+    want_hll = {(r.bucket, r.max_rho) for r in hll_partial(full).collect()}
+    got_hll = {(r.bucket, r.max_rho)
+               for r in snappy.table("hll_regs").collect()}
+    assert got_hll == want_hll
+    want_cms = {(r.row_idx, r.bucket, r.cnt)
+                for r in cms_partial(full).collect()}
+    got_cms = {(r.row_idx, r.bucket, r.cnt)
+               for r in snappy.table("cms_cells").collect()}
+    assert got_cms == want_cms
+    snappy.drop_table("hll_regs")
+    snappy.drop_table("cms_cells")
