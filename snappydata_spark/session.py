@@ -695,6 +695,20 @@ class SnappySession:
         if name in self._rls:
             self._rls.discard(name)
             self._save_registry()
+        # cascade: ANN indexes on the dropped table go with it (the
+        # reference drops dependent indexes with their base table —
+        # GemFireXD dependency management); a dangling index would keep
+        # serving stale matches for a table that no longer exists
+        dangling = [
+            k for k, v in self._ann_indexes.items() if v["table"] == name
+        ]
+        for k in dangling:
+            info = self._ann_indexes.pop(k)
+            self._indexes.pop(f"{k}__cell", None)
+            if self.catalog.exists(info["index_table"]):
+                self.drop_table(info["index_table"])
+        if dangling:
+            self._save_registry()
         try:
             self.spark.catalog.dropTempView(name)
         except Exception:

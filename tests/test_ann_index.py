@@ -187,3 +187,14 @@ def test_rls_hidden_vectors_never_leak_through_index(indexed, spark):
         assert all(r.vec_id != 7 for r in got)
     finally:
         sn.sql("ALTER TABLE vecs DISABLE ROW LEVEL SECURITY")
+
+
+def test_drop_base_table_cascades_to_index(indexed):
+    """Dropping the base table drops its ANN indexes too (the reference
+    drops dependent indexes with their table) — no dangling registry
+    entry, no orphaned index table."""
+    assert "vec_ivf" in indexed._ann_indexes
+    indexed.drop_table("vecs")
+    assert "vec_ivf" not in indexed._ann_indexes
+    assert not indexed.catalog.exists("vec_ivf__ann")
+    assert "vec_ivf__cell" not in indexed.list_indexes()
