@@ -126,17 +126,17 @@ def _serialized(fn):
             # training job (IndexColumnFormatRelation's index-updated-on-
             # mutation contract).  put/insert narrow the refresh to the
             # source rows; other mutations re-derive + prune stale keys.
-            if fn.__name__ in _ANN_MAINTAINED and getattr(
-                self, "_ann_indexes", None
-            ):
-                src = pred = None
-                if fn.__name__ in ("put", "insert", "delete_from") and args:
-                    src = args[0]
-                elif fn.__name__ in ("update", "delete") and args:
-                    pred = args[0]
-                self._ann_maintain(
-                    name, source=src, pred=pred, kind=fn.__name__
-                )
+            if fn.__name__ in _ANN_MAINTAINED:
+                if getattr(self, "_ann_indexes", None):
+                    src = pred = None
+                    if fn.__name__ in ("put", "insert", "delete_from") and args:
+                        src = args[0]
+                    elif fn.__name__ in ("update", "delete") and args:
+                        pred = args[0]
+                    self._ann_maintain(
+                        name, source=src, pred=pred, kind=fn.__name__
+                    )
+                self._sample_maintain(name)
             return result
 
     return wrapper
@@ -996,6 +996,28 @@ class SnappySession:
         base id projection on every probe)."""
         cname = self._canon(name)
         return cname in self._rls or bool(self._grants.get(cname))
+
+    def _sample_maintain(self, name: str) -> None:
+        """Keep dependent SAMPLE TABLES fresh through base mutations
+        (the reference's AQP maintains stratified samples as data
+        arrives — docs/sde; stream→sample ingestion).  The per-row draw
+        is a deterministic xxhash of the row (aqp.create_sample_table),
+        so re-deriving the sample keeps previously-kept surviving rows,
+        evaluates the same draw for new rows, drops deleted rows, and
+        re-realizes per-stratum weights in one pass.  Cost is a base
+        scan + one stratum window — at 100 TB the maintenance would
+        instead update reservoir counters incrementally; the DRAW
+        contract already supports that (documented)."""
+        cname = self._canon(name)
+        deps = [
+            t
+            for t in self.catalog.list_tables()
+            if (m := self.catalog.load_meta(t)).provider == "sample"
+            and m.options.get("base_table") == cname
+        ]
+        for t in deps:
+            opts = self.catalog.load_meta(t).options
+            self._create_sample_table(t, cname, dict(opts))
 
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
         if name not in self._rls:

@@ -434,3 +434,44 @@ def test_kmv_estimates_within_bound(spark, sf_dir):
         assert r.exact_union >= max(
             per[r.ta].exact_distinct, per[r.tb].exact_distinct
         )
+
+
+def test_sample_table_maintained_through_mutations(spark, snappy):
+    """Sample tables stay fresh through base mutations (the reference's
+    AQP maintains samples as data arrives): inserted rows get the same
+    deterministic per-row draw, deleted rows leave the sample, and HT
+    weights re-realize."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    snappy.create_table("smp_base", options={"key_columns": "k"}, df=base)
+    snappy.sql(
+        "CREATE SAMPLE TABLE smp_s ON smp_base OPTIONS (qcs 'grp', fraction '0.2')"
+    )
+    n0 = snappy.table("smp_s").count()
+    assert 0 < n0 < 4000
+    # insert a new slab: the maintained sample must include ~fraction of it
+    extra = spark.range(4000, 8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    snappy.insert("smp_base", extra)
+    s_after = snappy.table("smp_s")
+    n1 = s_after.count()
+    assert n1 > n0
+    assert s_after.filter("k >= 4000").count() > 0
+    # weights stay HT-consistent: estimated total rows ~= 8000
+    est = s_after.agg(
+        F.sum("snappy_sampler_weightage").alias("e")
+    ).collect()[0].e
+    assert abs(est - 8000) / 8000 < 0.05
+    # delete a key range: its sampled rows leave the sample
+    snappy.sql("DELETE FROM smp_base WHERE k < 1000")
+    assert snappy.table("smp_s").filter("k < 1000").count() == 0
+    snappy.drop_table("smp_s")
+    snappy.drop_table("smp_base")
