@@ -1124,3 +1124,211 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sig).cast("long").alias("id_sig"),
         F.round(F.avg("n_chars"), 2).alias("avg_weight"),
     )
+
+
+# ------------------------------------- lexical BM25 + hybrid fusion
+
+BM25_TERMS = ("vector", "query", "join")  # fixed literal query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+RRF_C = 60
+
+
+def _bm25_blocks_sql() -> str:
+    """Shared CTE blocks computing per-doc BM25 scores for BM25_TERMS.
+    Per-term partial scores round to 9 and ADD IN FIXED TERM ORDER (an
+    explicit expression, not an aggregate) so the float result is
+    engine-independent; avgdl rounds to 9 before entering the
+    denominator."""
+    term_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    score_sum = " + ".join(f"COALESCE(s.s_{i}, 0.0)" for i in range(len(BM25_TERMS)))
+    pivots = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s ELSE NULL END) AS s_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    return f"""
+tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 ROUND(AVG(dl), 9) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, u.term, COUNT(*)::BIGINT AS tf
+  FROM tok, LATERAL (SELECT unnest(t) AS term) u
+  WHERE u.term IN ({term_list})
+  GROUP BY doc_id, u.term),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         ROUND(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+  FROM df, stats s),
+partial AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(i.idf * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * d.dl / s.avgdl)), 9) AS s
+  FROM tf JOIN idf i USING (term)
+  JOIN dl d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+pv AS (SELECT doc_id, {pivots} FROM partial GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, ROUND({score_sum.replace('s.', 'pv.')}, 6) AS bm25
+  FROM pv)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_blocks_sql()}
+SELECT doc_id, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the shared BM25 blocks (same rounding contract)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    dl = tok.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 9).alias("avgdl"),
+    ).collect()[0]  # 2-value model collect
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+    tf = (
+        tok.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            9,
+        ).alias("idf"),
+    )
+    partial = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("idf")
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+                ),
+                9,
+            ).alias("s"),
+        )
+    )
+    pv = partial.groupBy("doc_id").pivot("term", list(BM25_TERMS)).sum("s")
+    score = None
+    for t in BM25_TERMS:  # FIXED-ORDER addition, same as the oracle
+        term_s = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        score = term_s if score is None else score + term_s
+    return pv.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+@register("txt_bm25_topk", oracle=_bm25_oracle())
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 retrieval over the corpus for a fixed literal query
+    (Robertson/Sparck-Jones weighting, the classic search scorer):
+    tf per (doc, term), df -> idf = ln((N-df+.5)/(df+.5)+1), per-term
+    score idf*tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), summed over query
+    terms.  Float discipline: idf/avgdl/per-term scores round to 9 and
+    the term sum is an EXPLICIT fixed-order expression (terms pivot to
+    columns), never an aggregate — so both engines add the same doubles
+    in the same order and the top-k hash-matches.
+
+    Scale: tf is one shuffle on (doc, term) restricted to the query's
+    terms (predicate pushdown on the exploded term), df/idf are
+    term-cardinality-bounded, the doc-level sum is a pivot on a
+    3-column key, and the final top-k is TakeOrderedAndProject."""
+    scored = _bm25_scores(spark, sf_dir)
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+
+
+def _rrf_oracle() -> str:
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+
+    return f"""
+WITH {_bm25_blocks_sql()},
+b_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS br
+  FROM scored),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+v_scored AS (
+  SELECT e.vec_id AS doc_id, {_cos_sql('e.embedding', 'q.qe')} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+v_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vr
+  FROM v_scored),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({RRF_C} + b.br), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + v.vr), 0.0), 9) AS rrf,
+         b.br AS bm25_rank, v.vr AS vec_rank
+  FROM b_rank b FULL OUTER JOIN v_rank v USING (doc_id))
+SELECT doc_id, rrf, bm25_rank, vec_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {BM25_TOPK}"""
+
+
+@register("sim_hybrid_rrf_topk", oracle=_rrf_oracle())
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking and the dense cosine ranking — the standard production
+    combiner (score = sum over systems of 1/(C + rank), C=60) because
+    it needs no score normalization across heterogeneous scorers.  The
+    fusion arithmetic is rank-based (integers) plus two explicit
+    1/(C+r) terms added in fixed order, so the hash check is robust by
+    construction.
+
+    Scale: each ranking is its own bounded top pipeline; the fusion is
+    a full outer join on doc_id of two narrow (id, rank) frames."""
+    from snappydata_spark.functions import vector as V
+
+    from pyspark.sql import Window as W
+
+    b_rank = _bm25_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("br"),
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    v_rank = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "doc_id"))
+            .alias("vr"),
+        )
+    )
+    fused = (
+        b_rank.join(v_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_C) + F.col("br")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("vr")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+            F.col("br").alias("bm25_rank"),
+            F.col("vr").alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(BM25_TOPK)

@@ -154,3 +154,30 @@ def test_priority_sample_weight_proportionality(spark, sf_dir):
         / sum(r.n_selected for r in sel_rows)
     )
     assert sel_avg > corpus_avg
+
+
+def test_bm25_and_hybrid_ranking_contracts(spark, sf_dir):
+    """BM25: every returned doc contains at least one query term and
+    scores are positive-descending.  Hybrid RRF: a doc ranked #1 by
+    both systems must fuse above a doc ranked low by both; rrf is
+    bounded by 2/(60+1)."""
+    from snappydata_spark.operators import QUERIES
+
+    top = QUERIES["txt_bm25_topk"](spark, sf_dir).collect()
+    assert len(top) > 0
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    from snappydata_spark.operators.pipeline_ops import BM25_TERMS
+    for r in top:
+        toks = docs[r.doc_id].split()
+        assert any(t in toks for t in BM25_TERMS)
+
+    fused = QUERIES["sim_hybrid_rrf_topk"](spark, sf_dir).collect()
+    assert len(fused) > 0
+    assert all(0 < r.rrf <= 2.0 / 61 + 1e-9 for r in fused)
+    assert [round(r.rrf, 9) for r in fused] == sorted(
+        (round(r.rrf, 9) for r in fused), reverse=True
+    )
