@@ -1,0 +1,190 @@
+"""Materialized inverted index: postings stored once, BM25 served many.
+
+`CREATE INDEX idx ON t(text) USING inverted` tokenizes every document
+ONCE and stores the postings in a managed keyed table `idx__ann`:
+
+    (<id_col>, term string, tf bigint, dl int)   -- key = (<id_col>, term)
+
+range-clustered on `term` so a query's postings scan prunes row groups
+by footer min/max (the lexical twin of index_ann's cell clustering; the
+reference materializes CREATE INDEX structures as maintained tables —
+IndexColumnFormatRelation, ColumnFormatRelation.scala:633).  Per-doc
+length (dl) is denormalized onto each posting so scoring needs no join
+back to the base table; corpus stats (N, avgdl) derive from the
+postings at query time with one tiny aggregate.
+
+- `bm25_topk(sn, idx, terms, k)` — BM25 over the STORED postings for an
+  ad-hoc term list: tokenization of the corpus never re-runs; the scan
+  reads only the query terms' postings.  Scoring follows the
+  txt_bm25_topk float discipline (idf/avgdl/per-term scores rounded,
+  fixed-order term sum via a pivot).
+- Mutations maintain the postings through the session's `_ann_maintain`
+  hook: touched docs re-tokenize, their STALE postings (terms no longer
+  present) delete by key, fresh ones PUT; deleted docs' postings prune.
+
+Completes the materialized retrieval triad: dense (ivf_sq8), near-dup
+(minhash), lexical (inverted) — all maintained indexes over managed
+tables, all serving oracle-checkable queries.
+
+Scale: postings are (term, id, two ints) — the classic search-engine
+layout; per-term posting lists shard naturally by the (id, term) key,
+and query cost is bounded by the query terms' document frequency, not
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from snappydata_spark.functions import text as T
+
+
+def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    tok = df.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("__t")
+    )
+    return (
+        tok.select(
+            id_col,
+            F.size("__t").alias("dl"),
+            F.explode("__t").alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+
+
+def build_inverted(
+    sn, index_name: str, table: str, text_col: str, id_col: str | None = None
+) -> dict:
+    meta = sn.catalog.load_meta(sn._canon(table))
+    if id_col is None:
+        if not meta.key_columns:
+            raise ValueError(
+                f"inverted index on {table} needs KEY_COLUMNS (or an "
+                "explicit id column) to key the postings table"
+            )
+        id_col = meta.key_columns[0]
+    idx_table = f"{index_name}__ann"
+    rows = _postings(sn.table(table), text_col, id_col)
+    sn.create_table(
+        idx_table, options={"key_columns": f"{id_col},term"}, df=rows
+    )
+    # cluster postings by term for pruned per-term scans
+    sn.sql(f"CREATE INDEX {index_name}__term ON {idx_table} (term)")
+    info = {
+        "method": "inverted",
+        "table": sn._canon(table),
+        "column": text_col,
+        "id_col": id_col,
+        "index_table": idx_table,
+    }
+    sn._ann_indexes[index_name.lower()] = info
+    sn._save_registry()
+    return info
+
+
+def bm25_topk(
+    sn,
+    index_name: str,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the stored postings for `terms` — zero tokenization,
+    postings scan bounded by the query terms' document frequency.
+    Rows hidden from the base by RLS/grants never surface (visibility
+    semi-join, skipped when nothing can filter)."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    post = sn.table(info["index_table"])
+    if sn._read_is_filtered(info["table"]):
+        post = post.join(
+            sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
+    # corpus stats from the postings: N = distinct docs, avgdl = mean dl
+    # over one row per doc (model-sized collect, rounded like the
+    # composed query)
+    stats = (
+        post.select(id_col, "dl")
+        .groupBy(id_col)
+        .agg(F.min("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 9).alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+    hits = post.filter(F.col("term").isin(*terms))
+    df_ = hits.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            9,
+        ).alias("idf"),
+    )
+    partial = hits.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+            ),
+            9,
+        ).alias("s"),
+    )
+    pv = partial.groupBy(id_col).pivot("term", list(terms)).sum("s")
+    score = None
+    for t in terms:  # fixed-order addition (txt_bm25_topk discipline)
+        term_s = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        score = term_s if score is None else score + term_s
+    return (
+        pv.select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def refresh_inverted(
+    sn,
+    index_name: str,
+    source: DataFrame | None = None,
+    delete_only: bool = False,
+) -> None:
+    """Maintain postings after a base mutation: touched docs
+    re-tokenize; a touched doc's STALE postings (terms it no longer
+    contains) delete by (id, term) key before the fresh ones PUT;
+    postings of departed docs prune.  Per-doc work only when `source`
+    names the mutated rows."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    base = sn.table(info["table"])
+    idx = info["index_table"]
+    if not delete_only:
+        rows_src = base if source is None else base.join(
+            source.select(id_col).distinct(), id_col, "left_semi"
+        )
+        fresh = _postings(rows_src, info["column"], id_col)
+        touched_ids = rows_src.select(id_col).distinct()
+        stale_terms = (
+            sn.table(idx)
+            .join(touched_ids, id_col, "left_semi")
+            .select(id_col, "term")
+            .join(fresh.select(id_col, "term"), [id_col, "term"], "left_anti")
+        )
+        if not stale_terms.isEmpty():
+            sn.delete_from(idx, stale_terms)
+        if not fresh.isEmpty():
+            sn.put(idx, fresh)
+    departed = sn.table(idx).select(id_col, "term").join(
+        base.select(id_col), id_col, "left_anti"
+    )
+    if not departed.isEmpty():
+        sn.delete_from(idx, departed)

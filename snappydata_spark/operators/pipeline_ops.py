@@ -1332,3 +1332,49 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(BM25_TOPK)
+
+
+def _bm25_index_oracle() -> str:
+    """Same BM25 blocks, but corpus stats (N, avgdl) over docs with >=1
+    token — the indexed population (an inverted index has no entry for
+    a token-less doc).  Identical to _bm25_oracle when every document
+    tokenizes non-empty (true of this corpus — the differential proves
+    it)."""
+    return (
+        f"""
+WITH {_bm25_blocks_sql()}
+SELECT doc_id, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}"""
+        .replace(
+            "dl AS (SELECT doc_id, len(t) AS dl FROM tok)",
+            "dl AS (SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0)",
+        )
+    )
+
+
+@register("txt_bm25_index_topk", oracle=_bm25_index_oracle())
+def txt_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the MATERIALIZED inverted index (CREATE INDEX
+    ... USING inverted, index_inverted.py): corpus tokenization ran
+    once at build; this query reads only the query terms' postings
+    (term-clustered files prune the scan) and scores with the
+    txt_bm25_topk float discipline — same oracle semantics, zero
+    tokenization at query time.  Completes the index-served retrieval
+    triad next to sim_ivf_sq8_index_topk (dense) and
+    dedup_minhash_lsh_index (near-dup)."""
+    from snappydata_spark import index_inverted
+    from snappydata_spark.operators.dedup_ops import _minhash_index_session
+
+    sn = _minhash_index_session(spark, sf_dir)
+    if "docs_bm25" not in sn._ann_indexes:
+        if not sn.catalog.exists("docs_base"):
+            docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+                "doc_id", "text"
+            )
+            sn.create_table(
+                "docs_base", options={"key_columns": "doc_id"}, df=docs
+            )
+        sn.sql("CREATE INDEX docs_bm25 ON docs_base(text) USING inverted")
+    return index_inverted.bm25_topk(
+        sn, "docs_bm25", list(BM25_TERMS), k=BM25_TOPK
+    )

@@ -705,6 +705,7 @@ class SnappySession:
         for k in dangling:
             info = self._ann_indexes.pop(k)
             self._indexes.pop(f"{k}__cell", None)
+            self._indexes.pop(f"{k}__term", None)
             if self.catalog.exists(info["index_table"]):
                 self.drop_table(info["index_table"])
         if dangling:
@@ -1469,6 +1470,7 @@ class SnappySession:
             ann_info = self._ann_indexes.pop(stmt.options["index"].lower(), None)
             if ann_info is not None:
                 self._indexes.pop(f"{stmt.options['index'].lower()}__cell", None)
+                self._indexes.pop(f"{stmt.options['index'].lower()}__term", None)
                 self.drop_table(ann_info["index_table"])
                 self._save_registry()
                 return None
@@ -2416,7 +2418,7 @@ class SnappySession:
         cols = [c.strip().lower() for c in options["columns"].split(",")]
         name = self._canon(table)
         using = options.get("using")
-        if using in ("ivf_sq8", "minhash"):
+        if using in ("ivf_sq8", "minhash", "inverted"):
             # materialized similarity indexes (index_ann / index_minhash):
             # model/signatures computed once, stored in a managed keyed
             # table, maintained on mutation via _ann_maintain
@@ -2426,10 +2428,14 @@ class SnappySession:
                 from snappydata_spark import index_ann
 
                 index_ann.build_ivf_sq8(self, options["index"], name, cols[0])
-            else:
+            elif using == "minhash":
                 from snappydata_spark import index_minhash
 
                 index_minhash.build_minhash(self, options["index"], name, cols[0])
+            else:
+                from snappydata_spark import index_inverted
+
+                index_inverted.build_inverted(self, options["index"], name, cols[0])
             return None
         self._indexes[options["index"].lower()] = (name, cols)
         self._save_registry()
@@ -2531,10 +2537,17 @@ class SnappySession:
             except Exception:  # noqa: BLE001 — unresolvable alias/pred
                 source = None
         for k in hits:
-            if self._ann_indexes[k].get("method") == "minhash":
+            method = self._ann_indexes[k].get("method")
+            if method == "minhash":
                 from snappydata_spark import index_minhash
 
                 index_minhash.refresh_minhash(
+                    self, k, source=source, delete_only=delete_only
+                )
+            elif method == "inverted":
+                from snappydata_spark import index_inverted
+
+                index_inverted.refresh_inverted(
                     self, k, source=source, delete_only=delete_only
                 )
             else:
