@@ -231,6 +231,9 @@ def main() -> None:
         "ev_kmv_union_pairs",
         "aqp_sample_hashed_estimate",
         "pipeline_priority_sample",
+        "txt_bm25_topk",
+        "txt_bm25_index_topk",
+        "sim_hybrid_rrf_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
