@@ -1133,6 +1133,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 15
 RRF_C = 60
+RRF_N = 100  # per-system list depth fused (standard RRF practice)
 
 
 def _bm25_blocks_sql() -> str:
@@ -1258,16 +1259,22 @@ def _rrf_oracle() -> str:
 
     return f"""
 WITH {_bm25_blocks_sql()},
+b_top AS (
+  SELECT doc_id, bm25 FROM scored
+  ORDER BY bm25 DESC, doc_id LIMIT {RRF_N}),
 b_rank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS br
-  FROM scored),
+  FROM b_top),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 v_scored AS (
   SELECT e.vec_id AS doc_id, {_cos_sql('e.embedding', 'q.qe')} AS cos
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+v_top AS (
+  SELECT doc_id, cos FROM v_scored
+  ORDER BY cos DESC, doc_id LIMIT {RRF_N}),
 v_rank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vr
-  FROM v_scored),
+  FROM v_top),
 fused AS (
   SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
          ROUND(COALESCE(1.0 / ({RRF_C} + b.br), 0.0)
@@ -1294,11 +1301,21 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    b_rank = _bm25_scores(spark, sf_dir).select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("bm25"), "doc_id"))
-        .alias("br"),
+    # fuse only each system's top-RRF_N list (standard RRF practice):
+    # the global-rank window would single-partition the whole corpus; a
+    # TakeOrderedAndProject bounds the ranked frame to RRF_N rows, and a
+    # doc outside a system's top list contributes 0 from it in BOTH
+    # engines, so parity holds by construction
+    b_rank = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("br"),
+        )
     )
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -1311,6 +1328,8 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             V.cosine(F.col("embedding"), F.col("qe")).alias("cos"),
         )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(RRF_N)
         .select(
             "doc_id",
             F.row_number()

@@ -31,6 +31,13 @@ ALLOWLIST = {
         "window_unpartitioned",
         "single_partition_exchange",
     },
+    # RRF ranks each system's TOP-RRF_N list only (TakeOrderedAndProject
+    # bounds the frame to 100 rows before the rank window) —
+    # operators/pipeline_ops.py sim_hybrid_rrf_topk
+    "sim_hybrid_rrf_topk": {
+        "window_unpartitioned",
+        "single_partition_exchange",
+    },
 }
 
 _AGG_BELOW = re.compile(
