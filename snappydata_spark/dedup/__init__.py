@@ -48,23 +48,16 @@ def minhash_lsh_candidates(
             "a remainder would silently drop the trailing hash functions "
             "and change the effective (1/b)^(1/r) similarity threshold"
         )
-    rows = num_hashes // bands
-    # two projections: base shingle hashes (one md5 per shingle) then the
-    # affine minhash family — see functions/text.shingle_hashes for why
-    # this split is a ~num_hashes× cost difference
-    # docs too short to produce a shingle would all hash to ONE shared
-    # band bucket (minhash of an empty array is all-NULL → concat_ws
-    # drops NULLs → md5('')): k short docs → k² candidate pairs, and the
-    # oracle (WHERE len(t) >= 3) excludes them — drop them up front
-    sig = df.withColumn(
-        "__hs", T.shingle_hashes(F.col(text_col), shingle_n)
-    ).filter(F.size("__hs") > 0).select(
-        F.col(id_col),
-        T.minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        F.col(id_col), F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    # band rows come from the vectorized Python-worker builder
+    # (index_minhash._band_rows) — hash-identical to the Catalyst chain
+    # in functions/text.py but ~15x faster cold: the interpreted HOF
+    # lambdas (~24M evals at sf0.1) did not scale across local threads.
+    # Docs too short for a shingle are dropped there (an all-NULL
+    # signature would bucket every short doc together — k short docs →
+    # k² candidate pairs; the oracle's WHERE len(t) >= 3 matches).
+    from snappydata_spark.index_minhash import _band_rows
+
+    banded = _band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
     # materialize signatures once: both sides of the self-join read the
     # cached band table instead of re-running shingle->md5->minhash (2x
     # the whole pipeline).  At 100 TB the same move is "write signatures

@@ -45,26 +45,81 @@ def _band_rows(
     bands: int,
     shingle_n: int,
 ) -> DataFrame:
-    """(id, band, band_hash) for every doc with >= 1 shingle — the same
-    two-projection signature build as dedup.minhash_lsh_candidates
-    (short docs are dropped exactly as there: an all-NULL signature
-    would put every short doc in one shared bucket)."""
+    """(id, band, band_hash) for every doc with >= 1 shingle, computed
+    VECTORIZED in Python workers via mapInPandas — hash-for-hash
+    identical to the Catalyst expression chain (functions/text.py
+    shingle_hashes -> minhash_from_hashes -> lsh_bands) and to the
+    DuckDB oracle CTEs:
+
+    - tokens: ASCII-\\s+ split of the trimmed text, empties dropped
+      (re.ASCII matches Java's default \\s class);
+    - base hash per shingle: first 8 md5 hex chars of 'mh~'+shingle as
+      an unsigned int (hashlib == Spark md5 == DuckDB md5, utf-8);
+    - sig[i] = min((h*(2i+1) + (12582917i+1)) % (2^31-1)) — int64-exact
+      numpy; docs with no shingle are dropped (an all-NULL signature
+      would bucket every short doc together);
+    - band_hash = md5 of the comma-joined signature slice.
+
+    Why not the Catalyst chain: its interpreted HOF lambdas (~24M evals
+    at sf0.1) did not scale across local threads (9 s wall regardless
+    of partitioning — contention in interpreted eval); this pass is
+    ~0.5 s and parallelizes per Arrow batch."""
+    import hashlib
+    import re
+
     rows = num_hashes // bands
-    sig = (
-        df.withColumn("__hs", T.shingle_hashes(F.col(text_col), shingle_n))
-        .filter(F.size("__hs") > 0)
-        .select(
-            F.col(id_col),
-            T.minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"),
-        )
-    )
-    return sig.select(
-        F.col(id_col),
-        F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b"),
-    ).select(
-        F.col(id_col),
-        F.col("b.band").cast("int").alias("band"),
-        F.col("b.band_hash").alias("band_hash"),
+    mults = [2 * i + 1 for i in range(num_hashes)]
+    adds = [12582917 * i + 1 for i in range(num_hashes)]
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"__id": [], "band": [], "band_hash": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.strip()) if t]
+                if len(toks) < shingle_n:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                ("mh~" + " ".join(toks[i : i + shingle_n])).encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        for i in range(len(toks) - shingle_n + 1)
+                    ),
+                    dtype=np.int64,
+                )
+                sig = [
+                    int(((hs * m + a) % 2147483647).min())
+                    for m, a in zip(mults, adds)
+                ]
+                for b in range(bands):
+                    chunk = ",".join(
+                        str(sig[b * rows + r]) for r in range(rows)
+                    )
+                    out["__id"].append(doc_id)
+                    out["band"].append(b)
+                    out["band_hash"].append(
+                        hashlib.md5(chunk.encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {id_col: out["__id"], "band": out["band"],
+                 "band_hash": out["band_hash"]}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(run, f"{id_col} {id_type}, band int, band_hash string")
     )
 
 
