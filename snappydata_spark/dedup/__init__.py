@@ -79,6 +79,153 @@ def minhash_lsh_candidates(
     )
 
 
+def _ascii_tokens(text):
+    """Python twin of functions/text.tokens(): Spark trim() strips ASCII
+    spaces only, then an ASCII-\\s+ split (Java's default \\s class)
+    with empties dropped."""
+    import re
+
+    return [
+        t
+        for t in re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+        if t
+    ]
+
+
+def _simhash_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh): 60-bit simhash per doc, vectorized in Python workers —
+    bit-identical to token_hashes + simhash_from_hashes (one md5 per
+    DISTINCT token, per-bit majority vote; integers only).  The
+    Catalyst chain evaluated 60 interpreted per-bit folds over the
+    token-hash array per doc and did not scale across local threads."""
+    import hashlib
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitpos = np.arange(60, dtype=np.int64)
+        for pdf in batches:
+            out = {"__id": [], "sh": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = list(dict.fromkeys(_ascii_tokens(text)))
+                if not toks:
+                    out["__id"].append(doc_id)
+                    out["sh"].append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(("sh~" + t).encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                )
+                votes = (
+                    ((hs[:, None] >> bitpos) & 1) * 2 - 1
+                ).sum(axis=0)
+                sh = int(((votes > 0).astype(np.int64) << bitpos).sum())
+                out["__id"].append(doc_id)
+                out["sh"].append(sh)
+            yield pd.DataFrame({id_col: out["__id"], "sh": out["sh"]})
+
+    id_type = dict(df.dtypes)[id_col]
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(run, f"{id_col} {id_type}, sh long")
+    )
+
+
+def _shingle_hash_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, sh array<long>): sorted distinct 60-bit shingle hashes per
+    doc (md5 15-hex prefix), vectorized — the containment index/verify
+    substrate.  Docs with no shingle are dropped (as before)."""
+    import hashlib
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"__id": [], "sh": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _ascii_tokens(text)
+                if len(toks) < shingle_n:
+                    continue
+                hs = {
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + shingle_n]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                out["__id"].append(doc_id)
+                out["sh"].append(sorted(hs))
+            yield pd.DataFrame({id_col: out["__id"], "sh": out["sh"]})
+
+    id_type = dict(df.dtypes)[id_col]
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(run, f"{id_col} {id_type}, sh array<long>")
+    )
+
+
+def _shingle_string_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, block_tokens: int
+) -> DataFrame:
+    """(id, blk, sh array<string>): first-occurrence-distinct shingle
+    strings + the md5 prefix-fingerprint blocking key, vectorized (the
+    ngram-Jaccard substrate; set sizes are order-independent so the
+    distinct order never affects results)."""
+    import hashlib
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"__id": [], "blk": [], "sh": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _ascii_tokens(text)
+                blk = hashlib.md5(
+                    " ".join(toks[:block_tokens]).encode()
+                ).hexdigest()
+                if len(toks) < shingle_n:
+                    sh = []
+                else:
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
+                        )
+                    )
+                out["__id"].append(doc_id)
+                out["blk"].append(blk)
+                out["sh"].append(sh)
+            yield pd.DataFrame(
+                {id_col: out["__id"], "blk": out["blk"], "sh": out["sh"]}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(run, f"{id_col} {id_type}, blk string, sh array<string>")
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -90,9 +237,7 @@ def simhash_candidates(
     4 bands is equal) → in-bucket pairs filtered on exact hamming
     distance.  60 bits keeps the candidate set near-linear where 32-bit
     simhash goes quadratic on shared-vocabulary corpora."""
-    sh = df.withColumn("__th", T.token_hashes(F.col(text_col))).select(
-        F.col(id_col), T.simhash_from_hashes(F.col("__th")).alias("sh")
-    )
+    sh = _simhash_frame(df, text_col, id_col)
     bands = sh.select(
         F.col(id_col),
         F.col("sh"),
@@ -142,11 +287,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard within prefix blocks: block on the first
     `block_tokens` tokens (cheap key), compute exact Jaccard over distinct
     shingle sets only within a block."""
-    docs = df.select(
-        F.col(id_col),
-        T.prefix_fingerprint(F.col(text_col), block_tokens).alias("blk"),
-        F.array_distinct(T.shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    docs = _shingle_string_sets(df, text_col, id_col, shingle_n, block_tokens)
     docs = docs.persist()  # self-join reads cached shingle sets
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -174,31 +315,67 @@ def embedding_near_dups(
     top_per_block: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within a blocking column (cluster/label/
-    LSH bucket), rank pairs by cosine and keep the top candidates."""
-    from pyspark.sql import Window as W
+    LSH bucket), rank pairs by cosine and keep the top candidates.
 
-    a = df.select(
-        F.col(id_col).alias("v1"), F.col(block_col).alias("blk"), F.col(vec_col).alias("e1")
-    )
-    b = df.select(
-        F.col(id_col).alias("v2"), F.col(block_col).alias("blk2"), F.col(vec_col).alias("e2")
-    )
-    pairs = (
-        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("v1") < F.col("v2")))
-        .select(
-            "blk",
-            "v1",
-            "v2",
-            F.round(V.cosine(F.col("e1"), F.col("e2")), 4).alias("cos"),
+    Vectorized per block via applyInPandas, FLOAT-EXACT to the previous
+    Catalyst fold (and the DuckDB oracle): the pairwise dot matrix
+    accumulates one dimension at a time (acc += outer(V[:,j], V[:,j])),
+    which reproduces the left-to-right sequential sum of the expression
+    fold; norms use the cumsum trick; zero-vector pairs (cosine 0/0 =
+    NaN) drop before ranking, exactly as before.  The Catalyst pair
+    join evaluated an interpreted d-element fold per pair (~13M lambda
+    evals at sf0.1, 12 s wall); this is one n_b x n_b numpy pass per
+    block.  Block state is n_b vectors — bounded by the blocking key,
+    the same contract the pair join had."""
+
+    def per_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"blk": [], "v1": [], "v2": [], "cos": [], "rn": []}
         )
-        # a zero vector makes cosine 0/0 = NaN, and Spark orders NaN ABOVE
-        # every real double — a pair of zero-padding rows would otherwise
-        # outrank genuine cos=1.0 near-dups and eat the top_per_block slots
-        .filter(~F.isnan("cos"))
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        d = vecs.shape[1]
+        # sequential-fold dot matrix and norms (exactness contract)
+        acc = np.zeros((n, n), dtype=np.float64)
+        for j in range(d):
+            col = vecs[:, j]
+            acc += col[:, None] * col[None, :]
+        norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(n, k=1)
+        c = cos[iu, ju]
+        keep = ~np.isnan(c)
+        iu, ju, c = iu[keep], ju[keep], np.round(c[keep], 4)
+        if len(c) == 0:
+            return empty
+        order = np.lexsort((ids[ju], ids[iu], -c))[:top_per_block]
+        return pd.DataFrame(
+            {
+                "blk": pdf[block_col].iloc[0],
+                "v1": ids[iu[order]],
+                "v2": ids[ju[order]],
+                "cos": c[order],
+                "rn": np.arange(1, len(order) + 1),
+            }
+        )
+
+    types = dict(df.dtypes)
+    schema = (
+        f"blk {types[block_col]}, v1 {types[id_col]}, "
+        f"v2 {types[id_col]}, cos double, rn int"
     )
-    w = W.partitionBy("blk").orderBy(F.col("cos").desc(), F.col("v1"), F.col("v2"))
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= top_per_block
+    return (
+        df.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, schema)
     )
 
 
@@ -313,19 +490,7 @@ def containment_pairs(
     one on the pair."""
     from pyspark.sql import Window as W
 
-    docs = df.select(
-        F.col(id_col),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    T.shingles(F.col(text_col), shingle_n),
-                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                        "long"
-                    ),
-                )
-            )
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    docs = _shingle_hash_sets(df, text_col, id_col, shingle_n)
     docs = docs.persist()  # keys + both join sides read one shingle pass
     probe = docs.select(
         F.col(id_col),
