@@ -549,16 +549,78 @@ def knn_graph_candidates(
         max(min_planes, math.ceil(math.log2(max(n, 1) / float(target_bucket)))),
     )
     pcols = list(payload) if payload else []
-    buckets = emb.select(
-        "vec_id",
-        *[payload[c].alias(c) for c in pcols],
-        *[
-            V.lsh_hyperplane_bucket(
-                F.col("embedding"), bp, dims, seed=f"b{band}plane"
-            ).alias(f"bucket{band}")
+    if not pcols:
+        # id-only fast path: all bands' hyperplane projections in one
+        # vectorized numpy pass — float-exact to V.lsh_hyperplane_bucket
+        # (same md5-derived plane doubles; per-plane projection is the
+        # sequential fold via np.cumsum; sign bits are exact integers).
+        # The Catalyst fold evaluated bands*bp*dims interpreted lambdas
+        # per row and did not scale across local threads.
+        import hashlib
+
+        import numpy as np
+
+        plane_mats = [
+            np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(f"b{band}plane{p}~{d}".encode()).hexdigest()[
+                                :8
+                            ],
+                            16,
+                        )
+                        / float(2**31)
+                        - 1.0
+                        for d in range(dims)
+                    ]
+                    for p in range(bp)
+                ],
+                dtype=np.float64,
+            )
             for band in range(bands)
-        ],
-    )
+        ]
+
+        def bucketize(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                out = {"vec_id": pdf["vec_id"].values}
+                for band in range(bands):
+                    pm = plane_mats[band]
+                    codes = np.zeros(len(pdf), dtype=np.int64)
+                    for p in range(bp):
+                        # sequential fold per projection (cumsum prefix
+                        # semantics == the expression fold)
+                        proj = np.cumsum(vecs * pm[p], axis=1)[:, -1]
+                        codes += (proj > 0).astype(np.int64) << p
+                    out[f"bucket{band}"] = codes
+                yield pd.DataFrame(out)
+
+        id_type = dict(emb.dtypes)["vec_id"]
+        bschema = ", ".join(
+            [f"vec_id {id_type}"] + [f"bucket{b} long" for b in range(bands)]
+        )
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        buckets = (
+            emb.select("vec_id", "embedding")
+            .repartition(par)
+            .mapInPandas(bucketize, bschema)
+        )
+    else:
+        buckets = emb.select(
+            "vec_id",
+            *[payload[c].alias(c) for c in pcols],
+            *[
+                V.lsh_hyperplane_bucket(
+                    F.col("embedding"), bp, dims, seed=f"b{band}plane"
+                ).alias(f"bucket{band}")
+                for band in range(bands)
+            ],
+        )
     melted = buckets.select(
         "vec_id",
         *pcols,
@@ -639,14 +701,34 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "dst",
         )
-        .select(
-            "src",
-            "dst",
-            (
-                V.dot(F.col("emb_l"), F.col("emb_r"))
-                / (F.col("nrm_l") * F.col("nrm_r"))
-            ).alias("sim"),
-        )
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            el = np.array(pdf["emb_l"].tolist(), dtype=np.float64)
+            er = np.array(pdf["emb_r"].tolist(), dtype=np.float64)
+            # sequential-fold dot (cumsum prefix semantics == V.dot's
+            # left-to-right fold); nrm columns come from the Catalyst
+            # norm computed once per vector, so sim is bit-identical to
+            # the previous expression
+            dots = np.cumsum(el * er, axis=1)[:, -1]
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"].values,
+                    "dst": pdf["dst"].values,
+                    "sim": dots
+                    / (pdf["nrm_l"].to_numpy() * pdf["nrm_r"].to_numpy()),
+                }
+            )
+
+    id_type = dict(emb.dtypes)["vec_id"]
+    pairs = pairs.mapInPandas(
+        score, f"src {id_type}, dst {id_type}, sim double"
     )
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
