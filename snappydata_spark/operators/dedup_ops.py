@@ -866,12 +866,15 @@ def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sn = _minhash_index_session(spark, sf_dir)
     if "base_mh" not in sn._ann_indexes:
-        docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
-            "doc_id", "text"
-        )
-        sn.create_table(
-            "docs_base", options={"key_columns": "doc_id"}, df=docs
-        )
+        # docs_base may already exist (txt_bm25_index_topk shares it in
+        # this build-once session) — create only when absent
+        if not sn.catalog.exists("docs_base"):
+            docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+                "doc_id", "text"
+            )
+            sn.create_table(
+                "docs_base", options={"key_columns": "doc_id"}, df=docs
+            )
         sn.sql("CREATE INDEX base_mh ON docs_base(text) USING minhash")
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # probe ids offset out of the corpus id space (so a probe's match
