@@ -30,45 +30,258 @@ def aqp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aqp.approx_topk_time(t["events"], "event_type", "ts", k=3, window="1 hour")
 
 
-@register("aqp_sample_estimate_with_error")
+def _stratified_with_error_sql() -> str:
+    # HSMP_PCT / HSMP_Z are defined below with the hashed-sample twin
+    return """
+WITH flagged AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         (('0x' || substr(md5('smp~' || l_orderkey || '~' || l_linenumber),
+                          1, 8))::BIGINT % 100 < 10) AS sampled
+  FROM lineitem),
+g AS (
+  SELECT l_returnflag,
+         COUNT(*)::BIGINT AS total_rows,
+         (COUNT(*) FILTER (WHERE sampled))::BIGINT AS n_sampled,
+         SUM(price) FILTER (WHERE sampled) AS s1,
+         SUM(price * price) FILTER (WHERE sampled) AS s2
+  FROM flagged GROUP BY l_returnflag),
+est AS (
+  SELECT l_returnflag, total_rows, n_sampled,
+         ROUND(s1::DOUBLE * (total_rows::DOUBLE / n_sampled), 2) AS estimate,
+         ROUND(1.959963985 * sqrt((total_rows::DOUBLE / n_sampled)
+               * (total_rows::DOUBLE / n_sampled - 1.0) * s2::DOUBLE), 2)
+             AS absolute_error
+  FROM g)
+SELECT l_returnflag, total_rows, n_sampled, estimate, absolute_error,
+       ROUND(absolute_error / estimate, 6) AS relative_error,
+       ROUND(estimate - absolute_error, 2) AS lower_bound,
+       ROUND(estimate + absolute_error, 2) AS upper_bound
+FROM est"""
+
+
+@register("aqp_sample_estimate_with_error", oracle=_stratified_with_error_sql())
 def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITH ERROR estimate: revenue per returnflag from a 10% stratified
-    sample, with closed-form 95% bounds.  Rows-only check (sampling RNG is
-    engine-specific); the statistical contract is pytest-verified
-    (tests/test_aqp.py: true value within bounds)."""
+    """WITH ERROR estimate (docs/sde/running_queries.md:4-31): revenue per
+    returnflag from a 10% STRATIFIED sample with the full SDE error-
+    function surface — estimate, absolute_error (95% CI half-width),
+    relative_error, lower_bound, upper_bound.
+
+    r6: the stratum sample is drawn by a DETERMINISTIC md5 row hash
+    (inclusion iff hash(orderkey, linenumber) % 100 < 10) instead of
+    engine RNG, so BOTH engines draw the identical sample and the whole
+    error surface is oracle-checked hash-exact.  The math is the same
+    Horvitz-Thompson estimator aqp.approx_agg applies (uniform
+    within-stratum weight w = total/kept; Var = w(w-1)·Σy²), but
+    accumulated in DECIMAL (exact, order-independent) with the
+    double-precision steps reduced to per-group scalar ops so summation
+    order cannot flip the hash.  The RNG reservoir path
+    (aqp.create_sample_table) remains pytest-verified in tests/test_aqp.py.
+
+    Scale: sampling is a map-side predicate on the scan; one
+    groupBy(stratum) with additive decimal partials.  Hash sampling keeps
+    task retries consistent and pipelines reproducible."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    st = aqp.create_sample_table(t["lineitem"], ["l_returnflag"], 0.1)
-    return aqp.approx_agg(st, ["l_returnflag"], "l_extendedprice", "sum")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    sampled = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("smp~"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("~"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 10
+    )
+    g = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(sampled, 1)).alias("n_sampled"),
+        F.sum(F.when(sampled, dec)).alias("s1"),
+        F.sum(F.when(sampled, dec * dec)).alias("s2"),
+    )
+    w = F.col("total_rows").cast("double") / F.col("n_sampled")
+    est = F.round(F.col("s1").cast("double") * w, 2)
+    err = F.round(
+        F.lit(1.959963985)
+        * F.sqrt(w * (w - F.lit(1.0)) * F.col("s2").cast("double")),
+        2,
+    )
+    base = g.select(
+        "l_returnflag",
+        "total_rows",
+        "n_sampled",
+        est.alias("estimate"),
+        err.alias("absolute_error"),
+    )
+    return base.select(
+        "l_returnflag",
+        "total_rows",
+        "n_sampled",
+        "estimate",
+        "absolute_error",
+        F.round(F.col("absolute_error") / F.col("estimate"), 6).alias(
+            "relative_error"
+        ),
+        F.round(F.col("estimate") - F.col("absolute_error"), 2).alias(
+            "lower_bound"
+        ),
+        F.round(F.col("estimate") + F.col("absolute_error"), 2).alias(
+            "upper_bound"
+        ),
+    )
 
 
-@register("aqp_hll_union_daily")
+# ------------------- grouped verified HLL (shared by the approx-distinct
+# registry queries; same construction as ev_hll_registers below but with
+# 2^12 registers — the Datasketches default lgConfigK=12 accuracy class —
+# and per-group sketches)
+
+HLLG_B = 12  # 2^12 = 4096 registers per group
+HLLG_M = 1 << HLLG_B
+_HLLG_SHIFT = 60 - HLLG_B  # remainder bits of the 60-bit md5 hash
+_HLLG_RHO0 = _HLLG_SHIFT + 1  # rho when the remainder is all-zero
+# alpha_4096 = 0.7213/(1 + 1.079/m), rounded-9 literal (inline the SAME
+# constant in both engines — libm-derived literal discipline)
+HLLG_ALPHA = 0.72111004
+
+
+def hll_registers_grouped(df: DataFrame, group_exprs, key_col: str) -> DataFrame:
+    """Per-group HLL register table (group_cols..., bucket, max_rho):
+    60-bit md5-derived hash per key splits into a {HLLG_B}-bit bucket and
+    a {_HLLG_SHIFT}-bit remainder; rho = bitlength margin, registers
+    aggregate by MAX — the merge operation HLL unions rely on.  Pure
+    integer + string ops on both engines, so the state is hash-exact."""
+    h = df.filter(F.col(key_col).isNotNull()).select(
+        *group_exprs,
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll~"), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    gcols = [c for c in h.columns if c != "hv"]
+    rho = h.select(
+        *gcols,
+        F.shiftright("hv", _HLLG_SHIFT).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit((1 << _HLLG_SHIFT) - 1)).alias("rest"),
+    ).select(
+        *gcols,
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLLG_RHO0))
+        .otherwise(F.lit(_HLLG_RHO0) - F.length(F.bin("rest")))
+        .alias("rho"),
+    )
+    return rho.groupBy(*gcols, "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, gcols: list[str]) -> DataFrame:
+    """Fold per-group registers into the HLL estimate with every float
+    step order-pinned (array_sort + sequential fold; the DuckDB twin
+    folds list(max_rho ORDER BY bucket)) — estimates hash-match exactly.
+    Small-range linear counting m*ln(m/zeros) applies below 2.5m; ln is
+    libm on both engines and round(.,4) gives ~1e10x margin on a 1-ulp
+    difference."""
+    m = HLLG_M
+    folded = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "max_rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x.max_rho.cast("double")),
+        ).alias("s_present"),
+    )
+    s_full = F.col("s_present") + (F.lit(m) - F.col("present")) * 1.0
+    zeros = F.lit(m) - F.col("present")
+    est_raw = F.round(F.lit(HLLG_ALPHA) * m * m / s_full, 4)
+    est = F.when(
+        (est_raw <= 2.5 * m) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 4),
+    ).otherwise(est_raw)
+    return folded.select(
+        *gcols, F.round(est, 0).cast("long").alias("approx_users")
+    )
+
+
+def _hll_grouped_sql(group_select: str, group_by: str, key: str, table: str) -> str:
+    m = HLLG_M
+    mask = (1 << _HLLG_SHIFT) - 1
+    return f"""
+WITH h AS (
+  SELECT {group_select},
+         ('0x' || substr(md5('hll~' || {key}), 1, 15))::BIGINT AS hv
+  FROM {table} WHERE {key} IS NOT NULL),
+rho AS (
+  SELECT {group_by}, hv >> {_HLLG_SHIFT} AS bucket,
+         CASE WHEN hv & {mask} = 0 THEN {_HLLG_RHO0}
+              ELSE {_HLLG_RHO0} - length(bin(hv & {mask})) END AS rho
+  FROM h),
+regs AS (SELECT {group_by}, bucket, MAX(rho) AS max_rho FROM rho
+         GROUP BY {group_by}, bucket),
+folded AS (
+  SELECT {group_by}, COUNT(*) AS present,
+         list_aggregate([pow(2.0, -r) for r in list(max_rho ORDER BY bucket)],
+                        'sum') AS s_present
+  FROM regs GROUP BY {group_by}),
+est AS (
+  SELECT {group_by}, present, {m} - present AS zeros,
+         ROUND({HLLG_ALPHA} * {m} * {m}
+               / (s_present + ({m} - present) * 1.0), 4) AS est_raw
+  FROM folded),
+corr AS (
+  SELECT {group_by},
+         CASE WHEN est_raw <= 2.5 * {m} AND zeros > 0
+              THEN ROUND({m} * ln({m}::DOUBLE / zeros), 4)
+              ELSE est_raw END AS est
+  FROM est)
+SELECT {group_by}, CAST(ROUND(est, 0) AS BIGINT) AS approx_users FROM corr"""
+
+
+@register(
+    "aqp_hll_union_daily",
+    oracle=_hll_grouped_sql(
+        "date_trunc('day', ts) AS day", "day", "user_id", "events"
+    ),
+)
 def aqp_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (the scale path for the
-    reference's approx-distinct surface): build one Datasketches HLL
-    sketch of user_id per (day, event_type) partial, then hll_union_agg
-    the partials up to per-day totals — the re-aggregation is
+    reference's approx-distinct surface): build one verified-HLL register
+    set of user_id per (day, event_type) partial, then merge the partials
+    up to per-day totals by register-wise MAX — the re-aggregation is
     sketch-merge only, never touching raw rows again.  At 100 TB this is
     the difference between one pass and N passes for rollup hierarchies.
-    Rows-only check (sketch estimates are engine-specific); accuracy vs
-    exact distinct is pytest-asserted within 5% (tests/test_aqp.py)."""
+
+    r6: now hash-exact (was rows-only with Datasketches bytes) — the
+    registers are md5-derived integers and the estimate fold is
+    order-pinned on both engines, so the DuckDB oracle reproduces the
+    per-day estimates bit-for-bit; the two-level merge on the Spark side
+    collapses to the same registers the oracle computes directly
+    (max-merge associativity — the HLL union property)."""
     t = load_tables(spark, sf_dir, ("events",))
-    partials = (
-        t["events"]
-        .groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
-            "event_type",
-        )
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    partials = hll_registers_grouped(
+        t["events"],
+        [F.date_trunc("day", "ts").alias("day"), F.col("event_type")],
+        "user_id",
     )
-    return (
-        partials.groupBy("day")
-        .agg(
-            F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 0)
-            .cast("long")
-            .alias("approx_users")
-        )
-        .orderBy("day")
+    merged = partials.groupBy("day", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
     )
+    return hll_estimate_from_registers(merged, ["day"]).orderBy("day")
 
 
 # ------------------------------ differentially-verified HLL sketch

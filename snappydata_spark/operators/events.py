@@ -184,19 +184,33 @@ def ev_cdc_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ev_approx_distinct_users",
-)
+def _approx_distinct_oracle() -> str:
+    from snappydata_spark.operators.aqp_ops import _hll_grouped_sql
+
+    return _hll_grouped_sql("event_type", "event_type", "user_id", "events")
+
+
+@register("ev_approx_distinct_users", oracle=_approx_distinct_oracle())
 def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL — the reference's inherited approximate
-    aggregate, SURVEY.md §2.4).  Rows-only check: HLL estimates differ
-    across engines by design; exactness is covered by agg_distinct."""
-    t = load_tables(spark, sf_dir, ("events",))
-    return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    """approx_count_distinct surface (HLL — the reference's inherited
+    approximate aggregate, SURVEY.md §2.4): approximate distinct users per
+    event type.
+
+    r6: served from the verified-HLL sketch (aqp_ops.hll_registers_grouped,
+    4096 registers — the same accuracy class as Spark's default rsd) so
+    the estimate is hash-exact against the DuckDB oracle instead of
+    rows-only: both engines build identical md5-derived registers and fold
+    them in pinned order.  Engine-native approx_count_distinct remains
+    available (and exactness is covered by agg_distinct); accuracy of this
+    sketch vs the exact count is pytest-asserted in tests/test_aqp.py."""
+    from snappydata_spark.operators.aqp_ops import (
+        hll_estimate_from_registers,
+        hll_registers_grouped,
     )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    regs = hll_registers_grouped(t["events"], [F.col("event_type")], "user_id")
+    return hll_estimate_from_registers(regs, ["event_type"])
 
 
 @register(

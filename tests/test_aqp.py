@@ -126,10 +126,35 @@ def test_strata_reservoir_floor(spark, sf_dir):
         assert est[k] == pytest.approx(true[k], rel=1e-6)
 
 
+def test_verified_hll_grouped_within_5pct(spark, sf_dir):
+    """ev_approx_distinct_users (verified-HLL, 4096 registers): per-type
+    estimate within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators import QUERIES
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["ev_approx_distinct_users"](spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n)
+
+
 def test_hll_union_within_5pct_of_exact(spark, sf_dir):
     """aqp_hll_union_daily: per-day sketch-merged distinct estimate must
-    land within 5% of the exact distinct count (Datasketches HLL default
-    lgConfigK=12 → ~1.6% relative standard error)."""
+    land within 5% of the exact distinct count (verified HLL, 4096
+    registers → ~1.6% relative standard error; small ranges use linear
+    counting which is tighter still)."""
     from pyspark.sql import functions as F
 
     from snappydata_spark.operators import QUERIES
@@ -142,7 +167,8 @@ def test_hll_union_within_5pct_of_exact(spark, sf_dir):
         events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     exact = {
         r.day: r.n
-        for r in events.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        for r in events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }

@@ -12,14 +12,12 @@ def test_registry_consistency():
     # no empty oracle text, no duplicate registrations lost
     for name, sql in ORACLES.items():
         assert sql.strip(), name
-    # the four approximate-by-design queries are the ONLY no-oracle rows
+    # r6: EVERY registered query has a DuckDB oracle — the former four
+    # approximate-by-design rows were re-pointed at deterministic
+    # hash-exact constructions (verified HLL, hashed stratified sample,
+    # bucket TABLESAMPLE)
     no_oracle = sorted(set(QUERIES) - set(ORACLES))
-    assert no_oracle == [
-        "aqp_hll_union_daily",
-        "aqp_sample_estimate_with_error",
-        "ev_approx_distinct_users",
-        "sample_tablesample",
-    ]
+    assert no_oracle == []
 
 
 def test_entry_module_contract():
