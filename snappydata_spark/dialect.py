@@ -629,7 +629,68 @@ def rewrite_hints(text: str) -> str:
     return stripped
 
 
+# --+ noIndex — per-query opt-out of automatic index routing
+# (resolve_index.py; the reference's index hints are the inverse —
+# --+ index()/withIndex() force one, Literals.scala:405-511).  Stripped
+# here so an unrouted query reaching spark.sql stays parseable.
+_NOINDEX = re.compile(r"--\+\s*noindex(?:\s*\(\s*\))?", re.I)
+
+
+def _expand_calls(text: str, fname: str, render) -> str:
+    """Expand every balanced `fname(args...)` call via render(args).
+    Balanced-paren scan (arguments may nest calls like array(...)); the
+    rendered output must not itself contain fname.  String literals are
+    not special-cased — don't name string payloads after macros."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.I)
+    while True:
+        m = pat.search(text)
+        if not m:
+            return text
+        i, depth = m.end(), 1
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced — leave untouched
+        args = _split_top_commas(text[m.end() : i - 1])
+        text = text[: m.start()] + render(args) + text[i:]
+
+
+def _cosine_sim_sql(args: list[str]) -> str:
+    """cosine_sim(a, b) → the zip_with/aggregate HOF cosine — the exact
+    SAME expression tree as functions.vector.cosine (dot/(norm·norm) in
+    double), so the full-scan fallback and the DataFrame API agree
+    bit-for-bit.  This is the exact slow path; resolve_index routes the
+    top-k shape to a materialized ivf_sq8 index before this expansion
+    runs."""
+    if len(args) != 2:
+        raise ValueError("cosine_sim(a, b) takes exactly two array arguments")
+    a, b = (x.strip() for x in args)
+    da = f"transform({a}, x -> CAST(x AS DOUBLE))"
+    db = f"transform({b}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"(aggregate(zip_with({da}, {db}, (x, y) -> x * y), 0D, "
+        "(acc, x) -> acc + x) / "
+        f"(sqrt(aggregate({da}, 0D, (acc, x) -> acc + x * x)) * "
+        f"sqrt(aggregate({db}, 0D, (acc, x) -> acc + x * x))))"
+    )
+
+
+def expand_scalar_macros(text: str) -> str:
+    """Engine scalar macros with no Spark builtin.  cosine_sim expands to
+    pure Catalyst HOFs; bm25_score has no scalar expansion (corpus-stat
+    dependent) and is only served through resolve_index's top-k shape."""
+    if re.search(r"\bcosine_sim\s*\(", text, re.I):
+        text = _expand_calls(text, "cosine_sim", _cosine_sim_sql)
+    return text
+
+
 def rewrite_builtins(text: str, current_schema: str | None = None) -> str:
+    text = _NOINDEX.sub(" ", text)
+    text = expand_scalar_macros(text)
     text = _DSID.sub("spark_partition_id()", text)
     # CURRENT_SCHEMA returns the SESSION's schema (setCurrentSchema state)
     # when the caller tracks one; current_database() otherwise

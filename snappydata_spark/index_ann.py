@@ -243,13 +243,22 @@ def search_ivf_sq8(
     cand: int = 50,
     nprobe: int = 4,
     exclude_ids: list | None = None,
+    rerank: str = "exact",
+    keep_exact: bool = False,
 ) -> DataFrame:
     """Query the materialized index: probe → quantized in-cell scan from
     STORED codes → exact rerank against the base table.  `query` is a
     1-row DataFrame with a `qe array<...>` column; `exclude_ids` drops
     known ids (e.g. the query vector itself) BEFORE the candidate
     limit.  No training jobs run here — the model enters as literals
-    from the registry."""
+    from the registry.
+
+    `rerank='sq8'` skips the exact rerank entirely and ranks by the
+    dequantized int8 score — the plan then never touches the base
+    table's vector column (pure index serve; the recall/latency knob
+    resolve_index exposes as snappydata.index.ann.rerank).
+    `keep_exact=True` keeps the unrounded exact cosine as `exact_cos`
+    (rerank='exact' only) for callers that project their own score."""
     info = sn._ann_indexes[index_name.lower()]
     spark = sn.spark
     id_col, mn, mx = info["id_col"], info["mn"], info["mx"]
@@ -290,23 +299,35 @@ def search_ivf_sq8(
         q_vec=q_vec,
         from_codes=True,
     )
+    if rerank == "sq8":
+        # index-only serve: rank by the dequantized int8 score, never
+        # reading the base table (cos == approx_cos by construction)
+        return (
+            scanned.orderBy(F.desc("acos"), id_col)
+            .limit(topk)
+            .select(
+                id_col,
+                F.round(F.col("acos"), 4).alias("cos"),
+                F.round(F.col("acos"), 4).alias("approx_cos"),
+            )
+        )
     cand_df = scanned.orderBy(F.desc("acos"), id_col).limit(cand)
     base = sn.table(info["table"]).select(
         id_col, F.col(info["column"]).alias("__vec")
     )
-    return (
+    out = (
         cand_df.join(base, id_col)
         .crossJoin(F.broadcast(query))
         .select(
             id_col,
             F.round(V.cosine(F.col("__vec"), F.col("qe")), 4).alias("cos"),
             F.round(F.col("acos"), 4).alias("approx_cos"),
-            V.cosine(F.col("__vec"), F.col("qe")).alias("_exact"),
+            V.cosine(F.col("__vec"), F.col("qe")).alias("exact_cos"),
         )
-        .orderBy(F.desc("_exact"), id_col)
+        .orderBy(F.desc("exact_cos"), id_col)
         .limit(topk)
-        .drop("_exact")
     )
+    return out if keep_exact else out.drop("exact_cos")
 
 
 def refresh_ivf_sq8(

@@ -103,6 +103,21 @@ def bm25_topk(
         post = post.join(
             sn.table(info["table"]).select(id_col), id_col, "left_semi"
         )
+    return bm25_from_postings(post, id_col, terms, k=k, k1=k1, b=b)
+
+
+def bm25_from_postings(
+    post: DataFrame,
+    id_col: str,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring over a postings frame (<id>, term, tf, dl) — shared
+    by the stored-index serve path (bm25_topk) and resolve_index's
+    no-index fallback (postings derived inline from the base table), so
+    both paths score identically."""
     # corpus stats from the postings: N = distinct docs, avgdl = mean dl
     # over one row per doc (model-sized collect, rounded like the
     # composed query)

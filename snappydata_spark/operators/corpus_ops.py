@@ -839,13 +839,17 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFSQ_NPROBE = 4
 
 
-def _ivf_sq8_oracle() -> str:
+def _ivf_sq8_oracle(exclude_self: bool = True, include_approx: bool = True) -> str:
     from snappydata_spark.operators.dedup_ops import _cos_sql
     from snappydata_spark.operators.ml_ops import _kmeans_cte_blocks
 
     blocks, prev = _kmeans_cte_blocks()
     mn, mx = _sq8_expr_sql()
     deq = _sq8_deq_sql
+    excl = "WHERE e.vec_id <> 0" if exclude_self else ""
+    approx_col = (
+        ",\n       ROUND(c.acos, 4) AS approx_cos" if include_approx else ""
+    )
     search = f"""
 s AS (SELECT {mn} AS mn, {mx} AS mx),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -865,15 +869,14 @@ dq AS (
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN probe p ON p.cell = a.cell
   CROSS JOIN q CROSS JOIN s
-  WHERE e.vec_id <> 0),
+  {excl}),
 approx AS (
   SELECT vec_id, embedding, {_cos_sql('de', 'dqv')} AS acos FROM dq),
 cand AS (
   SELECT vec_id, embedding, acos FROM approx
   ORDER BY acos DESC, vec_id LIMIT {SQ_CAND})
 SELECT c.vec_id,
-       ROUND({_cos_sql('c.embedding', 'q.qe')}, 4) AS cos,
-       ROUND(c.acos, 4) AS approx_cos
+       ROUND({_cos_sql('c.embedding', 'q.qe')}, 4) AS cos{approx_col}
 FROM cand c CROSS JOIN q
 ORDER BY {_cos_sql('c.embedding', 'q.qe')} DESC, c.vec_id
 LIMIT {SQ_TOPK}"""
@@ -1009,4 +1012,32 @@ def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand=SQ_CAND,
         nprobe=IVFSQ_NPROBE,
         exclude_ids=[0],
+    )
+
+
+@register(
+    "sim_ann_sql_routed",
+    oracle=_ivf_sq8_oracle(exclude_self=False, include_approx=False),
+)
+def sim_ann_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic index routing, the reference's ResolveIndex analogue
+    (SnappyOptimizations.scala:110-250): the user writes PLAIN top-k SQL
+    — `SELECT vec_id, ROUND(cosine_sim(embedding, array(...)), 4) AS cos
+    FROM emb_base ORDER BY cosine_sim(...) DESC, vec_id LIMIT k` — and
+    the session rewrites it to serve from the materialized ivf_sq8 index
+    (probe stored centroids → scan only the probed cells' stored codes →
+    exact rerank), never running the full-scan HOF cosine.  The physical
+    plan reads the index table; tests/test_index_routing.py asserts the
+    provenance, the `--+ noIndex` / useIndexes=false opt-outs, and
+    routed == exact-scan parity.  Oracle: the same IVF-SQ8 CTE
+    simulation as the index query (query vector included — plain SQL has
+    no exclude list)."""
+    sn = _ann_index_session(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    arr = ", ".join(repr(v) for v in q)
+    return sn.sql(
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM emb_base ORDER BY cosine_sim(embedding, array({arr})) DESC, "
+        f"vec_id LIMIT {SQ_TOPK}"
     )

@@ -1382,6 +1382,16 @@ def txt_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     triad next to sim_ivf_sq8_index_topk (dense) and
     dedup_minhash_lsh_index (near-dup)."""
     from snappydata_spark import index_inverted
+
+    sn = _bm25_index_session(spark, sf_dir)
+    return index_inverted.bm25_topk(
+        sn, "docs_bm25", list(BM25_TERMS), k=BM25_TOPK
+    )
+
+
+def _bm25_index_session(spark: SparkSession, sf_dir: str):
+    """Shared session holding docs_base + its inverted index (built once
+    per process/sf_dir — the build-once/query-many contract)."""
     from snappydata_spark.operators.dedup_ops import _minhash_index_session
 
     sn = _minhash_index_session(spark, sf_dir)
@@ -1394,6 +1404,21 @@ def txt_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "docs_base", options={"key_columns": "doc_id"}, df=docs
             )
         sn.sql("CREATE INDEX docs_bm25 ON docs_base(text) USING inverted")
-    return index_inverted.bm25_topk(
-        sn, "docs_bm25", list(BM25_TERMS), k=BM25_TOPK
+    return sn
+
+
+@register("txt_bm25_sql_routed", oracle=_bm25_index_oracle())
+def txt_bm25_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic index routing for lexical retrieval (ResolveIndex
+    analogue, SnappyOptimizations.scala:110-250): plain top-k SQL over
+    bm25_score(text, '<query>') rewrites to the stored postings of the
+    inverted index — zero tokenization at query time, scan bounded by
+    the query terms' document frequency; the base table never appears in
+    the plan (tests/test_index_routing.py asserts provenance and that
+    the no-index inline-postings fallback scores identically)."""
+    sn = _bm25_index_session(spark, sf_dir)
+    q = " ".join(BM25_TERMS)
+    return sn.sql(
+        f"SELECT doc_id, bm25_score(text, '{q}') AS bm25 FROM docs_base "
+        f"ORDER BY bm25_score(text, '{q}') DESC, doc_id LIMIT {BM25_TOPK}"
     )

@@ -1,0 +1,251 @@
+"""Automatic index routing — the ResolveIndex analogue.
+
+The reference rewrites logical plans to read index relations whenever a
+query's shape matches a registered index (ResolveIndex,
+SnappyOptimizations.scala:110-250; RuleUtils.scala:623 picks the best
+matching IndexColumnFormatRelation).  This module does the same for the
+materialized retrieval indexes over the SnappySession SQL path: a plain
+top-k SQL query whose score function matches an index's column is
+rewritten to serve from the index tables instead of scanning the base
+table.
+
+Recognized shapes (whitespace/case tolerant; anything that does not
+match simply falls through to the full scan, which stays correct):
+
+    SELECT <id> [, [ROUND(] cosine_sim(<col>, array(<floats>)) [, d)] AS a]
+    FROM <table>
+    ORDER BY cosine_sim(<col>, array(<floats>)) DESC [, <id>] LIMIT <k>
+
+        → ivf_sq8 index serve (index_ann.search_ivf_sq8): probe the
+          stored centroids, scan only the probed cells' stored int8
+          codes, exact-rerank the survivors.  Unrouted, cosine_sim
+          expands to the exact HOF cosine (dialect.expand_scalar_macros)
+          and the query full-scans — same rows when recall is complete.
+
+    SELECT <id> [, [ROUND(] bm25_score(<col>, '<query>') [, 6)] AS a]
+    FROM <table>
+    ORDER BY bm25_score(<col>, '<query>') DESC [, <id>] LIMIT <k>
+
+        → inverted index serve (index_inverted.bm25_topk): read only the
+          query terms' stored postings.  bm25_score depends on corpus
+          stats so it has no scalar expansion; without an index the SAME
+          scoring runs over postings derived inline from the base table
+          (one tokenization pass — the slow path).
+
+Knobs (SET via SnappySession.set_conf, all snappydata.*-registry confs):
+
+    snappydata.sql.useIndexes      true|false  master switch (default true)
+    snappydata.index.ann.nprobe    int         cells probed (default 4)
+    snappydata.index.ann.cand      int         rerank candidates (default
+                                               max(50, 5k)) — the recall
+                                               knob: more candidates, higher
+                                               recall, more rerank work
+    snappydata.index.ann.rerank    exact|sq8   'sq8' ranks by the dequantized
+                                               int8 score and never touches
+                                               the base table (index-only
+                                               plan; scores are approximate)
+
+Per-query opt-out: the `--+ noIndex` comment hint (the inverse of the
+reference's `--+ index()` force-hint, Literals.scala:405-511).
+
+Scale: routing turns an O(corpus) scan + sort into an O(nprobe/k_cells)
+pruned code scan (ANN) or an O(query-term df) postings scan (BM25) — the
+build-once/query-many contract of CREATE INDEX.  Routed plans bypass the
+plan cache (they are assembled DataFrames, not SQL text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from snappydata_spark.dialect import _split_top_commas
+
+_TOPK = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"ORDER\s+BY\s+(?P<score>.+?)\s+DESC\s*(?:,\s*(?P<tie>[A-Za-z_]\w*))?"
+    r"\s+LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+    re.I | re.S,
+)
+_CALL = re.compile(
+    r"^(?P<round>ROUND\s*\(\s*)?(?P<fn>cosine_sim|bm25_score)\s*\("
+    r"(?P<args>(?:[^()]|\([^()]*\))*)\)(?(round)\s*,\s*(?P<digits>\d+)\s*\))$",
+    re.I | re.S,
+)
+_NOINDEX = re.compile(r"--\+\s*noindex(?:\s*\(\s*\))?", re.I)
+_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", "", s).lower()
+
+
+def _parse_shape(text: str):
+    """Parse the routed top-k shape; None when the text doesn't match."""
+    m = _TOPK.match(text)
+    if not m:
+        return None
+    sc = _CALL.match(m.group("score").strip())
+    if not sc or sc.group("round"):
+        return None  # ORDER BY must use the bare score function
+    items = [s.strip() for s in _split_top_commas(m.group("select"))]
+    if not items or not _IDENT.match(items[0]) or len(items) > 2:
+        return None
+    alias = round_digits = None
+    if len(items) == 2:
+        am = re.match(
+            r"^(?P<call>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)$",
+            items[1],
+            re.I | re.S,
+        )
+        if not am:
+            return None
+        cm = _CALL.match(am.group("call").strip())
+        # the projected score must be the ORDER BY function (modulo ROUND)
+        if (
+            not cm
+            or cm.group("fn").lower() != sc.group("fn").lower()
+            or _norm(cm.group("args")) != _norm(sc.group("args"))
+        ):
+            return None
+        alias = am.group("alias")
+        round_digits = int(cm.group("digits")) if cm.group("digits") else None
+    tie = m.group("tie")
+    if tie is not None and tie.lower() != items[0].lower():
+        return None  # only the id column is a valid tie-break
+    return {
+        "id": items[0],
+        "alias": alias,
+        "round": round_digits,
+        "table": m.group("table"),
+        "fn": sc.group("fn").lower(),
+        "args": _split_top_commas(sc.group("args")),
+        "k": int(m.group("k")),
+    }
+
+
+def _find_index(sn, table: str, col: str, method: str):
+    cn = sn._canon(table)
+    for name, info in sn._ann_indexes.items():
+        if (
+            info.get("method") == method
+            and info["table"] == cn
+            and info["column"].lower() == col.lower()
+        ):
+            return name, info
+    return None, None
+
+
+def _routing_enabled(sn, hinted: bool) -> bool:
+    if hinted:
+        return False
+    return str(sn.get_conf("snappydata.sql.useindexes", "true")).lower() != "false"
+
+
+def _parse_array_literal(expr: str) -> list[float] | None:
+    m = re.match(r"^array\s*\((?P<vals>.*)\)$", expr.strip(), re.I | re.S)
+    if not m:
+        return None
+    try:
+        return [float(v) for v in _split_top_commas(m.group("vals"))]
+    except ValueError:
+        return None
+
+
+def try_route(sn, text: str) -> DataFrame | None:
+    """Route `text` to a materialized index when its shape matches one.
+    Returns None to fall through to the normal SQL path (cosine_sim then
+    expands to the exact full-scan HOF; grammar misses stay plain SQL).
+    bm25_score is always handled here — served from stored postings when
+    an inverted index matches, else scored over inline postings."""
+    if "cosine_sim" not in text.lower() and "bm25_score" not in text.lower():
+        return None
+    hinted = _NOINDEX.search(text) is not None
+    if hinted:
+        text = _NOINDEX.sub(" ", text)
+    shape = _parse_shape(text)
+    if shape is None:
+        if re.search(r"\bbm25_score\s*\(", text, re.I) and _TOPK.match(text):
+            raise ValueError(
+                "bm25_score(col, 'query') is only supported in the routed "
+                "top-k shape: SELECT <id>[, bm25_score(...) AS a] FROM t "
+                "ORDER BY bm25_score(...) DESC [, <id>] LIMIT k"
+            )
+        return None
+    enabled = _routing_enabled(sn, hinted)
+    if shape["fn"] == "cosine_sim":
+        if len(shape["args"]) != 2:
+            return None
+        col, arr = shape["args"][0].strip(), shape["args"][1]
+        q_vec = _parse_array_literal(arr)
+        if not _IDENT.match(col) or q_vec is None:
+            return None  # not the literal-query shape — exact scan path
+        name, info = _find_index(sn, shape["table"], col, "ivf_sq8")
+        if (
+            not enabled
+            or name is None
+            or shape["id"].lower() != info["id_col"].lower()
+        ):
+            return None  # exact full scan via expand_scalar_macros
+        from snappydata_spark import index_ann
+
+        k = shape["k"]
+        nprobe = int(sn.get_conf("snappydata.index.ann.nprobe", 4))
+        cand = int(sn.get_conf("snappydata.index.ann.cand", max(50, 5 * k)))
+        rerank = str(sn.get_conf("snappydata.index.ann.rerank", "exact"))
+        query = sn.spark.createDataFrame([(q_vec,)], "qe array<double>")
+        res = index_ann.search_ivf_sq8(
+            sn,
+            name,
+            query,
+            topk=k,
+            cand=cand,
+            nprobe=nprobe,
+            rerank=rerank,
+            keep_exact=True,
+        )
+        id_out = F.col(info["id_col"]).alias(shape["id"])
+        if shape["alias"] is None:
+            return res.select(id_out)
+        score = F.col("cos" if rerank == "sq8" else "exact_cos")
+        if shape["round"] is not None:
+            score = F.round(score, shape["round"])
+        return res.select(id_out, score.alias(shape["alias"]))
+    # bm25_score(col, 'query string')
+    if len(shape["args"]) != 2:
+        return None
+    col = shape["args"][0].strip()
+    qm = re.match(r"^'(?P<q>[^']*)'$", shape["args"][1].strip())
+    if not _IDENT.match(col) or not qm:
+        return None
+    terms = qm.group("q").split()
+    if not terms:
+        raise ValueError("bm25_score needs a non-empty query string")
+    from snappydata_spark import index_inverted
+
+    k = shape["k"]
+    name, info = _find_index(sn, shape["table"], col, "inverted")
+    if name is not None and shape["id"].lower() != info["id_col"].lower():
+        name = None  # projected id isn't the postings key — inline path
+    if enabled and name is not None:
+        res = index_inverted.bm25_topk(sn, name, terms, k=k)
+        id_col = info["id_col"]
+    else:
+        # no index (or routing off): same scoring over postings derived
+        # inline from the base table — one tokenization pass, the
+        # documented slow path
+        try:
+            base = sn.table(sn._canon(shape["table"]))
+        except Exception:
+            base = sn.spark.table(shape["table"])
+        id_col = shape["id"]
+        post = index_inverted._postings(base, col, id_col)
+        res = index_inverted.bm25_from_postings(post, id_col, terms, k=k)
+    out = [F.col(id_col).alias(shape["id"])]
+    if shape["alias"] is not None:
+        score = F.col("bm25")
+        if shape["round"] is not None:
+            score = F.round(score, shape["round"])
+        out.append(score.alias(shape["alias"]))
+    return res.select(*out)

@@ -1705,6 +1705,16 @@ class SnappySession:
         # current user before touching any managed view; plans are cached
         # per-user (policy-filtered views are user-dependent)
         self._resolve_read_access(text)
+        if self._ann_indexes or "bm25_score" in text.lower():
+            # ResolveIndex analogue (SnappyOptimizations.scala:110-250):
+            # a top-k query shaped like a registered similarity/inverted
+            # index serves from the index tables; --+ noIndex or
+            # SET snappydata.sql.useIndexes=false opts out (resolve_index.py)
+            from snappydata_spark import resolve_index as _ri
+
+            routed = _ri.try_route(self, text)
+            if routed is not None:
+                return routed
         rewritten = rewrite_builtins(text, self.current_schema)
         if self._streams:
             windowed = rewrite_stream_windows(

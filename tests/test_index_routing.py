@@ -1,0 +1,161 @@
+"""Automatic index routing (resolve_index.py — the ResolveIndex analogue,
+SnappyOptimizations.scala:110-250): plain top-k SQL serves from the
+materialized ivf_sq8 / inverted index tables, with plan-provenance
+assertions, opt-outs, and exact-path parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def ann_session(snappy, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    snappy.create_table("emb_base", options={"key_columns": "vec_id"}, df=emb)
+    snappy.sql("CREATE INDEX emb_ivf ON emb_base(embedding) USING ivf_sq8")
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    arr = ", ".join(repr(v) for v in q)
+    sql = (
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM emb_base ORDER BY cosine_sim(embedding, array({arr})) DESC, "
+        "vec_id LIMIT 5"
+    )
+    return snappy, sql
+
+
+def test_ann_routing_reads_index_table(ann_session):
+    sn, sql = ann_session
+    routed = sn.sql(sql)
+    assert "emb_ivf__ann" in _plan(routed)
+    rows = routed.collect()
+    assert len(rows) == 5 and rows[0].vec_id == 0 and rows[0].cos == 1.0
+
+
+def test_ann_routing_matches_exact_scan(ann_session):
+    sn, sql = ann_session
+    routed = sn.sql(sql).collect()
+    # --+ noIndex: the exact full-scan HOF cosine (cosine_sim expansion)
+    hinted = sn.sql("--+ noIndex\n" + sql)
+    assert "emb_ivf__ann" not in _plan(hinted)
+    assert hinted.collect() == routed
+    # conf master switch
+    sn.set_conf("snappydata.sql.useIndexes", "false")
+    try:
+        off = sn.sql(sql)
+        assert "emb_ivf__ann" not in _plan(off)
+        assert off.collect() == routed
+    finally:
+        sn.set_conf("snappydata.sql.useIndexes", "true")
+
+
+def test_ann_sq8_rerank_never_touches_base(ann_session):
+    sn, sql = ann_session
+    sn.set_conf("snappydata.index.ann.rerank", "sq8")
+    try:
+        served = sn.sql(sql)
+        plan = _plan(served)
+        assert "emb_ivf__ann" in plan and "emb_base" not in plan
+        # approximate scores, but the self-match is still exact
+        assert served.collect()[0].vec_id == 0
+    finally:
+        sn.set_conf("snappydata.index.ann.rerank", "exact")
+
+
+def test_ann_recall_knob(ann_session):
+    sn, sql = ann_session
+    exact = {r.vec_id for r in sn.sql("--+ noIndex\n" + sql).collect()}
+    sn.set_conf("snappydata.index.ann.cand", "500")
+    sn.set_conf("snappydata.index.ann.nprobe", "64")
+    try:
+        wide = {r.vec_id for r in sn.sql(sql).collect()}
+        assert wide == exact  # full-recall configuration reproduces exact
+    finally:
+        sn.set_conf("snappydata.index.ann.cand", "50")
+        sn.set_conf("snappydata.index.ann.nprobe", "4")
+
+
+def test_ann_unroutable_shapes_fall_through(ann_session):
+    sn, sql = ann_session
+    # WHERE clause → not the routed shape → exact scan, still correct
+    filtered = sn.sql(sql.replace("ORDER BY", "WHERE vec_id > 0 ORDER BY"))
+    assert "emb_ivf__ann" not in _plan(filtered)
+    assert all(r.vec_id > 0 for r in filtered.collect())
+    # column-vs-column cosine (no literal query vector) → exact scan
+    pair = sn.sql(
+        "SELECT vec_id, ROUND(cosine_sim(embedding, embedding), 4) AS c "
+        "FROM emb_base ORDER BY vec_id LIMIT 3"
+    )
+    assert all(r.c == 1.0 for r in pair.collect())
+
+
+@pytest.fixture()
+def bm25_session(snappy, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    snappy.create_table("docs_base", options={"key_columns": "doc_id"}, df=docs)
+    sql = (
+        "SELECT doc_id, bm25_score(text, 'science exploration data') AS s "
+        "FROM docs_base ORDER BY "
+        "bm25_score(text, 'science exploration data') DESC, doc_id LIMIT 8"
+    )
+    return snappy, sql
+
+
+def test_bm25_fallback_then_index_parity(bm25_session):
+    sn, sql = bm25_session
+    inline = sn.sql(sql).collect()  # no index yet: inline postings
+    assert len(inline) == 8
+    sn.sql("CREATE INDEX docs_bm25 ON docs_base(text) USING inverted")
+    routed = sn.sql(sql)
+    plan = _plan(routed)
+    assert "docs_bm25__ann" in plan and "docs_base" not in plan
+    assert routed.collect() == inline
+    hinted = sn.sql("--+ noIndex\n" + sql)
+    assert "docs_bm25__ann" not in _plan(hinted)
+    assert hinted.collect() == inline
+
+
+def test_bm25_respects_rls(bm25_session):
+    sn, sql = bm25_session
+    sn.sql("CREATE INDEX docs_bm25 ON docs_base(text) USING inverted")
+    top_ids = [r.doc_id for r in sn.sql(sql).collect()]
+    sn.sql(
+        "CREATE POLICY hide_top ON docs_base FOR SELECT "
+        f"USING (doc_id <> {top_ids[0]})"
+    )
+    sn.sql("ALTER TABLE docs_base ENABLE ROW LEVEL SECURITY")
+    visible = [r.doc_id for r in sn.sql(sql).collect()]
+    assert top_ids[0] not in visible
+
+
+def test_bm25_bad_shape_raises(bm25_session):
+    sn, sql = bm25_session
+    with pytest.raises(Exception):
+        sn.sql(
+            "SELECT doc_id, bm25_score(text, 'x') AS s, length(text) AS l "
+            "FROM docs_base ORDER BY bm25_score(text, 'x') DESC LIMIT 3"
+        )
+
+
+def test_cosine_sim_macro_matches_dataframe_cosine(spark, sf_dir):
+    from snappydata_spark.dialect import expand_scalar_macros
+    from snappydata_spark.functions import vector as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    emb.createOrReplaceTempView("emb_macro_t")
+    via_sql = spark.sql(
+        expand_scalar_macros(
+            "SELECT vec_id, cosine_sim(embedding, embedding) AS c "
+            "FROM emb_macro_t"
+        )
+    )
+    via_df = emb.select(
+        "vec_id", V.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    )
+    a = {r.vec_id: r.c for r in via_sql.collect()}
+    b = {r.vec_id: r.c for r in via_df.collect()}
+    assert a == b  # bit-identical expression trees
