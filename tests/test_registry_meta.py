@@ -27,3 +27,31 @@ def test_entry_module_contract():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert callable(e.entry)
+
+
+def test_full_artifact_matches_registry():
+    """CORRECTNESS_FULL.json freshness guard: the committed full-registry
+    artifact must carry exactly one row per CURRENTLY-registered query —
+    a stale artifact (queries added/renamed since it was generated) fails
+    here instead of shipping.  Regenerate with
+    `python tools/correctness_report.py`."""
+    import json
+    import os
+
+    from snappydata_spark.operators import QUERIES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "CORRECTNESS_FULL.json")
+    assert os.path.exists(path), "CORRECTNESS_FULL.json missing — regenerate"
+    report = json.load(open(path))
+    assert sorted(report) == sorted(QUERIES), (
+        "stale CORRECTNESS_FULL.json: "
+        f"missing={sorted(set(QUERIES) - set(report))[:5]} "
+        f"extra={sorted(set(report) - set(QUERIES))[:5]}"
+    )
+    # and it must be green: no errors of any kind, every row hash-matched
+    bad = {
+        n: e for n, e in report.items()
+        if e.get("err") is not None or e.get("hash_match") is not True
+    }
+    assert not bad, f"non-green FULL rows: {sorted(bad)[:5]}"
