@@ -237,10 +237,31 @@ def simhash_candidates(
     4 bands is equal) → in-bucket pairs filtered on exact hamming
     distance.  60 bits keeps the candidate set near-linear where 32-bit
     simhash goes quadratic on shared-vocabulary corpora."""
-    sh = _simhash_frame(df, text_col, id_col)
-    bands = sh.select(
-        F.col(id_col),
-        F.col("sh"),
+    sh = _simhash_frame(df, text_col, id_col).persist()
+    # Collapse exact-duplicate mass BEFORE the banded self-join: candidate
+    # generation must be quadratic in UNIQUE signatures, not documents.
+    # Verbatim-duplicate-heavy corpora are the norm at 100 TB (a
+    # 1000-copy page must not contribute 1000x band fan-out), and the
+    # r6 sf1 rehearsal showed the doc-level join's wall growing 2.2x
+    # faster than its output on exactly that shape.  Three output-bound
+    # pieces, none needing a final distinct over the pair list:
+    # (1) same-signature pairs (hamming 0) via one hash equi-join;
+    a, b = sh.alias("a"), sh.alias("b")
+    same = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc1"),
+        F.col(f"b.{id_col}").alias("doc2"),
+        F.lit(0).alias("hamming"),
+    )
+    # (2) DISTINCT-signature candidate pairs from the 15-bit-band
+    # pigeonhole join over unique signatures (band multiplicity <= 4
+    # dedups on a signature-pair set, not the expanded doc pairs);
+    sigs = sh.select("sh").distinct()
+    bands = sigs.select(
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -254,26 +275,40 @@ def simhash_candidates(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "sh", "b.band", "b.byte")
-    bands = bands.persist()  # self-join reads cached simhashes, not 2x md5
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select("sh", "b.band", "b.byte")
+    sa, sb = bands.alias("sa"), bands.alias("sb")
+    sig_pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.byte") == F.col("sb.byte"))
+            & (F.col("sa.sh") < F.col("sb.sh")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc1"),
-            F.col(f"b.{id_col}").alias("doc2"),
+            F.col("sa.sh").alias("sh1"),
+            F.col("sb.sh").alias("sh2"),
             F.bit_count(
-                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+                F.col("sa.sh").bitwiseXOR(F.col("sb.sh"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # (3) expand signature pairs through the membership lists — each
+    # (doc1, doc2) emits exactly once (one signature per doc), so the
+    # expansion is pure output materialization.
+    m1 = sh.select(F.col("sh").alias("sh1"), F.col(id_col).alias("__i1"))
+    m2 = sh.select(F.col("sh").alias("sh2"), F.col(id_col).alias("__i2"))
+    cross = (
+        sig_pairs.join(m1, "sh1")
+        .join(m2, "sh2")
+        .select(
+            F.least("__i1", "__i2").alias("doc1"),
+            F.greatest("__i1", "__i2").alias("doc2"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def ngram_jaccard_pairs(
