@@ -108,20 +108,32 @@ def prefix_fingerprint(col: Column, n_tokens: int = 3) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """n-token shingles (the unit set for Jaccard / MinHash)."""
-    t = tokens(col)
+def shingles_of(token_array: Column, n: int = 3) -> Column:
+    """n-token shingles from a MATERIALIZED token array column.  Callers
+    on hot paths must select tokens(text) into its own column first (the
+    bigrams() rationale): inlining tokens() duplicates the split into
+    every element_at — n re-splits of the full text PER SHINGLE, which
+    measured as ~20x wall on the 13-gram decontamination stages
+    (pipeline_end_to_end first-run 38 s → 2.3 s at sf0.1, r6)."""
     # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — must special-case
     # docs shorter than n tokens to an empty shingle set
     idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        F.size(token_array) >= n,
+        F.sequence(F.lit(1), F.size(token_array) - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
+            " ", *[F.element_at(token_array, i + j) for j in range(n)]
         ),
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-token shingles (the unit set for Jaccard / MinHash).  Inline
+    form for cheap/one-shot use; hot paths stage tokens and call
+    shingles_of."""
+    return shingles_of(tokens(col), n)
 
 
 def hash32(col: Column, seed: str) -> Column:

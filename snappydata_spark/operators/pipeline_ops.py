@@ -314,7 +314,14 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (T.hash32(F.col("doc_id").cast("string"), "split~") % 100 < 90).alias(
             "is_train"
         ),
-        T.shingles(F.col("text"), 13).alias("ngrams"),
+        T.tokens(F.col("text")).alias("__t"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_train",
+        # staged tokens: inlined tokens() would re-split the text once
+        # per element_at (shingles_of doc)
+        T.shingles_of(F.col("__t"), 13).alias("ngrams"),
     )
     train = docs.filter(F.col("is_train"))
     ev = (
@@ -852,15 +859,19 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") == F.col("keeper"))
     )
+    # tokens staged into their own column before shingling — inlined
+    # tokens() re-splits the text once per element_at (shingles_of doc)
     ev = (
         docs.filter(~is_train)
-        .select(F.explode(T.shingles(F.col("text"), 13)).alias("ng"))
+        .select(T.tokens(F.col("text")).alias("__t"))
+        .select(F.explode(T.shingles_of(F.col("__t"), 13)).alias("ng"))
         .distinct()
     )
     kept_train_ids = kept.filter("is_train").select("doc_id")
     contaminated = (
         docs.join(kept_train_ids, "doc_id", "left_semi")
-        .select("doc_id", F.explode(T.shingles(F.col("text"), 13)).alias("ng"))
+        .select("doc_id", T.tokens(F.col("text")).alias("__t"))
+        .select("doc_id", F.explode(T.shingles_of(F.col("__t"), 13)).alias("ng"))
         .join(ev, "ng", "left_semi")
         .select("doc_id")
         .distinct()
