@@ -248,7 +248,8 @@ def search_ivf_sq8(
 ) -> DataFrame:
     """Query the materialized index: probe → quantized in-cell scan from
     STORED codes → exact rerank against the base table.  `query` is a
-    1-row DataFrame with a `qe array<...>` column; `exclude_ids` drops
+    1-row DataFrame with a `qe array<...>` column, or a plain list of
+    floats (no collect round-trip); `exclude_ids` drops
     known ids (e.g. the query vector itself) BEFORE the candidate
     limit.  No training jobs run here — the model enters as literals
     from the registry.
@@ -262,6 +263,16 @@ def search_ivf_sq8(
     info = sn._ann_indexes[index_name.lower()]
     spark = sn.spark
     id_col, mn, mx = info["id_col"], info["mn"], info["mx"]
+    if isinstance(query, (list, tuple)):
+        # literal query vector (the resolve_index path): skip the
+        # round-trip collect — one fewer Spark job per serve
+        q_vec = [float(x) for x in query]
+        query = spark.createDataFrame([(q_vec,)], "qe array<double>")
+    else:
+        # 1-row model-sized collect: the query vector enters the
+        # vectorized scorer as a closure constant (quantized+dequantized
+        # there with the exact expression-order arithmetic)
+        q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
     cent = spark.createDataFrame(
         [(i, v) for i, v in enumerate(info["centroids"])],
         "cid long, ce array<double>",
@@ -273,10 +284,6 @@ def search_ivf_sq8(
         .limit(nprobe)
         .select(F.col("cid").alias("cell"))
     )
-    # 1-row model-sized collect: the query vector enters the vectorized
-    # scorer as a closure constant (quantized+dequantized there with
-    # the exact expression-order arithmetic)
-    q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
     idx = sn.table(info["index_table"])
     # restrict to base rows the CURRENT USER can see before the
     # candidate limit: an RLS-hidden row must neither leak its id nor

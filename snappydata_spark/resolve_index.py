@@ -194,11 +194,10 @@ def try_route(sn, text: str) -> DataFrame | None:
         nprobe = int(sn.get_conf("snappydata.index.ann.nprobe", 4))
         cand = int(sn.get_conf("snappydata.index.ann.cand", max(50, 5 * k)))
         rerank = str(sn.get_conf("snappydata.index.ann.rerank", "exact"))
-        query = sn.spark.createDataFrame([(q_vec,)], "qe array<double>")
         res = index_ann.search_ivf_sq8(
             sn,
             name,
-            query,
+            q_vec,
             topk=k,
             cand=cand,
             nprobe=nprobe,
