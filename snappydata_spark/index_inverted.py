@@ -80,8 +80,33 @@ def build_inverted(
         "index_table": idx_table,
     }
     sn._ann_indexes[index_name.lower()] = info
+    _store_corpus_stats(sn, info)
     sn._save_registry()
     return info
+
+
+def _store_corpus_stats(sn, info: dict) -> None:
+    """Compute and persist the BM25 corpus stats (N, avgdl) into the
+    index registry so SERVING never re-aggregates the whole postings
+    table — query cost stays O(query-term df) regardless of corpus size
+    (the r6 sf1 rehearsal showed the per-serve stats aggregate dragging
+    the serve slope to ~2x for 10x data).  Recomputed on every
+    maintenance pass, so the stored values always equal what a
+    from-scratch aggregate would produce (avgdl rounded 9, the scoring
+    discipline's literal form)."""
+    row = (
+        sn.table(info["index_table"])
+        .select(info["id_col"], "dl")
+        .groupBy(info["id_col"])
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dl"), 9).alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    info["n_docs"] = int(row.n_docs)
+    info["avgdl"] = float(row.avgdl) if row.avgdl is not None else 0.0
 
 
 def bm25_topk(
@@ -99,9 +124,18 @@ def bm25_topk(
     info = sn._ann_indexes[index_name.lower()]
     id_col = info["id_col"]
     post = sn.table(info["index_table"])
-    if sn._read_is_filtered(info["table"]):
+    filtered = sn._read_is_filtered(info["table"])
+    if filtered:
         post = post.join(
             sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
+    if not filtered and "n_docs" in info:
+        # stored corpus stats (maintained through mutations): serving
+        # never re-aggregates the postings table.  Under RLS/grants the
+        # visible corpus differs per user, so stats compute per query.
+        return bm25_from_postings(
+            post, id_col, terms, k=k, k1=k1, b=b,
+            n_docs=info["n_docs"], avgdl=info["avgdl"],
         )
     return bm25_from_postings(post, id_col, terms, k=k, k1=k1, b=b)
 
@@ -113,22 +147,29 @@ def bm25_from_postings(
     k: int = 15,
     k1: float = 1.2,
     b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 scoring over a postings frame (<id>, term, tf, dl) — shared
     by the stored-index serve path (bm25_topk) and resolve_index's
     no-index fallback (postings derived inline from the base table), so
-    both paths score identically."""
-    # corpus stats from the postings: N = distinct docs, avgdl = mean dl
-    # over one row per doc (model-sized collect, rounded like the
-    # composed query)
-    stats = (
-        post.select(id_col, "dl")
-        .groupBy(id_col)
-        .agg(F.min("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 9).alias("avgdl"))
-        .collect()[0]
-    )
-    n_docs, avgdl = stats.n_docs, stats.avgdl
+    both paths score identically.  Pass n_docs/avgdl to skip the corpus
+    stats aggregate (the stored-stats serve path)."""
+    if n_docs is None or avgdl is None:
+        # corpus stats from the postings: N = distinct docs, avgdl = mean
+        # dl over one row per doc (model-sized collect, rounded like the
+        # composed query)
+        stats = (
+            post.select(id_col, "dl")
+            .groupBy(id_col)
+            .agg(F.min("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("dl"), 9).alias("avgdl"),
+            )
+            .collect()[0]
+        )
+        n_docs, avgdl = stats.n_docs, stats.avgdl
     hits = post.filter(F.col("term").isin(*terms))
     df_ = hits.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
     idf = df_.select(
@@ -203,3 +244,7 @@ def refresh_inverted(
     )
     if not departed.isEmpty():
         sn.delete_from(idx, departed)
+    # stored corpus stats must track every mutation (bm25_topk serves
+    # from them without re-aggregating the postings)
+    _store_corpus_stats(sn, info)
+    sn._save_registry()

@@ -1712,6 +1712,26 @@ class SnappySession:
             # SET snappydata.sql.useIndexes=false opts out (resolve_index.py)
             from snappydata_spark import resolve_index as _ri
 
+            em = re.match(
+                r"\s*EXPLAIN(?:\s+(?:EXTENDED|CODEGEN|COST|FORMATTED))?\s+"
+                r"(?P<q>(?:SELECT|WITH)\b.*)$",
+                text,
+                re.I | re.S,
+            )
+            if em:
+                # EXPLAIN must show the plan that would actually RUN —
+                # the reference's explain surfaces the injected index
+                # relations the same way (ResolveIndex rewrites before
+                # explain).  Unroutable/opted-out queries fall through
+                # to Spark's own EXPLAIN of the full-scan form.
+                routed = _ri.try_route(self, em.group("q"))
+                if routed is not None:
+                    plan = (
+                        "== Routed by ResolveIndex (materialized index "
+                        "serve; --+ noIndex for the scan plan) ==\n"
+                        + routed._jdf.queryExecution().executedPlan().toString()
+                    )
+                    return self.spark.createDataFrame([(plan,)], "plan string")
             routed = _ri.try_route(self, text)
             if routed is not None:
                 return routed

@@ -141,6 +141,18 @@ def test_bm25_bad_shape_raises(bm25_session):
         )
 
 
+def test_explain_shows_routed_plan(ann_session):
+    """EXPLAIN must surface the plan that would actually run — the index
+    serve, not the full scan the SQL text resembles (the reference's
+    explain shows ResolveIndex's injected index relations the same way)."""
+    sn, sql = ann_session
+    plan = sn.sql("EXPLAIN " + sql).collect()[0].plan
+    assert "Routed by ResolveIndex" in plan and "emb_ivf__ann" in plan
+    # opted-out explain falls through to Spark's own (scan plan)
+    off = sn.sql("EXPLAIN --+ noIndex\n" + sql).collect()[0].plan
+    assert "emb_ivf__ann" not in off
+
+
 def test_cosine_sim_macro_matches_dataframe_cosine(spark, sf_dir):
     from snappydata_spark.dialect import expand_scalar_macros
     from snappydata_spark.functions import vector as V
