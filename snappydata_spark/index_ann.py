@@ -261,29 +261,38 @@ def search_ivf_sq8(
     `keep_exact=True` keeps the unrounded exact cosine as `exact_cos`
     (rerank='exact' only) for callers that project their own score."""
     info = sn._ann_indexes[index_name.lower()]
-    spark = sn.spark
     id_col, mn, mx = info["id_col"], info["mn"], info["mx"]
     if isinstance(query, (list, tuple)):
-        # literal query vector (the resolve_index path): skip the
-        # round-trip collect — one fewer Spark job per serve
+        # literal query vector (the resolve_index path): no collect
         q_vec = [float(x) for x in query]
-        query = spark.createDataFrame([(q_vec,)], "qe array<double>")
     else:
         # 1-row model-sized collect: the query vector enters the
         # vectorized scorer as a closure constant (quantized+dequantized
         # there with the exact expression-order arithmetic)
         q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
-    cent = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(info["centroids"])],
-        "cid long, ce array<double>",
+    # Probe the coarse quantizer DRIVER-SIDE: centroids are registry
+    # literals and the probe is k×d flops — running it as a Spark
+    # broadcast-join job only added per-serve latency.  Float-exact
+    # discipline: np.cumsum is the sequential prefix fold, so dot/norm
+    # reproduce V.cosine's aggregate-fold bit-for-bit and the probed
+    # cell set matches the composed SQL oracle exactly.
+    import math
+
+    import numpy as np
+
+    q = np.asarray(q_vec, dtype=np.float64)
+    qn = math.sqrt(float(np.cumsum(q * q)[-1]))
+    ranked = sorted(
+        (
+            -(float(np.cumsum(np.asarray(ce, dtype=np.float64) * q)[-1])
+              / (math.sqrt(float(np.cumsum(
+                    np.asarray(ce, dtype=np.float64)
+                    * np.asarray(ce, dtype=np.float64))[-1])) * qn)),
+            cid,
+        )
+        for cid, ce in enumerate(info["centroids"])
     )
-    probe = (
-        cent.join(F.broadcast(query))
-        .select("cid", V.cosine(F.col("ce"), F.col("qe")).alias("qc"))
-        .orderBy(F.col("qc").desc(), F.col("cid"))
-        .limit(nprobe)
-        .select(F.col("cid").alias("cell"))
-    )
+    cells = [cid for _, cid in sorted(ranked)[:nprobe]]
     idx = sn.table(info["index_table"])
     # restrict to base rows the CURRENT USER can see before the
     # candidate limit: an RLS-hidden row must neither leak its id nor
@@ -297,8 +306,11 @@ def search_ivf_sq8(
         )
     if exclude_ids:
         idx = idx.filter(~F.col(id_col).isin(exclude_ids))
+    # literal IN-list on the clustering column: pushes to the parquet
+    # scan, so the cell-range file layout prunes whole files (a semi
+    # join could not push below the scan)
     scanned = sq8_scores_pandas(
-        idx.join(F.broadcast(probe), "cell", "left_semi"),
+        idx.filter(F.col("cell").isin(cells)),
         col="code",
         id_col=id_col,
         mn=mn,
@@ -322,14 +334,16 @@ def search_ivf_sq8(
     base = sn.table(info["table"]).select(
         id_col, F.col(info["column"]).alias("__vec")
     )
+    # the query enters the rerank as a LITERAL array — no broadcast job;
+    # same expression tree as the former broadcast-qe form
+    q_arr = F.array(*[F.lit(v) for v in q_vec])
     out = (
         cand_df.join(base, id_col)
-        .crossJoin(F.broadcast(query))
         .select(
             id_col,
-            F.round(V.cosine(F.col("__vec"), F.col("qe")), 4).alias("cos"),
+            F.round(V.cosine(F.col("__vec"), q_arr), 4).alias("cos"),
             F.round(F.col("acos"), 4).alias("approx_cos"),
-            V.cosine(F.col("__vec"), F.col("qe")).alias("exact_cos"),
+            V.cosine(F.col("__vec"), q_arr).alias("exact_cos"),
         )
         .orderBy(F.desc("exact_cos"), id_col)
         .limit(topk)
