@@ -242,7 +242,13 @@ class SnappySession:
         # explicit-transaction state (begin_transaction/commit/rollback)
         self._tx: dict | None = None
         self._isolation = "none"  # SET ISOLATION default for BEGIN
+        # deferred-manifest mode for atomic cross-table commits: while a
+        # dict, _manifest_commit stages payloads instead of publishing
+        self._staged_manifests: dict | None = None
         self._load_registry()
+        # roll forward any multi-table commit a crashed process left
+        # behind its commit point (see commit(): intent-log two-phase)
+        self._recover_tx_intents()
         # stream tables declared via CREATE STREAM TABLE (createStream
         # SnappyDDLParser:716-737): name → streaming DataFrame.  Session-
         # scoped like the reference's stream relations (they hold live
@@ -325,9 +331,11 @@ class SnappySession:
         an optimistic write-write condition (table unchanged since first
         touch — the reference's write-lock failure → auto-rollback
         becomes TransactionConflict here), then applies every buffered
-        op.  Per-table application is crash-atomic (manifest/journal);
-        cross-table atomicity is best-effort (documented divergence from
-        the reference's distributed tx).  Column tables reject
+        op.  Application is crash-atomic ACROSS tables (r6): manifests
+        stage first, ONE intent record is the commit point, and a crash
+        mid-publish rolls forward on the next session over the store —
+        the manifest-level analogue of the reference's store tx commit
+        (SnapshotConnectionListener.scala:395).  Column tables reject
         transactional mutations, as in the reference.  Known limit: a
         VIEW over a touched table still reads the committed base inside
         the transaction — only direct relation references rewrite to the
@@ -389,9 +397,51 @@ class SnappySession:
                             "modified by another writer since this "
                             "transaction staged its writes"
                         )
-                for t in sorted(tx["ops"]):
-                    for kind, args, kwargs in tx["ops"][t]:
-                        getattr(self, kind)(t, *args, **kwargs)
+                # Cross-table crash atomicity (reference: store-level tx,
+                # SnapshotConnectionListener.scala:395), two-phase:
+                # (1) apply every op with manifest publication DEFERRED —
+                #     data files land on disk as invisible orphans and
+                #     each table's would-be generation is staged beside
+                #     its manifest;
+                # (2) write ONE intent record listing every staged
+                #     manifest (os.replace — the atomic COMMIT POINT);
+                # (3) publish each staged manifest into place and drop
+                #     the intent record.
+                # A crash before (2) leaves every table on its old
+                # generation (staged files are unreferenced garbage); a
+                # crash during (3) rolls FORWARD on the next session over
+                # the store (_recover_tx_intents).  Index/sample tables
+                # maintained by the ops join the same atomic group.
+                import uuid
+
+                self._tx_commit_id = uuid.uuid4().hex
+                self._staged_manifests = {}
+                try:
+                    for t in sorted(tx["ops"]):
+                        for kind, args, kwargs in tx["ops"][t]:
+                            getattr(self, kind)(t, *args, **kwargs)
+                    staged = self._staged_manifests
+                finally:
+                    self._staged_manifests = None
+                if staged:
+                    import json
+
+                    txdir = os.path.join(self.catalog.base_dir, "_tx")
+                    os.makedirs(txdir, exist_ok=True)
+                    intent = {
+                        "tables": {
+                            n: {"staged": v["staged"], "gen": v["payload"]["gen"]}
+                            for n, v in staged.items()
+                        }
+                    }
+                    ipath = os.path.join(txdir, f"{self._tx_commit_id}.json")
+                    tmp = ipath + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(intent, f)
+                    os.replace(tmp, ipath)  # ---- commit point ----
+                    for n, v in staged.items():
+                        self._publish_staged(n, v["staged"], v["payload"])
+                    os.remove(ipath)
         finally:
             self._tx_cleanup(tx)
 
@@ -2707,6 +2757,11 @@ class SnappySession:
     def _load_manifest(self, name: str) -> dict | None:
         import json
 
+        staged = self._staged_manifests
+        if staged is not None and name.lower() in staged:
+            # inside a deferred (transactional) commit: later ops of the
+            # same tx must read the tx's own staged generation
+            return dict(staged[name.lower()]["payload"])
         try:
             with open(self._manifest_path(name)) as f:
                 return json.load(f)
@@ -2802,6 +2857,33 @@ class SnappySession:
             sch = schema.jsonValue()
         import time as _time
 
+        if self._staged_manifests is not None:
+            # deferred (transactional) publication: stash the would-be
+            # generation; nothing becomes visible until the tx intent
+            # record lands (the commit point in commit()).  Tombstone GC
+            # is skipped entirely here (keep = all) — physical deletes
+            # are irreversible and must not precede the commit point;
+            # the next normal commit applies the grace policy.
+            payload = {
+                "gen": gen,
+                "ts": _time.time(),
+                "files": live,
+                "tombstones": keep + drop,
+                "schema": sch,
+            }
+            spath = os.path.join(
+                self.catalog.table_path(name.lower()),
+                f"manifest.staged-{self._tx_commit_id}.json",
+            )
+            tmps = spath + ".tmp"
+            with open(tmps, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmps, spath)
+            self._staged_manifests[name.lower()] = {
+                "payload": payload,
+                "staged": spath,
+            }
+            return
         payload = {
             "gen": gen,
             "ts": _time.time(),
@@ -2832,6 +2914,68 @@ class SnappySession:
         for t in drop:
             try:
                 os.remove(os.path.join(data, t["file"]))
+            except FileNotFoundError:
+                pass
+
+    def _publish_staged(
+        self, name: str, staged_path: str, payload: dict | None
+    ) -> None:
+        """Phase-3 of an atomic multi-table commit: move one staged
+        manifest into place (os.replace — per-table atomic) and record
+        its generation in the snapshot history.  Idempotent across
+        crashes: a staged file exists iff its table is unpublished."""
+        import json
+
+        if payload is None:
+            try:
+                with open(staged_path) as f:
+                    payload = json.load(f)
+            except (OSError, ValueError):
+                return
+        os.replace(staged_path, self._manifest_path(name))
+        hist = self._history_dir(name)
+        os.makedirs(hist, exist_ok=True)
+        htmp = os.path.join(hist, f".gen-{payload['gen']}.tmp")
+        with open(htmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(htmp, os.path.join(hist, f"gen-{payload['gen']}.json"))
+
+    def _recover_tx_intents(self) -> None:
+        """Roll FORWARD any multi-table commit that crashed after its
+        commit point: every staged manifest named by an intent record is
+        published (gen-guarded — a record another session already rolled
+        forward and built upon must not clobber newer generations), then
+        the record drops.  Pre-commit-point crashes leave no record, so
+        their staged manifests and orphan data files stay invisible."""
+        txdir = os.path.join(self.catalog.base_dir, "_tx")
+        if not os.path.isdir(txdir):
+            return
+        import json
+
+        for fn in sorted(os.listdir(txdir)):
+            if not fn.endswith(".json"):
+                continue
+            path = os.path.join(txdir, fn)
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            for n, v in rec.get("tables", {}).items():
+                if not os.path.exists(v["staged"]):
+                    continue  # already published (rename consumed it)
+                with self._table_lock(n):
+                    m = self._load_manifest(n)
+                    if m is not None and m.get("gen", 0) >= v["gen"]:
+                        # newer state exists — the staged copy is stale
+                        try:
+                            os.remove(v["staged"])
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    self._publish_staged(n, v["staged"], None)
+            try:
+                os.remove(path)
             except FileNotFoundError:
                 pass
 
