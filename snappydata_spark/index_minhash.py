@@ -259,6 +259,19 @@ def refresh_minhash(
             info["bands"],
             info["shingle_n"],
         )
+        # a touched doc whose NEW text yields no shingles (shorter than
+        # shingle_n tokens) produces zero fresh bands — its old band
+        # rows must delete, not linger (the inverted index's stale-terms
+        # discipline; caught by the r6 stream-sink maintenance test)
+        touched_ids = rows_src.select(id_col).distinct()
+        stale_bands = (
+            sn.table(info["index_table"])
+            .join(touched_ids, id_col, "left_semi")
+            .select(id_col, "band")
+            .join(upserts.select(id_col, "band"), [id_col, "band"], "left_anti")
+        )
+        if not stale_bands.isEmpty():
+            sn.delete_from(info["index_table"], stale_bands)
         if not upserts.isEmpty():
             sn.put(info["index_table"], upserts)
     stale = sn.table(info["index_table"]).select(id_col, "band").join(

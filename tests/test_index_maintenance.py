@@ -191,6 +191,47 @@ def test_compact_vacuum_keep_inverted_and_minhash(spark, snappy):
     assert served.collect() == inline.collect()
 
 
+def test_stream_sink_maintains_indexes(spark, snappy):
+    """Stream-fed maintenance: micro-batches applied through the
+    snappysink (foreachBatch PUT/CDC path) keep a target table's
+    inverted AND minhash indexes exactly at the from-scratch recompute —
+    the reference maintains its index relations through the same
+    mutation layer the sink uses (SnappySinkCallback → putInto)."""
+    from snappydata_spark import index_inverted, index_minhash
+    from snappydata_spark.streaming import SnappySink
+
+    sn = snappy
+    docs = spark.createDataFrame(
+        [(i, f"seed text number {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sn.create_table("sk_docs", options={"key_columns": "doc_id"}, df=docs)
+    sn.sql("CREATE INDEX sk_inv ON sk_docs(text) USING inverted")
+    sn.sql("CREATE INDEX sk_mh ON sk_docs(text) USING minhash")
+    sink = SnappySink(sn, "sk_docs", query_name="ixq")
+    sink(
+        spark.createDataFrame(
+            [(2, "updated stream text"), (9, "brand new doc")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(5, "another pass")], "doc_id long, text string"), 1)
+    base = sn.table("sk_docs")
+    assert sorted(map(tuple, sn.table("sk_inv__ann").collect())) == sorted(
+        map(tuple, index_inverted._postings(base, "text", "doc_id").collect())
+    )
+    mh = sn._ann_indexes["sk_mh"]
+    assert sorted(map(tuple, sn.table("sk_mh__ann").collect())) == sorted(
+        map(
+            tuple,
+            index_minhash._band_rows(
+                base, "text", "doc_id", mh["num_hashes"], mh["bands"], mh["shingle_n"]
+            ).collect(),
+        )
+    )
+
+
 def test_concurrent_writers_triple_indexed_soak(spark, snappy):
     """Soak (VERDICT r5 #6): concurrent PUT/DELETE writers on a table
     carrying ALL THREE index kinds at once; afterwards every index's
