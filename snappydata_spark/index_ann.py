@@ -198,6 +198,9 @@ def build_ivf_sq8(
                 "explicit id column) to key the index table"
             )
         id_col = meta.key_columns[0]
+    # NULL vectors are unindexable (see refresh_ivf_sq8) — train/encode
+    # over the non-null rows only
+    base = base.filter(F.col(vec_col).isNotNull())
     k = k or ml_ops.K
     iters = iters or ml_ops.ITERS
     # kmeans_train trains on (vec_id, embedding) column names
@@ -377,14 +380,26 @@ def refresh_ivf_sq8(
         rows_src = base if source is None else base.join(
             source.select(id_col).distinct(), id_col, "left_semi"
         )
+        # a NULL vector has no index entry: it cannot be assigned or
+        # encoded (and would crash the vectorized assigner) — and a
+        # touched doc whose vector BECAME null must shed its stale row
+        # (the stale-terms/bands discipline of the other index kinds)
+        with_vec = rows_src.filter(F.col(vec_col).isNotNull())
+        nulled = rows_src.filter(F.col(vec_col).isNull()).select(id_col)
+        if not nulled.isEmpty():
+            doomed = sn.table(info["index_table"]).select(id_col).join(
+                nulled, id_col, "left_semi"
+            )
+            if not doomed.isEmpty():
+                sn.delete_from(info["index_table"], doomed)
         cent_rows = [(i, v) for i, v in enumerate(info["centroids"])]
         assign = ann.ivf_assign_vectorized(
-            rows_src.select(id_col, vec_col),
+            with_vec.select(id_col, vec_col),
             cent_rows,
             vec_col=vec_col,
             id_col=id_col,
         )
-        codes = rows_src.select(
+        codes = with_vec.select(
             id_col,
             _quantize_codes(F.col(vec_col), info["mn"], info["mx"]).alias("code"),
         )

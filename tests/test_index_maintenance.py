@@ -191,6 +191,31 @@ def test_compact_vacuum_keep_inverted_and_minhash(spark, snappy):
     assert served.collect() == inline.collect()
 
 
+def test_null_embedding_sheds_index_row(indexed, spark, monkeypatch):
+    """A doc whose vector becomes NULL is unindexable: maintenance must
+    drop its index row (not crash the vectorized assigner) and serving
+    must stop returning it; restoring a vector re-indexes it."""
+    sn = indexed
+    before = _search(sn, spark)
+    victim = before[1][0]
+    sn.put(
+        "vecs",
+        spark.createDataFrame(
+            [(victim, None, 0)], "vec_id long, embedding array<double>, label int"
+        ),
+    )
+    assert sn.table("vec_ivf__ann").filter(f"vec_id = {victim}").count() == 0
+    _no_train(monkeypatch)
+    assert all(v != victim for v, _ in _search(sn, spark))
+    monkeypatch.undo()
+    restore = _emb(spark).filter(F.col("vec_id") == victim).select(
+        "vec_id", "embedding", "label"
+    )
+    sn.put("vecs", restore)
+    assert sn.table("vec_ivf__ann").filter(f"vec_id = {victim}").count() == 1
+    assert _search(sn, spark) == before
+
+
 def test_stream_sink_maintains_indexes(spark, snappy):
     """Stream-fed maintenance: micro-batches applied through the
     snappysink (foreachBatch PUT/CDC path) keep a target table's
