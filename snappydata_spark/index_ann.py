@@ -201,6 +201,14 @@ def build_ivf_sq8(
     # NULL vectors are unindexable (see refresh_ivf_sq8) — train/encode
     # over the non-null rows only
     base = base.filter(F.col(vec_col).isNotNull())
+    if base.isEmpty():
+        # the coarse quantizer needs data to train (FAISS's IVF contract);
+        # a cryptic numpy AxisError helped no one
+        raise ValueError(
+            f"ivf_sq8 index on {table} needs at least one non-null "
+            f"{vec_col} vector to train the coarse quantizer — load data "
+            "first, then CREATE INDEX"
+        )
     k = k or ml_ops.K
     iters = iters or ml_ops.ITERS
     # kmeans_train trains on (vec_id, embedding) column names

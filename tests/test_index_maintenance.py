@@ -191,6 +191,49 @@ def test_compact_vacuum_keep_inverted_and_minhash(spark, snappy):
     assert served.collect() == inline.collect()
 
 
+def test_empty_table_index_builds(spark, snappy):
+    """CREATE INDEX on an empty table: text indexes build empty (and
+    fill via maintenance); ivf_sq8 needs training data and must say so
+    clearly instead of dying in numpy."""
+    import pytest as _pytest
+
+    sn = snappy
+    sn.create_table(
+        "e_docs", schema="doc_id long, text string",
+        options={"key_columns": "doc_id"},
+    )
+    sn.sql("CREATE INDEX e_inv ON e_docs(text) USING inverted")
+    sn.sql("CREATE INDEX e_mh ON e_docs(text) USING minhash")
+    sn.put(
+        "e_docs",
+        spark.createDataFrame([(1, "late arriving data row")], "doc_id long, text string"),
+    )
+    assert sn.table("e_inv__ann").count() == 4
+    assert sn.table("e_mh__ann").count() > 0
+    sn.create_table(
+        "e_vec", schema="vec_id long, embedding array<double>",
+        options={"key_columns": "vec_id"},
+    )
+    with _pytest.raises(ValueError, match="needs at least one non-null"):
+        sn.sql("CREATE INDEX e_ivf ON e_vec(embedding) USING ivf_sq8")
+
+
+def test_null_text_sheds_postings_and_bands(spark, snappy):
+    """A doc whose text becomes NULL loses its postings and bands."""
+    sn = snappy
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    sn.create_table("nt", options={"key_columns": "doc_id"}, df=docs)
+    sn.sql("CREATE INDEX nt_inv ON nt(text) USING inverted")
+    sn.sql("CREATE INDEX nt_mh ON nt(text) USING minhash")
+    sn.put("nt", spark.createDataFrame([(1, None)], "doc_id long, text string"))
+    assert sn.table("nt_inv__ann").filter("doc_id = 1").count() == 0
+    assert sn.table("nt_mh__ann").filter("doc_id = 1").count() == 0
+    assert sn.table("nt_inv__ann").filter("doc_id = 2").count() == 4
+
+
 def test_null_embedding_sheds_index_row(indexed, spark, monkeypatch):
     """A doc whose vector becomes NULL is unindexable: maintenance must
     drop its index row (not crash the vectorized assigner) and serving
