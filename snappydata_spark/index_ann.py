@@ -227,6 +227,7 @@ def build_ivf_sq8(
     )
     rows = assign.join(codes, id_col)
     sn.create_table(idx_table, options={"key_columns": id_col}, df=rows)
+    n_rows = sn.table(idx_table).count()
     # range-cluster the index files on `cell` so probe scans skip files
     # whose cell range can't match (the layout-index path)
     sn.sql(f"CREATE INDEX {index_name}__cell ON {idx_table} (cell)")
@@ -240,6 +241,9 @@ def build_ivf_sq8(
         "centroids": [v for _, v in cent_rows],
         "mn": mn,
         "mx": mx,
+        # maintained row count: lets the router widen nprobe to full
+        # recall when a query's candidate budget covers the whole corpus
+        "n_rows": n_rows,
     }
     sn._ann_indexes[index_name.lower()] = info
     sn._save_registry()
@@ -420,3 +424,5 @@ def refresh_ivf_sq8(
     )
     if not stale.isEmpty():
         sn.delete_from(info["index_table"], stale)
+    info["n_rows"] = sn.table(info["index_table"]).count()
+    sn._save_registry()

@@ -194,6 +194,12 @@ def try_route(sn, text: str) -> DataFrame | None:
         nprobe = int(sn.get_conf("snappydata.index.ann.nprobe", 4))
         cand = int(sn.get_conf("snappydata.index.ann.cand", max(50, 5 * k)))
         rerank = str(sn.get_conf("snappydata.index.ann.rerank", "exact"))
+        n_rows = info.get("n_rows")
+        if n_rows is not None and cand >= n_rows:
+            # the candidate budget covers the whole corpus: probe every
+            # cell — full recall at no extra cost (top-500 of a 20-row
+            # table must return all 20, not the 4 probed cells' share)
+            nprobe = max(nprobe, len(info["centroids"]))
         res = index_ann.search_ivf_sq8(
             sn,
             name,
