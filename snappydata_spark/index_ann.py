@@ -277,6 +277,11 @@ def search_ivf_sq8(
     (rerank='exact' only) for callers that project their own score."""
     info = sn._ann_indexes[index_name.lower()]
     id_col, mn, mx = info["id_col"], info["mn"], info["mx"]
+    # knob hygiene: the recall knobs trade accuracy, never result
+    # cardinality — cand below topk would silently shrink the result
+    # set, and nprobe<1 would scan no cells at all
+    nprobe = max(1, int(nprobe))
+    cand = max(int(cand), int(topk))
     if isinstance(query, (list, tuple)):
         # literal query vector (the resolve_index path): no collect
         q_vec = [float(x) for x in query]

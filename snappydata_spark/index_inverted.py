@@ -154,7 +154,13 @@ def bm25_from_postings(
     by the stored-index serve path (bm25_topk) and resolve_index's
     no-index fallback (postings derived inline from the base table), so
     both paths score identically.  Pass n_docs/avgdl to skip the corpus
-    stats aggregate (the stored-stats serve path)."""
+    stats aggregate (the stored-stats serve path).
+
+    Query terms dedupe to first occurrence: each distinct term
+    contributes once (the qtf=1 BM25 variant) — and the pivot below
+    would otherwise create duplicate columns and fail on a repeated
+    term."""
+    terms = list(dict.fromkeys(terms))
     if n_docs is None or avgdl is None:
         # corpus stats from the postings: N = distinct docs, avgdl = mean
         # dl over one row per doc (model-sized collect, rounded like the

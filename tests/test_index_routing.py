@@ -171,3 +171,42 @@ def test_cosine_sim_macro_matches_dataframe_cosine(spark, sf_dir):
     a = {r.vec_id: r.c for r in via_sql.collect()}
     b = {r.vec_id: r.c for r in via_df.collect()}
     assert a == b  # bit-identical expression trees
+
+
+def test_ann_knob_abuse_never_shrinks_results(ann_session):
+    """The recall knobs trade accuracy, never result cardinality: a
+    candidate budget below k and nprobe=0 both clamp (k rows come back,
+    ranked by whatever recall the clamped budget buys)."""
+    sn, sql = ann_session
+    sn.set_conf("snappydata.index.ann.cand", "3")
+    sn.set_conf("snappydata.index.ann.nprobe", "0")
+    try:
+        rows = sn.sql(sql).collect()
+        assert len(rows) == 5
+        assert rows[0].vec_id == 0 and rows[0].cos == 1.0
+    finally:
+        sn.set_conf("snappydata.index.ann.cand", "50")
+        sn.set_conf("snappydata.index.ann.nprobe", "4")
+
+
+def test_bm25_duplicate_query_terms(snappy, spark, sf_dir):
+    """A repeated query term dedupes to one contribution (qtf=1 BM25) on
+    BOTH serve paths — previously the postings pivot raised
+    AMBIGUOUS_REFERENCE on the duplicate column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    snappy.create_table("d_dupterm", options={"key_columns": "doc_id"}, df=docs)
+    snappy.sql("CREATE INDEX d_dupterm_i ON d_dupterm(text) USING inverted")
+    dup = (
+        "SELECT doc_id, bm25_score(text, 'data data') AS s FROM d_dupterm "
+        "ORDER BY bm25_score(text, 'data data') DESC, doc_id LIMIT 5"
+    )
+    single = dup.replace("'data data'", "'data'")
+    routed_dup = [(r.doc_id, r.s) for r in snappy.sql(dup).collect()]
+    routed_single = [(r.doc_id, r.s) for r in snappy.sql(single).collect()]
+    assert routed_dup == routed_single
+    snappy.set_conf("snappydata.sql.useIndexes", "false")
+    try:
+        inline_dup = [(r.doc_id, r.s) for r in snappy.sql(dup).collect()]
+    finally:
+        snappy.set_conf("snappydata.sql.useIndexes", "true")
+    assert inline_dup == routed_dup
