@@ -1009,12 +1009,15 @@ class SnappySession:
         a filtered mutation read would silently drop the invisible rows on
         copy-on-write rewrite."""
         lname = self._canon(name)
-        granted = self._grants.get(lname)
-        if granted and self.current_user and self.current_user not in granted:
-            raise PermissionError(
-                f"user '{self.current_user}' lacks SELECT on '{lname}' "
-                f"(GRANT SELECT ON {lname} TO {self.current_user})"
-            )
+        # a sample table is derived data: reading it also requires SELECT
+        # on its base (else the sample becomes a grant bypass)
+        for scope in (lname, self._sample_base_of(lname)):
+            granted = self._grants.get(scope) if scope else None
+            if granted and self.current_user and self.current_user not in granted:
+                raise PermissionError(
+                    f"user '{self.current_user}' lacks SELECT on '{scope}' "
+                    f"(GRANT SELECT ON {scope} TO {self.current_user})"
+                )
         return self._apply_policies(lname, self._read_table(name))
 
     def _read_table(self, name: str, tx_bypass: bool = False) -> DataFrame:
@@ -1071,14 +1074,30 @@ class SnappySession:
             self._create_sample_table(t, cname, dict(opts))
 
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
-        if name not in self._rls:
-            # policies exist but do not filter until the table is
-            # RLS-enabled (reference: AlterTableToggleRowLevelSecurity)
-            return df
-        for table, filter_sql, user in self._policies.values():
-            if table == name and (not user or user == self.current_user):
-                df = df.filter(filter_sql)
+        # derived data never widens visibility: a SAMPLE TABLE read also
+        # carries its BASE table's policies (the sample holds the base's
+        # columns, so the filter applies directly) — the same contract
+        # the index serve paths enforce with their visibility semi-join
+        for scope in (name, self._sample_base_of(name)):
+            if scope is None or scope not in self._rls:
+                # policies exist but do not filter until the table is
+                # RLS-enabled (reference: AlterTableToggleRowLevelSecurity)
+                continue
+            for table, filter_sql, user in self._policies.values():
+                if table == scope and (not user or user == self.current_user):
+                    df = df.filter(filter_sql)
         return df
+
+    def _sample_base_of(self, name: str) -> str | None:
+        """Base table of a SAMPLE TABLE (None for everything else)."""
+        try:
+            meta = self.catalog.load_meta(self._canon(name))
+        except Exception:  # noqa: BLE001 — not a managed table
+            return None
+        if meta.provider != "sample":
+            return None
+        base = meta.options.get("base_table")
+        return self._canon(base) if base else None
 
     def _tables_in(self, text: str) -> set[str]:
         """Managed tables referenced (as identifiers) by a SQL text."""
@@ -1105,13 +1124,22 @@ class SnappySession:
                     self.spark.sql(vsql).createOrReplaceTempView(vname)
         policy_tables = {t for (t, _, _) in self._policies.values()}
         for name in self._tables_in(text):
-            granted = self._grants.get(name)
-            if granted and self.current_user and self.current_user not in granted:
-                raise PermissionError(
-                    f"user '{self.current_user}' lacks SELECT on '{name}' "
-                    f"(GRANT SELECT ON {name} TO {self.current_user})"
-                )
-            if name in policy_tables:
+            # sample tables inherit their base's grants and policies
+            # (derived data never widens visibility)
+            base = self._sample_base_of(name)
+            for scope in (name, base):
+                granted = self._grants.get(scope) if scope else None
+                if (
+                    granted
+                    and self.current_user
+                    and self.current_user not in granted
+                ):
+                    raise PermissionError(
+                        f"user '{self.current_user}' lacks SELECT on "
+                        f"'{scope}' (GRANT SELECT ON {scope} TO "
+                        f"{self.current_user})"
+                    )
+            if name in policy_tables or (base and base in policy_tables):
                 self._refresh_view(name)
 
     # ------------------------------------------------------------------ DML
@@ -2177,7 +2205,13 @@ class SnappySession:
         fraction = float(options.get("fraction", 0.01))
         if not qcs:
             raise ValueError("CREATE SAMPLE TABLE requires a qcs option")
-        base = self.table(base_table)
+        # build from the RAW base: the stored sample covers every row, and
+        # visibility is enforced at READ time (table()/_apply_policies
+        # carry the base's RLS/grants onto sample reads).  Building from a
+        # filtered read would bake the CREATING user's visibility into
+        # everyone's estimates — and a maintenance rebuild triggered by a
+        # restricted writer would silently shrink other users' samples.
+        base = self._read_table(base_table)
         st = aqp.create_sample_table(
             base, qcs, fraction,
             min_stratum_rows=int(options.get("stratareservoirsize", 0)),

@@ -534,3 +534,51 @@ def test_alter_view(snappy):
     assert snappy.sql("SELECT COUNT(*) AS n FROM av_v").collect()[0].n == 1
     assert snappy._views["av_v"].endswith("k > 2")
     snappy.sql("DROP VIEW av_v")
+
+
+def test_sample_table_inherits_base_rls_and_grants(snappy):
+    """Derived data never widens visibility: a SAMPLE TABLE read — direct
+    SQL, table(), or the WITH ERROR estimate path — carries its BASE
+    table's RLS policies and SELECT grants, while sample creation and
+    maintenance store the FULL base (visibility is a read-time concern;
+    a restricted writer's mutation must not shrink other users' samples)."""
+    df = snappy.spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(40)],
+        "k int, g string, x double",
+    )
+    snappy.create_table("rls_base", options={"key_columns": "k"}, df=df)
+    snappy.sql(
+        "CREATE SAMPLE TABLE rls_base_s ON rls_base "
+        "OPTIONS (qcs 'g', fraction '1.0')"
+    )
+    snappy.sql("ALTER TABLE rls_base ENABLE ROW LEVEL SECURITY")
+    snappy.sql("CREATE POLICY p_s ON rls_base FOR SELECT USING (k < 10)")
+    try:
+        assert all(
+            r.k < 10 for r in snappy.sql("SELECT k FROM rls_base_s").collect()
+        )
+        assert all(r.k < 10 for r in snappy.table("rls_base_s").collect())
+        est = snappy.sql(
+            "SELECT COUNT(*) AS c FROM rls_base WITH ERROR 0.9"
+        ).collect()[0].c
+        assert est <= 10
+        # a restricted writer's maintenance keeps the stored sample full
+        snappy.sql("DROP POLICY p_s")
+        snappy.sql(
+            "CREATE POLICY p_alice ON rls_base FOR SELECT TO alice USING (k < 10)"
+        )
+        snappy.current_user = "alice"
+        snappy.sql("UPDATE rls_base SET x = x WHERE k = 0")
+        snappy.current_user = None
+        assert snappy.table("rls_base_s").count() == 40
+        # grants: reading the sample requires SELECT on the base
+        snappy.sql("GRANT SELECT ON rls_base TO alice")
+        snappy.current_user = "bob"
+        with pytest.raises(PermissionError):
+            snappy.table("rls_base_s").collect()
+        with pytest.raises(PermissionError):
+            snappy.sql("SELECT COUNT(*) AS c FROM rls_base_s").collect()
+    finally:
+        snappy.current_user = None
+        snappy.sql("DROP POLICY IF EXISTS p_s")
+        snappy.sql("DROP POLICY IF EXISTS p_alice")
