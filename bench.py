@@ -357,6 +357,8 @@ def main() -> None:
         "ev_approx_distinct_users",
         "aqp_sample_estimate_with_error",
         "sample_tablesample",
+        "sim_ann_batch_topk",
+        "txt_bm25_batch_topk",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -371,6 +371,174 @@ def search_ivf_sq8(
     return out if keep_exact else out.drop("exact_cos")
 
 
+def search_ivf_sq8_batch(
+    sn,
+    index_name: str,
+    queries: DataFrame,
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    topk: int = 10,
+    cand: int = 50,
+    nprobe: int = 4,
+    exclude_same_id: bool = False,
+    widen_to_full_recall: bool = True,
+) -> DataFrame:
+    """BATCH serve from the materialized index: a query TABLE of
+    (qid, query-vector) rows, each retrieving its own top-k — the
+    production many-queries shape (offline eval sets, dedup probes,
+    recommendation candidate generation), vs search_ivf_sq8's single
+    literal vector.  Mirrors the reference's index-serving path
+    (IndexColumnFormatRelation, ColumnFormatRelation.scala:633) applied
+    to a joined probe set rather than one point lookup.
+
+    Plan shape, scale-first:
+      1. PROBE is a map-only pass over the query table (mapInPandas,
+         centroids enter as a closure — model-sized) emitting
+         (qid, cell) pairs, nprobe per query;
+      2. the distinct probed-cell list is at most k values (k =
+         centroid count, model-sized), collected and pushed as a
+         literal IN-filter so the cell-range file clustering still
+         prunes index files even for batch serves;
+      3. candidate generation is one join of the pruned index scan
+         against the probe pairs on `cell` (probe side broadcast: Q ×
+         nprobe rows; at huge Q this flips to a shuffle join on cell —
+         both sides are already narrow id/cell rows);
+      4. quantized scoring is vectorized numpy over (code, query-vec)
+         rows with the same sequential-fold (np.cumsum) discipline as
+         sq8_scores_pandas, so scores stay bit-identical to the SQL
+         oracle;
+      5. per-query candidate cut and exact rerank are windows
+         PARTITIONED BY qid — parallel across queries, never a global
+         sort.
+
+    `exclude_same_id=True` drops candidates whose id equals the query's
+    qid (self-matches when queries are drawn from the indexed corpus).
+    Output: (qid, <id_col>, cos, approx_cos), topk rows per query."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    info = sn._ann_indexes[index_name.lower()]
+    id_col, mn, mx = info["id_col"], info["mn"], info["mx"]
+    nprobe = max(1, int(nprobe))
+    cand = max(int(cand), int(topk))
+    k = len(info["centroids"])
+    # full-recall widening: when the per-query candidate budget covers
+    # the whole corpus, probing fewer than all cells only loses recall
+    # (opt out to pin the probe count, e.g. for fixed-nprobe parity runs)
+    if widen_to_full_recall and cand >= int(info.get("n_rows", 0) or 0):
+        nprobe = k
+    cents = np.array(info["centroids"], dtype=np.float64)
+    cent_norms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
+    n_probe = min(nprobe, k)
+    # a NULL query vector has no probe direction: shed it up front (the
+    # NULL-vector discipline of refresh_ivf_sq8) rather than crash the
+    # vectorized prober
+    queries = queries.filter(F.col(qvec_col).isNotNull())
+
+    qtypes = dict(queries.dtypes)
+    probe_schema = f"{qid_col} {qtypes[qid_col]}, cell bigint"
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qarr = np.array(pdf[qvec_col].tolist(), dtype=np.float64)
+            # sequential-fold dot/norms per (query, centroid) pair —
+            # bit-identical to _cos_sql / the driver-side single probe
+            dots = np.cumsum(qarr[:, None, :] * cents[None, :, :], axis=2)[:, :, -1]
+            qn = np.sqrt(np.cumsum(qarr * qarr, axis=1)[:, -1])
+            cos = dots / (cent_norms[None, :] * qn[:, None])
+            qids, cells = [], []
+            cid_arr = np.arange(k)
+            for i, qid in enumerate(pdf[qid_col].values):
+                # top-nprobe cells, ties broken by ascending cid
+                order = np.lexsort((cid_arr, -cos[i]))[:n_probe]
+                qids.extend([qid] * len(order))
+                cells.extend(int(c) for c in order)
+            yield pd.DataFrame({qid_col: qids, "cell": cells})
+
+    probe = queries.select(qid_col, qvec_col).mapInPandas(_probe, probe_schema)
+    # the distinct probed-cell list is bounded by k (model-sized): push
+    # it as a literal IN so the cell-clustered file layout still prunes
+    cells = [r.cell for r in probe.select("cell").distinct().collect()]
+    idx = sn.table(info["index_table"]).filter(F.col("cell").isin(cells))
+    if sn._read_is_filtered(info["table"]):
+        idx = idx.join(
+            sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
+    cands = idx.join(F.broadcast(probe), "cell").drop("cell")
+    if exclude_same_id:
+        cands = cands.filter(F.col(id_col) != F.col(qid_col))
+    scored_in = cands.join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+
+    mnv = np.array(mn, dtype=np.float64)
+    mxv = np.array(mx, dtype=np.float64)
+    span = mxv - mnv
+    deg = span == 0.0
+
+    def _deq_quant(arr):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((arr - mnv) / span * 255)
+        q = np.clip(q, 0.0, 255.0)
+        q[:, deg] = 0.0
+        return mnv + q / 255.0 * span
+
+    ctypes = dict(scored_in.dtypes)
+    score_schema = (
+        f"{qid_col} {ctypes[qid_col]}, {id_col} {ctypes[id_col]}, acos double"
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.float64)
+            de = mnv + codes / 255.0 * span
+            dqv = _deq_quant(np.array(pdf[qvec_col].tolist(), dtype=np.float64))
+            num = np.cumsum(de * dqv, axis=1)[:, -1]
+            den = np.sqrt(np.cumsum(de * de, axis=1)[:, -1]) * np.sqrt(
+                np.cumsum(dqv * dqv, axis=1)[:, -1]
+            )
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].values,
+                    id_col: pdf[id_col].values,
+                    "acos": num / den,
+                }
+            )
+
+    scored = scored_in.select(qid_col, id_col, "code", qvec_col).mapInPandas(
+        _score, score_schema
+    )
+    w_cand = Window.partitionBy(qid_col).orderBy(F.desc("acos"), id_col)
+    cand_df = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= cand)
+        .drop("__rn")
+    )
+    base = sn.table(info["table"]).select(
+        id_col, F.col(info["column"]).alias("__vec")
+    )
+    w_final = Window.partitionBy(qid_col).orderBy(F.desc("__exact"), id_col)
+    return (
+        cand_df.join(base, id_col)
+        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .withColumn("__exact", V.cosine(F.col("__vec"), F.col(qvec_col)))
+        .withColumn("__rk", F.row_number().over(w_final))
+        .filter(F.col("__rk") <= topk)
+        .select(
+            qid_col,
+            id_col,
+            F.round(F.col("__exact"), 4).alias("cos"),
+            F.round(F.col("acos"), 4).alias("approx_cos"),
+        )
+    )
+
+
 def refresh_ivf_sq8(
     sn,
     index_name: str,

@@ -214,6 +214,124 @@ def bm25_from_postings(
     )
 
 
+def bm25_topk_batch(
+    sn,
+    index_name: str,
+    queries: DataFrame,
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BATCH BM25 from the stored postings: a query TABLE of
+    (qid, array<string> terms) rows, each retrieving its own top-k in
+    ONE distributed plan — the production many-queries shape (offline
+    relevance eval, query-log replay, RAG batch retrieval), the lexical
+    twin of index_ann.search_ivf_sq8_batch.
+
+    Plan shape, scale-first: the query set explodes to distinct
+    (qid, term) pairs; ONE postings scan covers the union of all query
+    vocabularies (pushed as a literal IN when the vocabulary is small
+    enough to prune files; the per-term df/idf computes once per term,
+    shared across queries); per-(qid, doc) scores fold in TERM-SORTED
+    sequential order (the cross-engine float discipline — an unordered
+    SUM aggregate would drift in the last ulp); the final cut is a
+    window PARTITIONED BY qid, parallel across queries.
+
+    Per query, repeated terms dedupe to one occurrence (the qtf=1 BM25
+    variant, same as bm25_topk).  Output: (qid, <id>, bm25), k rows per
+    query.  RLS/grant-hidden base rows never surface."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    post = sn.table(info["index_table"])
+    filtered = sn._read_is_filtered(info["table"])
+    if filtered:
+        post = post.join(
+            sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
+    if not filtered and "n_docs" in info:
+        n_docs, avgdl = info["n_docs"], info["avgdl"]
+    else:
+        stats = (
+            post.select(id_col, "dl")
+            .groupBy(id_col)
+            .agg(F.min("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("dl"), 9).alias("avgdl"),
+            )
+            .collect()[0]
+        )
+        n_docs, avgdl = stats.n_docs, stats.avgdl
+    qterms = (
+        queries.select(F.col(qid_col), F.explode(terms_col).alias("term"))
+        .distinct()
+    )
+    # the union vocabulary is bounded by the query set, not the corpus;
+    # when small it pushes as a literal IN so the term-clustered file
+    # layout prunes the postings scan (at huge Q the join alone carries)
+    vocab = [r.term for r in qterms.select("term").distinct().limit(257).collect()]
+    if len(vocab) <= 256:
+        post = post.filter(F.col("term").isin(vocab))
+    hits = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # df/idf are per-TERM corpus facts — computed once, shared by every
+    # query that mentions the term
+    df_ = hits.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            9,
+        ).alias("idf"),
+    )
+    partial = hits.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+            ),
+            9,
+        ).alias("s"),
+    )
+    per_query = partial.join(F.broadcast(qterms), "term")
+    # term-sorted sequential fold: array_sort on struct(term, s) orders
+    # by term, F.aggregate folds left-to-right — both engines add the
+    # same rounded doubles in the same order (the _cos_sql discipline)
+    scored = (
+        per_query.groupBy(qid_col, id_col)
+        .agg(F.collect_list(F.struct("term", "s")).alias("__ts"))
+        .select(
+            qid_col,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.transform(F.array_sort("__ts"), lambda x: x.s),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("bm25"), id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def refresh_inverted(
     sn,
     index_name: str,

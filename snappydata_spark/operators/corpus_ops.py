@@ -1015,6 +1015,100 @@ def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_Q = 8  # query-set size for the batch ANN registry query
+
+
+def _ivf_sq8_batch_oracle() -> str:
+    """Composed CTE oracle for the BATCH index serve: the same unrolled
+    k-means + assign simulation, then per-QUERY probe / candidate-cut /
+    exact-rerank via windows partitioned by qid — mirroring the Spark
+    plan stage for stage."""
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+    from snappydata_spark.operators.ml_ops import _kmeans_cte_blocks
+
+    blocks, prev = _kmeans_cte_blocks()
+    mn, mx = _sq8_expr_sql()
+    deq = _sq8_deq_sql
+    search = f"""
+s AS (SELECT {mn} AS mn, {mx} AS mx),
+qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       WHERE vec_id < {BATCH_Q}),
+cc AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS cc
+       FROM embeddings e, {prev} c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+    FROM cc) WHERE rn = 1),
+qprobe AS (SELECT qid, cell FROM (
+    SELECT q.qid, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_cos_sql('c.ce', 'q.qe')} DESC, c.cid)
+             AS rn
+    FROM {prev} c CROSS JOIN qs q) WHERE rn <= {IVFSQ_NPROBE}),
+dq AS (
+  SELECT q.qid, e.vec_id, e.embedding, q.qe,
+         {deq('e.embedding')} AS de, {deq('q.qe')} AS dqv
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN qprobe p ON p.cell = a.cell
+  JOIN qs q ON q.qid = p.qid
+  CROSS JOIN s
+  WHERE e.vec_id <> q.qid),
+approx AS (
+  SELECT qid, vec_id, embedding, qe, {_cos_sql('de', 'dqv')} AS acos FROM dq),
+cand AS (
+  SELECT qid, vec_id, embedding, qe, acos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY acos DESC, vec_id) AS rn
+    FROM approx) WHERE rn <= {SQ_CAND})
+SELECT qid, vec_id, cos, approx_cos FROM (
+  SELECT qid, vec_id,
+         ROUND({_cos_sql('embedding', 'qe')}, 4) AS cos,
+         ROUND(acos, 4) AS approx_cos,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY {_cos_sql('embedding', 'qe')} DESC,
+                                     vec_id) AS rk
+  FROM cand) WHERE rk <= {SQ_TOPK}"""
+    return "WITH " + ",".join(blocks) + "," + search
+
+
+@register("sim_ann_batch_topk", oracle=_ivf_sq8_batch_oracle())
+def sim_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH serve from the materialized ivf_sq8 index: a query TABLE
+    of BATCH_Q vectors, each retrieving its own exact-reranked top-k in
+    ONE distributed plan — the production many-queries shape (offline
+    eval sets, semantic-dedup probes, candidate generation), vs the
+    single literal vector of sim_ivf_sq8_index_topk.  Self-matches are
+    excluded per query (a query drawn from the corpus must not retrieve
+    itself).
+
+    Scale: the probe is a map-only pass over the query table (centroids
+    enter as a model-sized closure); the probed-cell list (≤ k values)
+    pushes as a literal IN so file pruning survives batching; candidate
+    cut and exact rerank are windows PARTITIONED BY qid — parallel
+    across queries, never a global sort.  Reference parity: the batch
+    analogue of index-serving point lookups
+    (IndexColumnFormatRelation, ColumnFormatRelation.scala:633)."""
+    from snappydata_spark import index_ann
+
+    sn = _ann_index_session(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return index_ann.search_ivf_sq8_batch(
+        sn,
+        "emb_ivf",
+        queries,
+        topk=SQ_TOPK,
+        cand=SQ_CAND,
+        nprobe=IVFSQ_NPROBE,
+        exclude_same_id=True,
+        # the oracle simulates a FIXED nprobe — pin it at every sf
+        widen_to_full_recall=False,
+    )
+
+
 @register(
     "sim_ann_sql_routed",
     oracle=_ivf_sq8_oracle(exclude_self=False, include_approx=False),

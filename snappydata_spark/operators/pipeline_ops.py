@@ -1418,6 +1418,86 @@ def _bm25_index_session(spark: SparkSession, sf_dir: str):
     return sn
 
 
+BM25_BATCH_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("vector", "query", "join"),  # == BM25_TERMS: single-path parity
+    1: ("stream", "window", "agg"),
+    2: ("hash", "merge", "sort"),
+    3: ("filter", "scan"),
+}
+
+
+def _bm25_batch_oracle() -> str:
+    """Per-qid BM25 CTE oracle: tf/df/idf/partial compute ONCE per term
+    over the indexed (>=1 token) population, then join to the query-term
+    table and fold per (qid, doc) in TERM-SORTED sequential order —
+    list_aggregate over list(s ORDER BY term) matches Spark's
+    F.aggregate left fold bit-for-bit (the _cos_sql discipline)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(BM25_BATCH_QUERIES.items())
+        for t in ts
+    )
+    term_list = ", ".join(
+        sorted({f"'{t}'" for ts in BM25_BATCH_QUERIES.values() for t in ts})
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0),
+stats AS (SELECT COUNT(*) AS n_docs, ROUND(AVG(dl), 9) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES {vals}) AS v(qid, term)),
+tf AS (
+  SELECT doc_id, u.term, COUNT(*)::BIGINT AS tf
+  FROM tok, LATERAL (SELECT unnest(t) AS term) u
+  WHERE u.term IN ({term_list})
+  GROUP BY doc_id, u.term),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         ROUND(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+  FROM df, stats s),
+partial AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(i.idf * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * d.dl / s.avgdl)), 9) AS s
+  FROM tf JOIN idf i USING (term)
+  JOIN dl d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+qp AS (SELECT q.qid, p.doc_id, p.s, p.term FROM partial p JOIN qt q USING (term)),
+scored AS (
+  SELECT qid, doc_id,
+         ROUND(list_aggregate(list(s ORDER BY term), 'sum'), 6) AS bm25
+  FROM qp GROUP BY qid, doc_id)
+SELECT qid, doc_id, bm25 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY bm25 DESC, doc_id) AS rk
+  FROM scored) WHERE rk <= {BM25_TOPK}"""
+
+
+@register("txt_bm25_batch_topk", oracle=_bm25_batch_oracle())
+def txt_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH BM25 from the materialized inverted index: a query TABLE
+    (qid, terms) retrieves every query's top-k in ONE distributed plan
+    (index_inverted.bm25_topk_batch) — the lexical twin of
+    sim_ann_batch_topk and the production query-log-replay / offline-
+    relevance-eval shape.  One postings scan covers the union
+    vocabulary (literal IN pushdown prunes term-clustered files),
+    per-term df/idf compute once and are SHARED across queries, scores
+    fold in term-sorted sequential order, and the per-query cut is a
+    window PARTITIONED BY qid.  Corpus stats come from the index
+    registry — zero corpus-sized aggregates at serve time."""
+    sn = _bm25_index_session(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(qid, list(ts)) for qid, ts in sorted(BM25_BATCH_QUERIES.items())],
+        "qid int, terms array<string>",
+    )
+    from snappydata_spark import index_inverted
+
+    return index_inverted.bm25_topk_batch(
+        sn, "docs_bm25", queries, k=BM25_TOPK
+    )
+
+
 @register("txt_bm25_sql_routed", oracle=_bm25_index_oracle())
 def txt_bm25_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automatic index routing for lexical retrieval (ResolveIndex

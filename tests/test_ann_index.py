@@ -189,6 +189,101 @@ def test_rls_hidden_vectors_never_leak_through_index(indexed, spark):
         sn.sql("ALTER TABLE vecs DISABLE ROW LEVEL SECURITY")
 
 
+def _query_set(spark, n=3):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+
+
+def test_batch_matches_per_query_single_search(indexed, spark, monkeypatch):
+    """One batch plan over a query TABLE returns, per qid, exactly the
+    rows the single-vector serve returns for that query — and runs no
+    training."""
+    _no_train(monkeypatch)
+    batch = index_ann.search_ivf_sq8_batch(
+        indexed,
+        "vec_ivf",
+        _query_set(spark),
+        topk=5,
+        cand=10,
+        nprobe=2,
+        exclude_same_id=True,
+        widen_to_full_recall=False,
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r.qid, []).append((r.vec_id, r.cos, r.approx_cos))
+    assert set(by_qid) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        single = [
+            (r.vec_id, r.cos, r.approx_cos)
+            for r in index_ann.search_ivf_sq8(
+                indexed,
+                "vec_ivf",
+                _query_df(spark, vec_id=qid),
+                topk=5,
+                cand=10,
+                nprobe=2,
+                exclude_ids=[qid],
+            ).collect()
+        ]
+        assert by_qid[qid] == single
+
+
+def test_batch_never_returns_self(indexed, spark):
+    got = index_ann.search_ivf_sq8_batch(
+        indexed, "vec_ivf", _query_set(spark, n=5), topk=10,
+        exclude_same_id=True,
+    ).collect()
+    assert got and all(r.vec_id != r.qid for r in got)
+
+
+def test_batch_full_recall_widening_is_exact(indexed, spark):
+    """When the candidate budget covers the corpus, the widened batch
+    serve returns the EXACT brute-force top-k per query."""
+    from snappydata_spark.functions import vector as V
+
+    emb = _emb(spark)
+    n = emb.count()
+    got = index_ann.search_ivf_sq8_batch(
+        indexed, "vec_ivf", _query_set(spark, n=2), topk=4, cand=n,
+        nprobe=1, exclude_same_id=True,
+    ).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r.qid, []).append(r.vec_id)
+    for qid in (0, 1):
+        q = emb.filter(F.col("vec_id") == qid).collect()[0]
+        arr = F.array(*[F.lit(float(x)) for x in q.embedding])
+        brute = [
+            r.vec_id
+            for r in emb.filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id", V.cosine(F.col("embedding"), arr).alias("c")
+            )
+            .orderBy(F.desc("c"), "vec_id")
+            .limit(4)
+            .collect()
+        ]
+        assert by_qid[qid] == brute
+
+
+def test_batch_rls_hidden_rows_never_leak(indexed, spark):
+    sn = indexed
+    sn.sql("CREATE POLICY p_vecb ON vecs FOR SELECT USING (vec_id <> 9)")
+    sn.sql("ALTER TABLE vecs ENABLE ROW LEVEL SECURITY")
+    try:
+        got = index_ann.search_ivf_sq8_batch(
+            sn, "vec_ivf", _query_set(spark), topk=50,
+            exclude_same_id=True,
+        ).collect()
+        assert got and all(r.vec_id != 9 for r in got)
+    finally:
+        sn.sql("ALTER TABLE vecs DISABLE ROW LEVEL SECURITY")
+
+
 def test_drop_base_table_cascades_to_index(indexed):
     """Dropping the base table drops its ANN indexes too (the reference
     drops dependent indexes with their table) — no dangling registry

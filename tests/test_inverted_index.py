@@ -76,6 +76,65 @@ def test_delete_prunes_postings(indexed, spark):
     assert all(r.doc_id != 4 for r in top)
 
 
+def _batch_queries(spark):
+    return spark.createDataFrame(
+        [
+            Row(qid=0, terms=["vector", "joins"]),
+            Row(qid=1, terms=["query"]),
+            Row(qid=2, terms=["nothing", "special"]),
+        ]
+    )
+
+
+def test_batch_matches_per_query_single(indexed, spark):
+    """One batch plan returns, per qid, the same docs and scores as the
+    single-query serve (scores fold in term-sorted order in the batch
+    path — compare at the rounded-6 output precision)."""
+    batch = index_inverted.bm25_topk_batch(
+        indexed, "inv_idx", _batch_queries(spark), k=4
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r.qid, []).append((r.doc_id, r.bm25))
+    assert set(by_qid) == {0, 1, 2}
+    for qid, terms in [(0, ["vector", "joins"]), (1, ["query"]),
+                       (2, ["nothing", "special"])]:
+        single = [
+            (r.doc_id, r.bm25)
+            for r in index_inverted.bm25_topk(
+                indexed, "inv_idx", terms, k=4
+            ).collect()
+        ]
+        assert [d for d, _ in by_qid[qid]] == [d for d, _ in single]
+        for (_, a), (_, b) in zip(by_qid[qid], single):
+            assert abs(a - b) < 1e-9
+
+
+def test_batch_repeated_terms_dedupe(indexed, spark):
+    """A repeated query term contributes once (qtf=1 variant), matching
+    the single path's dict.fromkeys dedupe."""
+    q = spark.createDataFrame([Row(qid=0, terms=["query", "query", "joins"])])
+    batch = index_inverted.bm25_topk_batch(indexed, "inv_idx", q, k=4).collect()
+    single = index_inverted.bm25_topk(
+        indexed, "inv_idx", ["query", "joins"], k=4
+    ).collect()
+    assert [(r.doc_id, r.bm25) for r in batch] == [
+        (r.doc_id, r.bm25) for r in single
+    ]
+
+
+def test_batch_rls_hidden_docs_absent(indexed, spark):
+    indexed.sql("CREATE POLICY p_invb ON inv_docs FOR SELECT USING (doc_id <> 2)")
+    indexed.sql("ALTER TABLE inv_docs ENABLE ROW LEVEL SECURITY")
+    try:
+        got = index_inverted.bm25_topk_batch(
+            indexed, "inv_idx", _batch_queries(spark), k=5
+        ).collect()
+        assert got and all(r.doc_id != 2 for r in got)
+    finally:
+        indexed.sql("ALTER TABLE inv_docs DISABLE ROW LEVEL SECURITY")
+
+
 def test_rls_hidden_docs_absent_from_bm25(indexed):
     indexed.sql("CREATE POLICY p_inv ON inv_docs FOR SELECT USING (doc_id <> 2)")
     indexed.sql("ALTER TABLE inv_docs ENABLE ROW LEVEL SECURITY")
