@@ -359,6 +359,7 @@ def main() -> None:
         "sample_tablesample",
         "sim_ann_batch_topk",
         "txt_bm25_batch_topk",
+        "aqp_sample_join_estimate",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -317,20 +317,47 @@ _WITH_ERROR = re.compile(
     re.I | re.S,
 )
 _APPROX_AGG = re.compile(
-    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(.+?)"
     r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
     re.I | re.S,
 )
 _AGG_ITEM = re.compile(r"^(SUM|AVG|COUNT)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$", re.I)
+_JOIN_ITEM = re.compile(r"^(\w+)\s+ON\s+(.+)$", re.I | re.S)
+
+
+def _parse_approx_from(from_clause: str) -> tuple[str, list[tuple[str, str]]]:
+    """`fact [JOIN dim ON cond]*` — the SDE join surface: the FROM table
+    routes to its sample; joins are to NON-sample tables only
+    (docs/sde/index.md:43 'Joins are only supported to non-samples').
+    Join conditions must use unambiguous column names (the TPC-H/star
+    convention); table aliases are not part of the SDE grammar here."""
+    parts = re.split(r"\s+(?:INNER\s+)?JOIN\s+", from_clause.strip(), flags=re.I)
+    table = parts[0].strip()
+    if not re.match(r"^\w+$", table):
+        raise ValueError(
+            "WITH ERROR FROM clause must be `table [JOIN dim ON cond]...` "
+            f"(got {from_clause!r})"
+        )
+    joins: list[tuple[str, str]] = []
+    for p in parts[1:]:
+        m = _JOIN_ITEM.match(p.strip())
+        if not m:
+            raise ValueError(
+                f"WITH ERROR join must be `JOIN dim ON <condition>` (got {p!r})"
+            )
+        joins.append((m.group(1).lower(), m.group(2).strip()))
+    return table.lower(), joins
 
 
 def parse_with_error(text: str):
     """Return (agg_list, group_items, table, where, group_by,
-    error_fraction, confidence, behavior) for a `... WITH ERROR [f]
-    [CONFIDENCE c] [BEHAVIOR 'b']` query (full SDE grammar,
+    error_fraction, confidence, behavior, joins) for a `... WITH ERROR
+    [f] [CONFIDENCE c] [BEHAVIOR 'b']` query (full SDE grammar,
     docs/sde/running_queries.md:10-15), else None.  The select list may
     contain any number of SUM/AVG/COUNT aggregates; remaining items are
-    group cols."""
+    group cols.  The FROM clause may join the sampled table to
+    NON-sample dimensions (docs/sde/index.md:43); `joins` is the
+    [(dim_table, on_condition), ...] chain."""
     m = _WITH_ERROR.match(text)
     if not m:
         return None
@@ -339,8 +366,9 @@ def parse_with_error(text: str):
     if not q:
         raise ValueError(
             "WITH ERROR supports SELECT <agg>(col), ...[, group cols] FROM t "
-            "[WHERE ...] [GROUP BY ...]"
+            "[JOIN dim ON cond]... [WHERE ...] [GROUP BY ...]"
         )
+    table, joins = _parse_approx_from(q.group(2))
     items = [s.strip() for s in q.group(1).split(",")]
     aggs: list[tuple] = []
     group_items: list[str] = []
@@ -362,12 +390,13 @@ def parse_with_error(text: str):
     return (
         aggs,
         group_items,
-        q.group(2).lower(),
+        table,
         q.group(3),
         q.group(4),
         float(frac) if frac else None,
         float(conf) if conf else 0.95,
         behavior,
+        joins,
     )
 
 

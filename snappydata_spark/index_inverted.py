@@ -270,11 +270,14 @@ def bm25_topk_batch(
     )
     # the union vocabulary is bounded by the query set, not the corpus;
     # when small it pushes as a literal IN so the term-clustered file
-    # layout prunes the postings scan (at huge Q the join alone carries)
+    # layout prunes the postings scan — and the IN filter alone then
+    # restricts hits, saving a broadcast-join job (at huge Q the join
+    # carries instead)
     vocab = [r.term for r in qterms.select("term").distinct().limit(257).collect()]
     if len(vocab) <= 256:
-        post = post.filter(F.col("term").isin(vocab))
-    hits = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+        hits = post.filter(F.col("term").isin(vocab))
+    else:
+        hits = post.join(F.broadcast(qterms.select("term").distinct()), "term")
     # df/idf are per-TERM corpus facts — computed once, shared by every
     # query that mentions the term
     df_ = hits.groupBy("term").agg(F.count_distinct(id_col).alias("df"))

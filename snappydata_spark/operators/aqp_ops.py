@@ -712,6 +712,98 @@ def aqp_sample_hashed_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_sample_join_sql() -> str:
+    w = 100.0 / HSMP_PCT
+    return f"""
+WITH smp AS (
+  SELECT o.o_orderpriority, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE ('0x' || substr(md5('smpj~' || l.l_orderkey || '~' || l.l_linenumber),
+                        1, 8))::BIGINT % 100 < {HSMP_PCT}),
+g AS (
+  SELECT o_orderpriority,
+         COUNT(*)::BIGINT AS n_sampled,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
+  FROM smp GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_sampled,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE, 2) AS est_revenue,
+       ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2)
+           AS absolute_error,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE
+           - ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2), 2)
+           AS lower_bound,
+       ROUND(CAST(s1 * {w} AS DECIMAL(38,2))::DOUBLE
+           + ROUND({HSMP_Z} * sqrt({w} * ({w} - 1.0) * s2::DOUBLE), 2), 2)
+           AS upper_bound
+FROM g"""
+
+
+@register("aqp_sample_join_estimate", oracle=_hashed_sample_join_sql())
+def aqp_sample_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDE sample-to-NON-sample join (docs/sde/index.md:43 'Joins are
+    only supported to non-samples'): the deterministically hash-sampled
+    fact (lineitem) joins the UNSAMPLED orders dimension, groups by a
+    DIM column, and returns the Horvitz-Thompson estimate with its
+    closed-form 95% CI — the oracle-checkable twin of the facade's
+    `FROM fact JOIN dim ON ... WITH ERROR` path (session._approx_sql).
+    The estimator stays unbiased through the join because each sampled
+    fact row joins exactly one orders row (FK join) and carries its
+    inclusion probability unchanged.
+
+    Scale: the hash-sample predicate is map-side on the fact scan
+    (reads HSMP_PCT% of lineitem); the dim join probes only |sample|
+    rows — joining the SAMPLE instead of the base is the point of SDE
+    at 100 TB.  Same float discipline as aqp_sample_hashed_estimate
+    (DECIMAL sums, rounded closed-form error)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    w = 100.0 / HSMP_PCT
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    smp = t["lineitem"].filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("smpj~"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("~"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < HSMP_PCT
+    )
+    joined = smp.join(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        smp.l_orderkey == F.col("o_orderkey"),
+    )
+    g = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    err = F.round(
+        F.lit(HSMP_Z) * F.sqrt(F.lit(w) * (w - 1.0) * F.col("s2").cast("double")),
+        2,
+    )
+    est = F.round((F.col("s1") * w).cast("decimal(38,2)").cast("double"), 2)
+    return g.select(
+        "o_orderpriority",
+        "n_sampled",
+        est.alias("est_revenue"),
+        err.alias("absolute_error"),
+        F.round(est - err, 2).alias("lower_bound"),
+        F.round(est + err, 2).alias("upper_bound"),
+    )
+
+
 # -------------------- differentially-verified KMV (theta) sketch
 
 KMV_K = 64

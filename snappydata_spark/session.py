@@ -1976,7 +1976,7 @@ class SnappySession:
 
     def _approx_sql(
         self, aggs, group_items, table, where, group_by, frac,
-        confidence=0.95, behavior=None,
+        confidence=0.95, behavior=None, joins=(),
     ):
         """`SELECT <agg>, ... WITH ERROR [f] [CONFIDENCE c] [BEHAVIOR 'b']`
         routing (full SDE grammar, docs/sde/running_queries.md:4-31;
@@ -1993,20 +1993,37 @@ class SnappySession:
         only, stitched with the good estimates)."""
         from snappydata_spark import aqp
 
-        sample_name = None
+        candidates = []
         for cand in self.catalog.list_tables():
-            meta = self.catalog.load_meta(cand)
-            if meta.provider == "sample" and meta.options.get("base_table") == table:
-                sample_name = cand
-                break
-        if sample_name is None:
+            m = self.catalog.load_meta(cand)
+            if m.provider == "sample" and m.options.get("base_table") == table:
+                candidates.append((cand, m))
+        if not candidates:
             raise ValueError(
                 f"WITH ERROR query on '{table}' has no sample table "
                 f"(CREATE SAMPLE TABLE s ON {table} OPTIONS (qcs ..., fraction ...))"
             )
-        meta = self.catalog.load_meta(sample_name)
+        sample_name, meta = self._select_sample(
+            candidates, table, where, group_by, group_items
+        )
+        self._last_sample_choice = sample_name
         qcs = meta.options["qcs"].split(",")
         sample = self.table(sample_name)
+        # SDE joins to NON-samples (docs/sde/index.md:43): the sampled
+        # fact joins the dimension tables as written, BEFORE the WHERE
+        # (which may reference dim columns).  Per-stratum scaling stays
+        # unbiased because each surviving sample row carries the same
+        # inclusion probability into the join (fact-FK joins don't
+        # duplicate fact rows).  Joining the SAMPLE instead of the base
+        # is the entire point: the dim join probes |sample| rows.
+        for dim, cond in joins:
+            dmeta = self.catalog.load_meta(self._canon(dim)) if self.catalog.exists(dim) else None
+            if dmeta is not None and dmeta.provider == "sample":
+                raise ValueError(
+                    f"WITH ERROR joins are supported to non-samples only "
+                    f"('{dim}' is a sample table — docs/sde/index.md:43)"
+                )
+            sample = sample.join(self.table(dim), F.expr(cond))
         if where:
             sample = sample.filter(F.expr(where))
         group_cols = (
@@ -2036,11 +2053,60 @@ class SnappySession:
             out = aqp.approx_agg_multi(st, group_cols, named, confidence=confidence)
             rel_cols = [f"{alias}_relative_error" for _, _, alias in named]
         return self._apply_error_behavior(
-            out, rel_cols, named, table, where, group_cols, frac, behavior
+            out, rel_cols, named, table, where, group_cols, frac, behavior,
+            joins,
         )
 
+    def _select_sample(self, candidates, table, where, group_by, group_items):
+        """The reference's sample-selection ladder
+        (docs/sde/sample_selection.md): query QCS = base-table columns
+        named in WHERE/GROUP BY; pick (1) a sample whose QCS matches it
+        exactly, else (2) the smallest QCS superset, else (3) the subset
+        with the most matching columns — ties broken by largest sample
+        fraction, then name for determinism.  With no overlap at all,
+        the largest-fraction sample serves (the estimate is still
+        unbiased; stratification just stops helping the variance)."""
+        if len(candidates) == 1:
+            return candidates[0]
+        import re as _re
+
+        base_cols = {c.lower() for c in self.table(table).columns}
+        text = " ".join(
+            x for x in (where, group_by, " ".join(group_items or [])) if x
+        )
+        query_qcs = {
+            t for t in _re.findall(r"[A-Za-z_]\w*", text.lower())
+            if t in base_cols
+        }
+
+        def qcs_of(m):
+            return {c.strip().lower() for c in m.options["qcs"].split(",")}
+
+        def frac_of(m):
+            return float(m.options.get("fraction", 0))
+
+        exact = [c for c in candidates if qcs_of(c[1]) == query_qcs]
+        if exact:
+            return min(exact, key=lambda c: (-frac_of(c[1]), c[0]))
+        supers = [c for c in candidates if qcs_of(c[1]) >= query_qcs]
+        if supers:
+            return min(
+                supers,
+                key=lambda c: (len(qcs_of(c[1])), -frac_of(c[1]), c[0]),
+            )
+        subs = [c for c in candidates if qcs_of(c[1]) <= query_qcs]
+        if subs:
+            return min(
+                subs,
+                key=lambda c: (
+                    -len(qcs_of(c[1]) & query_qcs), -frac_of(c[1]), c[0]
+                ),
+            )
+        return min(candidates, key=lambda c: (-frac_of(c[1]), c[0]))
+
     def _apply_error_behavior(
-        self, out, rel_cols, named, table, where, group_cols, frac, behavior
+        self, out, rel_cols, named, table, where, group_cols, frac, behavior,
+        joins=(),
     ):
         """BEHAVIOR clause semantics (docs/sde/running_queries.md:15;
         reference SQL default run_on_full_table): act on rows whose
@@ -2062,7 +2128,7 @@ class SnappySession:
                 f"WITH ERROR ... BEHAVIOR 'strict': estimate exceeds "
                 f"relative error {frac} (docs/sde/running_queries.md)"
             )
-        exact = self._exact_agg(table, where, group_cols, named, out.columns)
+        exact = self._exact_agg(table, where, group_cols, named, out.columns, joins)
         if behavior == "run_on_full_table":
             return exact
         # partial_run_on_base_table: exact rows for violating groups only
@@ -2071,10 +2137,12 @@ class SnappySession:
         bad_exact = exact.join(F.broadcast(bad_keys), group_cols, "left_semi")
         return good.unionByName(bad_exact)
 
-    def _exact_agg(self, table, where, group_cols, named, out_columns):
+    def _exact_agg(self, table, where, group_cols, named, out_columns, joins=()):
         """Exact re-run on the base table with the SAME output schema as
         the estimate frame (error columns collapse to zero-width)."""
         base = self.table(table)
+        for dim, cond in joins:
+            base = base.join(self.table(dim), F.expr(cond))
         if where:
             base = base.filter(F.expr(where))
         fns = {"sum": F.sum, "avg": F.avg}

@@ -268,6 +268,108 @@ def test_with_error_sql_routing(snappy, sf_dir):
     snappy.drop_table("li_base")
 
 
+def test_with_error_join_to_non_sample(snappy, sf_dir):
+    """SDE joins: the sampled fact joins NON-sample dimensions
+    (docs/sde/index.md:43 'Joins are only supported to non-samples') —
+    the estimate runs on sample JOIN dim, WHERE may reference dim
+    columns, and joining TO a sample table is rejected."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = snappy.spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snappy.create_table("lij_base", df=lineitem)
+    snappy.create_table("ordj_dim", df=orders)
+    snappy.sql(
+        "CREATE SAMPLE TABLE lij_sample ON lij_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.25')"
+    )
+    try:
+        out = snappy.sql(
+            "SELECT o_orderpriority, SUM(l_extendedprice) AS rev "
+            "FROM lij_base JOIN ordj_dim ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority WITH ERROR 0.2"
+        )
+        est = {r.o_orderpriority: r for r in out.collect()}
+        true = {
+            r.o_orderpriority: r.s
+            for r in lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum("l_extendedprice"), 4).alias("s"))
+            .collect()
+        }
+        assert set(est) == set(true)
+        # default run_on_full_table: violating rows come back exact, so
+        # the bracket holds either way
+        for k, row in est.items():
+            assert row.lower_bound <= true[k] <= row.upper_bound
+        # WHERE on a DIM column applies after the join
+        flt = snappy.sql(
+            "SELECT o_orderpriority, COUNT(*) AS n "
+            "FROM lij_base JOIN ordj_dim ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "GROUP BY o_orderpriority WITH ERROR"
+        )
+        rows = flt.collect()
+        assert len(rows) == 1 and rows[0].o_orderpriority == "1-URGENT"
+        with pytest.raises(ValueError, match="non-samples"):
+            snappy.sql(
+                "SELECT COUNT(*) AS n FROM lij_base "
+                "JOIN lij_sample ON l_orderkey = l_orderkey WITH ERROR"
+            )
+    finally:
+        snappy.drop_table("lij_sample")
+        snappy.drop_table("ordj_dim")
+        snappy.drop_table("lij_base")
+
+
+def test_sample_selection_ladder(snappy, sf_dir):
+    """Reference sample-selection logic (docs/sde/sample_selection.md):
+    exact QCS match wins, else smallest superset, else the subset with
+    most matching columns (ties -> largest fraction)."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("sel_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE sel_s_rf ON sel_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.2')"
+    )
+    snappy.sql(
+        "CREATE SAMPLE TABLE sel_s_ls ON sel_base "
+        "OPTIONS (qcs 'l_linestatus', fraction '0.3')"
+    )
+    snappy.sql(
+        "CREATE SAMPLE TABLE sel_s_both ON sel_base "
+        "OPTIONS (qcs 'l_returnflag,l_linestatus', fraction '0.1')"
+    )
+    try:
+        # exact match on the GROUP BY column
+        snappy.sql(
+            "SELECT l_returnflag, COUNT(*) AS n FROM sel_base "
+            "GROUP BY l_returnflag WITH ERROR"
+        ).collect()
+        assert snappy._last_sample_choice.endswith("sel_s_rf")
+        # exact match on a WHERE column
+        snappy.sql(
+            "SELECT COUNT(*) AS n, l_linestatus FROM sel_base "
+            "WHERE l_linestatus = 'O' GROUP BY l_linestatus WITH ERROR"
+        ).collect()
+        assert snappy._last_sample_choice.endswith("sel_s_ls")
+        # exact two-column match beats both single-column subsets
+        snappy.sql(
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM sel_base "
+            "GROUP BY l_returnflag, l_linestatus WITH ERROR"
+        ).collect()
+        assert snappy._last_sample_choice.endswith("sel_s_both")
+        # no exact/superset: subset with most matching columns
+        snappy.sql(
+            "SELECT l_returnflag, l_shipdate, COUNT(*) AS n FROM sel_base "
+            "GROUP BY l_returnflag, l_shipdate WITH ERROR"
+        ).collect()
+        assert snappy._last_sample_choice.endswith("sel_s_rf")
+    finally:
+        for t in ("sel_s_rf", "sel_s_ls", "sel_s_both", "sel_base"):
+            snappy.drop_table(t)
+
+
 def test_with_error_confidence_and_behavior(snappy, sf_dir):
     """Full SDE grammar (docs/sde/running_queries.md:10-15): CONFIDENCE
     scales the CI width (99% wider than 80%), BEHAVIOR governs rows whose

@@ -127,6 +127,30 @@ def main() -> None:
         serve["minhash_gate"].append(round(time.time() - t0, 3))
     print(f"# serve: {serve}", file=sys.stderr)
 
+    # batch vs sequential: ONE distributed plan serving all N probes —
+    # the point of batch serving is that it beats N sequential serves
+    # (shared probe pass, shared df/idf, one candidate shuffle)
+    from snappydata_spark import index_ann
+
+    batch: dict[str, float] = {}
+    qdf = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    t0 = time.time()
+    index_ann.search_ivf_sq8_batch(
+        sn, "ix_ivf", qdf, topk=10, cand=50, nprobe=4,
+        exclude_same_id=True, widen_to_full_recall=False,
+    ).count()
+    batch[f"ann_batch_of_{N_PROBES}"] = round(time.time() - t0, 3)
+    bq = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(term_sets[:N_PROBES])],
+        "qid int, terms array<string>",
+    )
+    t0 = time.time()
+    index_inverted.bm25_topk_batch(sn, "ix_inv", bq, k=15).count()
+    batch[f"bm25_batch_of_{N_PROBES}"] = round(time.time() - t0, 3)
+    print(f"# batch: {batch}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in REGISTRY_QUERIES:
         fn = QUERIES[name]
@@ -142,6 +166,7 @@ def main() -> None:
         "n_docs": n_doc,
         "build": build,
         "serve_probes": serve,
+        "serve_batch": batch,
         "queries": timings,
     }
     line = json.dumps(result)
