@@ -318,10 +318,19 @@ _WITH_ERROR = re.compile(
 )
 _APPROX_AGG = re.compile(
     r"^\s*SELECT\s+(.+?)\s+FROM\s+(.+?)"
-    r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
+    r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*$",
     re.I | re.S,
 )
 _AGG_ITEM = re.compile(r"^(SUM|AVG|COUNT)\s*\(\s*(\*|\w+)\s*\)(?:\s+AS\s+(\w+))?$", re.I)
+# SDE error functions in the projection (docs/sde/hac_contracts.md:44-56;
+# more_examples.md:13-18): absolute_error(alias) etc. select which error
+# columns the query returns
+_ERRFN_ITEM = re.compile(
+    r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
+    r"\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?$",
+    re.I,
+)
 _JOIN_ITEM = re.compile(r"^(\w+)\s+ON\s+(.+)$", re.I | re.S)
 
 
@@ -351,13 +360,17 @@ def _parse_approx_from(from_clause: str) -> tuple[str, list[tuple[str, str]]]:
 
 def parse_with_error(text: str):
     """Return (agg_list, group_items, table, where, group_by,
-    error_fraction, confidence, behavior, joins) for a `... WITH ERROR
-    [f] [CONFIDENCE c] [BEHAVIOR 'b']` query (full SDE grammar,
-    docs/sde/running_queries.md:10-15), else None.  The select list may
-    contain any number of SUM/AVG/COUNT aggregates; remaining items are
-    group cols.  The FROM clause may join the sampled table to
-    NON-sample dimensions (docs/sde/index.md:43); `joins` is the
-    [(dim_table, on_condition), ...] chain."""
+    error_fraction, confidence, behavior, joins, errfns, order_by,
+    limit) for a `... WITH ERROR [f] [CONFIDENCE c] [BEHAVIOR 'b']`
+    query (full SDE grammar, docs/sde/running_queries.md:10-15), else
+    None.  The select list may contain any number of SUM/AVG/COUNT
+    aggregates plus SDE error functions absolute_error(alias) /
+    relative_error / lower_bound / upper_bound
+    (docs/sde/hac_contracts.md:44-56); remaining items are group cols.
+    The FROM clause may join the sampled table to NON-sample dimensions
+    (docs/sde/index.md:43); `joins` is the [(dim_table, on_condition),
+    ...] chain.  ORDER BY / LIMIT apply to the estimate frame
+    (more_examples.md:13-18)."""
     m = _WITH_ERROR.match(text)
     if not m:
         return None
@@ -372,10 +385,16 @@ def parse_with_error(text: str):
     items = [s.strip() for s in q.group(1).split(",")]
     aggs: list[tuple] = []
     group_items: list[str] = []
+    errfns: list[tuple] = []
     for it in items:
         am = _AGG_ITEM.match(it)
+        em = _ERRFN_ITEM.match(it)
         if am:
             aggs.append((am.group(1).lower(), am.group(2).lower(), am.group(3)))
+        elif em:
+            errfns.append(
+                (em.group(1).lower(), em.group(2).lower(), em.group(3))
+            )
         else:
             group_items.append(it)
     if not aggs:
@@ -397,6 +416,9 @@ def parse_with_error(text: str):
         float(conf) if conf else 0.95,
         behavior,
         joins,
+        errfns,
+        q.group(5),
+        int(q.group(6)) if q.group(6) else None,
     )
 
 

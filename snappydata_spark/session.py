@@ -1976,7 +1976,8 @@ class SnappySession:
 
     def _approx_sql(
         self, aggs, group_items, table, where, group_by, frac,
-        confidence=0.95, behavior=None, joins=(),
+        confidence=0.95, behavior=None, joins=(), errfns=(),
+        order_by=None, limit=None,
     ):
         """`SELECT <agg>, ... WITH ERROR [f] [CONFIDENCE c] [BEHAVIOR 'b']`
         routing (full SDE grammar, docs/sde/running_queries.md:4-31;
@@ -2052,10 +2053,40 @@ class SnappySession:
             ]
             out = aqp.approx_agg_multi(st, group_cols, named, confidence=confidence)
             rel_cols = [f"{alias}_relative_error" for _, _, alias in named]
-        return self._apply_error_behavior(
+        out = self._apply_error_behavior(
             out, rel_cols, named, table, where, group_cols, frac, behavior,
             joins,
         )
+        if errfns:
+            # SDE error-function projections (docs/sde/hac_contracts.md:
+            # 44-56): the query returns ONLY the requested error columns
+            # next to the group cols + estimates, in request order
+            single = len(named) == 1
+            sel = list(group_cols) + [a for _, _, a in named]
+            aliases = {a for _, _, a in named}
+            for fn, target, out_alias in errfns:
+                if target not in aliases:
+                    raise ValueError(
+                        f"{fn}({target}): no aggregate aliased '{target}' "
+                        f"in the select list (have {sorted(aliases)})"
+                    )
+                src = fn if single else f"{target}_{fn}"
+                sel.append(F.col(src).alias(out_alias or f"{target}_{fn}"))
+            out = out.select(*sel)
+        if order_by:
+            sort_cols = []
+            for item in order_by.split(","):
+                m = re.match(
+                    r"^(.+?)(?:\s+(ASC|DESC))?$", item.strip(), re.I | re.S
+                )
+                e = F.expr(m.group(1).strip())
+                sort_cols.append(
+                    e.desc() if (m.group(2) or "").upper() == "DESC" else e.asc()
+                )
+            out = out.orderBy(*sort_cols)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
 
     def _select_sample(self, candidates, table, where, group_by, group_items):
         """The reference's sample-selection ladder

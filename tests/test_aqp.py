@@ -322,6 +322,59 @@ def test_with_error_join_to_non_sample(snappy, sf_dir):
         snappy.drop_table("lij_base")
 
 
+def test_with_error_errfns_order_limit(snappy, sf_dir):
+    """The full more_examples.md:13-18 SQL shape: error-function
+    projections (absolute_error/relative_error/lower_bound/upper_bound
+    on an aggregate alias), ORDER BY ... DESC and LIMIT inside a WITH
+    ERROR query."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("ef_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE ef_sample ON ef_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.3')"
+    )
+    try:
+        out = snappy.sql(
+            "SELECT l_returnflag, AVG(l_quantity) AS avgq, "
+            "absolute_error(avgq), relative_error(avgq), "
+            "lower_bound(avgq), upper_bound(avgq) "
+            "FROM ef_base GROUP BY l_returnflag "
+            "ORDER BY l_returnflag DESC LIMIT 2 WITH ERROR"
+        )
+        assert out.columns == [
+            "l_returnflag", "avgq", "avgq_absolute_error",
+            "avgq_relative_error", "avgq_lower_bound", "avgq_upper_bound",
+        ]
+        rows = out.collect()
+        assert len(rows) == 2
+        flags = [r.l_returnflag for r in rows]
+        assert flags == sorted(flags, reverse=True)
+        for r in rows:
+            assert r.avgq_lower_bound <= r.avgq <= r.avgq_upper_bound
+            assert r.avgq_absolute_error >= 0
+        # unknown alias in an error function is a clear error
+        with pytest.raises(ValueError, match="no aggregate aliased"):
+            snappy.sql(
+                "SELECT l_returnflag, AVG(l_quantity) AS avgq, "
+                "lower_bound(nope) FROM ef_base "
+                "GROUP BY l_returnflag WITH ERROR"
+            )
+        # ORDER BY an aggregate alias + LIMIT (more_examples.md Example 2)
+        top = snappy.sql(
+            "SELECT l_returnflag, COUNT(*) AS cnt FROM ef_base "
+            "GROUP BY l_returnflag ORDER BY cnt DESC LIMIT 1 WITH ERROR"
+        ).collect()
+        assert len(top) == 1
+        true_top = (
+            lineitem.groupBy("l_returnflag").count()
+            .orderBy(F.desc("count")).limit(1).collect()[0]
+        )
+        assert top[0].l_returnflag == true_top.l_returnflag
+    finally:
+        snappy.drop_table("ef_sample")
+        snappy.drop_table("ef_base")
+
+
 def test_sample_selection_ladder(snappy, sf_dir):
     """Reference sample-selection logic (docs/sde/sample_selection.md):
     exact QCS match wins, else smallest superset, else the subset with
