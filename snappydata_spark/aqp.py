@@ -81,7 +81,10 @@ def create_sample_table(
         F.pmod(F.xxhash64(F.struct(*cols), F.lit(seed)), F.lit(1_000_000))
         / 1_000_000.0
     )
-    w = W.partitionBy(*qcs)
+    # QCS entries may be SQL EXPRESSIONS, e.g. hour(pickup_datetime)
+    # (working_with_stratified_samples.md Example 3) — strata partition
+    # by the expression value
+    w = W.partitionBy(*[F.expr(c) for c in qcs])
     rn = F.row_number().over(w.orderBy(u, *cols))
     kept = (
         df.withColumn("__u", u)

@@ -334,6 +334,29 @@ _ERRFN_ITEM = re.compile(
 _JOIN_ITEM = re.compile(r"^(\w+)\s+ON\s+(.+)$", re.I | re.S)
 
 
+def split_top_level(s: str) -> list[str]:
+    """Split a SQL list on commas OUTSIDE parentheses — `qcs
+    'hack_license, year(pickup)'` and `GROUP BY a, hour(ts)` must not
+    split inside a function call (working_with_stratified_samples.md:
+    QCS 'can be constructed using SQL expressions')."""
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def _parse_approx_from(from_clause: str) -> tuple[str, list[tuple[str, str]]]:
     """`fact [JOIN dim ON cond]*` — the SDE join surface: the FROM table
     routes to its sample; joins are to NON-sample tables only

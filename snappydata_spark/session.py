@@ -2008,7 +2008,9 @@ class SnappySession:
             candidates, table, where, group_by, group_items
         )
         self._last_sample_choice = sample_name
-        qcs = meta.options["qcs"].split(",")
+        from snappydata_spark.dialect import split_top_level as _stl
+
+        qcs = _stl(meta.options["qcs"])
         sample = self.table(sample_name)
         # SDE joins to NON-samples (docs/sde/index.md:43): the sampled
         # fact joins the dimension tables as written, BEFORE the WHERE
@@ -2027,11 +2029,37 @@ class SnappySession:
             sample = sample.join(self.table(dim), F.expr(cond))
         if where:
             sample = sample.filter(F.expr(where))
-        group_cols = (
-            [c.strip().lower() for c in group_by.split(",")]
+        # group entries may be SQL EXPRESSIONS (Example 3: GROUP BY
+        # hour(pickup_datetime) WITH ERROR): bare identifiers pass
+        # through; expressions project to a named column first — the
+        # select-list alias when one exists, else a synthetic name
+        from snappydata_spark.dialect import split_top_level
+
+        def _norm(s):
+            return re.sub(r"\s+", "", s.lower())
+
+        sel_aliases = {}
+        for it in group_items:
+            am = re.match(r"^(.*?)\s+as\s+(\w+)\s*$", it.strip(), re.I | re.S)
+            if am:
+                sel_aliases[_norm(am.group(1))] = am.group(2).lower()
+        raw_groups = (
+            split_top_level(group_by)
             if group_by
-            else [g.lower() for g in group_items]
+            else [re.sub(r"\s+as\s+\w+\s*$", "", g, flags=re.I) for g in group_items]
         )
+        group_cols: list[str] = []
+        group_exprs: dict[str, str] = {}
+        for i, g in enumerate(raw_groups):
+            g = g.strip()
+            if re.match(r"^[A-Za-z_]\w*$", g):
+                group_cols.append(g.lower())
+            else:
+                alias = sel_aliases.get(_norm(g), f"__grp{i}")
+                group_exprs[alias] = g
+                group_cols.append(alias)
+        for a, gexpr in group_exprs.items():
+            sample = sample.withColumn(a, F.expr(gexpr))
         st = aqp.SampleTable(sample, qcs, {"*": float(meta.options["fraction"])}, -1)
         if len(aggs) == 1:
             # legacy single-aggregate contract: estimate + 4 error columns
@@ -2055,7 +2083,7 @@ class SnappySession:
             rel_cols = [f"{alias}_relative_error" for _, _, alias in named]
         out = self._apply_error_behavior(
             out, rel_cols, named, table, where, group_cols, frac, behavior,
-            joins,
+            joins, group_exprs,
         )
         if errfns:
             # SDE error-function projections (docs/sde/hac_contracts.md:
@@ -2101,17 +2129,37 @@ class SnappySession:
             return candidates[0]
         import re as _re
 
+        from snappydata_spark.dialect import split_top_level as _stl
+
+        def _norm(s):
+            return _re.sub(r"\s+", "", s.lower())
+
         base_cols = {c.lower() for c in self.table(table).columns}
         text = " ".join(
             x for x in (where, group_by, " ".join(group_items or [])) if x
         )
+        norm_text = _norm(text)
         query_qcs = {
             t for t in _re.findall(r"[A-Za-z_]\w*", text.lower())
             if t in base_cols
         }
+        # expression QCS entries (e.g. hour(pickup_datetime)) match when
+        # the normalized expression appears in the query text; the
+        # columns inside a matched expression are accounted for by it
+        for _, m in candidates:
+            for e in _stl(m.options["qcs"].lower()):
+                if not _re.match(r"^\w+$", e) and _norm(e) in norm_text:
+                    query_qcs.add(_norm(e))
+                    query_qcs -= {
+                        t for t in _re.findall(r"[A-Za-z_]\w*", e)
+                        if t in base_cols
+                    }
 
         def qcs_of(m):
-            return {c.strip().lower() for c in m.options["qcs"].split(",")}
+            return {
+                e if _re.match(r"^\w+$", e) else _norm(e)
+                for e in (x.lower() for x in _stl(m.options["qcs"]))
+            }
 
         def frac_of(m):
             return float(m.options.get("fraction", 0))
@@ -2137,7 +2185,7 @@ class SnappySession:
 
     def _apply_error_behavior(
         self, out, rel_cols, named, table, where, group_cols, frac, behavior,
-        joins=(),
+        joins=(), group_exprs=None,
     ):
         """BEHAVIOR clause semantics (docs/sde/running_queries.md:15;
         reference SQL default run_on_full_table): act on rows whose
@@ -2159,7 +2207,9 @@ class SnappySession:
                 f"WITH ERROR ... BEHAVIOR 'strict': estimate exceeds "
                 f"relative error {frac} (docs/sde/running_queries.md)"
             )
-        exact = self._exact_agg(table, where, group_cols, named, out.columns, joins)
+        exact = self._exact_agg(
+            table, where, group_cols, named, out.columns, joins, group_exprs
+        )
         if behavior == "run_on_full_table":
             return exact
         # partial_run_on_base_table: exact rows for violating groups only
@@ -2168,7 +2218,10 @@ class SnappySession:
         bad_exact = exact.join(F.broadcast(bad_keys), group_cols, "left_semi")
         return good.unionByName(bad_exact)
 
-    def _exact_agg(self, table, where, group_cols, named, out_columns, joins=()):
+    def _exact_agg(
+        self, table, where, group_cols, named, out_columns, joins=(),
+        group_exprs=None,
+    ):
         """Exact re-run on the base table with the SAME output schema as
         the estimate frame (error columns collapse to zero-width)."""
         base = self.table(table)
@@ -2176,6 +2229,8 @@ class SnappySession:
             base = base.join(self.table(dim), F.expr(cond))
         if where:
             base = base.filter(F.expr(where))
+        for a, gexpr in (group_exprs or {}).items():
+            base = base.withColumn(a, F.expr(gexpr))
         fns = {"sum": F.sum, "avg": F.avg}
         agg_exprs = []
         for fn, col, alias in named:
@@ -2299,8 +2354,11 @@ class SnappySession:
         (SnappySession.createSampleTable:872-936): materialize the
         stratified sample as a managed table tagged with AQP metadata."""
         from snappydata_spark import aqp
+        from snappydata_spark.dialect import split_top_level
 
-        qcs = [c.strip().lower() for c in options.get("qcs", "").split(",") if c.strip()]
+        # top-level split: a qcs entry may be an SQL expression with its
+        # own commas, e.g. 'hack_license, year(pickup_datetime)'
+        qcs = [c.lower() for c in split_top_level(options.get("qcs", ""))]
         fraction = float(options.get("fraction", 0.01))
         if not qcs:
             raise ValueError("CREATE SAMPLE TABLE requires a qcs option")

@@ -322,6 +322,48 @@ def test_with_error_join_to_non_sample(snappy, sf_dir):
         snappy.drop_table("lij_base")
 
 
+def test_expression_qcs_sample(snappy, sf_dir):
+    """QCS built from an SQL expression
+    (working_with_stratified_samples.md Example 3: qcs
+    'hour(pickup_datetime)'): strata partition by the expression value,
+    GROUP BY the same expression estimates per stratum — COUNT per
+    stratum is then EXACT (per-stratum weights sum to the stratum
+    total), and the selection ladder matches the expression."""
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("xq_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE xq_s ON xq_base "
+        "OPTIONS (qcs 'year(l_shipdate)', fraction '0.2')"
+    )
+    snappy.sql(
+        "CREATE SAMPLE TABLE xq_s_rf ON xq_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.2')"
+    )
+    try:
+        out = snappy.sql(
+            "SELECT year(l_shipdate) AS yr, COUNT(*) AS n FROM xq_base "
+            "GROUP BY year(l_shipdate) ORDER BY yr WITH ERROR"
+        ).collect()
+        assert snappy._last_sample_choice.endswith("xq_s")
+        true = {
+            r.yr: r.c
+            for r in lineitem.groupBy(F.year("l_shipdate").alias("yr"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        got = {r.yr: r.n for r in out}
+        assert set(got) == set(true)
+        # group == stratum: HT count per stratum is exact by construction
+        for yr, n in got.items():
+            assert n == pytest.approx(true[yr], abs=0.6)
+        yrs = [r.yr for r in out]
+        assert yrs == sorted(yrs)
+    finally:
+        snappy.drop_table("xq_s")
+        snappy.drop_table("xq_s_rf")
+        snappy.drop_table("xq_base")
+
+
 def test_with_error_errfns_order_limit(snappy, sf_dir):
     """The full more_examples.md:13-18 SQL shape: error-function
     projections (absolute_error/relative_error/lower_bound/upper_bound
