@@ -237,17 +237,26 @@ def approx_topk_time(
     ts_col: str,
     k: int = 10,
     window: str = "1 hour",
+    freq_col: str | None = None,
 ) -> DataFrame:
     """Time-windowed top-k (createApproxTSTopK analogue): per tumbling
     time bucket, the k most frequent keys.  The reference backs this with
     a count-min sketch + StreamSummary; over a bounded sample / stream
     window the exact per-bucket groupBy is the Spark-native equivalent
-    (same output contract: (window, key, estimated count))."""
+    (same output contract: (window, key, estimated count)).  `freq_col`
+    weights each row by a frequency column instead of counting rows
+    (docs/aqp/sketching.md frequencyCol: rank hashtags by retweets, not
+    tweet count)."""
     from pyspark.sql import Window as W
 
+    cnt = (
+        F.sum(F.col(freq_col)).alias("cnt")
+        if freq_col
+        else F.count(F.lit(1)).alias("cnt")
+    )
     bucketed = df.groupBy(
         F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(cnt)
     w = W.partitionBy("w").orderBy(F.col("cnt").desc(), F.col(key_col))
     return (
         bucketed.withColumn("rank", F.row_number().over(w))

@@ -150,6 +150,14 @@ _CREATE_SAMPLE = re.compile(
     r"OPTIONS\s*\((.*?)\)\s*$",
     re.I | re.S,
 )
+# CREATE TOPK TABLE t ON base OPTIONS(key 'c', frequencyCol 'f',
+# timeSeriesColumn 'ts', timeInterval '1h', size '40')
+# (docs/aqp/sketching.md:14-18,57-62)
+_CREATE_TOPK = re.compile(
+    r"^\s*CREATE\s+TOPK\s+TABLE\s+([\w.]+)\s+ON\s+([\w.]+)\s*"
+    r"OPTIONS\s*\((.*?)\)\s*$",
+    re.I | re.S,
+)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+(?:GLOBAL\s+HASH\s+|UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)"
     r"\s*\((.*?)\)(?:\s+USING\s+(\w+))?\s*;?\s*$",
@@ -952,6 +960,12 @@ def split_statement(text: str) -> Statement:
     if m:
         return Statement(
             "create_sample", table=m.group(1), source_sql=m.group(2),
+            options=_parse_options(m.group(3)),
+        )
+    m = _CREATE_TOPK.match(text)
+    if m:
+        return Statement(
+            "create_topk", table=m.group(1), source_sql=m.group(2),
             options=_parse_options(m.group(3)),
         )
     m = _CREATE_TABLE.match(text)

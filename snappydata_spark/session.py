@@ -1402,7 +1402,7 @@ class SnappySession:
                 "create_table", "drop_table", "create_table_like",
                 "truncate", "alter_add", "alter_drop", "create_index",
                 "drop_index", "create_view", "drop_view", "alter_view",
-                "create_sample", "insert_overwrite", "merge",
+                "create_sample", "create_topk", "insert_overwrite", "merge",
                 "create_external", "create_stream", "drop_stream",
             )
         ):
@@ -1542,6 +1542,9 @@ class SnappySession:
         if stmt.kind == "create_sample":
             self._resolve_read_access(stmt.source_sql)
             return self._create_sample_table(stmt.table, stmt.source_sql, stmt.options)
+        if stmt.kind == "create_topk":
+            self._resolve_read_access(stmt.source_sql)
+            return self._create_topk_table(stmt.table, stmt.source_sql, stmt.options)
         if stmt.kind == "create_index":
             return self._create_index(stmt.table, stmt.options)
         if stmt.kind == "drop_index":
@@ -1783,6 +1786,9 @@ class SnappySession:
         # current user before touching any managed view; plans are cached
         # per-user (policy-filtered views are user-dependent)
         self._resolve_read_access(text)
+        topk = self._topk_select(text)
+        if topk is not None:
+            return topk
         if self._ann_indexes or "bm25_score" in text.lower():
             # ResolveIndex analogue (SnappyOptimizations.scala:110-250):
             # a top-k query shaped like a registered similarity/inverted
@@ -2268,18 +2274,44 @@ class SnappySession:
         ts_col: str = "ts",
         k: int = 10,
         window: str = "1 hour",
+        freq_col: str | None = None,
     ) -> None:
         """createApproxTSTopK (SnappySession.scala:958-1026): register a
         time-windowed top-k structure over a base table.  The reference
         maintains a count-min sketch + StreamSummary per window; here the
         structure is a materialized per-window (key, cnt) panel — bounded
         by windows × keys-kept, refreshable from the base table, and
-        mergeable across windows at query time."""
+        mergeable across windows at query time.  `freq_col` ranks keys by
+        a frequency column's SUM instead of row count
+        (docs/aqp/sketching.md frequencyCol); `window=None` disables the
+        time dimension (sketching.md:79 — one global panel)."""
         from snappydata_spark import aqp as aqp_mod
 
-        panel = aqp_mod.approx_topk_time(
-            self.table(base_table), key_col, ts_col, k=max(k * 4, k), window=window
-        ).drop("rank")
+        if window is None:
+            # time disabled: a single all-time window at the epoch
+            base = self.table(base_table)
+            cnt = (
+                F.sum(F.col(freq_col)) if freq_col else F.count(F.lit(1))
+            ).alias("cnt")
+            panel = (
+                base.groupBy(key_col)
+                .agg(cnt)
+                .orderBy(F.desc("cnt"), F.asc(key_col))
+                .limit(max(k * 4, k))
+                .select(
+                    F.lit("1970-01-01 00:00:00").cast("timestamp").alias(
+                        "window_start"
+                    ),
+                    key_col,
+                    "cnt",
+                )
+            )
+            window = "all"
+        else:
+            panel = aqp_mod.approx_topk_time(
+                self.table(base_table), key_col, ts_col, k=max(k * 4, k),
+                window=window, freq_col=freq_col,
+            ).drop("rank")
         self.create_table(
             name,
             provider="topk",
@@ -2346,6 +2378,98 @@ class SnappySession:
             .orderBy(F.desc("estimated_count"), F.asc(key))
             .limit(k)
         )
+
+    def _create_topk_table(self, name: str, base_table: str, options: dict):
+        """CREATE TOPK TABLE t ON base OPTIONS(key 'c', frequencyCol 'f',
+        timeSeriesColumn 'ts', timeInterval '1h', size '40')
+        (docs/aqp/sketching.md:14-18,57-62): the SQL form of
+        create_approx_ts_topk.  Omitting timeInterval disables the time
+        dimension (sketching.md:79); frequencyCol ranks by that column's
+        SUM instead of row count."""
+        key = options.get("key")
+        if not key:
+            raise ValueError("CREATE TOPK TABLE requires a key option")
+        interval = options.get("timeinterval")
+        if interval:
+            m = re.match(r"^\s*(\d+)\s*(ms|s|m|h)\s*$", interval, re.I)
+            if m:
+                unit = {
+                    "ms": "milliseconds", "s": "seconds",
+                    "m": "minutes", "h": "hours",
+                }[m.group(2).lower()]
+                interval = f"{m.group(1)} {unit}"
+        ts = options.get("timeseriescolumn")
+        self.create_approx_ts_topk(
+            name,
+            base_table,
+            key,
+            ts_col=ts or "ts",
+            k=int(options.get("size", 10)),
+            window=interval if (interval and ts) else None,
+            freq_col=options.get("frequencycol"),
+        )
+        return None
+
+    def _topk_select(self, text: str):
+        """SQL reads of a TOPK TABLE (sketching.md:36-49): `SELECT ...
+        FROM topk [WHERE startTime='..' AND endTime='..'] [ORDER BY
+        EstimatedValue DESC] [LIMIT n]` — window partials in the time
+        range merge into (key, EstimatedValue, ErrorBoundsInfo).  Returns
+        None when the FROM table is not a topk structure.  Divergence
+        note: the panel stores exact per-window partials (not CMS cells),
+        so ErrorBoundsInfo is 0 — the estimate has no overcount."""
+        m = re.match(
+            r"^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)"
+            r"(?:\s+WHERE\s+(.+?))?(?:\s+ORDER\s+BY\s+(.+?))?"
+            r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        name = m.group(2).lower()
+        if not self.catalog.exists(name):
+            return None
+        meta = self.catalog.load_meta(self._canon(name))
+        if meta.provider != "topk":
+            return None
+        sel, _, where, order, limit = m.groups()
+        start = end = None
+        if where:
+            sm = re.search(r"startTime\s*=\s*'([^']+)'", where, re.I)
+            em = re.search(r"endTime\s*=\s*'([^']+)'", where, re.I)
+            start = sm.group(1) if sm else None
+            end = em.group(1) if em else None
+            residue = re.sub(
+                r"(startTime|endTime)\s*=\s*'[^']+'", "", where, flags=re.I
+            )
+            residue = re.sub(r"\bAND\b", "", residue, flags=re.I).strip()
+            if residue:
+                raise ValueError(
+                    "TOPK TABLE queries support only startTime/endTime "
+                    f"predicates (sketching.md:46-49); got {where!r}"
+                )
+        k = int(limit) if limit else None
+        key = meta.options["key"]
+        out = self.query_approx_ts_topk(name, start, end, k=k).select(
+            F.col(key),
+            F.col("estimated_count").alias("EstimatedValue"),
+            F.lit(0.0).alias("ErrorBoundsInfo"),
+        )
+        sel = sel.strip()
+        if sel != "*":
+            cols = {c.lower(): c for c in out.columns}
+            wanted = []
+            for item in sel.split(","):
+                it = item.strip().lower()
+                if it not in cols:
+                    raise ValueError(
+                        f"TOPK TABLE column {item.strip()!r} not in "
+                        f"{list(cols.values())} (sketching.md:36-49)"
+                    )
+                wanted.append(cols[it])
+            out = out.select(*wanted)
+        return out
 
     # ----------------------------------------------------------- sample/index
 

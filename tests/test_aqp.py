@@ -322,6 +322,76 @@ def test_with_error_join_to_non_sample(snappy, sf_dir):
         snappy.drop_table("lij_base")
 
 
+def test_topk_table_sql_surface(snappy, spark, sf_dir):
+    """The sketching.md SQL surface: CREATE TOPK TABLE ... OPTIONS(key,
+    frequencyCol, timeSeriesColumn, timeInterval, size) and SELECT with
+    startTime/endTime predicates returning (key, EstimatedValue,
+    ErrorBoundsInfo)."""
+    from snappydata_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    snappy.create_table("tk_base", df=events)
+    snappy.sql(
+        "CREATE TOPK TABLE tk ON tk_base OPTIONS "
+        "(key 'event_type', timeSeriesColumn 'ts', timeInterval '1h', "
+        "size '5')"
+    )
+    try:
+        out = snappy.sql("SELECT * FROM tk ORDER BY EstimatedValue DESC LIMIT 3")
+        assert out.columns == ["event_type", "EstimatedValue", "ErrorBoundsInfo"]
+        rows = out.collect()
+        assert len(rows) == 3
+        true = {
+            r.event_type: r.c
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        top3 = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(r.event_type, r.EstimatedValue) for r in rows] == top3
+        # time-ranged query merges only the windows in range
+        lo, hi = events.agg(
+            F.min("ts").cast("string"), F.max("ts").cast("string")
+        ).collect()[0]
+        ranged = snappy.sql(
+            f"SELECT event_type, EstimatedValue FROM tk WHERE "
+            f"startTime='{lo}' AND endTime='{hi}'"
+        ).collect()
+        assert len(ranged) > 0
+        # frequencyCol ranks by SUM(value), not row count
+        snappy.sql(
+            "CREATE TOPK TABLE tkf ON tk_base OPTIONS "
+            "(key 'event_type', frequencyCol 'value', "
+            "timeSeriesColumn 'ts', timeInterval '1h', size '5')"
+        )
+        by_val = {
+            r.event_type: r.v
+            for r in events.groupBy("event_type")
+            .agg(F.sum("value").alias("v"))
+            .collect()
+        }
+        want = sorted(by_val.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        got = snappy.sql(
+            "SELECT * FROM tkf ORDER BY EstimatedValue DESC LIMIT 2"
+        ).collect()
+        assert [r.event_type for r in got] == [k for k, _ in want]
+        for r, (_, v) in zip(got, want):
+            assert r.EstimatedValue == pytest.approx(v, rel=1e-9)
+        # omitting timeInterval disables the time dimension
+        snappy.sql(
+            "CREATE TOPK TABLE tkg ON tk_base OPTIONS (key 'event_type', size '4')"
+        )
+        glob = snappy.sql("SELECT * FROM tkg").collect()
+        assert [(r.event_type, r.EstimatedValue) for r in glob[:3]] == top3
+        # only startTime/endTime predicates are legal on a topk table
+        with pytest.raises(ValueError, match="startTime/endTime"):
+            snappy.sql("SELECT * FROM tk WHERE event_type = 'click'")
+    finally:
+        for t in ("tk", "tkf", "tkg", "tk_base"):
+            if snappy.catalog.exists(t):
+                snappy.drop_table(t)
+
+
 def test_expression_qcs_sample(snappy, sf_dir):
     """QCS built from an SQL expression
     (working_with_stratified_samples.md Example 3: qcs
