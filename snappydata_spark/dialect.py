@@ -150,6 +150,14 @@ _CREATE_SAMPLE = re.compile(
     r"OPTIONS\s*\((.*?)\)\s*$",
     re.I | re.S,
 )
+# CREATE SYNONYM s FOR t — alternate name for a table or view
+# (reference/sql_reference/create-synonym.md; Derby/GemFireXD surface)
+_CREATE_SYNONYM = re.compile(
+    r"^\s*CREATE\s+SYNONYM\s+([\w.]+)\s+FOR\s+([\w.]+)\s*;?\s*$", re.I
+)
+_DROP_SYNONYM = re.compile(
+    r"^\s*DROP\s+SYNONYM\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.I
+)
 # CREATE TOPK TABLE t ON base OPTIONS(key 'c', frequencyCol 'f',
 # timeSeriesColumn 'ts', timeInterval '1h', size '40')
 # (docs/aqp/sketching.md:14-18,57-62)
@@ -967,6 +975,17 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "create_topk", table=m.group(1), source_sql=m.group(2),
             options=_parse_options(m.group(3)),
+        )
+    m = _CREATE_SYNONYM.match(text)
+    if m:
+        return Statement(
+            "create_synonym", table=m.group(1), source_sql=m.group(2)
+        )
+    m = _DROP_SYNONYM.match(text)
+    if m:
+        return Statement(
+            "drop_synonym", table=m.group(1),
+            if_not_exists=bool(re.search(r"IF\s+EXISTS", text, re.I)),
         )
     m = _CREATE_TABLE.match(text)
     if m:

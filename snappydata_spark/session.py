@@ -236,6 +236,9 @@ class SnappySession:
         # re-bound per query so RLS/grants resolve against the CURRENT
         # user through the view
         self._views: dict[str, str] = {}
+        # CREATE SYNONYM registry: canonical synonym -> canonical target
+        # (reference/sql_reference/create-synonym.md; may be nested)
+        self._synonyms: dict[str, str] = {}
         # current schema for unqualified names (setCurrentSchema,
         # SnappySession.scala:1725) — APP is the reference default
         self.current_schema = "app"
@@ -660,6 +663,7 @@ class SnappySession:
             self._rls = set(data.get("rls", []))
             self._packages = dict(data.get("packages", {}))
             self._views = dict(data.get("views", {}))
+            self._synonyms = dict(data.get("synonyms", {}))
         except FileNotFoundError:
             pass
 
@@ -680,6 +684,7 @@ class SnappySession:
                     "rls": sorted(self._rls),
                     "packages": self._packages,
                     "views": self._views,
+                    "synonyms": self._synonyms,
                 },
                 f,
                 indent=2,
@@ -1008,6 +1013,8 @@ class SnappySession:
         use _read_table: the reference's policies apply FOR SELECT only —
         a filtered mutation read would silently drop the invisible rows on
         copy-on-write rewrite."""
+        if self._synonyms:
+            name = self._resolve_synonym(name)
         lname = self._canon(name)
         # a sample table is derived data: reading it also requires SELECT
         # on its base (else the sample becomes a grant bypass)
@@ -1122,6 +1129,25 @@ class SnappySession:
                 if vsql != text:  # cycle guard
                     self._resolve_read_access(vsql)
                     self.spark.sql(vsql).createOrReplaceTempView(vname)
+        # synonyms referenced by the query re-bind to their CURRENT
+        # target through the grant-checked, policy-filtered read path
+        # (create-synonym.md: usable instead of the original name) —
+        # a synonym never widens visibility beyond its target
+        for syn in list(self._synonyms):
+            if re.search(rf"\b{re.escape(syn)}\b", text, flags=re.I):
+                tgt = self._resolve_synonym(syn)
+                if tgt in self._views:
+                    self._resolve_read_access(self._views[tgt])
+                    self.spark.sql(self._views[tgt]).createOrReplaceTempView(tgt)
+                    self.spark.table(tgt).createOrReplaceTempView(syn)
+                elif self.catalog.exists(tgt):
+                    self.table(tgt).createOrReplaceTempView(syn)
+                else:
+                    raise ValueError(
+                        f"synonym '{syn}' references '{tgt}', which does "
+                        "not exist — the target must be present when the "
+                        "synonym is used"
+                    )
         policy_tables = {t for (t, _, _) in self._policies.values()}
         for name in self._tables_in(text):
             # sample tables inherit their base's grants and policies
@@ -1314,6 +1340,16 @@ class SnappySession:
         managed tables are dispatched to the mutation layer; everything else
         goes to spark.sql via the plan cache (normalized-literal keyed,
         mirroring ParamLiteral tokenization SnappyParser.scala:226-261)."""
+        # CREATE TEMPORARY TABLE t USING src / AS SELECT
+        # (create-temporary-table.md: session-scoped, not in the catalog)
+        # — Spark 3+ dropped the statement; TEMPORARY VIEW is the exact
+        # semantic match (connection/session scope, invisible elsewhere)
+        text = re.sub(
+            r"^(\s*CREATE\s+)(OR\s+REPLACE\s+)?TEMPORARY\s+TABLE\b",
+            lambda m: f"{m.group(1)}OR REPLACE TEMPORARY VIEW",
+            text,
+            flags=re.I,
+        )
         if "." in text:
             # schema-qualified relation references (APP.t / other.t) over
             # MANAGED tables/streams canonicalize in the statement text;
@@ -1414,6 +1450,35 @@ class SnappySession:
         if stmt.kind == "set_schema":
             self.set_current_schema(stmt.options["schema"])
             return None
+        if stmt.kind == "create_synonym":
+            return self._create_synonym(stmt.table, stmt.source_sql)
+        if stmt.kind == "drop_synonym":
+            return self._drop_synonym(stmt.table, stmt.if_not_exists)
+        if self._synonyms and stmt.table:
+            syn = self._canon(stmt.table)
+            if syn in self._synonyms:
+                if stmt.kind in (
+                    "put", "update", "delete", "truncate", "insert_select",
+                    "insert_overwrite", "merge",
+                ):
+                    # DML through a synonym targets the resolved object
+                    # (create-synonym.md: usable in INSERT/UPDATE/DELETE)
+                    stmt.table = self._resolve_synonym(stmt.table)
+                    if not self.catalog.exists(stmt.table):
+                        raise ValueError(
+                            f"synonym '{syn}' references '{stmt.table}', "
+                            "which does not exist — the target must be "
+                            "present when the synonym is used"
+                        )
+                elif stmt.kind == "drop_table":
+                    raise ValueError(
+                        f"'{syn}' is a synonym — use DROP SYNONYM {syn}"
+                    )
+                elif stmt.kind.startswith("create"):
+                    raise ValueError(
+                        f"'{syn}' already names a synonym — synonyms share "
+                        "the table/view namespace (create-synonym.md)"
+                    )
         if stmt.table:
             # schema-qualified names (APP.t / other.t) canonicalize once
             orig_table = stmt.table.lower()
@@ -2470,6 +2535,76 @@ class SnappySession:
                 wanted.append(cols[it])
             out = out.select(*wanted)
         return out
+
+    # ------------------------------------------------------------- synonyms
+
+    def _resolve_synonym(self, name: str) -> str:
+        """Follow a (possibly nested) synonym chain to the target name
+        (create-synonym.md: 'A synonym can be used instead of the
+        original ... in SELECT, INSERT, UPDATE, DELETE').  Circular
+        chains raise (the reference's SQLSTATE 42916)."""
+        n = self._canon(name)
+        seen = set()
+        while n in self._synonyms:
+            if n in seen:
+                raise ValueError(
+                    f"circular synonym chain through '{name}' (SQLSTATE 42916)"
+                )
+            seen.add(n)
+            n = self._synonyms[n]
+        return n
+
+    def _create_synonym(self, name: str, target: str) -> None:
+        """CREATE SYNONYM s FOR t (create-synonym.md): synonyms share the
+        table/view namespace; the target may not exist yet (warning, not
+        error); circular references are rejected at creation."""
+        syn = self._canon(name)
+        if self.catalog.exists(syn) or syn in self._views:
+            raise ValueError(
+                f"'{name}' already names a table or view — synonyms share "
+                "that namespace (create-synonym.md)"
+            )
+        if syn in self._synonyms:
+            raise ValueError(f"synonym '{name}' already exists")
+        tgt = self._canon(target)
+        # creating s -> t must not close a cycle: resolving t must never
+        # reach s (SQLSTATE 42916)
+        n, seen = tgt, set()
+        while n in self._synonyms:
+            if n == syn or n in seen:
+                raise ValueError(
+                    f"CREATE SYNONYM {name} FOR {target} would create a "
+                    "circular reference (SQLSTATE 42916)"
+                )
+            seen.add(n)
+            n = self._synonyms[n]
+        if n == syn:
+            raise ValueError(
+                f"CREATE SYNONYM {name} FOR {target} would create a "
+                "circular reference (SQLSTATE 42916)"
+            )
+        if not (self.catalog.exists(n) or n in self._views):
+            # the reference warns (SQLSTATE 01522) and creates anyway;
+            # the target must exist when the synonym is USED
+            print(
+                f"WARNING 01522: synonym target '{target}' does not exist "
+                "yet — it must be present when the synonym is used"
+            )
+        self._synonyms[syn] = tgt
+        self._save_registry()
+
+    def _drop_synonym(self, name: str, if_exists: bool = False) -> None:
+        syn = self._canon(name)
+        if syn not in self._synonyms:
+            if if_exists:
+                return
+            raise ValueError(f"synonym '{name}' does not exist")
+        del self._synonyms[syn]
+        try:
+            self.spark.catalog.dropTempView(syn)
+        except Exception:  # noqa: BLE001 — never registered
+            pass
+        self._save_registry()
 
     # ----------------------------------------------------------- sample/index
 

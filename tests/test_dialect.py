@@ -639,3 +639,113 @@ def test_correlated_subqueries_in_dml(snappy):
     assert sorted(r.k for r in snappy.table("cq_t").collect()) == [7]
     snappy.sql("DROP TABLE cq_t")
     snappy.sql("DROP TABLE cq_u")
+
+
+def test_create_synonym_surface(snappy):
+    """CREATE/DROP SYNONYM (reference/sql_reference/create-synonym.md):
+    a synonym works in SELECT and DML, nests, rejects cycles and
+    namespace collisions, and may point at a not-yet-existing target."""
+    import pytest
+
+    snappy.sql(
+        "CREATE TABLE syn_t (k INT NOT NULL, v INT) "
+        "USING row OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO syn_t VALUES (1, 10), (2, 20)")
+    snappy.sql("CREATE SYNONYM syn_a FOR syn_t")
+    # SELECT through the synonym
+    assert snappy.sql("SELECT SUM(v) AS s FROM syn_a").collect()[0].s == 30
+    # DML through the synonym mutates the target
+    snappy.sql("UPDATE syn_a SET v = 99 WHERE k = 1")
+    assert {r.v for r in snappy.table("syn_t").collect()} == {99, 20}
+    snappy.sql("DELETE FROM syn_a WHERE k = 2")
+    assert snappy.table("syn_t").count() == 1
+    snappy.sql("INSERT INTO syn_a VALUES (5, 50)")
+    assert snappy.table("syn_t").count() == 2
+    # nested synonym
+    snappy.sql("CREATE SYNONYM syn_b FOR syn_a")
+    assert snappy.sql("SELECT COUNT(*) AS c FROM syn_b").collect()[0].c == 2
+    # the python-facing table() API follows synonyms too
+    assert snappy.table("syn_b").count() == 2
+    # namespace is shared with tables
+    with pytest.raises(ValueError, match="namespace"):
+        snappy.sql("CREATE SYNONYM syn_t FOR syn_a")
+    with pytest.raises(ValueError, match="synonym"):
+        snappy.sql("CREATE TABLE syn_a (x INT) USING row")
+    # circular chains rejected at creation (SQLSTATE 42916): self-cycle
+    # and a two-hop cycle through a dangling pair
+    with pytest.raises(ValueError, match="42916"):
+        snappy.sql("CREATE SYNONYM syn_self FOR syn_self")
+    snappy.sql("CREATE SYNONYM syn_c1 FOR syn_c2")
+    with pytest.raises(ValueError, match="42916"):
+        snappy.sql("CREATE SYNONYM syn_c2 FOR syn_c1")
+    snappy.sql("DROP SYNONYM syn_c1")
+    # DROP TABLE on a synonym points at DROP SYNONYM
+    with pytest.raises(ValueError, match="DROP SYNONYM"):
+        snappy.sql("DROP TABLE syn_a")
+    # a synonym may reference a missing target; using it errors clearly
+    snappy.sql("CREATE SYNONYM syn_ghost FOR nothing_here")
+    with pytest.raises(ValueError, match="must be present"):
+        snappy.sql("SELECT * FROM syn_ghost")
+    snappy.sql("DROP SYNONYM syn_ghost")
+    snappy.sql("DROP SYNONYM syn_b")
+    snappy.sql("DROP SYNONYM syn_a")
+    with pytest.raises(ValueError, match="does not exist"):
+        snappy.sql("DROP SYNONYM syn_a")
+    snappy.sql("DROP SYNONYM IF EXISTS syn_a")
+    snappy.sql("DROP TABLE syn_t")
+
+
+def test_synonym_respects_rls_and_grants(snappy):
+    """A synonym never widens visibility: RLS policies and SELECT grants
+    of the TARGET apply to reads through the synonym."""
+    import pytest
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "syn_rls", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1), Row(k=7)]),
+    )
+    snappy.sql("CREATE SYNONYM syn_r FOR syn_rls")
+    snappy.sql("CREATE POLICY p_synr ON syn_rls FOR SELECT USING (k <> 7)")
+    snappy.sql("ALTER TABLE syn_rls ENABLE ROW LEVEL SECURITY")
+    try:
+        ks = {r.k for r in snappy.sql("SELECT k FROM syn_r").collect()}
+        assert ks == {1}
+    finally:
+        snappy.sql("ALTER TABLE syn_rls DISABLE ROW LEVEL SECURITY")
+    snappy.sql("GRANT SELECT ON syn_rls TO alice")
+    prev = snappy.current_user
+    try:
+        snappy.current_user = "mallory"
+        with pytest.raises(PermissionError):
+            snappy.sql("SELECT k FROM syn_r").collect()
+        snappy.current_user = "alice"
+        assert snappy.sql("SELECT COUNT(*) AS c FROM syn_r").collect()[0].c == 2
+    finally:
+        snappy.current_user = prev
+        snappy.sql("REVOKE SELECT ON syn_rls FROM alice")
+    snappy.sql("DROP SYNONYM syn_r")
+    snappy.sql("DROP TABLE syn_rls")
+
+
+def test_create_temporary_table(snappy, sf_dir):
+    """CREATE TEMPORARY TABLE (create-temporary-table.md): session-scoped,
+    absent from the catalog — both the USING-datasource and AS SELECT
+    forms."""
+    snappy.sql(
+        f"CREATE TEMPORARY TABLE tmp_li USING parquet "
+        f"OPTIONS (path '{sf_dir}/lineitem.parquet')"
+    )
+    n = snappy.sql("SELECT COUNT(*) AS c FROM tmp_li").collect()[0].c
+    assert n > 0
+    snappy.sql(
+        "CREATE TEMPORARY TABLE tmp_li2 AS "
+        "SELECT l_orderkey, l_quantity FROM tmp_li WHERE l_quantity > 10"
+    )
+    assert snappy.sql("SELECT COUNT(*) AS c FROM tmp_li2").collect()[0].c > 0
+    # not in the managed catalog: it is a session temp view
+    assert not snappy.catalog.exists("tmp_li")
+    assert not snappy.catalog.exists("tmp_li2")
+    snappy.spark.catalog.dropTempView("tmp_li")
+    snappy.spark.catalog.dropTempView("tmp_li2")
