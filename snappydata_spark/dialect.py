@@ -150,6 +150,13 @@ _CREATE_SAMPLE = re.compile(
     r"OPTIONS\s*\((.*?)\)\s*$",
     re.I | re.S,
 )
+# CALL SYS.<proc>('arg', ...) — built-in system procedures
+# (reference/inbuilt_system_procedures: EXPORT_DATA export_data.md,
+# EXPORT_DDLS export_ddl.md)
+_CALL_PROC = re.compile(
+    r"^\s*CALL\s+SYS\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S
+)
+
 # CREATE SYNONYM s FOR t — alternate name for a table or view
 # (reference/sql_reference/create-synonym.md; Derby/GemFireXD surface)
 _CREATE_SYNONYM = re.compile(
@@ -975,6 +982,15 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "create_topk", table=m.group(1), source_sql=m.group(2),
             options=_parse_options(m.group(3)),
+        )
+    m = _CALL_PROC.match(text)
+    if m:
+        return Statement(
+            "call_proc",
+            options={
+                "proc": m.group(1).lower(),
+                "args": re.findall(r"'([^']*)'", m.group(2)),
+            },
         )
     m = _CREATE_SYNONYM.match(text)
     if m:

@@ -1350,6 +1350,17 @@ class SnappySession:
             text,
             flags=re.I,
         )
+        # queryable system tables (reference/system_tables/): SYS.MEMBERS
+        # and SYS.SYSTABLES resolve to session-computed frames
+        if re.search(r"\bSYS\.(MEMBERS|SYSTABLES)\b", text, re.I):
+            if re.search(r"\bSYS\.MEMBERS\b", text, re.I):
+                self._show_members().createOrReplaceTempView("sys_members")
+            if re.search(r"\bSYS\.SYSTABLES\b", text, re.I):
+                self._systables().createOrReplaceTempView("sys_systables")
+            text = re.sub(r"\bSYS\.MEMBERS\b", "sys_members", text, flags=re.I)
+            text = re.sub(
+                r"\bSYS\.SYSTABLES\b", "sys_systables", text, flags=re.I
+            )
         if "." in text:
             # schema-qualified relation references (APP.t / other.t) over
             # MANAGED tables/streams canonicalize in the statement text;
@@ -1454,6 +1465,8 @@ class SnappySession:
             return self._create_synonym(stmt.table, stmt.source_sql)
         if stmt.kind == "drop_synonym":
             return self._drop_synonym(stmt.table, stmt.if_not_exists)
+        if stmt.kind == "call_proc":
+            return self._call_proc(stmt.options["proc"], stmt.options["args"])
         if self._synonyms and stmt.table:
             syn = self._canon(stmt.table)
             if syn in self._synonyms:
@@ -2535,6 +2548,163 @@ class SnappySession:
                 wanted.append(cols[it])
             out = out.select(*wanted)
         return out
+
+    # ------------------------------------------------------- system procs
+
+    def _call_proc(self, proc: str, args: list[str]):
+        """CALL SYS.<proc>(...) dispatch
+        (reference/inbuilt_system_procedures/)."""
+        if proc == "export_data":
+            return self._export_data(*args)
+        if proc == "export_ddls":
+            return self._export_ddls(*args)
+        raise ValueError(
+            f"unknown system procedure SYS.{proc.upper()} "
+            "(supported: EXPORT_DATA, EXPORT_DDLS)"
+        )
+
+    def _export_data(
+        self, uri: str, fmt: str = "parquet", tables: str = "all",
+        ignore_error: str = "false",
+    ) -> DataFrame:
+        """SYS.EXPORT_DATA (export_data.md): write each managed table to
+        `<uri>_<millis>/<SCHEMA>.<TABLE>/` in the given Spark format.
+        tables='all' exports every user table (derived sample/topk/index
+        structures are rebuilt by their DDL, not exported);
+        ignoreError='true' logs a failing table and continues.  Returns a
+        (table, path, rows) summary frame.  Scale: each export is one
+        distributed write of that table's scan — no driver collect."""
+        import time as _time
+
+        out_dir = f"{uri.rstrip('/')}_{int(_time.time() * 1000)}"
+        if tables.strip().lower() == "all":
+            names = [
+                t for t in self.catalog.list_tables()
+                if self.catalog.load_meta(t).provider
+                not in ("sample", "topk")
+                and not t.endswith("__ann")
+            ]
+        else:
+            names = [self._canon(t) for t in tables.split(",") if t.strip()]
+        ignore = ignore_error.strip().lower() == "true"
+        rows = []
+        for t in names:
+            label = t.replace("__", ".").upper()
+            path = os.path.join(out_dir, f"APP.{label}" if "." not in label else label)
+            try:
+                df = self.table(t)
+                w = df.write.mode("overwrite").format(fmt.lower())
+                if fmt.lower() == "csv":
+                    w = w.option("header", "true")
+                w.save(path)
+                rows.append((t, path, df.count()))
+            except Exception as e:  # noqa: BLE001 — per-table isolation
+                if not ignore:
+                    raise
+                print(f"EXPORT_DATA: skipped {t}: {e}")
+                rows.append((t, "", -1))
+        return self.spark.createDataFrame(
+            rows, "table string, path string, rows long"
+        )
+
+    def _export_ddls(self, uri: str) -> DataFrame:
+        """SYS.EXPORT_DDLS (export_ddl.md): every DDL needed to rebuild
+        the catalog — tables (SHOW CREATE TABLE form), views, synonyms,
+        sample/topk structures, grants, policies, deployed packages —
+        written as one text file `part-00000` (+ _SUCCESS) under
+        `<uri>_<millis>/`, replayable in order."""
+        import time as _time
+
+        out_dir = f"{uri.rstrip('/')}_{int(_time.time() * 1000)}"
+        os.makedirs(out_dir, exist_ok=True)
+        ddls: list[str] = []
+        for t in self.catalog.list_tables():
+            meta = self.catalog.load_meta(t)
+            if meta.provider == "sample":
+                opts = meta.options
+                ddls.append(
+                    f"CREATE SAMPLE TABLE {t} ON {opts['base_table']} "
+                    f"OPTIONS (qcs '{opts['qcs']}', fraction "
+                    f"'{opts['fraction']}');"
+                )
+                continue
+            if meta.provider == "topk":
+                opts = meta.options
+                parts = [f"key '{opts['key']}'", f"size '{opts['k']}'"]
+                if opts.get("window") not in (None, "all"):
+                    parts += [
+                        f"timeSeriesColumn '{opts['ts']}'",
+                        f"timeInterval '{opts['window']}'",
+                    ]
+                ddls.append(
+                    f"CREATE TOPK TABLE {t} ON {opts['base_table']} "
+                    f"OPTIONS ({', '.join(parts)});"
+                )
+                continue
+            if t.endswith("__ann"):
+                continue  # rebuilt by its CREATE INDEX below
+            try:
+                stmt = self.show_create_table(t).collect()[0].createtab_stmt
+                ddls.append(stmt.rstrip(";") + ";")
+            except Exception:  # noqa: BLE001 — e.g. dropped mid-export
+                continue
+        for idx_name, info in self._ann_indexes.items():
+            ddls.append(
+                f"CREATE INDEX {idx_name} ON {info['table']}"
+                f"({info['column']}) USING {info['method']};"
+            )
+        for vname, vsql in self._views.items():
+            ddls.append(f"CREATE VIEW {vname} AS {vsql};")
+        for syn, tgt in self._synonyms.items():
+            ddls.append(f"CREATE SYNONYM {syn} FOR {tgt};")
+        for scope, users in self._grants.items():
+            for u in sorted(users):
+                ddls.append(f"GRANT SELECT ON {scope} TO {u};")
+        for pname, (ptable, pexpr, _) in self._policies.items():
+            ddls.append(
+                f"CREATE POLICY {pname} ON {ptable} FOR SELECT "
+                f"USING ({pexpr});"
+            )
+        for t in sorted(self._rls):
+            ddls.append(f"ALTER TABLE {t} ENABLE ROW LEVEL SECURITY;")
+        for pkg, info in self._packages.items():
+            kind = info.get("kind", "package").upper()
+            ddls.append(f"DEPLOY {kind} {pkg} '{info.get('coords', '')}';")
+        with open(os.path.join(out_dir, "part-00000"), "w") as f:
+            f.write("\n".join(ddls) + "\n")
+        open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+        return self.spark.createDataFrame(
+            [(os.path.join(out_dir, "part-00000"), len(ddls))],
+            "path string, statements int",
+        )
+
+    def _systables(self) -> DataFrame:
+        """SYS.SYSTABLES (reference/system_tables/systables.md): one row
+        per table/view/synonym with the documented core columns —
+        TABLETYPE 'T' (user table), 'V' (view), 'A' (synonym);
+        DATAPOLICY from the managed layout (PARTITION / REPLICATE)."""
+        rows = []
+        for t in self.catalog.list_tables():
+            meta = self.catalog.load_meta(t)
+            replicated = meta.options.get("replicated", "").lower() == "true"
+            rows.append(
+                (
+                    t.upper(),
+                    "T",
+                    "APP",
+                    "REPLICATE" if replicated else "PARTITION",
+                    meta.provider,
+                )
+            )
+        for v in self._views:
+            rows.append((v.upper(), "V", "APP", "", "view"))
+        for s in self._synonyms:
+            rows.append((s.upper(), "A", "APP", "", "synonym"))
+        return self.spark.createDataFrame(
+            rows,
+            "tablename string, tabletype string, tableschemaname string, "
+            "datapolicy string, provider string",
+        )
 
     # ------------------------------------------------------------- synonyms
 

@@ -582,3 +582,76 @@ def test_sample_table_inherits_base_rls_and_grants(snappy):
         snappy.current_user = None
         snappy.sql("DROP POLICY IF EXISTS p_s")
         snappy.sql("DROP POLICY IF EXISTS p_alice")
+
+
+def test_sys_export_data_and_ddls(snappy, tmp_path):
+    """CALL SYS.EXPORT_DATA / SYS.EXPORT_DDLS
+    (reference/inbuilt_system_procedures/export_data.md, export_ddl.md):
+    tables export per-table under <uri>_<millis>/, DDLs replay into an
+    empty session and rebuild the catalog."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    snappy.sql(
+        "CREATE TABLE exp_t (k INT NOT NULL, v STRING) "
+        "USING row OPTIONS (key_columns 'k')"
+    )
+    snappy.sql("INSERT INTO exp_t VALUES (1, 'a'), (2, 'b')")
+    snappy.sql("CREATE SYNONYM exp_syn FOR exp_t")
+    snappy.sql("GRANT SELECT ON exp_t TO bob")
+    out = snappy.sql(
+        f"CALL SYS.EXPORT_DATA('{tmp_path}/data', 'csv', 'exp_t', 'false')"
+    ).collect()
+    assert len(out) == 1 and out[0].rows == 2
+    files = glob.glob(f"{tmp_path}/data_*/APP.EXP_T/*.csv")
+    assert files, "per-table csv files written"
+    ddl_out = snappy.sql(f"CALL SYS.EXPORT_DDLS('{tmp_path}/ddls')").collect()
+    assert ddl_out[0].statements >= 3
+    with open(ddl_out[0].path) as f:
+        ddls = f.read()
+    assert "CREATE TABLE" in ddls and "exp_t" in ddls.lower()
+    assert "CREATE SYNONYM exp_syn FOR exp_t;" in ddls
+    assert "GRANT SELECT ON exp_t TO bob;" in ddls
+    # replay into a fresh store rebuilds the DDL surface
+    import tempfile
+
+    from snappydata_spark import SnappySession
+
+    sn2 = SnappySession(snappy.spark, store_dir=tempfile.mkdtemp(prefix="ddl_rt_"))
+    for stmt in ddls.splitlines():
+        s = stmt.strip().rstrip(";")
+        if s and "exp_t" in s.lower() or "exp_syn" in s.lower():
+            sn2.sql(s)
+    assert sn2.catalog.exists("exp_t")
+    assert "exp_syn" in sn2._synonyms
+    snappy.sql("REVOKE SELECT ON exp_t FROM bob")
+    snappy.sql("DROP SYNONYM exp_syn")
+    snappy.sql("DROP TABLE exp_t")
+
+
+def test_sys_system_tables_queryable(snappy):
+    """SELECT over SYS.MEMBERS / SYS.SYSTABLES
+    (reference/system_tables/members.md, systables.md)."""
+    from pyspark.sql import Row
+
+    members = snappy.sql(
+        "SELECT id, kind, status FROM SYS.MEMBERS"
+    ).collect()
+    assert len(members) >= 1 and members[0].status == "running"
+    snappy.create_table(
+        "st_q", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1)]),
+    )
+    snappy.sql("CREATE SYNONYM st_syn FOR st_q")
+    rows = {
+        r.tablename: r.tabletype
+        for r in snappy.sql(
+            "SELECT tablename, tabletype FROM SYS.SYSTABLES"
+        ).collect()
+    }
+    assert rows.get("ST_Q") == "T"
+    assert rows.get("ST_SYN") == "A"
+    snappy.sql("DROP SYNONYM st_syn")
+    snappy.drop_table("st_q")
