@@ -117,8 +117,53 @@ class SnappyContext:
     def sql(self, sqlText: str):
         return self._sn.sql(sqlText)
 
+    def sqlUncached(self, sqlText: str):
+        """SnappySession.sqlUncached (apireference_guide.md:68-90)."""
+        return self._sn.sql_uncached(sqlText)
+
     def table(self, tableName: str) -> DataFrame:
         return self._sn.table(tableName)
+
+    def getKeyColumns(self, tableName: str) -> list:
+        """SnappySessionCatalog.getKeyColumns (apireference_guide.md:558)."""
+        return self._sn.key_columns(tableName)
+
+    def getKeyColumnsAndPositions(self, tableName: str) -> list:
+        """SnappySessionCatalog.getKeyColumnsAndPositions
+        (apireference_guide.md:581)."""
+        return self._sn.key_columns_and_positions(tableName)
+
+    def createSampleTable(
+        self, tableName: str, baseTable: str, samplingOptions: dict,
+        allowExisting: bool = False,
+    ) -> None:
+        """SnappySession.createSampleTable (apireference_guide.md:225)."""
+        if allowExisting and self._sn.catalog.exists(tableName):
+            return
+        self._sn._create_sample_table(
+            tableName, baseTable,
+            {k.lower(): str(v) for k, v in samplingOptions.items()},
+        )
+
+    def createApproxTSTopK(
+        self, topKName: str, baseTable: str, keyColumnName: str,
+        topkOptions: dict | None = None, allowExisting: bool = False,
+    ) -> None:
+        """SnappySession.createApproxTSTopK (apireference_guide.md:261)."""
+        if allowExisting and self._sn.catalog.exists(topKName):
+            return
+        opts = {k.lower(): str(v) for k, v in (topkOptions or {}).items()}
+        opts["key"] = keyColumnName
+        self._sn._create_topk_table(topKName, baseTable, opts)
+
+    def queryApproxTSTopK(
+        self, topKName: str, startTime: str | None = None,
+        endTime: str | None = None, k: int = -1,
+    ) -> DataFrame:
+        """SnappySession.queryApproxTSTopK (apireference_guide.md:450)."""
+        return self._sn.query_approx_ts_topk(
+            topKName, startTime, endTime, k=(k if k > 0 else None)
+        )
 
 
 class SchemaDStream:

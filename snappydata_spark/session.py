@@ -1006,6 +1006,26 @@ class SnappySession:
         """getKeyColumns (SnappySession.scala:1512)."""
         return self.catalog.load_meta(name.lower()).key_columns
 
+    def key_columns_and_positions(self, name: str) -> list[tuple[str, int]]:
+        """getKeyColumnsAndPositions (apireference_guide.md: returns each
+        key column with its 1-based ordinal position in the table
+        schema)."""
+        meta = self.catalog.load_meta(self._canon(name))
+        cols = [f.name.lower() for f in self._read_table(name).schema.fields]
+        return [(k, cols.index(k.lower()) + 1) for k in meta.key_columns]
+
+    def sql_uncached(self, text: str) -> DataFrame | None:
+        """sqlUncached (apireference_guide.md:68-90): execute with a
+        FRESH plan, bypassing the parameterized plan cache — for queries
+        whose literals should NOT be parameterized away (e.g. when a
+        cached plan's statistics-driven choices must be re-made)."""
+        prev = getattr(self, "_skip_plan_cache", False)
+        self._skip_plan_cache = True
+        try:
+            return self.sql(text)
+        finally:
+            self._skip_plan_cache = prev
+
     # ------------------------------------------------------------------ read
 
     def table(self, name: str) -> DataFrame:
@@ -1938,9 +1958,10 @@ class SnappySession:
                 return self.spark.sql(windowed)
         head = re.match(r"\s*\(*\s*(\w+)", rewritten)
         if head and head.group(1).upper() in ("SELECT", "WITH", "VALUES", "TABLE"):
-            if self._tx is not None:
+            if self._tx is not None or getattr(self, "_skip_plan_cache", False):
                 # overlay views change per staged op — never cache plans
-                # resolved inside an open transaction
+                # resolved inside an open transaction; sql_uncached
+                # callers asked for a fresh plan explicitly
                 return self.spark.sql(rewritten)
             return self.plan_cache.get_or_build(
                 self.spark, rewritten, scope=self.current_user

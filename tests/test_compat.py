@@ -110,3 +110,42 @@ def test_snappy_streaming_context(snappy):
     counts = {r.ws.second: r.cnt for rows in batches for r in rows}
     assert counts == {0: 2, 10: 1}
     snsc.sql("DROP STREAM TABLE sc_clicks")
+
+
+def test_api_reference_guide_surface(ctx, sf_dir):
+    """The remaining SnappySession APIs from apireference_guide.md:
+    sqlUncached (fresh plan, bypasses the plan cache), getKeyColumns /
+    getKeyColumnsAndPositions, createSampleTable, createApproxTSTopK /
+    queryApproxTSTopK."""
+    ctx.createTable(
+        "api_t", schema="k INT NOT NULL PRIMARY KEY, grp STRING, v DOUBLE"
+    )
+    ctx.insert("api_t", [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)])
+    assert ctx.getKeyColumns("api_t") == ["k"]
+    assert ctx.getKeyColumnsAndPositions("api_t") == [("k", 1)]
+    # sqlUncached returns the same rows but never populates the cache
+    before = len(ctx._sn.plan_cache._cache)
+    rows = ctx.sqlUncached("SELECT COUNT(*) AS c FROM api_t").collect()
+    assert rows[0].c == 3
+    assert len(ctx._sn.plan_cache._cache) == before
+    ctx.createSampleTable(
+        "api_s", "api_t", {"qcs": "grp", "fraction": "0.9"}
+    )
+    assert ctx._sn.catalog.load_meta("api_s").provider == "sample"
+    ctx.createSampleTable(
+        "api_s", "api_t", {"qcs": "grp", "fraction": "0.9"},
+        allowExisting=True,
+    )
+    # events.parquet has nanos timestamps; go through the loader
+    from snappydata_spark.tables import load_tables
+
+    events = load_tables(ctx.spark, sf_dir, ("events",))["events"]
+    ctx._sn.create_table("api_ev", options={"key_columns": "event_id"}, df=events)
+    ctx.createApproxTSTopK(
+        "api_topk", "api_ev", "event_type",
+        {"timeSeriesColumn": "ts", "timeInterval": "1h", "size": "5"},
+    )
+    top = ctx.queryApproxTSTopK("api_topk", k=3).collect()
+    assert len(top) == 3
+    for t in ("api_topk", "api_ev", "api_s", "api_t"):
+        ctx._sn.drop_table(t)
