@@ -314,8 +314,12 @@ _SET_CONF = re.compile(
 # GRANT/REVOKE <priv> ON [TABLE] t TO/FROM user (grantRevoke passThrough
 # SnappyDDLParser.scala:818-857 — the reference forwards these to the
 # store; we keep an engine-side grant registry enforced at SELECT)
+# GRANT <priv-list | ALL [PRIVILEGES]> ON [TABLE] t TO u1,u2 / REVOKE ...
+# FROM ... (reference/sql_reference/grant.md: privilege-list of
+# SELECT/INSERT/UPDATE/DELETE/TRIGGER/REFERENCES; grant-all.md)
 _GRANT_REVOKE = re.compile(
-    r"^\s*(GRANT|REVOKE)\s+(\w+)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+(?:TO|FROM)\s+(\w+)\s*;?\s*$",
+    r"^\s*(GRANT|REVOKE)\s+(ALL(?:\s+PRIVILEGES)?|[\w,\s]+?)\s+ON\s+"
+    r"(?:TABLE\s+)?([\w.]+)\s+(?:TO|FROM)\s+([\w,\s]+?)\s*;?\s*$",
     re.I,
 )
 # DEPLOY PACKAGE name 'coords' / DEPLOY JAR name 'paths' / UNDEPLOY name /
@@ -1100,12 +1104,30 @@ def split_statement(text: str) -> Statement:
         return Statement("drop_policy", options={"policy": m.group(1)})
     m = _GRANT_REVOKE.match(text)
     if m:
+        privs = [
+            p.strip().lower() for p in m.group(2).split(",") if p.strip()
+        ]
+        if privs and privs[0].startswith("all"):
+            privs = ["all"]
+        valid = {
+            "all", "select", "insert", "update", "delete",
+            "trigger", "references",
+        }
+        bad = [p for p in privs if p not in valid]
+        if bad:
+            raise ValueError(
+                f"unknown privilege {bad[0]!r} (grant.md privilege-list: "
+                f"{sorted(valid - {'all'})} or ALL [PRIVILEGES])"
+            )
         return Statement(
             "grant_revoke", table=m.group(3),
             options={
                 "verb": m.group(1).lower(),
-                "privilege": m.group(2).lower(),
-                "user": m.group(4).lower(),
+                "privileges": privs,
+                "users": [
+                    u.strip().lower()
+                    for u in m.group(4).split(",") if u.strip()
+                ],
             },
         )
     m = _DEPLOY.match(text)

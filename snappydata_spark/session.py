@@ -227,7 +227,9 @@ class SnappySession:
         # SELECT grants: table → set of users (grantRevoke passThrough
         # SnappyDDLParser:818-857).  Empty set / absent table = open access
         # (matches the reference's default of no grants recorded).
-        self._grants: dict[str, set[str]] = {}
+        # table -> {user -> privilege set} (grant.md privilege-list:
+        # select/insert/update/delete/trigger/references, or 'all')
+        self._grants: dict[str, dict[str, set[str]]] = {}
         # DEPLOY PACKAGE/JAR registry (deployPackages SnappyDDLParser:
         # 858-874) — dependency metadata only; see dialect.py divergence note
         self._packages: dict[str, dict[str, str]] = {}
@@ -657,9 +659,13 @@ class SnappySession:
             self._policies = {
                 k: tuple(v) for k, v in data.get("policies", {}).items()
             }
-            self._grants = {
-                k: set(v) for k, v in data.get("grants", {}).items()
-            }
+            self._grants = {}
+            for k, v in data.get("grants", {}).items():
+                if isinstance(v, dict):
+                    self._grants[k] = {u: set(p) for u, p in v.items()}
+                else:
+                    # pre-round-6 registries stored a flat SELECT user list
+                    self._grants[k] = {u: {"select"} for u in v}
             self._rls = set(data.get("rls", []))
             self._packages = dict(data.get("packages", {}))
             self._views = dict(data.get("views", {}))
@@ -680,7 +686,10 @@ class SnappySession:
                     "indexes": self._indexes,
                     "ann_indexes": self._ann_indexes,
                     "policies": self._policies,
-                    "grants": {k: sorted(v) for k, v in self._grants.items()},
+                    "grants": {
+                        k: {u: sorted(p) for u, p in v.items()}
+                        for k, v in self._grants.items()
+                    },
                     "rls": sorted(self._rls),
                     "packages": self._packages,
                     "views": self._views,
@@ -775,6 +784,7 @@ class SnappySession:
         """TRUNCATE TABLE (SnappyDDLParser:627, API truncateTable:812).
         Unbucketed: a pure manifest commit (live = ∅, schema retained) —
         no Spark job, old files tombstoned under the usual grace."""
+        self._check_write_priv(name, "delete")
         meta = self.catalog.load_meta(name.lower())
         schema = self._read_table(name).schema
         if self._is_bucketed(meta):
@@ -1006,6 +1016,30 @@ class SnappySession:
         """getKeyColumns (SnappySession.scala:1512)."""
         return self.catalog.load_meta(name.lower()).key_columns
 
+    def _lacks_priv(self, scope: str | None, priv: str) -> bool:
+        """True when `scope` has a grant registry and the CURRENT user's
+        privileges include neither `priv` nor ALL (grant.md
+        privilege-list).  Tables with no grants registered stay open —
+        the reference's behavior before any GRANT runs."""
+        if not scope or not self.current_user:
+            return False
+        entry = self._grants.get(scope)
+        if not entry:
+            return False
+        privs = entry.get(self.current_user, set())
+        return priv not in privs and "all" not in privs
+
+    def _check_write_priv(self, name: str, priv: str) -> None:
+        """DML privilege gate (grant.md: INSERT/UPDATE/DELETE table
+        privileges) — mirrors the SELECT gate in table()."""
+        scope = self._canon(name)
+        if self._lacks_priv(scope, priv):
+            raise PermissionError(
+                f"user '{self.current_user}' lacks {priv.upper()} on "
+                f"'{scope}' (GRANT {priv.upper()} ON {scope} TO "
+                f"{self.current_user})"
+            )
+
     def key_columns_and_positions(self, name: str) -> list[tuple[str, int]]:
         """getKeyColumnsAndPositions (apireference_guide.md: returns each
         key column with its 1-based ordinal position in the table
@@ -1039,8 +1073,7 @@ class SnappySession:
         # a sample table is derived data: reading it also requires SELECT
         # on its base (else the sample becomes a grant bypass)
         for scope in (lname, self._sample_base_of(lname)):
-            granted = self._grants.get(scope) if scope else None
-            if granted and self.current_user and self.current_user not in granted:
+            if self._lacks_priv(scope, "select"):
                 raise PermissionError(
                     f"user '{self.current_user}' lacks SELECT on '{scope}' "
                     f"(GRANT SELECT ON {scope} TO {self.current_user})"
@@ -1174,12 +1207,7 @@ class SnappySession:
             # (derived data never widens visibility)
             base = self._sample_base_of(name)
             for scope in (name, base):
-                granted = self._grants.get(scope) if scope else None
-                if (
-                    granted
-                    and self.current_user
-                    and self.current_user not in granted
-                ):
+                if self._lacks_priv(scope, "select"):
                     raise PermissionError(
                         f"user '{self.current_user}' lacks SELECT on "
                         f"'{scope}' (GRANT SELECT ON {scope} TO "
@@ -1224,6 +1252,7 @@ class SnappySession:
     @_serialized
     def insert(self, name: str, df: DataFrame) -> None:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
+        self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
         self._validate_checks(meta, df)
         self._write(df, meta, mode="append")
@@ -1237,6 +1266,7 @@ class SnappySession:
         (their unmatched rows kept, matched rows dropped); ALL source rows
         are appended as new files.  A put whose keys match nothing touches
         zero existing files — it degenerates to a pure insert."""
+        self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
         self._validate_checks(meta, df)
         keys = meta.key_columns or meta.partition_by
@@ -1279,6 +1309,7 @@ class SnappySession:
         are rewritten — the reference's ColumnDeltaEncoder writes deltas
         per column batch (ColumnDelta.scala:16-75), this is the same
         blast-radius contract at file granularity."""
+        self._check_write_priv(name, "update")
         meta = self.catalog.load_meta(name.lower())
         bad = [c for c in assignments if c.lower() in meta.key_columns]
         if bad:
@@ -1310,6 +1341,7 @@ class SnappySession:
         """DELETE FROM t WHERE ... — SnappySession.delete:2119.  File-pruned
         like update(); the reference's analogue is the per-batch delete
         bitmap (ColumnDeleteEncoder.scala:39)."""
+        self._check_write_priv(name, "delete")
         meta = self.catalog.load_meta(name.lower())
         target = self._mutation_target(name, meta)
         if target is None:
@@ -1330,6 +1362,7 @@ class SnappySession:
     @_serialized
     def delete_from(self, name: str, df: DataFrame) -> None:
         """df.write.deleteFrom(t) (SnappyImplicits.scala:209-222)."""
+        self._check_write_priv(name, "delete")
         meta = self.catalog.load_meta(name.lower())
         keys = meta.key_columns or meta.partition_by
         if not keys:
@@ -1698,12 +1731,32 @@ class SnappySession:
             return None
         if stmt.kind == "grant_revoke":
             tbl = stmt.table.lower()
-            users = self._grants.setdefault(tbl, set())
+            privs = stmt.options["privileges"]
+            users = stmt.options["users"]
+            entry = self._grants.setdefault(tbl, {})
             if stmt.options["verb"] == "grant":
-                users.add(stmt.options["user"])
+                for u in users:
+                    entry.setdefault(u, set()).update(privs)
             else:
-                users.discard(stmt.options["user"])
-                if not users:
+                for u in users:
+                    got = entry.get(u)
+                    if got is None:
+                        continue
+                    if "all" in privs:
+                        got.clear()
+                    else:
+                        got -= set(privs)
+                        # revoking SELECT from an ALL-grantee leaves the
+                        # explicit remainder (the reference decomposes ALL)
+                        if "all" in got and privs:
+                            got.discard("all")
+                            got |= {
+                                "select", "insert", "update", "delete",
+                                "trigger", "references",
+                            } - set(privs)
+                    if not got:
+                        entry.pop(u, None)
+                if not entry:
                     self._grants.pop(tbl, None)
             self._save_registry()
             return None
@@ -2041,7 +2094,7 @@ class SnappySession:
         """ANSI column-list DML (INSERT/PUT INTO t (a, b) ...): the
         source's columns bind positionally to the LISTED columns; every
         unlisted table column is filled with NULL."""
-        fields = self.table(name).schema.fields
+        fields = self._read_table(name).schema.fields  # schema-only access
         known = {f.name.lower() for f in fields}
         unknown = [c for c in cols if c not in known]
         if unknown:
@@ -2066,7 +2119,9 @@ class SnappySession:
         """SQL INSERT/PUT sources bind POSITIONALLY (ANSI semantics; the
         inline-table form arrives as col1..colN): rename + cast the source
         to the target's schema when arities match and names differ."""
-        return self._align_fields(self.table(name).schema.fields, src)
+        # schema-only access: an INSERT-privileged user needs no SELECT
+        # grant to append (grant.md — privileges are independent)
+        return self._align_fields(self._read_table(name).schema.fields, src)
 
     @staticmethod
     def _align_fields(fields, src: DataFrame) -> DataFrame:
@@ -2680,7 +2735,11 @@ class SnappySession:
             ddls.append(f"CREATE SYNONYM {syn} FOR {tgt};")
         for scope, users in self._grants.items():
             for u in sorted(users):
-                ddls.append(f"GRANT SELECT ON {scope} TO {u};")
+                privs = sorted(users[u])
+                plist = "ALL" if "all" in privs else ", ".join(
+                    p.upper() for p in privs
+                )
+                ddls.append(f"GRANT {plist} ON {scope} TO {u};")
         for pname, (ptable, pexpr, _) in self._policies.items():
             ddls.append(
                 f"CREATE POLICY {pname} ON {ptable} FOR SELECT "
@@ -3692,8 +3751,7 @@ class SnappySession:
                     f"before {as_of_ts} (history: {self.table_history(name)})"
                 )
             gen = max(eligible)
-        granted = self._grants.get(name)
-        if granted and self.current_user and self.current_user not in granted:
+        if self._lacks_priv(name, "select"):
             raise PermissionError(
                 f"user '{self.current_user}' lacks SELECT on '{name}'"
             )

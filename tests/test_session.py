@@ -655,3 +655,54 @@ def test_sys_system_tables_queryable(snappy):
     assert rows.get("ST_SYN") == "A"
     snappy.sql("DROP SYNONYM st_syn")
     snappy.drop_table("st_q")
+
+
+def test_dml_privileges_enforced(snappy):
+    """grant.md privilege-list: INSERT/UPDATE/DELETE table privileges
+    gate mutations independently of SELECT; ALL [PRIVILEGES] grants
+    everything; multi-user, multi-privilege lists parse; revoking a
+    privilege from an ALL grantee leaves the explicit remainder."""
+    import pytest
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "priv_t", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1, v=10)]),
+    )
+    snappy.sql("GRANT SELECT, INSERT ON priv_t TO alice, bob")
+    snappy.sql("GRANT ALL PRIVILEGES ON priv_t TO carol")
+    prev = snappy.current_user
+    try:
+        snappy.current_user = "alice"
+        assert snappy.table("priv_t").count() == 1
+        snappy.sql("INSERT INTO priv_t VALUES (2, 20)")
+        with pytest.raises(PermissionError, match="UPDATE"):
+            snappy.sql("UPDATE priv_t SET v = 0 WHERE k = 1")
+        with pytest.raises(PermissionError, match="DELETE"):
+            snappy.sql("DELETE FROM priv_t WHERE k = 1")
+        snappy.current_user = "carol"
+        snappy.sql("UPDATE priv_t SET v = 99 WHERE k = 1")
+        snappy.sql("DELETE FROM priv_t WHERE k = 2")
+        snappy.current_user = "mallory"
+        with pytest.raises(PermissionError, match="SELECT"):
+            snappy.table("priv_t").count()
+        with pytest.raises(PermissionError, match="INSERT"):
+            snappy.sql("INSERT INTO priv_t VALUES (3, 30)")
+        # revoke SELECT from the ALL grantee: the remainder stays
+        snappy.current_user = prev
+        snappy.sql("REVOKE SELECT ON priv_t FROM carol")
+        snappy.current_user = "carol"
+        with pytest.raises(PermissionError, match="SELECT"):
+            snappy.table("priv_t").count()
+        snappy.sql("DELETE FROM priv_t WHERE k = 999")  # still allowed
+    finally:
+        snappy.current_user = prev
+    # unknown privileges fail at parse with the documented list
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="privilege"):
+        snappy.sql("GRANT FLY ON priv_t TO alice")
+    snappy.sql("REVOKE ALL ON priv_t FROM alice")
+    snappy.sql("REVOKE ALL ON priv_t FROM bob")
+    snappy.sql("REVOKE ALL ON priv_t FROM carol")
+    snappy.drop_table("priv_t")
