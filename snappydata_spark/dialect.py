@@ -314,6 +314,12 @@ _SET_CONF = re.compile(
 # GRANT/REVOKE <priv> ON [TABLE] t TO/FROM user (grantRevoke passThrough
 # SnappyDDLParser.scala:818-857 — the reference forwards these to the
 # store; we keep an engine-side grant registry enforced at SELECT)
+# GRANT EXECUTE ON FUNCTION|PROCEDURE f TO u (grant.md routine syntax)
+_GRANT_EXECUTE = re.compile(
+    r"^\s*(GRANT|REVOKE)\s+EXECUTE\s+ON\s+(?:FUNCTION|PROCEDURE)\s+"
+    r"([\w.]+)\s+(?:TO|FROM)\s+([\w,\s]+?)\s*(?:RESTRICT\s*)?;?\s*$",
+    re.I,
+)
 # GRANT <priv-list | ALL [PRIVILEGES]> ON [TABLE] t TO u1,u2 / REVOKE ...
 # FROM ... (reference/sql_reference/grant.md: privilege-list of
 # SELECT/INSERT/UPDATE/DELETE/TRIGGER/REFERENCES; grant-all.md)
@@ -1102,6 +1108,19 @@ def split_statement(text: str) -> Statement:
     m = _DROP_POLICY.match(text)
     if m:
         return Statement("drop_policy", options={"policy": m.group(1)})
+    m = _GRANT_EXECUTE.match(text)
+    if m:
+        return Statement(
+            "grant_revoke", table=f"function::{m.group(2).lower()}",
+            options={
+                "verb": m.group(1).lower(),
+                "privileges": ["execute"],
+                "users": [
+                    u.strip().lower()
+                    for u in m.group(3).split(",") if u.strip()
+                ],
+            },
+        )
     m = _GRANT_REVOKE.match(text)
     if m:
         privs = [

@@ -316,6 +316,8 @@ class SnappySession:
         SnappySession.scala:1725; default APP), qualified names through
         catalog.canon_name."""
         n = name.strip().lower()
+        if n.startswith("function::"):
+            return n  # routine grant scope, not a relation name
         if (
             "." not in n
             and "__" not in n  # already-canonical s__t must stay put
@@ -1200,6 +1202,21 @@ class SnappySession:
                         f"synonym '{syn}' references '{tgt}', which does "
                         "not exist — the target must be present when the "
                         "synonym is used"
+                    )
+        # EXECUTE grants on routines (grant.md routine syntax): a granted
+        # function denies callers outside its grantee list
+        if self.current_user:
+            for scope in self._grants:
+                if not scope.startswith("function::"):
+                    continue
+                fname = scope.split("::", 1)[1]
+                if re.search(
+                    rf"\b{re.escape(fname)}\s*\(", text, flags=re.I
+                ) and self._lacks_priv(scope, "execute"):
+                    raise PermissionError(
+                        f"user '{self.current_user}' lacks EXECUTE on "
+                        f"function '{fname}' (GRANT EXECUTE ON FUNCTION "
+                        f"{fname} TO {self.current_user})"
                     )
         policy_tables = {t for (t, _, _) in self._policies.values()}
         for name in self._tables_in(text):
@@ -2736,6 +2753,12 @@ class SnappySession:
         for scope, users in self._grants.items():
             for u in sorted(users):
                 privs = sorted(users[u])
+                if scope.startswith("function::"):
+                    ddls.append(
+                        f"GRANT EXECUTE ON FUNCTION "
+                        f"{scope.split('::', 1)[1]} TO {u};"
+                    )
+                    continue
                 plist = "ALL" if "all" in privs else ", ".join(
                     p.upper() for p in privs
                 )

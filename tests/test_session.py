@@ -706,3 +706,32 @@ def test_dml_privileges_enforced(snappy):
     snappy.sql("REVOKE ALL ON priv_t FROM bob")
     snappy.sql("REVOKE ALL ON priv_t FROM carol")
     snappy.drop_table("priv_t")
+
+
+def test_execute_grant_on_function(snappy):
+    """GRANT EXECUTE ON FUNCTION (grant.md routine syntax): once a
+    function is granted, only grantees may call it from SQL."""
+    import pytest
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "fx_t", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1)]),
+    )
+    snappy.create_function("fx_double", lambda x: x * 2, "int")
+    snappy.sql("GRANT EXECUTE ON FUNCTION fx_double TO alice")
+    prev = snappy.current_user
+    try:
+        snappy.current_user = "alice"
+        assert snappy.sql(
+            "SELECT fx_double(k) AS d FROM fx_t"
+        ).collect()[0].d == 2
+        snappy.current_user = "mallory"
+        with pytest.raises(PermissionError, match="EXECUTE"):
+            snappy.sql("SELECT fx_double(k) AS d FROM fx_t")
+        # unrelated queries by the same user pass
+        assert snappy.sql("SELECT k FROM fx_t").collect()[0].k == 1
+    finally:
+        snappy.current_user = prev
+    snappy.sql("REVOKE EXECUTE ON FUNCTION fx_double FROM alice")
+    snappy.drop_table("fx_t")
