@@ -73,6 +73,14 @@ def stream_reader(
     payloads pass schema= and we apply from_json to the value column.
     """
     provider = provider.lower()
+    if provider == "jdbc_stream":
+        # built-in JDBC CDC landing-zone source (the reference's JDBC
+        # streaming connector, docs/connectors/
+        # jdbc_streaming_connector.md) — see streaming/jdbc_stream.py
+        from snappydata_spark.streaming.jdbc_stream import create_jdbc_stream
+
+        raw = create_jdbc_stream(spark, schema=schema, **options)
+        return converter(raw) if converter is not None else raw
     if provider in _CUSTOM_PROVIDERS:
         raw = _CUSTOM_PROVIDERS[provider](spark, schema=schema, **options)
         return converter(raw) if converter is not None else raw

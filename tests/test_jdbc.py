@@ -96,3 +96,64 @@ def test_create_external_table_ddl(snappy, sf_dir, derby_db):
         f"OPTIONS (url '{derby_db}', dbtable 'T_DDL')"
     )
     assert snappy.sql("SELECT COUNT(*) AS n FROM ext_jdbc").collect()[0].n == 7
+
+
+def test_jdbc_stream_cdc_polling(snappy, spark, tmp_path, derby_db):
+    """The JDBC streaming connector analogue
+    (docs/connectors/jdbc_streaming_connector.md): CREATE STREAM TABLE
+    USING jdbc_stream polls offset-newer rows from a JDBC table into a
+    landing zone and streams them — incremental polls land only the new
+    tail, the watermark survives re-registration, and the stream
+    composes with ordinary streaming queries."""
+    from snappydata_spark.streaming import jdbc_stream
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "evt_id int, payload string"
+    )
+    jdbc_write(src, derby_db, "CDC_SRC", mode="overwrite")
+    staging = str(tmp_path / "landing")
+    sn = snappy
+    df = sn.sql(
+        "CREATE STREAM TABLE jstream (evt_id int, payload string) "
+        "USING jdbc_stream OPTIONS ("
+        f"url '{derby_db}', dbtable 'CDC_SRC', offsetColumn 'evt_id', "
+        f"stagingDir '{staging}')"
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("jstream_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        assert jdbc_stream.poll(staging) == 3
+        q.processAllAvailable()
+        got = {
+            r.evt_id for r in spark.sql("SELECT * FROM jstream_mem").collect()
+        }
+        assert got == {1, 2, 3}
+        # new CDC rows: the next poll lands ONLY the tail past the offset
+        jdbc_write(
+            spark.createDataFrame([(4, "d"), (5, "e")], src.schema),
+            derby_db, "CDC_SRC", mode="append",
+        )
+        assert jdbc_stream.poll(staging) == 2
+        assert jdbc_stream.poll(staging) == 0  # nothing new
+        q.processAllAvailable()
+        got = {
+            r.evt_id for r in spark.sql("SELECT * FROM jstream_mem").collect()
+        }
+        assert got == {1, 2, 3, 4, 5}
+    finally:
+        q.stop()
+    # the persisted watermark survives re-creation (restart contract)
+    sn.sql("DROP STREAM TABLE jstream")
+    sn.sql(
+        "CREATE STREAM TABLE jstream2 (evt_id int, payload string) "
+        "USING jdbc_stream OPTIONS ("
+        f"url '{derby_db}', dbtable 'CDC_SRC', offsetColumn 'evt_id', "
+        f"stagingDir '{staging}')"
+    )
+    assert jdbc_stream.poll(staging) == 0
+    sn.sql("DROP STREAM TABLE jstream2")
