@@ -1266,6 +1266,16 @@ class SnappySession:
                     f"CHECK constraint violated on {meta.name}: {e}"
                 )
 
+    @staticmethod
+    def _parse_size(v) -> int:
+        """'24m' / '128k' / '1g' / plain bytes → int bytes (the
+        reference's size-literal vocabulary for batchSize options)."""
+        s = str(v).strip().lower()
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(float(s))
+
     @_serialized
     def insert(self, name: str, df: DataFrame) -> None:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
@@ -1273,7 +1283,56 @@ class SnappySession:
         meta = self.catalog.load_meta(name.lower())
         self._validate_checks(meta, df)
         self._write(df, meta, mode="append")
+        self._maybe_flush_small_files(name, meta)
         self._refresh_view(name)
+
+    def _maybe_flush_small_files(self, name: str, meta: TableMeta) -> None:
+        """The reference's delta-row-buffer flush at file granularity
+        (ColumnMaxDeltaRows, Literals.scala:138-146: small writes buffer
+        in a row store and flush into a column batch at maxDeltaRows
+        rows): when the table's SMALL files accumulate at least
+        maxDeltaRows rows, merge just those files into column-batch-sized
+        ones — big files are never touched, so the flush cost is bounded
+        by the buffered tail, not table size.  This is what keeps
+        trickle-insert workloads from degrading scans at 100 TB (every
+        append adds a file; unchecked, file count grows without bound).
+
+        Activation mirrors the reference: the table option
+        `maxDeltaRows` or the session conf
+        `snappydata.column.maxDeltaRows` (0/absent = off, the historical
+        inert behavior).  'Small' = under the column-batch target
+        (snappydata.column.batchSize, default 24m)."""
+        limit = int(
+            meta.options.get("maxdeltarows")
+            or self.get_conf("snappydata.column.maxdeltarows", 0)
+            or 0
+        )
+        if not limit or self._is_bucketed(meta):
+            return
+        cname = self._canon(name)
+        live = self._live_files(cname)
+        if live is None or len(live) < 2:
+            return
+        batch_bytes = self._parse_size(
+            meta.options.get("batchsize")
+            or self.get_conf("snappydata.column.batchsize", "24m")
+        )
+        small = [f for f in live if os.path.getsize(f) < batch_bytes]
+        if len(small) < 2:
+            return
+        try:
+            import pyarrow.parquet as pq
+
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in small)
+        except Exception:  # noqa: BLE001 — footer unreadable: skip flush
+            return
+        if rows < limit:
+            return
+        schema = self._read_table(name).schema
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-total // batch_bytes))
+        merged = self._read_files(schema, small).coalesce(n_out)
+        self._replace_files(meta, small, merged)
 
     @_serialized
     def put(self, name: str, df: DataFrame) -> None:
@@ -1314,6 +1373,7 @@ class SnappySession:
         self._replace_files(
             meta, files, keep.unionByName(df.select(*target.columns))
         )
+        self._maybe_flush_small_files(name, meta)
 
     @_serialized
     def update(self, name: str, where, assignments: dict, alias: str | None = None) -> None:

@@ -542,3 +542,47 @@ def test_merge_multi_source_match_raises(snappy):
         )
     assert snappy.table("mc_t").count() == 1
     snappy.drop_table("mc_t")
+
+
+def test_max_delta_rows_auto_flush(snappy, spark):
+    """The reference's ColumnMaxDeltaRows contract at file granularity
+    (Literals.scala:138-146): trickle inserts buffer as small files;
+    once the small-file tail holds >= maxDeltaRows rows it flushes into
+    column-batch-sized files — content identical, file count bounded."""
+    snappy.sql(
+        "CREATE TABLE flush_t (k INT NOT NULL, v INT) USING column "
+        "OPTIONS (key_columns 'k', maxDeltaRows '50')"
+    )
+    import os
+
+    def n_files():
+        live = snappy._live_files("flush_t")
+        return len(live)
+
+    total = 0
+    for batch in range(4):
+        vals = ", ".join(f"({batch * 20 + i}, {i})" for i in range(20))
+        snappy.sql(f"INSERT INTO flush_t VALUES {vals}")
+        total += 20
+    # 80 rows in small files crossed the 50-row buffer limit: flushed
+    assert n_files() < 4
+    assert snappy.table("flush_t").count() == total
+    assert snappy.table("flush_t").agg({"v": "sum"}).collect()[0][0] == 4 * sum(
+        range(20)
+    )
+    # keys remain mutable after the flush (layout change only)
+    snappy.sql("UPDATE flush_t SET v = 999 WHERE k = 0")
+    assert (
+        snappy.table("flush_t").filter("k = 0").collect()[0].v == 999
+    )
+    # without the option, inserts never flush (historical behavior)
+    snappy.sql(
+        "CREATE TABLE noflush_t (k INT NOT NULL, v INT) USING column "
+        "OPTIONS (key_columns 'k')"
+    )
+    base = len(snappy._live_files("noflush_t"))
+    for batch in range(3):
+        snappy.sql(f"INSERT INTO noflush_t VALUES ({batch}, {batch})")
+    assert len(snappy._live_files("noflush_t")) == base + 3
+    snappy.drop_table("flush_t")
+    snappy.drop_table("noflush_t")
