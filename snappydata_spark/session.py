@@ -1482,14 +1482,21 @@ class SnappySession:
         )
         # queryable system tables (reference/system_tables/): SYS.MEMBERS
         # and SYS.SYSTABLES resolve to session-computed frames
-        if re.search(r"\bSYS\.(MEMBERS|SYSTABLES)\b", text, re.I):
+        if re.search(r"\bSYS\.(MEMBERS|SYSTABLES|TABLESTATS)\b", text, re.I):
             if re.search(r"\bSYS\.MEMBERS\b", text, re.I):
                 self._show_members().createOrReplaceTempView("sys_members")
             if re.search(r"\bSYS\.SYSTABLES\b", text, re.I):
                 self._systables().createOrReplaceTempView("sys_systables")
+            if re.search(r"\bSYS\.TABLESTATS\b", text, re.I):
+                self._systablestats().createOrReplaceTempView(
+                    "sys_tablestats"
+                )
             text = re.sub(r"\bSYS\.MEMBERS\b", "sys_members", text, flags=re.I)
             text = re.sub(
                 r"\bSYS\.SYSTABLES\b", "sys_systables", text, flags=re.I
+            )
+            text = re.sub(
+                r"\bSYS\.TABLESTATS\b", "sys_tablestats", text, flags=re.I
             )
         if "." in text:
             # schema-qualified relation references (APP.t / other.t) over
@@ -2867,6 +2874,39 @@ class SnappySession:
             rows,
             "tablename string, tabletype string, tableschemaname string, "
             "datapolicy string, provider string",
+        )
+
+    def _systablestats(self) -> DataFrame:
+        """SYS.TABLESTATS (reference/system_tables/systablestats.md):
+        per-table row count / on-disk size / layout flags — sizes from
+        ANALYZE TABLE (cached in table meta after the first call)."""
+        rows = []
+        for t in self.catalog.list_tables():
+            meta = self.catalog.load_meta(t)
+            opts = meta.options
+            if "row_count" not in opts or "size_bytes" not in opts:
+                try:
+                    self.analyze_table(t)
+                    opts = self.catalog.load_meta(t).options
+                except Exception:  # noqa: BLE001 — unreadable table
+                    continue
+            replicated = opts.get("replicated", "").lower() == "true"
+            rows.append(
+                (
+                    f"APP.{t.upper()}",
+                    meta.provider != "row",
+                    replicated,
+                    int(opts.get("row_count", 0)),
+                    int(opts.get("size_bytes", 0)),
+                    int(opts.get("size_bytes", 0)),
+                    int(meta.buckets or 1),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            '`table` string, is_column_table boolean, '
+            "is_replicated_table boolean, row_count long, "
+            "size_in_memory long, total_size long, buckets long",
         )
 
     # ------------------------------------------------------------- synonyms

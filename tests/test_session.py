@@ -735,3 +735,24 @@ def test_execute_grant_on_function(snappy):
         snappy.current_user = prev
     snappy.sql("REVOKE EXECUTE ON FUNCTION fx_double FROM alice")
     snappy.drop_table("fx_t")
+
+
+def test_sys_tablestats_queryable(snappy):
+    """SYS.TABLESTATS (system_tables/systablestats.md): row counts,
+    sizes, and layout flags per managed table."""
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "ts_stat", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=i) for i in range(7)]),
+    )
+    rows = {
+        r.table: r
+        for r in snappy.sql(
+            "SELECT * FROM SYS.TABLESTATS WHERE row_count > 0"
+        ).collect()
+    }
+    st = rows.get("APP.TS_STAT")
+    assert st is not None and st.row_count == 7
+    assert st.total_size > 0 and st.is_column_table
+    snappy.drop_table("ts_stat")
