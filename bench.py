@@ -360,6 +360,7 @@ def main() -> None:
         "sim_ann_batch_topk",
         "txt_bm25_batch_topk",
         "aqp_sample_join_estimate",
+        "aqp_topk_table_sql",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
