@@ -1195,6 +1195,9 @@ class SnappySession:
                     self._resolve_read_access(self._views[tgt])
                     self.spark.sql(self._views[tgt]).createOrReplaceTempView(tgt)
                     self.spark.table(tgt).createOrReplaceTempView(syn)
+                elif tgt in self._streams:
+                    # stream-table target: alias the live streaming frame
+                    self._streams[tgt].createOrReplaceTempView(syn)
                 elif self.catalog.exists(tgt):
                     self.table(tgt).createOrReplaceTempView(syn)
                 else:
@@ -2932,7 +2935,7 @@ class SnappySession:
         table/view namespace; the target may not exist yet (warning, not
         error); circular references are rejected at creation."""
         syn = self._canon(name)
-        if self.catalog.exists(syn) or syn in self._views:
+        if self.catalog.exists(syn) or syn in self._views or syn in self._streams:
             raise ValueError(
                 f"'{name}' already names a table or view — synonyms share "
                 "that namespace (create-synonym.md)"
@@ -2956,7 +2959,7 @@ class SnappySession:
                 f"CREATE SYNONYM {name} FOR {target} would create a "
                 "circular reference (SQLSTATE 42916)"
             )
-        if not (self.catalog.exists(n) or n in self._views):
+        if not (self.catalog.exists(n) or n in self._views or n in self._streams):
             # the reference warns (SQLSTATE 01522) and creates anyway;
             # the target must exist when the synonym is USED
             print(

@@ -749,3 +749,27 @@ def test_create_temporary_table(snappy, sf_dir):
     assert not snappy.catalog.exists("tmp_li2")
     snappy.spark.catalog.dropTempView("tmp_li")
     snappy.spark.catalog.dropTempView("tmp_li2")
+
+
+def test_synonym_over_stream_table(snappy, tmp_path):
+    """A synonym may target a STREAM TABLE (streams share the relation
+    namespace): queries through the synonym read the live stream."""
+    import json
+
+    d = tmp_path / "syn_stream"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+    snappy.sql(
+        "CREATE STREAM TABLE syn_src (k int) USING file_stream "
+        f"OPTIONS (format 'json', path '{d}')"
+    )
+    snappy.sql("CREATE SYNONYM syn_stream FOR syn_src")
+    df = snappy.sql("SELECT k FROM syn_stream")
+    assert df.isStreaming
+    import pytest
+
+    with pytest.raises(ValueError, match="namespace"):
+        snappy.sql("CREATE SYNONYM syn_src FOR syn_stream")
+    snappy.sql("DROP SYNONYM syn_stream")
+    snappy.sql("DROP STREAM TABLE syn_src")
