@@ -157,3 +157,63 @@ def test_jdbc_stream_cdc_polling(snappy, spark, tmp_path, derby_db):
     )
     assert jdbc_stream.poll(staging) == 0
     sn.sql("DROP STREAM TABLE jstream2")
+
+
+def test_jdbc_cdc_to_snappysink_pipeline(snappy, spark, tmp_path, derby_db):
+    """The reference's end-to-end CDC pipeline
+    (docs/connectors/cdc_connector.md + jdbc_streaming_connector.md):
+    a CDC-shaped JDBC table (LSN + _eventType) polls through
+    jdbc_stream into a snappysink-maintained keyed table — inserts
+    land, updates upsert, deletes remove, all conflated per key in LSN
+    order."""
+    from snappydata_spark.streaming import jdbc_stream
+    from snappydata_spark.streaming.sink import SnappySink
+
+    rows = [(1, 1, "a", 0), (2, 2, "b", 0), (3, 3, "c", 0)]
+    jdbc_write(
+        spark.createDataFrame(
+            rows, "lsn int, k int, v string, _eventType int"
+        ),
+        derby_db, "CDCP", mode="overwrite",
+    )
+    staging = str(tmp_path / "cdc_landing")
+    stream = snappy.sql(
+        "CREATE STREAM TABLE cdcp_stream "
+        "(lsn int, k int, v string, _eventType int) "
+        "USING jdbc_stream OPTIONS ("
+        f"url '{derby_db}', dbtable 'CDCP', offsetColumn 'lsn', "
+        f"stagingDir '{staging}')"
+    )
+    snappy.sql(
+        "CREATE TABLE cdc_tgt (k INT NOT NULL, v STRING) "
+        "USING row OPTIONS (key_columns 'k')"
+    )
+    sink = SnappySink(
+        snappy, "cdc_tgt", query_name="cdcp", order_col="lsn"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert jdbc_stream.poll(staging) == 3
+        q.processAllAvailable()
+        got = {r.k: r.v for r in snappy.table("cdc_tgt").collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+        # CDC tail: update k=1, delete k=2 (higher LSNs)
+        jdbc_write(
+            spark.createDataFrame(
+                [(4, 1, "a2", 1), (5, 2, "b", 2)],
+                "lsn int, k int, v string, _eventType int",
+            ),
+            derby_db, "CDCP", mode="append",
+        )
+        assert jdbc_stream.poll(staging) == 2
+        q.processAllAvailable()
+        got = {r.k: r.v for r in snappy.table("cdc_tgt").collect()}
+        assert got == {1: "a2", 3: "c"}
+    finally:
+        q.stop()
+    snappy.sql("DROP STREAM TABLE cdcp_stream")
+    snappy.drop_table("cdc_tgt")
