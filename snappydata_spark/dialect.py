@@ -438,7 +438,9 @@ def parse_with_error(text: str):
             "[JOIN dim ON cond]... [WHERE ...] [GROUP BY ...]"
         )
     table, joins = _parse_approx_from(q.group(2))
-    items = [s.strip() for s in q.group(1).split(",")]
+    # top-level split: a select item may be an expression with its own
+    # commas, e.g. substr(name, 1, 3)
+    items = split_top_level(q.group(1))
     aggs: list[tuple] = []
     group_items: list[str] = []
     errfns: list[tuple] = []

@@ -424,8 +424,11 @@ def search_ivf_sq8_batch(
     k = len(info["centroids"])
     # full-recall widening: when the per-query candidate budget covers
     # the whole corpus, probing fewer than all cells only loses recall
-    # (opt out to pin the probe count, e.g. for fixed-nprobe parity runs)
-    if widen_to_full_recall and cand >= int(info.get("n_rows", 0) or 0):
+    # (opt out to pin the probe count, e.g. for fixed-nprobe parity
+    # runs).  An index persisted before n_rows was recorded skips the
+    # widen — a missing count must not silently force full-corpus scans.
+    n_rows = int(info.get("n_rows") or 0)
+    if widen_to_full_recall and n_rows and cand >= n_rows:
         nprobe = k
     cents = np.array(info["centroids"], dtype=np.float64)
     cent_norms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
@@ -459,7 +462,13 @@ def search_ivf_sq8_batch(
                 cells.extend(int(c) for c in order)
             yield pd.DataFrame({qid_col: qids, "cell": cells})
 
-    probe = queries.select(qid_col, qvec_col).mapInPandas(_probe, probe_schema)
+    # persist the probe pairs: the frame is read twice (distinct-cell
+    # collect below, then the candidate join) and re-running the
+    # mapInPandas centroid pass over a large query table would double
+    # the probe cost
+    probe = queries.select(qid_col, qvec_col).mapInPandas(
+        _probe, probe_schema
+    ).persist()
     # the distinct probed-cell list is bounded by k (model-sized): push
     # it as a literal IN so the cell-clustered file layout still prunes
     cells = [r.cell for r in probe.select("cell").distinct().collect()]

@@ -264,9 +264,13 @@ def bm25_topk_batch(
             .collect()[0]
         )
         n_docs, avgdl = stats.n_docs, stats.avgdl
+    # persisted: read for the vocabulary collect and again as the
+    # per-query join side (re-deriving the explode+distinct twice would
+    # re-shuffle the query table per use)
     qterms = (
         queries.select(F.col(qid_col), F.explode(terms_col).alias("term"))
         .distinct()
+        .persist()
     )
     # the union vocabulary is bounded by the query set, not the corpus;
     # when small it pushes as a literal IN so the term-clustered file

@@ -1511,6 +1511,7 @@ class SnappySession:
                     self._canon(f"{sch}.{tbl}")
                     if self.catalog.exists(f"{sch}.{tbl}")
                     or self._canon(f"{sch}.{tbl}") in self._streams
+                    or self._canon(f"{sch}.{tbl}") in self._synonyms
                     else None
                 ),
             )
@@ -1524,6 +1525,7 @@ class SnappySession:
                     self.catalog.exists(cn)
                     or cn in self._views
                     or cn in self._streams
+                    or cn in self._synonyms
                 ):
                     return f"{m.group(1)} {cn}"
                 return m.group(0)
@@ -2613,12 +2615,13 @@ class SnappySession:
             panel = panel.filter(F.col("window_start") >= F.lit(start_time).cast("timestamp"))
         if end_time:
             panel = panel.filter(F.col("window_start") < F.lit(end_time).cast("timestamp"))
-        return (
+        out = (
             panel.groupBy(key)
             .agg(F.sum("cnt").alias("estimated_count"))
             .orderBy(F.desc("estimated_count"), F.asc(key))
-            .limit(k)
         )
+        # k < 0 = every merged key (custom-ordered reads rank over all)
+        return out if k < 0 else out.limit(k)
 
     def _create_topk_table(self, name: str, base_table: str, options: dict):
         """CREATE TOPK TABLE t ON base OPTIONS(key 'c', frequencyCol 'f',
@@ -2690,13 +2693,46 @@ class SnappySession:
                     "TOPK TABLE queries support only startTime/endTime "
                     f"predicates (sketching.md:46-49); got {where!r}"
                 )
-        k = int(limit) if limit else None
         key = meta.options["key"]
-        out = self.query_approx_ts_topk(name, start, end, k=k).select(
+        # a non-default ORDER BY must rank over ALL merged keys, not the
+        # count-DESC top-k (ASC would otherwise return the opposite rows)
+        om = (
+            re.match(r"^\s*(\w+)\s*(ASC|DESC)?\s*$", order, re.I)
+            if order
+            else None
+        )
+        if order and not om:
+            raise ValueError(
+                "TOPK TABLE ORDER BY supports a single column "
+                f"[ASC|DESC] (sketching.md:36-49); got {order!r}"
+            )
+        default_order = om is None or (
+            om.group(1).lower() == "estimatedvalue"
+            and (om.group(2) or "DESC").upper() == "DESC"
+        )
+        k = int(limit) if limit else None
+        out = self.query_approx_ts_topk(
+            name, start, end, k=(k if default_order else -1)
+        ).select(
             F.col(key),
             F.col("estimated_count").alias("EstimatedValue"),
             F.lit(0.0).alias("ErrorBoundsInfo"),
         )
+        if not default_order:
+            cols = {c.lower(): c for c in out.columns}
+            oc = cols.get(om.group(1).lower())
+            if oc is None:
+                raise ValueError(
+                    f"TOPK TABLE ORDER BY column {om.group(1)!r} not in "
+                    f"{list(cols.values())}"
+                )
+            e = F.col(oc)
+            out = out.orderBy(
+                e.desc() if (om.group(2) or "ASC").upper() == "DESC" else e.asc(),
+                F.col(key).asc(),
+            )
+            if k is not None:
+                out = out.limit(k)
         sel = sel.strip()
         if sel != "*":
             cols = {c.lower(): c for c in out.columns}
@@ -2781,11 +2817,12 @@ class SnappySession:
         out_dir = f"{uri.rstrip('/')}_{int(_time.time() * 1000)}"
         os.makedirs(out_dir, exist_ok=True)
         ddls: list[str] = []
+        derived: list[str] = []  # sample/topk DDL replays AFTER its base
         for t in self.catalog.list_tables():
             meta = self.catalog.load_meta(t)
             if meta.provider == "sample":
                 opts = meta.options
-                ddls.append(
+                derived.append(
                     f"CREATE SAMPLE TABLE {t} ON {opts['base_table']} "
                     f"OPTIONS (qcs '{opts['qcs']}', fraction "
                     f"'{opts['fraction']}');"
@@ -2799,7 +2836,7 @@ class SnappySession:
                         f"timeSeriesColumn '{opts['ts']}'",
                         f"timeInterval '{opts['window']}'",
                     ]
-                ddls.append(
+                derived.append(
                     f"CREATE TOPK TABLE {t} ON {opts['base_table']} "
                     f"OPTIONS ({', '.join(parts)});"
                 )
@@ -2811,11 +2848,25 @@ class SnappySession:
                 ddls.append(stmt.rstrip(";") + ";")
             except Exception:  # noqa: BLE001 — e.g. dropped mid-export
                 continue
+        # layout (range/Z-ORDER) indexes — skipping the ones the ANN
+        # CREATE INDEX replay recreates itself (<ann>__cell / <ann>__term)
+        auto = {
+            f"{a}__{suffix}"
+            for a in self._ann_indexes
+            for suffix in ("cell", "term")
+        }
+        for idx_name, (itable, icols) in self._indexes.items():
+            if idx_name in auto:
+                continue
+            ddls.append(
+                f"CREATE INDEX {idx_name} ON {itable} ({', '.join(icols)});"
+            )
         for idx_name, info in self._ann_indexes.items():
             ddls.append(
                 f"CREATE INDEX {idx_name} ON {info['table']}"
                 f"({info['column']}) USING {info['method']};"
             )
+        ddls.extend(derived)
         for vname, vsql in self._views.items():
             ddls.append(f"CREATE VIEW {vname} AS {vsql};")
         for syn, tgt in self._synonyms.items():
@@ -2833,9 +2884,10 @@ class SnappySession:
                     p.upper() for p in privs
                 )
                 ddls.append(f"GRANT {plist} ON {scope} TO {u};")
-        for pname, (ptable, pexpr, _) in self._policies.items():
+        for pname, (ptable, pexpr, puser) in self._policies.items():
+            to = f" TO {puser}" if puser else ""
             ddls.append(
-                f"CREATE POLICY {pname} ON {ptable} FOR SELECT "
+                f"CREATE POLICY {pname} ON {ptable} FOR SELECT{to} "
                 f"USING ({pexpr});"
             )
         for t in sorted(self._rls):

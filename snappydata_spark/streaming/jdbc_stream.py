@@ -97,7 +97,15 @@ class JdbcCdcPoller:
     def poll(self) -> int:
         """Land rows past the watermark; returns the row count landed.
         The incremental predicate pushes INTO the JDBC subquery, so each
-        poll reads only the new tail — never re-scans the source."""
+        poll reads only the new tail — never re-scans the source.
+
+        The tail is read from the source ONCE (staged to an incoming
+        dir, then the count/max watermark computes from the FROZEN
+        staged files before they move into the landing zone): a
+        concurrent writer committing between two source reads can
+        neither be double-landed nor skipped."""
+        import uuid
+
         from snappydata_spark.sources.jdbc import jdbc_read
 
         wm = self._load_offset()
@@ -113,16 +121,32 @@ class JdbcCdcPoller:
                 f'"{self.offset_column}" > {self._offset_literal(wm)}) cdc_tail'
             )
         fresh = jdbc_read(self.spark, self.url, sub, driver=self.driver)
-        agg = fresh.agg(
+        incoming = os.path.join(
+            self.staging_dir, f"incoming-{uuid.uuid4().hex[:12]}"
+        )
+        fresh.write.mode("overwrite").parquet(incoming)
+        staged = self.spark.read.schema(fresh.schema).parquet(incoming)
+        agg = staged.agg(
             F.count(F.lit(1)).alias("n"), F.max(self.offset_column).alias("mx")
         ).collect()[0]
+        data_dir = os.path.join(self.staging_dir, "data")
         if agg.n == 0:
+            import shutil
+
+            shutil.rmtree(incoming, ignore_errors=True)
             return 0
-        # land BEFORE persisting the watermark: a crash between the two
-        # replays the tail (at-least-once), never loses it
-        fresh.write.mode("append").parquet(
-            os.path.join(self.staging_dir, "data")
-        )
+        # move the frozen files into the landing zone BEFORE persisting
+        # the watermark: a crash between the two replays the tail
+        # (at-least-once), never loses it
+        os.makedirs(data_dir, exist_ok=True)
+        for f in os.listdir(incoming):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(incoming, f), os.path.join(data_dir, f)
+                )
+        import shutil
+
+        shutil.rmtree(incoming, ignore_errors=True)
         mx = agg.mx
         self._save_offset(
             mx if isinstance(mx, (int, float)) else str(mx)
@@ -150,6 +174,17 @@ def create_jdbc_stream(
         or options.get("staging_dir")
         or tempfile.mkdtemp(prefix="jdbc_stream_")
     )
+    so = options.get("startingoffset")
+    if so is not None:
+        # DDL options arrive as strings; a numeric offset column needs a
+        # numeric literal (WHERE id > '100' is a type error in Derby)
+        try:
+            so = int(so)
+        except (TypeError, ValueError):
+            try:
+                so = float(so)
+            except (TypeError, ValueError):
+                pass
     poller = JdbcCdcPoller(
         spark,
         url,
@@ -157,7 +192,7 @@ def create_jdbc_stream(
         offset_column,
         staging,
         driver=options.get("driver"),
-        starting_offset=options.get("startingoffset"),
+        starting_offset=so,
     )
     POLLERS[staging] = poller
     if schema is None:

@@ -768,3 +768,51 @@ def test_sample_table_maintained_through_mutations(spark, snappy):
     assert snappy.table("smp_s").filter("k < 1000").count() == 0
     snappy.drop_table("smp_s")
     snappy.drop_table("smp_base")
+
+
+def test_topk_table_order_by_asc_and_commas_in_select(snappy, spark, sf_dir):
+    """Review fixes: (a) TOPK TABLE ORDER BY EstimatedValue ASC ranks
+    over ALL merged keys (bottom-k, not the reversed top-k); (b) WITH
+    ERROR select lists split on top-level commas only, so
+    comma-bearing expressions keep their aliases."""
+    from snappydata_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    snappy.create_table("tko_base", df=events, options={"key_columns": "event_id"})
+    snappy.sql(
+        "CREATE TOPK TABLE tko ON tko_base OPTIONS "
+        "(key 'event_type', timeSeriesColumn 'ts', timeInterval '1h', "
+        "size '50')"
+    )
+    try:
+        true = {
+            r.event_type: r.c
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        bottom2 = sorted(true.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+        got = snappy.sql(
+            "SELECT * FROM tko ORDER BY EstimatedValue ASC LIMIT 2"
+        ).collect()
+        assert [(r.event_type, r.EstimatedValue) for r in got] == bottom2
+    finally:
+        snappy.drop_table("tko")
+        snappy.drop_table("tko_base")
+    # (b) comma-bearing select expression in WITH ERROR
+    lineitem = snappy.spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    snappy.create_table("wec_base", df=lineitem)
+    snappy.sql(
+        "CREATE SAMPLE TABLE wec_s ON wec_base "
+        "OPTIONS (qcs 'l_returnflag', fraction '0.3')"
+    )
+    try:
+        out = snappy.sql(
+            "SELECT substr(l_returnflag, 1, 1) AS f, COUNT(*) AS n "
+            "FROM wec_base GROUP BY substr(l_returnflag, 1, 1) WITH ERROR"
+        )
+        assert "f" in out.columns
+        assert out.count() == lineitem.select("l_returnflag").distinct().count()
+    finally:
+        snappy.drop_table("wec_s")
+        snappy.drop_table("wec_base")

@@ -756,3 +756,68 @@ def test_sys_tablestats_queryable(snappy):
     assert st is not None and st.row_count == 7
     assert st.total_size > 0 and st.is_column_table
     snappy.drop_table("ts_stat")
+
+
+def test_export_ddls_replay_order_and_fidelity(snappy, tmp_path):
+    """Review fixes: EXPORT_DDLS replays in dependency order (a sample
+    alphabetically BEFORE its base still replays after it), keeps the
+    policy's TO-user scope, and emits layout indexes."""
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "zz_base", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=i, g="a") for i in range(20)]),
+    )
+    snappy.sql(
+        "CREATE SAMPLE TABLE aa_smp ON zz_base "
+        "OPTIONS (qcs 'g', fraction '0.5')"
+    )
+    snappy.sql("CREATE INDEX zz_idx ON zz_base (k)")
+    snappy.sql(
+        "CREATE POLICY p_zz ON zz_base FOR SELECT TO bob USING (k <> 7)"
+    )
+    out = snappy.sql(f"CALL SYS.EXPORT_DDLS('{tmp_path}/ddl_order')").collect()
+    with open(out[0].path) as f:
+        ddls = f.read()
+    assert ddls.index("CREATE TABLE") < ddls.index("CREATE SAMPLE TABLE")
+    assert "CREATE INDEX zz_idx ON zz_base (k);" in ddls
+    assert "FOR SELECT TO bob USING (k <> 7);" in ddls
+    # full replay into a fresh store succeeds in file order
+    import tempfile
+
+    from snappydata_spark import SnappySession
+
+    sn2 = SnappySession(
+        snappy.spark, store_dir=tempfile.mkdtemp(prefix="ddl_order_rt_")
+    )
+    for stmt in ddls.splitlines():
+        s = stmt.strip().rstrip(";")
+        if s and ("zz_" in s.lower() or "aa_smp" in s.lower()):
+            sn2.sql(s)
+    assert sn2.catalog.exists("aa_smp")
+    assert sn2._policies["p_zz"][2] == "bob"
+    snappy.sql("DROP POLICY p_zz")
+    snappy.drop_table("aa_smp")
+    snappy.drop_table("zz_base")
+
+
+def test_synonym_resolves_under_set_schema(snappy):
+    """Review fix: a synonym created under SET SCHEMA resolves through
+    bare and qualified references alike."""
+    from pyspark.sql import Row
+
+    snappy.sql("CREATE SCHEMA ssyn")
+    snappy.sql("SET SCHEMA ssyn")
+    try:
+        snappy.create_table(
+            "sst", options={"key_columns": "k"},
+            df=snappy.spark.createDataFrame([Row(k=5)]),
+        )
+        snappy.sql("CREATE SYNONYM ss_alias FOR sst")
+        assert snappy.sql("SELECT k FROM ss_alias").collect()[0].k == 5
+        snappy.sql("SET SCHEMA app")
+        assert snappy.sql("SELECT k FROM ssyn.ss_alias").collect()[0].k == 5
+    finally:
+        snappy.sql("SET SCHEMA app")
+        snappy.sql("DROP SYNONYM ssyn.ss_alias")
+        snappy.drop_table("ssyn.sst")
