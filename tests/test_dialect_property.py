@@ -1,0 +1,111 @@
+"""Property tests over the round-6 dialect parsers (pure python, no
+Spark): top-level splitting, size literals, the GRANT grammar, and the
+WITH ERROR select-list round-trip."""
+
+from hypothesis import given, settings, strategies as st
+
+from snappydata_spark.dialect import (
+    parse_with_error,
+    split_statement,
+    split_top_level,
+)
+
+_KEYWORDS = {
+    "select", "from", "where", "group", "by", "order", "limit", "on",
+    "join", "to", "as", "all", "and", "or", "grant", "revoke", "error",
+    "with", "table", "inner", "having",
+}
+idents = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in _KEYWORDS
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            idents,
+            st.builds(
+                lambda f, args: f + "(" + ", ".join(args) + ")",
+                idents,
+                st.lists(idents, min_size=1, max_size=3),
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_split_top_level_round_trips(items):
+    """Joining arbitrary identifier/function-call items with ', ' and
+    splitting again returns the original items — commas inside parens
+    never split."""
+    joined = ", ".join(items)
+    assert split_top_level(joined) == items
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.sampled_from(["", "k", "m", "g"]),
+)
+def test_parse_size_units(n, unit):
+    from snappydata_spark.session import SnappySession
+
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[unit]
+    assert SnappySession._parse_size(f"{n}{unit}") == n * mult
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["select", "insert", "update", "delete", "trigger", "references"]
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    st.lists(idents, min_size=1, max_size=3, unique=True),
+    idents,
+    st.booleans(),
+)
+def test_grant_grammar_round_trips(privs, users, table, revoke):
+    verb = "REVOKE" if revoke else "GRANT"
+    kw = "FROM" if revoke else "TO"
+    s = split_statement(
+        f"{verb} {', '.join(p.upper() for p in privs)} ON {table} "
+        f"{kw} {', '.join(users)}"
+    )
+    assert s.kind == "grant_revoke"
+    assert s.options["verb"] == verb.lower()
+    assert s.options["privileges"] == privs
+    assert s.options["users"] == users
+    # ALL PRIVILEGES collapses to the 'all' marker
+    s2 = split_statement(f"{verb} ALL PRIVILEGES ON {table} {kw} {users[0]}")
+    assert s2.options["privileges"] == ["all"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    idents,
+    st.lists(idents, min_size=1, max_size=3, unique=True),
+    st.sampled_from(["SUM", "AVG", "COUNT"]),
+    idents,
+    st.one_of(st.none(), st.floats(min_value=0.01, max_value=0.99)),
+)
+def test_with_error_parse_structure(table, groups, fn, col, frac):
+    g = ", ".join(groups)
+    f = f" {round(frac, 3)}" if frac is not None else ""
+    parsed = parse_with_error(
+        f"SELECT {g}, {fn}({col}) AS a FROM {table} "
+        f"GROUP BY {g} WITH ERROR{f}"
+    )
+    aggs, group_items, tbl, where, group_by, pf, conf, beh, joins, errfns, ob, lim = parsed
+    assert tbl == table
+    assert [a[2] for a in aggs] == ["a"] and aggs[0][0] == fn.lower()
+    assert [i.strip() for i in group_items] == groups
+    assert joins == [] and errfns == [] and ob is None and lim is None
+    if frac is None:
+        assert pf is None
+    else:
+        assert abs(pf - round(frac, 3)) < 1e-9
