@@ -1028,7 +1028,11 @@ class SnappySession:
         entry = self._grants.get(scope)
         if not entry:
             return False
-        privs = entry.get(self.current_user, set())
+        # PUBLIC grants apply to every user (grant.md: 'a specific user
+        # or all users')
+        privs = entry.get(self.current_user, set()) | entry.get(
+            "public", set()
+        )
         return priv not in privs and "all" not in privs
 
     def _check_write_priv(self, name: str, priv: str) -> None:

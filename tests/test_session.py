@@ -821,3 +821,32 @@ def test_synonym_resolves_under_set_schema(snappy):
         snappy.sql("SET SCHEMA app")
         snappy.sql("DROP SYNONYM ssyn.ss_alias")
         snappy.drop_table("ssyn.sst")
+
+
+def test_public_grantee_applies_to_all_users(snappy):
+    """GRANT ... TO PUBLIC (grant.md: permissions for 'all users')."""
+    import pytest
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "pub_t", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1)]),
+    )
+    snappy.sql("GRANT SELECT ON pub_t TO alice")  # locks the table down
+    snappy.sql("GRANT SELECT ON pub_t TO public")
+    prev = snappy.current_user
+    try:
+        snappy.current_user = "randomuser"
+        assert snappy.table("pub_t").count() == 1
+        # PUBLIC grants SELECT only: writes still gated
+        with pytest.raises(PermissionError, match="INSERT"):
+            snappy.sql("INSERT INTO pub_t VALUES (2)")
+        snappy.current_user = prev
+        snappy.sql("REVOKE SELECT ON pub_t FROM public")
+        snappy.current_user = "randomuser"
+        with pytest.raises(PermissionError, match="SELECT"):
+            snappy.table("pub_t").count()
+    finally:
+        snappy.current_user = prev
+    snappy.sql("REVOKE ALL ON pub_t FROM alice")
+    snappy.drop_table("pub_t")
