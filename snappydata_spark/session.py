@@ -2761,9 +2761,24 @@ class SnappySession:
             return self._export_data(*args)
         if proc == "export_ddls":
             return self._export_ddls(*args)
+        if proc == "rebalance_all_buckets":
+            # reference: redistributes bucket data across members
+            # (rebalance-all-buckets.md).  The file-layout analogue:
+            # rewrite every BUCKETED table through its bucketed writer,
+            # re-hashing rows into their buckets — evening out file
+            # sizes after skewed appends.  Unbucketed tables have no
+            # buckets to balance and are untouched.
+            rows = []
+            for t in self.catalog.list_tables():
+                meta = self.catalog.load_meta(t)
+                if self._is_bucketed(meta):
+                    rows.append((t, self.compact_table(t)))
+            return self.spark.createDataFrame(
+                rows or [("", 0)], "table string, buckets int"
+            ).filter(F.col("table") != "")
         raise ValueError(
             f"unknown system procedure SYS.{proc.upper()} "
-            "(supported: EXPORT_DATA, EXPORT_DDLS)"
+            "(supported: EXPORT_DATA, EXPORT_DDLS, REBALANCE_ALL_BUCKETS)"
         )
 
     def _export_data(

@@ -850,3 +850,31 @@ def test_public_grantee_applies_to_all_users(snappy):
         snappy.current_user = prev
     snappy.sql("REVOKE ALL ON pub_t FROM alice")
     snappy.drop_table("pub_t")
+
+
+def test_sys_rebalance_all_buckets(snappy):
+    """CALL SYS.REBALANCE_ALL_BUCKETS() (inbuilt_system_procedures/
+    rebalance-all-buckets.md): bucketed tables re-hash through the
+    bucketed writer; content unchanged, unbucketed tables untouched."""
+    from pyspark.sql import Row
+
+    snappy.create_table(
+        "rb_t",
+        options={"key_columns": "k", "partition_by": "k", "buckets": "4"},
+        df=snappy.spark.createDataFrame([Row(k=i, v=i * 2) for i in range(40)]),
+    )
+    snappy.create_table(
+        "rb_plain", options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([Row(k=1, v=1)]),
+    )
+    out = {r.table: r.buckets for r in snappy.sql(
+        "CALL SYS.REBALANCE_ALL_BUCKETS()"
+    ).collect()}
+    assert out.get("rb_t") == 4
+    assert "rb_plain" not in out
+    assert snappy.table("rb_t").count() == 40
+    assert snappy.table("rb_t").agg({"v": "sum"}).collect()[0][0] == sum(
+        i * 2 for i in range(40)
+    )
+    snappy.drop_table("rb_t")
+    snappy.drop_table("rb_plain")
