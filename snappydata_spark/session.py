@@ -1138,6 +1138,29 @@ class SnappySession:
         for t in deps:
             opts = self.catalog.load_meta(t).options
             self._create_sample_table(t, cname, dict(opts))
+        # TOPK TABLES track their base the same way (sketching.md: 'all
+        # relevant synopses are updated incrementally' as data arrives;
+        # stream ingest goes through topk_stream_updater's PUT-merge,
+        # batch mutations re-derive the panel — one groupBy over the
+        # base, the same cost class as the sample rebuild above)
+        topk_deps = [
+            t
+            for t in self.catalog.list_tables()
+            if (m := self.catalog.load_meta(t)).provider == "topk"
+            and m.options.get("base_table") == cname
+        ]
+        for t in topk_deps:
+            opts = self.catalog.load_meta(t).options
+            window = opts.get("window")
+            self.create_approx_ts_topk(
+                t,
+                cname,
+                opts["key"],
+                ts_col=opts.get("ts", "ts"),
+                k=int(opts.get("k", 10)),
+                window=None if window in (None, "all") else window,
+                freq_col=opts.get("freq") or None,
+            )
 
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
         # derived data never widens visibility: a SAMPLE TABLE read also
@@ -2568,12 +2591,14 @@ class SnappySession:
                 "ts": ts_col.lower(),
                 "k": str(k),
                 "window": window,
+                "freq": (freq_col or "").lower(),
                 # keyed so topk_stream_updater can PUT-merge per-window
                 # partial counts (the reference maintains the structure
                 # from the stream, SnappySession.scala:958-1026)
                 "key_columns": f"window_start,{key_col.lower()}",
             },
             df=panel,
+            overwrite=True,
         )
 
     def topk_stream_updater(self, name: str):

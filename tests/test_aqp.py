@@ -816,3 +816,49 @@ def test_topk_table_order_by_asc_and_commas_in_select(snappy, spark, sf_dir):
     finally:
         snappy.drop_table("wec_s")
         snappy.drop_table("wec_base")
+
+
+def test_topk_table_maintained_through_base_mutations(snappy, spark, sf_dir):
+    """sketching.md: synopses update as data arrives — batch mutations
+    of the base re-derive the TOPK panel (inserts raise counts, deletes
+    lower them), preserving frequencyCol semantics."""
+    from snappydata_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"].limit(200)
+    snappy.create_table(
+        "tkm_base", options={"key_columns": "event_id"}, df=events
+    )
+    snappy.sql(
+        "CREATE TOPK TABLE tkm ON tkm_base OPTIONS "
+        "(key 'event_type', timeSeriesColumn 'ts', timeInterval '1h', "
+        "size '50')"
+    )
+    try:
+        before = {
+            r.event_type: r.EstimatedValue
+            for r in snappy.sql("SELECT * FROM tkm").collect()
+        }
+        # insert a burst of a brand-new type
+        ts = events.select("ts").limit(1).collect()[0].ts
+        burst = spark.createDataFrame(
+            [(10_000_000 + i, ts, 1, "zz_new", 1.0, None) for i in range(25)],
+            snappy.table("tkm_base").schema,
+        )
+        snappy.insert("tkm_base", burst)
+        after = {
+            r.event_type: r.EstimatedValue
+            for r in snappy.sql("SELECT * FROM tkm").collect()
+        }
+        assert after.get("zz_new") == 25
+        for k, v in before.items():
+            assert after.get(k) == v
+        # deletes lower the counts
+        snappy.sql("DELETE FROM tkm_base WHERE event_type = 'zz_new'")
+        final = {
+            r.event_type: r.EstimatedValue
+            for r in snappy.sql("SELECT * FROM tkm").collect()
+        }
+        assert "zz_new" not in final
+    finally:
+        snappy.drop_table("tkm")
+        snappy.drop_table("tkm_base")
