@@ -31,6 +31,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def collapse_banded_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate-collapsed candidate edges from a (id, band,
+    band_hash) table.
+
+    Verbatim-duplicate groups are the norm in web corpora (the same page
+    mirrored k times), and a per-document band self-join emits k(k-1)/2
+    pairs per group — quadratic output that no amount of banding fixes
+    (the r6 sf10 rehearsal emitted 14.6 B pairs on exactly that shape).
+    Instead:
+
+    1. group documents by their FULL signature (the band-ordered hash
+       tuple — equal iff every minhash agrees) and pick the min-id
+       representative;
+    2. emit one member→representative edge per non-representative doc
+       (linear in rows — this carries the whole duplicate mass);
+    3. self-join the band table restricted to REPRESENTATIVES only, so
+       cross-group candidates are quadratic in distinct signatures, not
+       documents.
+
+    The returned edge set's transitive closure equals the closure of the
+    full pair list (members reach each other through their rep; reps of
+    band-colliding groups are directly connected), so
+    connected_components / keep_one_per_cluster results are unchanged —
+    only the materialized pair list shrinks from Σk² to Θ(n)."""
+    sig = banded.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
+                lambda s: s["band_hash"],
+            ),
+            ",",
+        ).alias("__sk")
+    )
+    reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
+    member_edges = (
+        sig.join(reps, "__sk")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("doc1"), F.col(id_col).alias("doc2"))
+    )
+    rep_bands = banded.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    a, b = rep_bands.alias("a"), rep_bands.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
+        )
+        .distinct()
+    )
+    return member_edges.unionByName(rep_pairs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -40,8 +98,12 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash + LSH banding: shingle → minhash signature (map-side) →
-    explode band hashes → self-join per (band, band_hash) bucket.
-    Returns candidate pairs (doc1 < doc2, distinct)."""
+    explode band hashes → collapse exact-duplicate signatures →
+    self-join representatives per (band, band_hash) bucket.
+    Returns candidate EDGES (doc1 < doc2, distinct): member→rep edges
+    for verbatim-duplicate mass plus rep-rep band-collision pairs —
+    linear output whose transitive closure equals the full pair set
+    (see collapse_banded_pairs)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must divide evenly into bands={bands}: "
@@ -58,25 +120,13 @@ def minhash_lsh_candidates(
     from snappydata_spark.index_minhash import _band_rows
 
     banded = _band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # materialize signatures once: both sides of the self-join read the
-    # cached band table instead of re-running shingle->md5->minhash (2x
-    # the whole pipeline).  At 100 TB the same move is "write signatures
-    # to a table, self-join the table" -- signature bytes << text bytes.
+    # materialize signatures once: the signature grouping and both sides
+    # of the rep self-join read the cached band table instead of
+    # re-running shingle->md5->minhash (2x the whole pipeline).  At
+    # 100 TB the same move is "write signatures to a table, self-join
+    # the table" -- signature bytes << text bytes.
     banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
-        )
-        .distinct()
-    )
+    return collapse_banded_pairs(banded, id_col)
 
 
 def _ascii_tokens(text):
@@ -236,32 +286,36 @@ def simhash_candidates(
     15-bit-band blocking (pigeonhole: hamming ≤ 3 ⇒ at least one of the
     4 bands is equal) → in-bucket pairs filtered on exact hamming
     distance.  60 bits keeps the candidate set near-linear where 32-bit
-    simhash goes quadratic on shared-vocabulary corpora."""
+    simhash goes quadratic on shared-vocabulary corpora.
+
+    Output is the exact-dup-COLLAPSED edge set (the simhash twin of
+    collapse_banded_pairs): one member→representative edge per doc that
+    shares another doc's signature (hamming 0, linear in rows — this
+    carries the whole verbatim-duplicate mass), plus one rep-rep pair
+    per near-colliding DISTINCT signature pair.  A k-copy page emits
+    k-1 edges, never k(k-1)/2 pairs, and the transitive closure equals
+    the full pair set — connected_components / keep-one results are
+    unchanged."""
     sh = _simhash_frame(df, text_col, id_col).persist()
-    # Collapse exact-duplicate mass BEFORE the banded self-join: candidate
-    # generation must be quadratic in UNIQUE signatures, not documents.
-    # Verbatim-duplicate-heavy corpora are the norm at 100 TB (a
-    # 1000-copy page must not contribute 1000x band fan-out), and the
-    # r6 sf1 rehearsal showed the doc-level join's wall growing 2.2x
-    # faster than its output on exactly that shape.  Three output-bound
-    # pieces, none needing a final distinct over the pair list:
-    # (1) same-signature pairs (hamming 0) via one hash equi-join;
-    a, b = sh.alias("a"), sh.alias("b")
-    same = a.join(
-        b,
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("doc1"),
-        F.col(f"b.{id_col}").alias("doc2"),
-        F.lit(0).alias("hamming"),
+    # (1) min-id representative per signature; member→rep edges carry
+    # the exact-duplicate groups at hamming 0.
+    groups = sh.groupBy("sh").agg(F.min(id_col).alias("__rep"))
+    member_edges = (
+        sh.join(groups, "sh")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("doc1"),
+            F.col(id_col).alias("doc2"),
+            F.lit(0).alias("hamming"),
+        )
     )
     # (2) DISTINCT-signature candidate pairs from the 15-bit-band
-    # pigeonhole join over unique signatures (band multiplicity <= 4
-    # dedups on a signature-pair set, not the expanded doc pairs);
-    sigs = sh.select("sh").distinct()
-    bands = sigs.select(
+    # pigeonhole join over unique signatures (each signature carries its
+    # rep id through the join, so no membership expansion is needed;
+    # distinct() dedups band multiplicity <= 4 on the rep-pair set).
+    bands = groups.select(
         "sh",
+        "__rep",
         F.explode(
             F.array(
                 *[
@@ -275,9 +329,9 @@ def simhash_candidates(
                 ]
             )
         ).alias("b"),
-    ).select("sh", "b.band", "b.byte")
+    ).select("sh", "__rep", "b.band", "b.byte")
     sa, sb = bands.alias("sa"), bands.alias("sb")
-    sig_pairs = (
+    rep_pairs = (
         sa.join(
             sb,
             (F.col("sa.band") == F.col("sb.band"))
@@ -285,8 +339,8 @@ def simhash_candidates(
             & (F.col("sa.sh") < F.col("sb.sh")),
         )
         .select(
-            F.col("sa.sh").alias("sh1"),
-            F.col("sb.sh").alias("sh2"),
+            F.least("sa.__rep", "sb.__rep").alias("doc1"),
+            F.greatest("sa.__rep", "sb.__rep").alias("doc2"),
             F.bit_count(
                 F.col("sa.sh").bitwiseXOR(F.col("sb.sh"))
             ).alias("hamming"),
@@ -294,21 +348,7 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    # (3) expand signature pairs through the membership lists — each
-    # (doc1, doc2) emits exactly once (one signature per doc), so the
-    # expansion is pure output materialization.
-    m1 = sh.select(F.col("sh").alias("sh1"), F.col(id_col).alias("__i1"))
-    m2 = sh.select(F.col("sh").alias("sh2"), F.col(id_col).alias("__i2"))
-    cross = (
-        sig_pairs.join(m1, "sh1")
-        .join(m2, "sh2")
-        .select(
-            F.least("__i1", "__i2").alias("doc1"),
-            F.greatest("__i1", "__i2").alias("doc2"),
-            "hamming",
-        )
-    )
-    return same.unionByName(cross)
+    return member_edges.unionByName(rep_pairs)
 
 
 def ngram_jaccard_pairs(

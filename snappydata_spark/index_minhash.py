@@ -183,26 +183,18 @@ def _visible_bands(sn, info) -> DataFrame:
 
 
 def candidate_pairs(sn, index_name: str) -> DataFrame:
-    """Distinct candidate pairs (doc1 < doc2) from the STORED band
-    table — the LSH bucket self-join with zero signature recompute.
-    Pairs are restricted to base rows visible to the current user."""
+    """Exact-dup-collapsed candidate edges (doc1 < doc2, distinct) from
+    the STORED band table — zero signature recompute, and the same
+    linear-output contract as the direct pipeline
+    (dedup.collapse_banded_pairs): member→representative edges carry
+    verbatim-duplicate groups, the LSH bucket self-join runs over
+    representatives only.  Edges are restricted to base rows visible to
+    the current user."""
+    from snappydata_spark.dedup import collapse_banded_pairs
+
     info = sn._ann_indexes[index_name.lower()]
-    id_col = info["id_col"]
     banded = _visible_bands(sn, info)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc1"),
-            F.col(f"b.{id_col}").alias("doc2"),
-        )
-        .distinct()
-    )
+    return collapse_banded_pairs(banded, info["id_col"])
 
 
 def near_dup_lookup(

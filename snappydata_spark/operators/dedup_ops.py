@@ -29,6 +29,22 @@ corpus AS (
   SELECT doc_id + 1000000, text || ' zzz' FROM documents)
 """
 
+# ... plus VERBATIM duplicate copies (groups of 3 identical docs): the
+# corpus shape that makes per-doc pair emission quadratic — the
+# minhash/simhash edge queries run over this so the exact-dup collapse
+# (member→representative edges, see dedup.collapse_banded_pairs) is
+# exercised and hash-verified, not just argued.
+_CORPUS_DUP_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz' FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents)
+"""
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
@@ -39,6 +55,24 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     return docs.unionByName(copies)
+
+
+def _corpus_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _CORPUS_DUP_SQL: perturbed copies + two verbatim
+    copies of every document (exact-dup groups of size 3)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    verbatim = [
+        docs.select(
+            (F.col("doc_id") + off).alias("doc_id"), F.col("text")
+        )
+        for off in (2000000, 3000000)
+    ]
+    out = _corpus(spark, sf_dir)
+    for v in verbatim:
+        out = out.unionByName(v)
+    return out
 
 
 # ----------------------------------------------------------------- exact
@@ -79,7 +113,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------- minhash+LSH
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(
+    num_hashes: int = 16, bands: int = 4, corpus_sql: str = _CORPUS_SQL
+) -> str:
     rows = num_hashes // bands
     # one md5 per shingle + affine rehash family — mirrors
     # functions/text.shingle_hashes / minhash_from_hashes exactly
@@ -96,7 +132,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""{_CORPUS_SQL},
+    return f"""{corpus_sql},
 tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
 sh AS (SELECT doc_id,
               [t[x] || ' ' || t[x+1] || ' ' || t[x+2] for x in range(1, len(t) - 1)]
@@ -117,12 +153,40 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return f"WITH {_minhash_ctes(num_hashes, bands)}\nSELECT doc1, doc2 FROM mh_pairs"
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def _minhash_edge_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Exact-dup-collapsed edge set over the verbatim-dup corpus: the
+    DuckDB statement of dedup.collapse_banded_pairs — group docs by the
+    band-ordered hash tuple (equal iff every minhash agrees), emit
+    member→min-id-rep edges, self-join bands over representatives only."""
+    return f"""WITH {_minhash_ctes(num_hashes, bands, _CORPUS_DUP_SQL)},
+dockey AS (SELECT doc_id, string_agg(band_hash, ',' ORDER BY band) AS sk
+           FROM bands GROUP BY doc_id),
+grp AS (SELECT sk, MIN(doc_id) AS rep FROM dockey GROUP BY sk),
+member_edges AS (SELECT g.rep AS doc1, d.doc_id AS doc2
+                 FROM dockey d JOIN grp g ON d.sk = g.sk
+                 WHERE d.doc_id <> g.rep),
+rep_bands AS (SELECT b.doc_id, b.band, b.band_hash
+              FROM bands b JOIN grp g ON b.doc_id = g.rep),
+rep_pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+              FROM rep_bands a JOIN rep_bands b
+                ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id)
+SELECT doc1, doc2 FROM member_edges
+UNION ALL
+SELECT doc1, doc2 FROM rep_pairs"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_edge_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs over
-    the perturbed corpus — each doc should pair with its near-dup copy."""
+    """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate edges over
+    the verbatim-dup corpus (each doc has a perturbed near-dup copy plus
+    two exact copies): the exact-dup groups collapse to member→rep edges
+    before the band self-join, so a k-copy page emits k-1 edges instead
+    of k(k-1)/2 pairs — the output stays linear in rows while the edge
+    set's transitive closure equals the full pair set
+    (dedup.collapse_banded_pairs)."""
     return dedup.minhash_lsh_candidates(
-        _corpus(spark, sf_dir), num_hashes=16, bands=4
+        _corpus_dup(spark, sf_dir), num_hashes=16, bands=4
     )
 
 
@@ -148,19 +212,27 @@ sh AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed)
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH {_CORPUS_SQL},
-{_simhash_expr_sql()}
-SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WITH {_CORPUS_DUP_SQL},
+{_simhash_expr_sql()},
+grp AS (SELECT simhash, MIN(doc_id) AS rep FROM sh GROUP BY simhash)
+SELECT g.rep AS doc1, s.doc_id AS doc2, 0 AS hamming
+FROM sh s JOIN grp g ON s.simhash = g.simhash
+WHERE s.doc_id <> g.rep
+UNION ALL
+SELECT LEAST(a.rep, b.rep) AS doc1, GREATEST(a.rep, b.rep) AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM grp a JOIN grp b ON a.simhash < b.simhash
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3) over the perturbed corpus.
-    Spark side blocks on byte-bands (pigeonhole) so it never goes
-    quadratic; the oracle states the same result set quadratically."""
-    return dedup.simhash_candidates(_corpus(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup edges (hamming ≤ 3) over the verbatim-dup
+    corpus.  Spark side blocks DISTINCT signatures on byte-bands
+    (pigeonhole) and collapses exact-dup groups to member→rep edges, so
+    both candidate generation AND output stay linear in documents; the
+    oracle states the same edge set quadratically over distinct
+    signatures."""
+    return dedup.simhash_candidates(_corpus_dup(spark, sf_dir), max_hamming=3)
 
 
 # ----------------------------------------------------------------- ngram jaccard
@@ -382,7 +454,7 @@ def sim_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_components",
     oracle=f"""
-WITH RECURSIVE {_minhash_ctes()},
+WITH RECURSIVE {_minhash_ctes(corpus_sql=_CORPUS_DUP_SQL)},
 edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
           UNION SELECT doc2, doc1 FROM mh_pairs),
 reach(a, b) AS (
@@ -395,19 +467,23 @@ SELECT node, cluster FROM labels
 """,
 )
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs → connected components (iterative min-label
+    """Candidate edges → connected components (iterative min-label
     propagation, dedup.connected_components) — the clustering step that
-    turns pairwise near-dup hits into keep-one groups.  The oracle
-    computes the same components with a recursive transitive-closure CTE,
-    so the fixpoint itself is hash-verified."""
-    pairs = dedup.minhash_lsh_candidates(_corpus(spark, sf_dir), num_hashes=16, bands=4)
+    turns pairwise near-dup hits into keep-one groups.  The engine
+    clusters the exact-dup-COLLAPSED edge set (linear output) while the
+    oracle closes over the FULL per-doc pair list with a recursive
+    transitive-closure CTE — hash equality proves the collapse preserves
+    the components exactly, on a corpus with real 3-copy dup groups."""
+    pairs = dedup.minhash_lsh_candidates(
+        _corpus_dup(spark, sf_dir), num_hashes=16, bands=4
+    )
     return dedup.connected_components(pairs)
 
 
 @register(
     "dedup_keep_one_per_cluster",
     oracle=f"""
-WITH RECURSIVE {_minhash_ctes()},
+WITH RECURSIVE {_minhash_ctes(corpus_sql=_CORPUS_DUP_SQL)},
 edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
           UNION SELECT doc2, doc1 FROM mh_pairs),
 reach(a, b) AS (
@@ -422,9 +498,11 @@ WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster)
 """,
 )
 def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup resolution: cluster the candidates, keep only
-    each cluster's min-id representative plus all unclustered docs."""
-    corpus = _corpus(spark, sf_dir)
+    """End-to-end near-dup resolution: cluster the collapsed candidate
+    edges, keep only each cluster's min-id representative plus all
+    unclustered docs — verified against the oracle's closure over the
+    FULL pair list on the verbatim-dup corpus."""
+    corpus = _corpus_dup(spark, sf_dir)
     pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
     clusters = dedup.connected_components(pairs)
     kept = dedup.keep_one_per_cluster(corpus, clusters)
@@ -815,21 +893,21 @@ def _minhash_index_session(spark: SparkSession, sf_dir: str):
     sn.create_table(
         "corpus_base",
         options={"key_columns": "doc_id"},
-        df=_corpus(spark, sf_dir),
+        df=_corpus_dup(spark, sf_dir),
     )
     sn.sql("CREATE INDEX corpus_mh ON corpus_base(text) USING minhash")
     _MINHASH_SESSIONS[key] = sn
     return sn
 
 
-@register("dedup_minhash_lsh_index", oracle=_minhash_oracle())
+@register("dedup_minhash_lsh_index", oracle=_minhash_edge_oracle())
 def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-index twin of dedup_minhash_lsh: identical
-    candidate-pair semantics and oracle, but the shingle->md5->minhash
+    collapsed-edge semantics and oracle, but the shingle->md5->minhash
     signature pipeline runs ONCE at CREATE INDEX time (the dominant
-    cost); every query is just the band-bucket self-join over the
-    stored (doc_id, band, band_hash) table.  Mutations re-band only the
-    touched docs (index_minhash.refresh_minhash)."""
+    cost); every query is the signature collapse + rep band self-join
+    over the stored (doc_id, band, band_hash) table.  Mutations re-band
+    only the touched docs (index_minhash.refresh_minhash)."""
     from snappydata_spark import index_minhash
 
     sn = _minhash_index_session(spark, sf_dir)

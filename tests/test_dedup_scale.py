@@ -131,3 +131,42 @@ def test_minhash_short_docs_excluded_not_bucketed_together(spark):
     pairs = minhash_lsh_candidates(df).collect()
     short_ids = set(range(20))
     assert not any(r.doc1 in short_ids or r.doc2 in short_ids for r in pairs)
+
+
+def test_exact_dup_groups_emit_linear_edges(spark):
+    """A k-copy verbatim-duplicate group must emit k-1 member->rep edges,
+    never k(k-1)/2 pairs (the r6 sf10 quadratic-output defect), for BOTH
+    minhash and simhash — and the collapsed edge set must produce the
+    same connected components as the full pair list would."""
+    k = 40
+    page = "the same mirrored page body with plenty of tokens " * 3
+    other = "a different near dup of the mirrored page body " * 3
+    rows = (
+        [Row(doc_id=i, text=page) for i in range(k)]
+        + [Row(doc_id=100 + i, text=other) for i in range(3)]
+        + [Row(doc_id=500, text="totally unrelated content about storage engines here")]
+    )
+    df = spark.createDataFrame(rows)
+
+    mh = dedup.minhash_lsh_candidates(df).collect()
+    sh = dedup.simhash_candidates(df).collect()
+    for name, edges in (("minhash", mh), ("simhash", sh)):
+        # linear bound: k-copy group -> k-1 edges; 3-copy group -> 2; at
+        # most a handful of rep-rep pairs (4 distinct signatures max)
+        assert len(edges) <= (k - 1) + 2 + 6, f"{name}: {len(edges)} edges"
+        # every member of the big group is reachable from rep 0
+        group_edges = {(e.doc1, e.doc2) for e in edges}
+        for m in range(1, k):
+            assert (0, m) in group_edges, f"{name}: member {m} not linked to rep"
+
+    # component equality: closure of collapsed edges == closure of all pairs
+    clusters = {
+        r.node: r.cluster
+        for r in dedup.connected_components(
+            spark.createDataFrame(mh, "doc1 long, doc2 long")
+        ).collect()
+    }
+    for m in range(1, k):
+        assert clusters[m] == 0
+    assert clusters[101] == 100 and clusters[102] == 100
+    assert 500 not in clusters  # unrelated doc pairs with nothing
