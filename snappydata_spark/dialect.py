@@ -512,11 +512,36 @@ def _extract_check(item: str) -> tuple[str, str | None]:
     return (item[: m.start()] + item[i:]).strip(), expr
 
 
-def parse_ddl_schema(schema: str) -> tuple[str, list[str], list[str]]:
-    """``(col TYPE [NOT NULL] [PRIMARY KEY] [CHECK (expr)], ...,
-    [CONSTRAINT name] CHECK (expr))`` → (Spark DDL string, primary-key
-    column list, CHECK expressions) — the GemFireXD row-DDL constraint
-    surface.  Tolerates the unparenthesized form."""
+_UNIQUE_TABLE = re.compile(r"^\s*UNIQUE\s*\(([^)]*)\)\s*$", re.I)
+_UNIQUE_COL = re.compile(r"\bUNIQUE\b", re.I)
+_FK_TABLE = re.compile(
+    r"^\s*FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+([\w.]+)"
+    r"\s*(?:\(([^)]*)\))?\s*$",
+    re.I,
+)
+_REFS_COL = re.compile(r"\bREFERENCES\s+([\w.]+)\s*(?:\(([^)]*)\))?", re.I)
+
+
+def _collist(s: str) -> list[str]:
+    return [c.strip().lower() for c in s.split(",") if c.strip()]
+
+
+def parse_ddl_schema(
+    schema: str,
+) -> tuple[str, list[str], list[str], list[list[str]], list[dict]]:
+    """``(col TYPE [NOT NULL] [PRIMARY KEY] [UNIQUE] [REFERENCES t [(c)]]
+    [CHECK (expr)], ..., [CONSTRAINT name] PRIMARY KEY (..) | UNIQUE (..)
+    | FOREIGN KEY (..) REFERENCES t [(..)] | CHECK (expr))`` →
+    (Spark DDL string, primary-key column list, CHECK expressions,
+    UNIQUE column lists, FOREIGN KEY dicts) — the GemFireXD row-DDL
+    constraint surface (create-table.md:341-366: UNIQUE disallows NULLs;
+    a multi-column FK with any NULL component is wholly NULL and passes).
+    Each FK dict is {"columns": [...], "ref_table": str,
+    "ref_columns": [...]} with ref_columns empty when the DDL omitted
+    them (resolved to the referenced table's key columns at CREATE
+    time).  Constraint NAMES are accepted and dropped (the reference
+    auto-generates names; this engine addresses constraints by shape).
+    Tolerates the unparenthesized form."""
     s = schema.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1]
@@ -542,6 +567,8 @@ def parse_ddl_schema(schema: str) -> tuple[str, list[str], list[str]]:
     if item.strip():
         items.append(item)
     checks: list[str] = []
+    uniques: list[list[str]] = []
+    fks: list[dict] = []
     for item in items:
         item = item.strip()
         if not item:
@@ -558,12 +585,40 @@ def parse_ddl_schema(schema: str) -> tuple[str, list[str], list[str]]:
             # columns only, nothing to emit as a column definition
             keys.extend(c.strip().lower() for c in pk_table.group(1).split(","))
             continue
+        uq_table = _UNIQUE_TABLE.match(item)
+        if uq_table:
+            uniques.append(_collist(uq_table.group(1)))
+            continue
+        fk_table = _FK_TABLE.match(item)
+        if fk_table:
+            fks.append(
+                {
+                    "columns": _collist(fk_table.group(1)),
+                    "ref_table": fk_table.group(2).lower(),
+                    "ref_columns": _collist(fk_table.group(3) or ""),
+                }
+            )
+            continue
+        colname = item.split()[0].lower()
+        refs_col = _REFS_COL.search(item)
+        if refs_col:
+            fks.append(
+                {
+                    "columns": [colname],
+                    "ref_table": refs_col.group(1).lower(),
+                    "ref_columns": _collist(refs_col.group(2) or ""),
+                }
+            )
+            item = _REFS_COL.sub("", item)
         if _PK_CONSTRAINT.search(item):
-            keys.append(item.split()[0].lower())
+            keys.append(colname)
             item = _PK_CONSTRAINT.sub("", item)
+        if _UNIQUE_COL.search(item):
+            uniques.append([colname])
+            item = _UNIQUE_COL.sub("", item)
         item = _NOT_NULL_CONSTRAINT.sub("", item)
         cols.append(" ".join(item.split()))
-    return ", ".join(cols), keys, checks
+    return ", ".join(cols), keys, checks, uniques, fks
 
 
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
@@ -798,16 +853,27 @@ def expand_scalar_macros(text: str) -> str:
 
 
 def rewrite_builtins(text: str, current_schema: str | None = None) -> str:
-    text = _NOINDEX.sub(" ", text)
-    text = expand_scalar_macros(text)
-    text = _DSID.sub("spark_partition_id()", text)
-    # CURRENT_SCHEMA returns the SESSION's schema (setCurrentSchema state)
-    # when the caller tracks one; current_database() otherwise
-    text = _CURRENT_SCHEMA.sub(
-        f"'{current_schema}'" if current_schema else "current_database()", text
-    )
-    text = _LDAP_GROUPS.sub("array()", text)
-    text = _FETCH_FIRST.sub(r"LIMIT \1", text)
+    # per-rewriter substring gates (preparse cost discipline): each sub
+    # fires only when its trigger keyword appears at all — one lowercase
+    # scan replaces five regex scans on the hot plain-SELECT path
+    low = text.lower()
+    if "--+" in text:
+        text = _NOINDEX.sub(" ", text)
+    if "cosine_sim" in low:
+        text = expand_scalar_macros(text)
+    if "dsid" in low:
+        text = _DSID.sub("spark_partition_id()", text)
+    if "current_schema" in low:
+        # CURRENT_SCHEMA returns the SESSION's schema (setCurrentSchema
+        # state) when the caller tracks one; current_database() otherwise
+        text = _CURRENT_SCHEMA.sub(
+            f"'{current_schema}'" if current_schema else "current_database()",
+            text,
+        )
+    if "ldap" in low:
+        text = _LDAP_GROUPS.sub("array()", text)
+    if "fetch" in low:
+        text = _FETCH_FIRST.sub(r"LIMIT \1", text)
     text = rewrite_hints(text)
     return text
 
@@ -930,7 +996,19 @@ def equi_key_pairs(on: str, t_alias: str, s_alias: str) -> list[tuple[str, str]]
     return pairs or None
 
 
+_QUERY_HEAD = re.compile(r"\s*\(*\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN)\b", re.I)
+
+
 def split_statement(text: str) -> Statement:
+    # preparse gate (plan-cache cold-path cost discipline): a statement
+    # whose head keyword is a plain query form can never match any of the
+    # ~40 ANCHORED statement patterns below — skip the whole chain.  The
+    # gate is conservative by construction: every pattern in this chain
+    # is a re.match anchored at a non-query keyword (MERGE/CREATE/PUT/
+    # UPDATE/...), so a SELECT/WITH/VALUES/TABLE/EXPLAIN head cannot
+    # reach any of them (fuzzed in test_dialect_property.py).
+    if _QUERY_HEAD.match(text):
+        return Statement("passthrough")
     m = _MERGE.match(text)
     if m:
         return _parse_merge(m)

@@ -773,3 +773,191 @@ def test_synonym_over_stream_table(snappy, tmp_path):
         snappy.sql("CREATE SYNONYM syn_src FOR syn_stream")
     snappy.sql("DROP SYNONYM syn_stream")
     snappy.sql("DROP STREAM TABLE syn_src")
+
+
+# ---------------------------------------------------------------- UNIQUE / FK
+# (create-table.md:341-366: UNIQUE disallows NULLs; FOREIGN KEY values
+# must exist in the referenced PK/unique columns; a multi-column FK with
+# any NULL component is wholly NULL and passes.)
+
+
+class TestUniqueForeignKey:
+    def _parents(self, sn):
+        sn.sql(
+            "CREATE TABLE customers (cid INT NOT NULL PRIMARY KEY, "
+            "cust_name STRING, email STRING UNIQUE) USING row"
+        )
+        sn.sql("INSERT INTO customers VALUES (1, 'a', 'a@x'), (2, 'b', 'b@x')")
+
+    def test_unique_rejects_duplicate_insert(self, snappy):
+        self._parents(snappy)
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("INSERT INTO customers VALUES (3, 'c', 'a@x')")
+
+    def test_unique_rejects_null(self, snappy):
+        self._parents(snappy)
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("INSERT INTO customers VALUES (3, 'c', NULL)")
+
+    def test_unique_rejects_batch_internal_dup(self, snappy):
+        self._parents(snappy)
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql(
+                "INSERT INTO customers VALUES (3, 'c', 'c@x'), (4, 'd', 'c@x')"
+            )
+
+    def test_unique_accepts_fresh_values(self, snappy):
+        self._parents(snappy)
+        snappy.sql("INSERT INTO customers VALUES (3, 'c', 'c@x')")
+        assert snappy.table("customers").count() == 3
+
+    def test_unique_put_same_key_same_value_ok(self, snappy):
+        """PUT replacing a row with its own unique value must pass (the
+        surviving-rows exclusion): key 1 keeps email a@x."""
+        self._parents(snappy)
+        src = snappy.spark.createDataFrame(
+            [(1, "a2", "a@x")], "cid int, cust_name string, email string"
+        )
+        snappy.put("customers", src)
+        got = {r.cid: r.cust_name for r in snappy.table("customers").collect()}
+        assert got[1] == "a2"
+
+    def test_unique_put_steals_other_rows_value_rejected(self, snappy):
+        self._parents(snappy)
+        src = snappy.spark.createDataFrame(
+            [(1, "a2", "b@x")], "cid int, cust_name string, email string"
+        )
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.put("customers", src)
+
+    def test_unique_update_collision_rejected(self, snappy):
+        self._parents(snappy)
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("UPDATE customers SET email = 'b@x' WHERE cid = 1")
+        # non-colliding update passes
+        snappy.sql("UPDATE customers SET email = 'a2@x' WHERE cid = 1")
+        emails = {r.email for r in snappy.table("customers").collect()}
+        assert emails == {"a2@x", "b@x"}
+
+    def test_table_level_unique_multi_column(self, snappy):
+        snappy.sql(
+            "CREATE TABLE pairs (a INT, b INT, v STRING, "
+            "CONSTRAINT uq_ab UNIQUE (a, b)) USING row"
+        )
+        snappy.sql("INSERT INTO pairs VALUES (1, 1, 'x'), (1, 2, 'y')")
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("INSERT INTO pairs VALUES (1, 2, 'z')")
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("INSERT INTO pairs VALUES (2, NULL, 'z')")
+        snappy.sql("INSERT INTO pairs VALUES (2, 1, 'z')")
+        assert snappy.table("pairs").count() == 3
+
+    def test_fk_insert_matrix(self, snappy):
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE networth (cid INT, cash DOUBLE, "
+            "CONSTRAINT cust_fk FOREIGN KEY (cid) REFERENCES customers (cid)"
+            ") USING row"
+        )
+        snappy.sql("INSERT INTO networth VALUES (1, 10.0)")  # accept
+        snappy.sql("INSERT INTO networth VALUES (NULL, 5.0)")  # NULL passes
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("INSERT INTO networth VALUES (99, 1.0)")
+        assert snappy.table("networth").count() == 2
+
+    def test_fk_column_level_references_pk(self, snappy):
+        """Column-level REFERENCES with omitted column list resolves to
+        the parent's PRIMARY KEY at CREATE time."""
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE orders2 (oid INT PRIMARY KEY, "
+            "cid INT REFERENCES customers) USING row"
+        )
+        snappy.sql("INSERT INTO orders2 VALUES (1, 2)")
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("INSERT INTO orders2 VALUES (2, 42)")
+
+    def test_fk_multi_column_null_component_passes(self, snappy):
+        snappy.sql(
+            "CREATE TABLE parent2 (a INT, b INT, v STRING, "
+            "PRIMARY KEY (a, b)) USING row"
+        )
+        snappy.sql("INSERT INTO parent2 VALUES (1, 1, 'x')")
+        snappy.sql(
+            "CREATE TABLE child2 (id INT, a INT, b INT, "
+            "FOREIGN KEY (a, b) REFERENCES parent2 (a, b)) USING row"
+        )
+        snappy.sql("INSERT INTO child2 VALUES (1, 1, 1)")  # match
+        # any NULL component -> whole key NULL -> passes no matter the rest
+        snappy.sql("INSERT INTO child2 VALUES (2, 42, NULL)")
+        snappy.sql("INSERT INTO child2 VALUES (3, NULL, 42)")
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("INSERT INTO child2 VALUES (4, 42, 42)")
+        assert snappy.table("child2").count() == 3
+
+    def test_fk_put_and_update_enforced(self, snappy):
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE acct (aid INT PRIMARY KEY, cid INT "
+            "REFERENCES customers (cid)) USING row"
+        )
+        snappy.sql("INSERT INTO acct VALUES (1, 1)")
+        src_bad = snappy.spark.createDataFrame([(2, 77)], "aid int, cid int")
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.put("acct", src_bad)
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("UPDATE acct SET cid = 77 WHERE aid = 1")
+        snappy.sql("UPDATE acct SET cid = 2 WHERE aid = 1")
+        assert snappy.table("acct").collect()[0].cid == 2
+
+    def test_fk_parent_delete_restricted(self, snappy):
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE acct2 (aid INT PRIMARY KEY, cid INT "
+            "REFERENCES customers (cid)) USING row"
+        )
+        snappy.sql("INSERT INTO acct2 VALUES (1, 1)")
+        with pytest.raises(ValueError, match="orphan|FOREIGN KEY"):
+            snappy.sql("DELETE FROM customers WHERE cid = 1")
+        # unreferenced parent rows delete fine
+        snappy.sql("DELETE FROM customers WHERE cid = 2")
+        with pytest.raises(ValueError, match="referenced by FOREIGN KEY"):
+            snappy.drop_table("customers")
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("TRUNCATE TABLE customers")
+        # delete the child row, then the parent operations pass
+        snappy.sql("DELETE FROM acct2 WHERE aid = 1")
+        snappy.sql("DELETE FROM customers WHERE cid = 1")
+        assert snappy.table("customers").count() == 0
+
+    def test_fk_references_unknown_table_rejected(self, snappy):
+        with pytest.raises(ValueError, match="unknown table"):
+            snappy.sql(
+                "CREATE TABLE broken (a INT REFERENCES nope (x)) USING row"
+            )
+
+    def test_show_create_roundtrip_preserves_constraints(self, snappy):
+        """SHOW CREATE TABLE emits the constraint clauses and the emitted
+        statement replays into an equivalent table (the EXPORT_DDLS
+        round-trip discipline)."""
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE networth3 (cid INT, cash DOUBLE CHECK (cash >= 0), "
+            "CONSTRAINT uq UNIQUE (cid), "
+            "CONSTRAINT fk FOREIGN KEY (cid) REFERENCES customers (cid)"
+            ") USING row"
+        )
+        stmt = snappy.show_create_table("networth3").collect()[0].createtab_stmt
+        assert "UNIQUE (cid)" in stmt
+        assert "FOREIGN KEY (cid) REFERENCES customers (cid)" in stmt
+        assert "CHECK (cash >= 0)" in stmt
+        # replay under a new name: constraints must be live in the clone
+        replay = stmt.replace("networth3", "networth4")
+        snappy.sql(replay)
+        snappy.sql("INSERT INTO networth4 VALUES (1, 1.0)")
+        with pytest.raises(ValueError, match="UNIQUE"):
+            snappy.sql("INSERT INTO networth4 VALUES (1, 2.0)")
+        with pytest.raises(ValueError, match="FOREIGN KEY"):
+            snappy.sql("INSERT INTO networth4 VALUES (99, 2.0)")
+        with pytest.raises(ValueError, match="CHECK"):
+            snappy.sql("INSERT INTO networth4 VALUES (2, -5.0)")
