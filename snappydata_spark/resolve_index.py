@@ -74,6 +74,14 @@ _CALL = re.compile(
     re.I | re.S,
 )
 _NOINDEX = re.compile(r"--\+\s*noindex(?:\s*\(\s*\))?", re.I)
+# --+ index(table, indexName) / --+ withIndex(table, indexName) — the
+# reference's FORCE hint (Literals.scala:433 QueryHint.Index;
+# applyIndexHint in SnappyOptimizations): route through the NAMED index
+# even when snappydata.sql.useIndexes=false, and error on an unknown or
+# inapplicable index name instead of silently scanning.
+_FORCEINDEX = re.compile(
+    r"--\+\s*(?:with)?index\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)", re.I
+)
 _IDENT = re.compile(r"^[A-Za-z_]\w*$")
 
 
@@ -125,8 +133,36 @@ def _parse_shape(text: str):
     }
 
 
-def _find_index(sn, table: str, col: str, method: str):
+def _resolve_relation(sn, table: str) -> str:
+    """Resolve the FROM relation through synonyms and trivial views to
+    the underlying indexed table (the reference routes through both:
+    create-synonym.md usable-everywhere + ResolveIndex running after
+    view expansion).  A view counts as trivial when its body is exactly
+    `SELECT * FROM <t>` — anything else (projection, filter) changes
+    result semantics and falls through to the scan path."""
     cn = sn._canon(table)
+    seen = set()
+    while cn not in seen:
+        seen.add(cn)
+        if cn in sn._synonyms:
+            cn = sn._resolve_synonym(cn)
+            continue
+        vsql = sn._views.get(cn)
+        if vsql:
+            vm = re.match(
+                r"^\s*SELECT\s+\*\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+                vsql,
+                re.I,
+            )
+            if vm:
+                cn = sn._canon(vm.group(1))
+                continue
+        break
+    return cn
+
+
+def _find_index(sn, table: str, col: str, method: str):
+    cn = _resolve_relation(sn, table)
     for name, info in sn._ann_indexes.items():
         if (
             info.get("method") == method
@@ -159,10 +195,34 @@ def try_route(sn, text: str) -> DataFrame | None:
     expands to the exact full-scan HOF; grammar misses stay plain SQL).
     bm25_score is always handled here — served from stored postings when
     an inverted index matches, else scored over inline postings."""
+    forced = _FORCEINDEX.search(text)
+    forced_name = None
+    if forced:
+        forced_table, forced_name = forced.group(1), forced.group(2).lower()
+        if forced_name not in sn._ann_indexes:
+            raise ValueError(
+                f"index hint names unknown index '{forced_name}' "
+                f"(--+ index({forced_table}, {forced.group(2)}))"
+            )
+        finfo = sn._ann_indexes[forced_name]
+        if finfo["table"] != sn._canon(forced_table):
+            raise ValueError(
+                f"index '{forced_name}' is on {finfo['table']}, not "
+                f"{sn._canon(forced_table)} — the hint's table and index "
+                "must match"
+            )
+        text = _FORCEINDEX.sub(" ", text)
     if "cosine_sim" not in text.lower() and "bm25_score" not in text.lower():
+        if forced_name:
+            raise ValueError(
+                f"--+ index({forced_name}) hint on a query that has no "
+                "routable score function (cosine_sim/bm25_score top-k)"
+            )
         return None
     hinted = _NOINDEX.search(text) is not None
     if hinted:
+        if forced_name:
+            raise ValueError("--+ index(...) and --+ noIndex conflict")
         text = _NOINDEX.sub(" ", text)
     shape = _parse_shape(text)
     if shape is None:
@@ -172,8 +232,37 @@ def try_route(sn, text: str) -> DataFrame | None:
                 "top-k shape: SELECT <id>[, bm25_score(...) AS a] FROM t "
                 "ORDER BY bm25_score(...) DESC [, <id>] LIMIT k"
             )
+        if forced_name:
+            raise ValueError(
+                f"--+ index({forced_name}) hint on a query whose shape "
+                "cannot be served from the index (see resolve_index "
+                "docstring for the routable top-k forms)"
+            )
         return None
-    enabled = _routing_enabled(sn, hinted)
+    enabled = _routing_enabled(sn, hinted) or forced_name is not None
+
+    def _apply_force(found_name, found_info, method):
+        """Swap in the NAMED index under a force hint, erroring when it
+        cannot serve this query (wrong method/table/column)."""
+        if forced_name is None:
+            return found_name, found_info
+        fi = sn._ann_indexes[forced_name]
+        if fi.get("method") != method:
+            raise ValueError(
+                f"index '{forced_name}' is a {fi.get('method')} index — "
+                f"this query needs {method}"
+            )
+        if fi["table"] != sn._canon(shape["table"]):
+            raise ValueError(
+                f"index '{forced_name}' is on {fi['table']}, not "
+                f"{sn._canon(shape['table'])}"
+            )
+        if fi["column"].lower() != (shape["args"][0].strip().lower()):
+            raise ValueError(
+                f"index '{forced_name}' covers column {fi['column']}, "
+                "not the scored column"
+            )
+        return forced_name, fi
     if shape["fn"] == "cosine_sim":
         if len(shape["args"]) != 2:
             return None
@@ -182,11 +271,17 @@ def try_route(sn, text: str) -> DataFrame | None:
         if not _IDENT.match(col) or q_vec is None:
             return None  # not the literal-query shape — exact scan path
         name, info = _find_index(sn, shape["table"], col, "ivf_sq8")
+        name, info = _apply_force(name, info, "ivf_sq8")
         if (
             not enabled
             or name is None
             or shape["id"].lower() != info["id_col"].lower()
         ):
+            if forced_name:
+                raise ValueError(
+                    f"--+ index({forced_name}): the projected id column "
+                    f"must be the index key {info['id_col']}"
+                )
             return None  # exact full scan via expand_scalar_macros
         from snappydata_spark import index_ann
 
@@ -231,7 +326,13 @@ def try_route(sn, text: str) -> DataFrame | None:
 
     k = shape["k"]
     name, info = _find_index(sn, shape["table"], col, "inverted")
+    name, info = _apply_force(name, info, "inverted")
     if name is not None and shape["id"].lower() != info["id_col"].lower():
+        if forced_name:
+            raise ValueError(
+                f"--+ index({forced_name}): the projected id column must "
+                f"be the index key {info['id_col']}"
+            )
         name = None  # projected id isn't the postings key — inline path
     if enabled and name is not None:
         res = index_inverted.bm25_topk(sn, name, terms, k=k)

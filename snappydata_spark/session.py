@@ -2349,7 +2349,11 @@ class SnappySession:
         topk = self._topk_select(text)
         if topk is not None:
             return topk
-        if self._ann_indexes or "bm25_score" in text.lower():
+        if (
+            self._ann_indexes
+            or "bm25_score" in low
+            or ("--+" in text and "index" in low)
+        ):
             # ResolveIndex analogue (SnappyOptimizations.scala:110-250):
             # a top-k query shaped like a registered similarity/inverted
             # index serves from the index tables; --+ noIndex or

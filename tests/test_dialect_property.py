@@ -109,3 +109,43 @@ def test_with_error_parse_structure(table, groups, fn, col, frac):
         assert pf is None
     else:
         assert abs(pf - round(frac, 3)) < 1e-9
+
+
+# --------------------------------------------------- preparse gate (round 7)
+
+_STMT_KEYWORDS = [
+    "PUT INTO t VALUES (1)", "UPDATE t SET a = 1", "DELETE FROM t",
+    "MERGE INTO t USING s ON t.k = s.k "
+    "WHEN MATCHED THEN UPDATE SET v = s.v "
+    "WHEN NOT MATCHED THEN INSERT *",
+    "TRUNCATE TABLE t",
+    "INSERT INTO t VALUES (1)", "CREATE TABLE t (a INT)",
+    "GRANT SELECT ON t TO u", "CALL SYS.EXPORT_DATA('x')",
+    "CREATE SYNONYM s FOR t", "DEPLOY PACKAGE p 'g:a:v'",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sampled_from(["SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN",
+                     "select", "Select", "  SELECT", "(SELECT"]),
+    st.sampled_from(_STMT_KEYWORDS),
+    idents,
+)
+def test_query_head_gate_is_conservative(head, embedded, ident):
+    """The split_statement fast path (query heads skip the anchored
+    statement-pattern chain) must be transparent: a statement whose head
+    keyword is a plain query form parses as passthrough even when
+    statement keywords appear INSIDE it (string literals, subquery
+    aliases) — exactly what the ungated chain produced, since every
+    pattern in the chain is anchored at a non-query keyword."""
+    text = f"{head} {ident} FROM (SELECT '{embedded}' AS c) WHERE x = '{embedded}'"
+    assert split_statement(text).kind == "passthrough"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(_STMT_KEYWORDS))
+def test_statement_heads_still_dispatch(stmt_text):
+    """Real statements (non-query heads) must keep reaching their
+    patterns through the gate."""
+    assert split_statement(stmt_text).kind != "passthrough"

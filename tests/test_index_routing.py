@@ -210,3 +210,71 @@ def test_bm25_duplicate_query_terms(snappy, spark, sf_dir):
     finally:
         snappy.set_conf("snappydata.sql.useIndexes", "true")
     assert inline_dup == routed_dup
+
+
+# ------------------------------------------------- --+ index() force hints
+# (Literals.scala:433 QueryHint.Index; applyIndexHint/ResolveIndex
+# SnappyOptimizations.scala:110-250)
+
+
+def test_force_hint_overrides_conf_off(ann_session):
+    sn, sql = ann_session
+    sn.set_conf("snappydata.sql.useIndexes", "false")
+    try:
+        off = sn.sql(sql)
+        assert "emb_ivf__ann" not in _plan(off)
+        forced = sn.sql("--+ index(emb_base, emb_ivf)\n" + sql)
+        assert "emb_ivf__ann" in _plan(forced)
+        assert forced.collect() == off.collect()  # same rows, routed plan
+    finally:
+        sn.set_conf("snappydata.sql.useIndexes", "true")
+
+
+def test_force_hint_withindex_spelling(ann_session):
+    sn, sql = ann_session
+    forced = sn.sql("--+ withIndex(emb_base, emb_ivf)\n" + sql)
+    assert "emb_ivf__ann" in _plan(forced)
+
+
+def test_force_hint_unknown_index_errors(ann_session):
+    sn, sql = ann_session
+    with pytest.raises(ValueError, match="unknown index"):
+        sn.sql("--+ index(emb_base, no_such_idx)\n" + sql)
+
+
+def test_force_hint_wrong_table_errors(ann_session):
+    sn, sql = ann_session
+    with pytest.raises(ValueError, match="is on"):
+        sn.sql("--+ index(other_table, emb_ivf)\n" + sql)
+
+
+def test_force_hint_unroutable_shape_errors(ann_session):
+    sn, _ = ann_session
+    with pytest.raises(ValueError, match="no routable|cannot be served"):
+        sn.sql("--+ index(emb_base, emb_ivf)\nSELECT COUNT(*) FROM emb_base")
+
+
+def test_force_hint_conflicts_with_noindex(ann_session):
+    sn, sql = ann_session
+    with pytest.raises(ValueError, match="conflict"):
+        sn.sql("--+ index(emb_base, emb_ivf) --+ noIndex\n" + sql)
+
+
+def test_force_hint_selects_named_index_among_several(snappy, spark, sf_dir):
+    """Two ivf_sq8 indexes on the same (table, column): auto-routing
+    picks one, the hint forces the OTHER by name."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    snappy.create_table("emb2_base", options={"key_columns": "vec_id"}, df=emb)
+    snappy.sql("CREATE INDEX emb2_a ON emb2_base(embedding) USING ivf_sq8")
+    snappy.sql("CREATE INDEX emb2_b ON emb2_base(embedding) USING ivf_sq8")
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    arr = ", ".join(repr(v) for v in q)
+    sql = (
+        f"SELECT vec_id FROM emb2_base ORDER BY "
+        f"cosine_sim(embedding, array({arr})) DESC, vec_id LIMIT 3"
+    )
+    forced_b = sn_sql = snappy.sql("--+ index(emb2_base, emb2_b)\n" + sql)
+    assert "emb2_b__ann" in _plan(forced_b)
+    forced_a = snappy.sql("--+ index(emb2_base, emb2_a)\n" + sql)
+    assert "emb2_a__ann" in _plan(forced_a)
+    assert forced_a.collect() == forced_b.collect()
