@@ -175,6 +175,50 @@ def codec_stats(emb: DataFrame, vec_col: str) -> tuple[list, list]:
     return [mn[i] for i in range(dims)], [mx[i] for i in range(dims)]
 
 
+def _cell_max_angles(assigned_vecs: DataFrame, centroids, vec_col: str) -> dict:
+    """{cell: max angle(member, centroid)} over (cell, <vec_col>) rows —
+    the per-cell residual radius that makes threshold pruning EXACT: by
+    the triangle inequality on angles, every member v of cell c has
+    angle(q, v) >= angle(q, c) - radius(c), so cos(q, v) is bounded above
+    by cos(max(0, angle(q,c) - radius(c))) and a cell whose bound falls
+    below the threshold cannot contain a qualifying row.  Zero-norm
+    members (cosine NaN) force radius = pi — their cell is never pruned.
+    One map-only pass (centroids enter as a closure) + a k-row collect."""
+    import numpy as np
+
+    cents = np.array(centroids, dtype=np.float64)
+    cnorms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = pdf["cell"].to_numpy()
+            c = cents[cells]
+            dots = np.cumsum(v * c, axis=1)[:, -1]
+            nv = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nv * cnorms[cells])
+            ang = np.where(
+                np.isnan(cos), np.pi, np.arccos(np.clip(cos, -1.0, 1.0))
+            )
+            out = (
+                pd.DataFrame({"cell": cells, "ang": ang})
+                .groupby("cell", as_index=False)
+                .max()
+            )
+            yield out
+
+    partials = assigned_vecs.select("cell", vec_col).mapInPandas(
+        run, "cell long, ang double"
+    )
+    rows = partials.groupBy("cell").agg(F.max("ang").alias("ang")).collect()
+    return {int(r.cell): float(r.ang) for r in rows}
+
+
 def build_ivf_sq8(
     sn,
     index_name: str,
@@ -228,6 +272,12 @@ def build_ivf_sq8(
     rows = assign.join(codes, id_col)
     sn.create_table(idx_table, options={"key_columns": id_col}, df=rows)
     n_rows = sn.table(idx_table).count()
+    angles = _cell_max_angles(
+        assign.join(base.select(id_col, vec_col), id_col),
+        [v for _, v in cent_rows],
+        vec_col,
+    )
+    cell_radius = [angles.get(c, 0.0) for c in range(len(cent_rows))]
     # range-cluster the index files on `cell` so probe scans skip files
     # whose cell range can't match (the layout-index path)
     sn.sql(f"CREATE INDEX {index_name}__cell ON {idx_table} (cell)")
@@ -244,6 +294,11 @@ def build_ivf_sq8(
         # maintained row count: lets the router widen nprobe to full
         # recall when a query's candidate budget covers the whole corpus
         "n_rows": n_rows,
+        # per-cell residual radii (max member-to-centroid angle): the
+        # EXACT cell-pruning bound for threshold queries.  Inserts may
+        # only RAISE a radius (refresh); deletes leave it — a stale
+        # too-large radius is conservative (less pruning, never a miss)
+        "cell_radius": cell_radius,
     }
     sn._ann_indexes[index_name.lower()] = info
     sn._save_registry()
@@ -369,6 +424,56 @@ def search_ivf_sq8(
         .limit(topk)
     )
     return out if keep_exact else out.drop("exact_cos")
+
+
+def threshold_scan_ivf(sn, index_name: str, q_vec: list, tau: float):
+    """Serve `WHERE cosine_sim(col, q) > tau` (no LIMIT) from the index:
+    prune cells whose residual-radius upper bound cos(max(0, angle(q,c)
+    - radius(c))) falls below tau, then EXACT-score only the surviving
+    cells' members against the base table — the result set is exactly
+    the full-scan filter's (the bound is sound; the final filter is the
+    exact cosine), but the scan is limited to cells that can qualify.
+    Returns (id_col, frame with id + unrounded `__cos`), or None when
+    the index predates radius support."""
+    import math
+
+    import numpy as np
+
+    info = sn._ann_indexes[index_name.lower()]
+    radii = info.get("cell_radius")
+    if radii is None:
+        return None
+    id_col = info["id_col"]
+    q = np.asarray([float(x) for x in q_vec], dtype=np.float64)
+    qn = math.sqrt(float(np.cumsum(q * q)[-1]))
+    kept = []
+    for cid, ce in enumerate(info["centroids"]):
+        c = np.asarray(ce, dtype=np.float64)
+        cn = math.sqrt(float(np.cumsum(c * c)[-1]))
+        denom = cn * qn
+        cosqc = float(np.cumsum(c * q)[-1]) / denom if denom else float("nan")
+        if math.isnan(cosqc):
+            kept.append(cid)  # zero-norm query/centroid: never prune
+            continue
+        theta = math.acos(max(-1.0, min(1.0, cosqc)))
+        lb = max(0.0, theta - radii[cid] - 1e-9)
+        if math.cos(lb) >= tau - 1e-9:
+            kept.append(cid)
+    idx = sn.table(info["index_table"])
+    if sn._read_is_filtered(info["table"]):
+        idx = idx.join(
+            sn.table(info["table"]).select(id_col), id_col, "left_semi"
+        )
+    ids = idx.filter(F.col("cell").isin(kept)).select(id_col)
+    base = sn.table(info["table"]).select(
+        id_col, F.col(info["column"]).alias("__vec")
+    )
+    q_arr = F.array(*[F.lit(float(v)) for v in q_vec])
+    return id_col, (
+        ids.join(base, id_col)
+        .select(id_col, V.cosine(F.col("__vec"), q_arr).alias("__cos"))
+        .filter(F.col("__cos") > float(tau))
+    )
 
 
 def search_ivf_sq8_batch(
@@ -600,6 +705,20 @@ def refresh_ivf_sq8(
         upserts = assign.join(codes, id_col)
         if not upserts.isEmpty():
             sn.put(info["index_table"], upserts)
+            # threshold-pruning radii may only GROW here: a touched row
+            # farther from its centroid than the stored radius would
+            # otherwise be prunable out of a qualifying result.  Deleted
+            # rows never shrink radii (stale = conservative).
+            radii = info.get("cell_radius")
+            if radii is not None:
+                touched_angles = _cell_max_angles(
+                    assign.join(with_vec.select(id_col, vec_col), id_col),
+                    info["centroids"],
+                    vec_col,
+                )
+                for c, a in touched_angles.items():
+                    if c < len(radii) and a > radii[c]:
+                        radii[c] = a
     # drop index rows whose key no longer exists in the base table
     stale = sn.table(info["index_table"]).select(id_col).join(
         base.select(id_col), id_col, "left_anti"

@@ -880,6 +880,9 @@ SELECT c.vec_id,
 FROM cand c CROSS JOIN q
 ORDER BY {_cos_sql('c.embedding', 'q.qe')} DESC, c.vec_id
 LIMIT {SQ_TOPK}"""
+    search = search.replace(
+        "{excl}", "\n  WHERE e.vec_id <> q.qid" if exclude_self else ""
+    ).replace("{approx}", ", approx_cos" if include_approx else "")
     return "WITH " + ",".join(blocks) + "," + search
 
 
@@ -1018,7 +1021,7 @@ def sim_ivf_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_Q = 8  # query-set size for the batch ANN registry query
 
 
-def _ivf_sq8_batch_oracle() -> str:
+def _ivf_sq8_batch_oracle(exclude_self: bool = True, include_approx: bool = True) -> str:
     """Composed CTE oracle for the BATCH index serve: the same unrolled
     k-means + assign simulation, then per-QUERY probe / candidate-cut /
     exact-rerank via windows partitioned by qid — mirroring the Spark
@@ -1052,8 +1055,7 @@ dq AS (
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN qprobe p ON p.cell = a.cell
   JOIN qs q ON q.qid = p.qid
-  CROSS JOIN s
-  WHERE e.vec_id <> q.qid),
+  CROSS JOIN s{{excl}}),
 approx AS (
   SELECT qid, vec_id, embedding, qe, {_cos_sql('de', 'dqv')} AS acos FROM dq),
 cand AS (
@@ -1061,7 +1063,7 @@ cand AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                  ORDER BY acos DESC, vec_id) AS rn
     FROM approx) WHERE rn <= {SQ_CAND})
-SELECT qid, vec_id, cos, approx_cos FROM (
+SELECT qid, vec_id, cos{{approx}} FROM (
   SELECT qid, vec_id,
          ROUND({_cos_sql('embedding', 'qe')}, 4) AS cos,
          ROUND(acos, 4) AS approx_cos,
@@ -1069,6 +1071,9 @@ SELECT qid, vec_id, cos, approx_cos FROM (
                             ORDER BY {_cos_sql('embedding', 'qe')} DESC,
                                      vec_id) AS rk
   FROM cand) WHERE rk <= {SQ_TOPK}"""
+    search = search.replace(
+        "{excl}", "\n  WHERE e.vec_id <> q.qid" if exclude_self else ""
+    ).replace("{approx}", ", approx_cos" if include_approx else "")
     return "WITH " + ",".join(blocks) + "," + search
 
 
@@ -1134,4 +1139,83 @@ def sim_ann_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
         f"FROM emb_base ORDER BY cosine_sim(embedding, array({arr})) DESC, "
         f"vec_id LIMIT {SQ_TOPK}"
+    )
+
+
+@register(
+    "sim_ann_batch_sql_routed",
+    oracle=_ivf_sq8_batch_oracle(exclude_self=False, include_approx=False),
+)
+def sim_ann_batch_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH retrieval form routed from PLAIN SQL: the standard
+    per-query top-k window idiom over a stored query TABLE —
+
+        SELECT qid, vec_id, cos FROM (
+          SELECT q.qid AS qid, t.vec_id, ROUND(cosine_sim(...), 4) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                                    ORDER BY cosine_sim(...) DESC,
+                                             t.vec_id) AS rn
+          FROM ann_q q CROSS JOIN emb_base t) WHERE rn <= k
+
+    — rewrites onto index_ann.search_ivf_sq8_batch (resolve_index
+    _parse_batch_shape): ONE distributed plan probing stored centroids
+    per query row, candidate/rerank windows partitioned by qid, never
+    the cross-join full scan the SQL literally states.  Oracle: the
+    batch IVF-SQ8 CTE simulation without self-exclusion (plain SQL has
+    no exclude list)."""
+    sn = _ann_index_session(spark, sf_dir)
+    if not sn.catalog.exists("ann_q"):
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        sn.create_table(
+            "ann_q",
+            options={"key_columns": "qid"},
+            df=emb.filter(F.col("vec_id") < BATCH_Q).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+            ),
+        )
+    return sn.sql(
+        f"""SELECT qid, vec_id, cos FROM (
+  SELECT q.qid AS qid, t.vec_id,
+         ROUND(cosine_sim(t.embedding, q.qe), 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY cosine_sim(t.embedding, q.qe) DESC,
+                                     t.vec_id) AS rn
+  FROM ann_q q CROSS JOIN emb_base t) WHERE rn <= {SQ_TOPK}"""
+    )
+
+
+ANN_TAU = 0.2  # similarity threshold for the routed threshold-form query
+
+
+def _ann_threshold_oracle() -> str:
+    from snappydata_spark.operators.dedup_ops import _cos_sql
+
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id, ROUND({_cos_sql('b.embedding', 'q.qe')}, 4) AS cos
+FROM embeddings b, q
+WHERE {_cos_sql('b.embedding', 'q.qe')} > {ANN_TAU}
+"""
+
+
+@register("sim_ann_threshold_sql_routed", oracle=_ann_threshold_oracle())
+def sim_ann_threshold_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THRESHOLD retrieval form routed through the index: `SELECT
+    vec_id, score FROM emb_base WHERE cosine_sim(embedding, array(...))
+    > tau` (no LIMIT) serves from the materialized ivf_sq8 index by
+    pruning cells whose residual-radius bound cos(max(0, angle(q,c) -
+    radius(c))) cannot reach tau, then EXACT-scoring only surviving
+    cells' members (index_ann.threshold_scan_ivf).  Unlike the top-k
+    forms, the routed result is provably EQUAL to the full scan (the
+    radius bound is sound and the final filter is the exact cosine) —
+    the oracle is therefore the plain quadratic filter, no IVF
+    simulation needed.  Deletes never shrink stored radii (stale =
+    conservative); inserts raise them (refresh_ivf_sq8)."""
+    sn = _ann_index_session(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    arr = ", ".join(repr(v) for v in q)
+    return sn.sql(
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM emb_base WHERE cosine_sim(embedding, array({arr})) > {ANN_TAU}"
     )

@@ -1498,6 +1498,48 @@ def txt_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("txt_bm25_batch_sql_routed", oracle=_bm25_batch_oracle())
+def txt_bm25_batch_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical BATCH retrieval form routed from PLAIN SQL: the same
+    per-query top-k window idiom as sim_ann_batch_sql_routed, with the
+    query-side argument a TEXT COLUMN of the query table —
+
+        SELECT qid, doc_id, bm25 FROM (
+          SELECT q.qid AS qid, t.doc_id, bm25_score(t.text, q.qtext) AS bm25,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                                    ORDER BY bm25_score(t.text, q.qtext) DESC,
+                                             t.doc_id) AS rn
+          FROM bm25_q q CROSS JOIN docs_base t) WHERE rn <= k
+
+    — rewrites onto index_inverted.bm25_topk_batch (ONE postings scan
+    over the union vocabulary, per-term df/idf shared across queries,
+    windows partitioned by qid).  bm25_score has no scalar expansion,
+    so the routed plan is the only executable form — exactly the
+    reference's index-only operator discipline.  Oracle: the same
+    per-qid BM25 CTE as txt_bm25_batch_topk."""
+    sn = _bm25_index_session(spark, sf_dir)
+    if not sn.catalog.exists("bm25_q"):
+        sn.create_table(
+            "bm25_q",
+            options={"key_columns": "qid"},
+            df=spark.createDataFrame(
+                [
+                    (qid, " ".join(ts))
+                    for qid, ts in sorted(BM25_BATCH_QUERIES.items())
+                ],
+                "qid int, qtext string",
+            ),
+        )
+    return sn.sql(
+        f"""SELECT qid, doc_id, bm25 FROM (
+  SELECT q.qid AS qid, t.doc_id, bm25_score(t.text, q.qtext) AS bm25,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY bm25_score(t.text, q.qtext) DESC,
+                                     t.doc_id) AS rn
+  FROM bm25_q q CROSS JOIN docs_base t) WHERE rn <= {BM25_TOPK}"""
+    )
+
+
 @register("txt_bm25_sql_routed", oracle=_bm25_index_oracle())
 def txt_bm25_sql_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automatic index routing for lexical retrieval (ResolveIndex

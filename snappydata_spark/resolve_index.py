@@ -89,15 +89,12 @@ def _norm(s: str) -> str:
     return re.sub(r"\s+", "", s).lower()
 
 
-def _parse_shape(text: str):
-    """Parse the routed top-k shape; None when the text doesn't match."""
-    m = _TOPK.match(text)
-    if not m:
-        return None
-    sc = _CALL.match(m.group("score").strip())
-    if not sc or sc.group("round"):
-        return None  # ORDER BY must use the bare score function
-    items = [s.strip() for s in _split_top_commas(m.group("select"))]
+def _parse_score_select(select: str, sc: re.Match):
+    """Shared select-list parser for the routed shapes: `<id>[, <score
+    call> AS alias]` where the projected call must be the scoring
+    function (modulo ROUND).  Returns (id, alias, round_digits) or
+    None."""
+    items = [s.strip() for s in _split_top_commas(select)]
     if not items or not _IDENT.match(items[0]) or len(items) > 2:
         return None
     alias = round_digits = None
@@ -110,7 +107,6 @@ def _parse_shape(text: str):
         if not am:
             return None
         cm = _CALL.match(am.group("call").strip())
-        # the projected score must be the ORDER BY function (modulo ROUND)
         if (
             not cm
             or cm.group("fn").lower() != sc.group("fn").lower()
@@ -119,17 +115,63 @@ def _parse_shape(text: str):
             return None
         alias = am.group("alias")
         round_digits = int(cm.group("digits")) if cm.group("digits") else None
+    return items[0], alias, round_digits
+
+
+def _parse_shape(text: str):
+    """Parse the routed top-k shape; None when the text doesn't match."""
+    m = _TOPK.match(text)
+    if not m:
+        return None
+    sc = _CALL.match(m.group("score").strip())
+    if not sc or sc.group("round"):
+        return None  # ORDER BY must use the bare score function
+    parsed = _parse_score_select(m.group("select"), sc)
+    if parsed is None:
+        return None
+    ident, alias, round_digits = parsed
     tie = m.group("tie")
-    if tie is not None and tie.lower() != items[0].lower():
+    if tie is not None and tie.lower() != ident.lower():
         return None  # only the id column is a valid tie-break
     return {
-        "id": items[0],
+        "id": ident,
         "alias": alias,
         "round": round_digits,
         "table": m.group("table"),
         "fn": sc.group("fn").lower(),
         "args": _split_top_commas(sc.group("args")),
         "k": int(m.group("k")),
+    }
+
+
+_THRESH = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"WHERE\s+(?P<score>.+?)\s*>\s*(?P<tau>-?\d+(?:\.\d+)?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_threshold_shape(text: str):
+    """`SELECT <id>[, score AS a] FROM t WHERE cosine_sim(col, array(..))
+    > tau` (no LIMIT) — the similarity-threshold retrieval form."""
+    m = _THRESH.match(text)
+    if not m:
+        return None
+    sc = _CALL.match(m.group("score").strip())
+    if not sc or sc.group("round") or sc.group("fn").lower() != "cosine_sim":
+        return None
+    parsed = _parse_score_select(m.group("select"), sc)
+    if parsed is None:
+        return None
+    ident, alias, round_digits = parsed
+    return {
+        "id": ident,
+        "alias": alias,
+        "round": round_digits,
+        "table": m.group("table"),
+        "fn": "cosine_sim",
+        "args": _split_top_commas(sc.group("args")),
+        "tau": float(m.group("tau")),
     }
 
 
@@ -161,6 +203,116 @@ def _resolve_relation(sn, table: str) -> str:
     return cn
 
 
+_BATCH_OUTER = re.compile(
+    r"^\s*SELECT\s+(?P<osel>[\w\s,.]+?)\s+FROM\s*\(\s*SELECT\s+(?P<isel>.+?)\s+"
+    r"FROM\s+(?P<qt>[A-Za-z_][\w.]*)\s+(?P<qa>[A-Za-z_]\w*)\s*"
+    r"(?:,|CROSS\s+JOIN)\s*(?P<t>[A-Za-z_][\w.]*)\s+(?P<ta>[A-Za-z_]\w*)\s*\)"
+    r"\s*(?:AS\s+)?(?:[A-Za-z_]\w*)?\s*WHERE\s+(?P<rn>[A-Za-z_]\w*)\s*<=\s*"
+    r"(?P<k>\d+)\s*;?\s*$",
+    re.I | re.S,
+)
+_ROWNUM = re.compile(
+    r"^ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"(?P<part>[\w.]+)\s+ORDER\s+BY\s+(?P<score>.+?)\s+DESC\s*,\s*"
+    r"(?P<tie>[\w.]+)\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*)$",
+    re.I | re.S,
+)
+_AS_ITEM = re.compile(
+    r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$", re.I | re.S
+)
+
+
+def _parse_batch_shape(text: str):
+    """The routed BATCH retrieval form — per-query top-k over a query
+    TABLE stated as the standard window idiom:
+
+        SELECT <qa>, <id>[, <sa>] FROM (
+          SELECT q.<qid> AS <qa>, t.<id>,
+                 [ROUND(]fn(t.<col>, q.<qcol>)[, d)] AS <sa>,
+                 ROW_NUMBER() OVER (PARTITION BY q.<qid>
+                                    ORDER BY fn(t.<col>, q.<qcol>) DESC,
+                                             t.<id>) AS <rn>
+          FROM <qtable> q CROSS JOIN <table> t) WHERE <rn> <= <k>
+
+    fn is cosine_sim or bm25_score with the query-side argument a COLUMN
+    of the query table (vs the literal of the single-query shapes).
+    Returns the parsed dict or None."""
+    m = _BATCH_OUTER.match(text)
+    if not m:
+        return None
+    qa_t, ta_t = m.group("qa").lower(), m.group("ta").lower()
+    items = [s.strip() for s in _split_top_commas(m.group("isel"))]
+    if len(items) not in (3, 4):
+        return None
+    rn = _ROWNUM.match(items[-1])
+    if not rn or rn.group("alias").lower() != m.group("rn").lower():
+        return None
+    sc = _CALL.match(rn.group("score").strip())
+    if not sc or sc.group("round"):
+        return None
+    args = [a.strip() for a in _split_top_commas(sc.group("args"))]
+    if len(args) != 2:
+        return None
+
+    def _split_qual(expr: str, owner: str):
+        em = re.match(rf"^{owner}\.([A-Za-z_]\w*)$", expr.strip(), re.I)
+        return em.group(1) if em else None
+
+    col = _split_qual(args[0], ta_t)
+    qcol = _split_qual(args[1], qa_t)
+    if not col or not qcol:
+        return None
+    # item 1: q.<qid> [AS alias]
+    i1 = _AS_ITEM.match(items[0])
+    qid = _split_qual(i1.group("expr"), qa_t)
+    if not qid:
+        return None
+    qalias = i1.group("alias") or qid
+    # partition key must be the projected qid
+    if _split_qual(rn.group("part"), qa_t) != qid:
+        return None
+    # item 2: t.<id> [AS alias]; the window tie-break must be this id
+    i2 = _AS_ITEM.match(items[1])
+    tid = _split_qual(i2.group("expr"), ta_t)
+    if not tid or _split_qual(rn.group("tie"), ta_t) != tid:
+        return None
+    id_alias = i2.group("alias") or tid
+    salias = round_digits = None
+    if len(items) == 4:
+        i3 = _AS_ITEM.match(items[2])
+        if not i3.group("alias"):
+            return None
+        cm = _CALL.match(i3.group("expr").strip())
+        if (
+            not cm
+            or cm.group("fn").lower() != sc.group("fn").lower()
+            or _norm(cm.group("args")) != _norm(sc.group("args"))
+        ):
+            return None
+        salias = i3.group("alias")
+        round_digits = int(cm.group("digits")) if cm.group("digits") else None
+    osel = [s.strip().lower() for s in _split_top_commas(m.group("osel"))]
+    want = [qalias.lower(), id_alias.lower()] + (
+        [salias.lower()] if salias else []
+    )
+    if osel != want:
+        return None
+    return {
+        "fn": sc.group("fn").lower(),
+        "qtable": m.group("qt"),
+        "table": m.group("t"),
+        "qid": qid,
+        "qalias": qalias,
+        "id": tid,
+        "id_alias": id_alias,
+        "col": col,
+        "qcol": qcol,
+        "salias": salias,
+        "round": round_digits,
+        "k": int(m.group("k")),
+    }
+
+
 def _find_index(sn, table: str, col: str, method: str):
     cn = _resolve_relation(sn, table)
     for name, info in sn._ann_indexes.items():
@@ -187,6 +339,81 @@ def _parse_array_literal(expr: str) -> list[float] | None:
         return [float(v) for v in _split_top_commas(m.group("vals"))]
     except ValueError:
         return None
+
+
+def _route_batch(sn, bs: dict, hinted: bool, forced_name: str | None):
+    """Serve the parsed batch shape from the batch index paths — ONE
+    distributed plan per query table (search_ivf_sq8_batch /
+    bm25_topk_batch) instead of a per-query loop or the cross-join +
+    window full scan.  Returns None to fall through (no matching index
+    or routing off): cosine then runs as the expanded exact cross-join;
+    bm25 has no scalar form and raises in try_route's tail."""
+    method = "ivf_sq8" if bs["fn"] == "cosine_sim" else "inverted"
+    name, info = _find_index(sn, bs["table"], bs["col"], method)
+    if forced_name:
+        fi = sn._ann_indexes[forced_name]
+        if fi.get("method") != method:
+            raise ValueError(
+                f"index '{forced_name}' is a {fi.get('method')} index — "
+                f"this batch query needs {method}"
+            )
+        if fi["column"].lower() != bs["col"].lower():
+            raise ValueError(
+                f"index '{forced_name}' covers column {fi['column']}, "
+                "not the scored column"
+            )
+        name, info = forced_name, fi
+    enabled = _routing_enabled(sn, hinted) or forced_name is not None
+    if not enabled or name is None:
+        return None
+    if bs["id"].lower() != info["id_col"].lower():
+        if forced_name:
+            raise ValueError(
+                f"--+ index({forced_name}): the projected id column must "
+                f"be the index key {info['id_col']}"
+            )
+        return None
+    queries = sn.table(bs["qtable"])
+    k = bs["k"]
+    if bs["fn"] == "cosine_sim":
+        from snappydata_spark import index_ann
+
+        nprobe = int(sn.get_conf("snappydata.index.ann.nprobe", 4))
+        cand = int(sn.get_conf("snappydata.index.ann.cand", max(50, 5 * k)))
+        res = index_ann.search_ivf_sq8_batch(
+            sn,
+            name,
+            queries.select(bs["qid"], bs["qcol"]),
+            qid_col=bs["qid"],
+            qvec_col=bs["qcol"],
+            topk=k,
+            cand=cand,
+            nprobe=nprobe,
+        )
+        score_col = "cos"
+    else:
+        from snappydata_spark import index_inverted
+
+        terms = F.split(F.trim(F.col(bs["qcol"])), r"\s+")
+        res = index_inverted.bm25_topk_batch(
+            sn,
+            name,
+            queries.select(bs["qid"], terms.alias("__terms")),
+            qid_col=bs["qid"],
+            terms_col="__terms",
+            k=k,
+        )
+        score_col = "bm25"
+    out = [
+        F.col(bs["qid"]).alias(bs["qalias"]),
+        F.col(info["id_col"]).alias(bs["id_alias"]),
+    ]
+    if bs["salias"]:
+        score = F.col(score_col)
+        if bs["round"] is not None:
+            score = F.round(score, bs["round"])
+        out.append(score.alias(bs["salias"]))
+    return res.select(*out)
 
 
 def try_route(sn, text: str) -> DataFrame | None:
@@ -224,8 +451,54 @@ def try_route(sn, text: str) -> DataFrame | None:
         if forced_name:
             raise ValueError("--+ index(...) and --+ noIndex conflict")
         text = _NOINDEX.sub(" ", text)
+    if "row_number" in text.lower():
+        bs = _parse_batch_shape(text)
+        if bs is not None:
+            routed = _route_batch(sn, bs, hinted, forced_name)
+            if routed is not None:
+                return routed
     shape = _parse_shape(text)
     if shape is None:
+        th = _parse_threshold_shape(text)
+        if th is not None and len(th["args"]) == 2:
+            col, arr = th["args"][0].strip(), th["args"][1]
+            q_vec = _parse_array_literal(arr)
+            if _IDENT.match(col) and q_vec is not None:
+                name, info = _find_index(sn, th["table"], col, "ivf_sq8")
+                th_enabled = _routing_enabled(sn, hinted) or forced_name
+                if forced_name:
+                    fi = sn._ann_indexes[forced_name]
+                    if fi.get("method") != "ivf_sq8":
+                        raise ValueError(
+                            f"index '{forced_name}' is a "
+                            f"{fi.get('method')} index — threshold "
+                            "cosine needs ivf_sq8"
+                        )
+                    if fi["column"].lower() != col.lower():
+                        raise ValueError(
+                            f"index '{forced_name}' covers column "
+                            f"{fi['column']}, not the scored column"
+                        )
+                    name, info = forced_name, fi
+                if (
+                    th_enabled
+                    and name is not None
+                    and th["id"].lower() == info["id_col"].lower()
+                ):
+                    from snappydata_spark import index_ann
+
+                    served = index_ann.threshold_scan_ivf(
+                        sn, name, q_vec, th["tau"]
+                    )
+                    if served is not None:
+                        id_col, frame = served
+                        out = [F.col(id_col).alias(th["id"])]
+                        if th["alias"] is not None:
+                            score = F.col("__cos")
+                            if th["round"] is not None:
+                                score = F.round(score, th["round"])
+                            out.append(score.alias(th["alias"]))
+                        return frame.select(*out)
         if re.search(r"\bbm25_score\s*\(", text, re.I) and _TOPK.match(text):
             raise ValueError(
                 "bm25_score(col, 'query') is only supported in the routed "

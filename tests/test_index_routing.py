@@ -278,3 +278,125 @@ def test_force_hint_selects_named_index_among_several(snappy, spark, sf_dir):
     forced_a = snappy.sql("--+ index(emb2_base, emb2_a)\n" + sql)
     assert "emb2_a__ann" in _plan(forced_a)
     assert forced_a.collect() == forced_b.collect()
+
+
+def test_routing_through_synonym_and_view(ann_session):
+    """FROM a synonym of the indexed table, or a trivial SELECT * view,
+    routes like the table itself (ResolveIndex runs after view
+    expansion); a non-trivial view (projection/filter) falls through."""
+    sn, sql = ann_session
+    sn.sql("CREATE SYNONYM emb_syn FOR emb_base")
+    routed = sn.sql(sql.replace("FROM emb_base", "FROM emb_syn"))
+    assert "emb_ivf__ann" in _plan(routed)
+    assert routed.collect() == sn.sql(sql).collect()
+    sn.sql("CREATE VIEW emb_view AS SELECT * FROM emb_base")
+    routed_v = sn.sql(sql.replace("FROM emb_base", "FROM emb_view"))
+    assert "emb_ivf__ann" in _plan(routed_v)
+    # filtered view: result semantics differ -> must NOT route
+    sn.sql("CREATE VIEW emb_half AS SELECT * FROM emb_base WHERE vec_id > 10")
+    scan = sn.sql(sql.replace("FROM emb_base", "FROM emb_half"))
+    assert "emb_ivf__ann" not in _plan(scan)
+
+
+# -------------------------------------------- threshold + batch routed shapes
+
+
+def test_threshold_form_routes_and_matches_exact(ann_session):
+    """WHERE cosine_sim(col, vec) > tau (no LIMIT) serves from the index
+    via residual-radius cell pruning; the result set is EXACTLY the full
+    scan's (the final filter is the exact cosine)."""
+    sn, sql = ann_session
+    # rebuild the threshold text from the fixture's array literal
+    arr = sql.split("array(")[1].split(")")[0]
+    tsql = (
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM emb_base WHERE cosine_sim(embedding, array({arr})) > 0.2"
+    )
+    routed = sn.sql(tsql)
+    assert "emb_ivf__ann" in _plan(routed)
+    exact = sn.sql("--+ noIndex\n" + tsql)
+    assert "emb_ivf__ann" not in _plan(exact)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_threshold_radius_pruning_fires_and_stays_exact(snappy, spark):
+    """Tightly clustered vectors -> small cell radii -> a high threshold
+    prunes far cells (the scan reads fewer index rows), while the result
+    still equals the exact filter; after PUT of an outlier the radius
+    grows and the new row is still found."""
+    import math
+    import random
+
+    random.seed(7)
+
+    def jitter(base, eps):
+        v = [b + random.uniform(-eps, eps) for b in base]
+        return v
+
+    a = [1.0] + [0.0] * 7
+    b = [0.0] * 7 + [1.0]
+    rows = [(i, jitter(a, 0.01)) for i in range(40)] + [
+        (100 + i, jitter(b, 0.01)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    snappy.create_table("cl_base", options={"key_columns": "vec_id"}, df=df)
+    snappy.sql("CREATE INDEX cl_ivf ON cl_base(embedding) USING ivf_sq8")
+    info = snappy._ann_indexes["cl_ivf"]
+    assert max(info["cell_radius"]) < 0.5  # tight clusters -> small radii
+    arr = ", ".join(repr(float(x)) for x in a)
+    tsql = (
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM cl_base WHERE cosine_sim(embedding, array({arr})) > 0.9"
+    )
+    routed = sorted(r.vec_id for r in snappy.sql(tsql).collect())
+    exact = sorted(
+        r.vec_id for r in snappy.sql("--+ noIndex\n" + tsql).collect()
+    )
+    assert routed == exact and len(routed) == 40
+    # pruning evidence: kept cells cover only the a-cluster
+    from snappydata_spark import index_ann
+
+    _, frame = index_ann.threshold_scan_ivf(snappy, "cl_ivf", a, 0.9)
+    assert frame.count() == 40
+    # an outlier PUT near cluster a but at a wide angle must RAISE the
+    # radius and still be retrieved when it qualifies
+    mid = [x / math.sqrt(2.0) for x in
+           [a[i] + b[i] for i in range(8)]]
+    snappy.put("cl_base", spark.createDataFrame(
+        [(999, mid)], "vec_id long, embedding array<double>"))
+    tsql_lo = tsql.replace("> 0.9", "> 0.6")
+    routed2 = sorted(r.vec_id for r in snappy.sql(tsql_lo).collect())
+    exact2 = sorted(
+        r.vec_id for r in snappy.sql("--+ noIndex\n" + tsql_lo).collect()
+    )
+    assert routed2 == exact2 and 999 in routed2
+
+
+def test_batch_window_form_routes_to_batch_serve(ann_session, spark):
+    """The per-query top-k window idiom over a query table lands on
+    search_ivf_sq8_batch — one plan, no cross-join of the base."""
+    sn, _ = ann_session
+    emb = sn.table("emb_base")
+    qdf = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sn.create_table("annq_t", options={"key_columns": "qid"}, df=qdf)
+    bsql = """SELECT qid, vec_id, cos FROM (
+  SELECT q.qid AS qid, t.vec_id, ROUND(cosine_sim(t.embedding, q.qe), 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY cosine_sim(t.embedding, q.qe) DESC,
+                                     t.vec_id) AS rn
+  FROM annq_t q CROSS JOIN emb_base t) WHERE rn <= 4"""
+    routed = sn.sql(bsql)
+    plan = _plan(routed)
+    assert "emb_ivf__ann" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = routed.collect()
+    assert sorted({r.qid for r in rows}) == [0, 1, 2]
+    assert all(len([r for r in rows if r.qid == q]) == 4 for q in (0, 1, 2))
+    # each query's self-match ranks first at cos 1.0
+    for q in (0, 1, 2):
+        best = max((r for r in rows if r.qid == q), key=lambda r: r.cos)
+        assert best.vec_id == q and best.cos == 1.0

@@ -55,3 +55,31 @@ def test_full_artifact_matches_registry():
         if e.get("err") is not None or e.get("hash_match") is not True
     }
     assert not bad, f"non-green FULL rows: {sorted(bad)[:5]}"
+
+
+def test_bench_queries_subset_of_registry():
+    """BENCH.json freshness guard (round-7 verdict #7): every per-query
+    timing the committed bench artifact carries must name a CURRENTLY
+    registered query (or a bench-local diagnostic) — a renamed/removed
+    query must not ship a stale bench row."""
+    import json
+    import os
+
+    from snappydata_spark.operators import QUERIES
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "BENCH.json"
+    )
+    assert os.path.exists(path), "BENCH.json missing — run bench.py"
+    bench = json.load(open(path))
+    # bench-local diagnostics measured by bench.py itself, not registry
+    # queries (plan-cache loops, colocation A/B, cold lane aggregates)
+    diagnostics = {
+        "plan_cache_20_repeats", "plan_cache_20_hits", "plan_cache_20_cold",
+        "colocated_join_plain", "colocated_join_bucketed",
+    }
+    names = set(bench.get("queries", {})) - diagnostics
+    cold = bench.get("cold") or {}
+    names |= set(cold.get("queries", {})) - diagnostics
+    unknown = sorted(names - set(QUERIES))
+    assert unknown == [], f"BENCH.json rows not in registry: {unknown[:8]}"
