@@ -361,6 +361,11 @@ def main() -> None:
         "txt_bm25_batch_topk",
         "aqp_sample_join_estimate",
         "aqp_topk_table_sql",
+        # round-7 additions: new routed shapes + sketch-backed TOPK
+        "sim_ann_threshold_sql_routed",
+        "sim_ann_batch_sql_routed",
+        "txt_bm25_batch_sql_routed",
+        "aqp_topk_sketch_table_sql",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

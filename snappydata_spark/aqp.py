@@ -268,3 +268,95 @@ def approx_topk_time(
             F.col("rank"),
         )
     )
+
+
+# ---------------------- CMS-backed TOPK TABLE state (sketch mode)
+
+# CountMinSketch geometry for sketch-backed TOPK TABLES (the reference
+# bounds TopK state with a vendored clearspring CountMinSketch +
+# StreamSummary, core/src/main/java/io/snappydata/util/com/clearspring/
+# analytics/stream/frequency/; createApproxTSTopK
+# SnappySession.scala:958-1026).  Per window the state is D*W integer
+# cells + a `size`-bounded candidate list — NEVER the full key set.
+TOPK_CMS_D = 4
+TOPK_CMS_W = 64
+
+
+def _cms_bucket(row_idx_col, key_col):
+    """bucket = md5('tcms<row>~<key>') first-8-hex % W — the md5-derived
+    hash family every verified-sketch query uses (oracle-reproducible:
+    DuckDB computes the identical md5)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("tcms"),
+                        row_idx_col.cast("string"),
+                        F.lit("~"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % TOPK_CMS_W
+    )
+
+
+def topk_cms_cells(
+    df: DataFrame,
+    key_col: str,
+    window_col: str = "window_start",
+    freq_col: str | None = None,
+) -> DataFrame:
+    """Per-window CMS cells: (window_start, row_idx, bucket, cnt) —
+    additive integer state, ≤ D*W rows per window regardless of key
+    cardinality.  One map-side explode + one bounded-key shuffle."""
+    w = F.col(freq_col).cast("long") if freq_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.col(window_col),
+        F.explode(F.sequence(F.lit(0), F.lit(TOPK_CMS_D - 1))).alias("row_idx"),
+        F.col(key_col),
+        w.alias("__w"),
+    ).select(
+        window_col,
+        "row_idx",
+        _cms_bucket(F.col("row_idx"), key_col).alias("bucket"),
+        "__w",
+    )
+    return cells.groupBy(window_col, "row_idx", "bucket").agg(
+        F.sum("__w").alias("cnt")
+    )
+
+
+def topk_cms_probe(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    window_col: str | None = None,
+) -> DataFrame:
+    """CMS point estimates for `keys` against (…, row_idx, bucket, cnt)
+    cells: est(key) = MIN over the D rows of the probed counters (the
+    count-min property: est >= true count, never under).  With
+    `window_col`, `keys` carries (window, key) pairs and each pair
+    probes only ITS window's cells (the per-window candidate-list
+    build); without it, cells are a pre-merged range."""
+    extra = [window_col] if window_col else []
+    probes = keys.select(
+        *extra,
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(TOPK_CMS_D - 1))).alias("row_idx"),
+    ).select(
+        *extra,
+        key_col,
+        "row_idx",
+        _cms_bucket(F.col("row_idx"), key_col).alias("bucket"),
+    )
+    joined = cells.join(
+        F.broadcast(probes), [*extra, "row_idx", "bucket"]
+    )
+    return joined.groupBy(*extra, key_col).agg(F.min("cnt").alias("est"))

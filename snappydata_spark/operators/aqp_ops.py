@@ -82,6 +82,84 @@ def aqp_topk_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCMS_BUCKET = "('0x' || substr(md5('tcms' || i.i || '~' || {k}), 1, 8))::BIGINT % 64"
+
+
+def _topk_sketch_oracle() -> str:
+    """The full sketch-mode pipeline stated in DuckDB: per-window CMS
+    cells (4 md5 rows x 64 counters) -> per-window top-20 candidate
+    lists by that window's min-probe estimate -> range merge (cell
+    addition) -> candidate re-probe -> clearspring overcount bound
+    ceil(2N/64).  Integer throughout except the final bound cast."""
+    b = _TCMS_BUCKET.format(k="event_type")
+    bk = _TCMS_BUCKET.format(k="k.event_type")
+    return f"""
+WITH ev AS (SELECT date_trunc('hour', ts) AS w, event_type
+            FROM events WHERE event_type IS NOT NULL),
+cells AS (
+  SELECT w, i.i AS row_idx, {b} AS bucket, COUNT(*)::BIGINT AS cnt
+  FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+  GROUP BY w, row_idx, bucket),
+wkeys AS (SELECT DISTINCT w, event_type FROM ev),
+probes AS (
+  SELECT k.w, k.event_type, i.i AS row_idx, {bk} AS bucket
+  FROM wkeys k, LATERAL (SELECT unnest(range(0, 4)) AS i) i),
+west AS (
+  SELECT p.w, p.event_type, MIN(c.cnt) AS est
+  FROM probes p JOIN cells c
+    ON c.w = p.w AND c.row_idx = p.row_idx AND c.bucket = p.bucket
+  GROUP BY p.w, p.event_type),
+panel AS (
+  SELECT w, event_type FROM (
+    SELECT w, event_type,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY est DESC, event_type) AS rk
+    FROM west) WHERE rk <= 20),
+merged AS (
+  SELECT row_idx, bucket, SUM(cnt)::BIGINT AS cnt
+  FROM cells GROUP BY row_idx, bucket),
+cand AS (SELECT DISTINCT event_type FROM panel),
+cprobe AS (
+  SELECT k.event_type, i.i AS row_idx, {bk} AS bucket
+  FROM cand k, LATERAL (SELECT unnest(range(0, 4)) AS i) i),
+est AS (
+  SELECT p.event_type, MIN(m.cnt) AS est
+  FROM cprobe p JOIN merged m USING (row_idx, bucket)
+  GROUP BY p.event_type),
+n AS (SELECT CAST(SUM(cnt) / 4 AS BIGINT) AS n FROM merged)
+SELECT event_type, est AS estimatedvalue,
+       CAST(CEIL(2.0 * n.n / 64) AS DOUBLE) AS errorboundsinfo
+FROM est, n
+ORDER BY estimatedvalue DESC, event_type LIMIT 5"""
+
+
+@register("aqp_topk_sketch_table_sql", oracle=_topk_sketch_oracle())
+def aqp_topk_sketch_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS + StreamSummary-BOUNDED TOPK TABLE state (sketch 'true'; the
+    reference's vendored clearspring substrate, core/src/main/java/io/
+    snappydata/util/com/clearspring/analytics/stream/frequency/): per
+    window the structure stores 4x64 CountMinSketch cells plus a
+    size-capped candidate list — O(D*W + size) rows per window at ANY
+    key cardinality (the exact panel's size grows with distinct keys;
+    tests/test_aqp.py pins the bound under a 100x cardinality blowup).
+    The documented read shape merges cells across the range by
+    ADDITION, probes the candidate union, and reports the clearspring
+    overcount guarantee eps*N = 2N/W as a REAL nonzero ErrorBoundsInfo
+    (the exact panel's is 0 by construction).  Every stage is integer
+    md5 arithmetic, so the DuckDB oracle reproduces the sketch
+    cell-for-cell."""
+    sn = _topk_table_session(spark, sf_dir)
+    if not sn.catalog.exists("tk_sketch"):
+        sn.sql(
+            "CREATE TOPK TABLE tk_sketch ON tk_events OPTIONS "
+            "(key 'event_type', timeSeriesColumn 'ts', timeInterval '1h', "
+            "size '5', sketch 'true')"
+        )
+    return sn.sql(
+        "SELECT * FROM tk_sketch ORDER BY EstimatedValue DESC LIMIT 5"
+    )
+
+
 def _stratified_with_error_sql() -> str:
     # HSMP_PCT / HSMP_Z are defined below with the hashed-sample twin
     return """

@@ -19,7 +19,7 @@ import tempfile
 import threading
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import StructType
 
 from snappydata_spark.catalog import Catalog, TableMeta, canon_name
@@ -795,6 +795,12 @@ class SnappySession:
                     f"{sorted(set(children))} (drop the referencing "
                     "table(s) first)"
                 )
+        if self.catalog.exists(name):
+            m = self.catalog.load_meta(name)
+            # a sketch-backed TOPK TABLE drops its CMS companion with it
+            cms = m.options.get("cms_table")
+            if m.provider == "topk" and cms and self.catalog.exists(cms):
+                self.drop_table(cms)
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
             cur = int(
                 self.catalog.load_meta(name).options.get("bucket_gen", 0)
@@ -1226,6 +1232,7 @@ class SnappySession:
                 k=int(opts.get("k", 10)),
                 window=None if window in (None, "all") else window,
                 freq_col=opts.get("freq") or None,
+                sketch=opts.get("mode") == "sketch",
             )
 
     def _apply_policies(self, name: str, df: DataFrame) -> DataFrame:
@@ -2842,18 +2849,29 @@ class SnappySession:
         k: int = 10,
         window: str = "1 hour",
         freq_col: str | None = None,
+        sketch: bool = False,
     ) -> None:
         """createApproxTSTopK (SnappySession.scala:958-1026): register a
         time-windowed top-k structure over a base table.  The reference
         maintains a count-min sketch + StreamSummary per window; here the
-        structure is a materialized per-window (key, cnt) panel — bounded
-        by windows × keys-kept, refreshable from the base table, and
-        mergeable across windows at query time.  `freq_col` ranks keys by
-        a frequency column's SUM instead of row count
+        DEFAULT structure is a materialized per-window (key, cnt) panel —
+        exact, refreshable from the base table, mergeable across windows
+        at query time — whose size grows with distinct keys per window.
+        `sketch=True` (SQL option `sketch 'true'`) switches to the
+        reference's BOUNDED state: per-window CountMinSketch cells plus a
+        StreamSummary-style `size`-capped candidate list
+        (_create_topk_sketch) — O(D·W + size) rows per window at ANY key
+        cardinality, with real nonzero ErrorBoundsInfo.  `freq_col` ranks
+        keys by a frequency column's SUM instead of row count
         (docs/aqp/sketching.md frequencyCol); `window=None` disables the
         time dimension (sketching.md:79 — one global panel)."""
         from snappydata_spark import aqp as aqp_mod
 
+        if sketch:
+            self._create_topk_sketch(
+                name, base_table, key_col, ts_col, k, window, freq_col
+            )
+            return
         if window is None:
             # time disabled: a single all-time window at the epoch
             base = self.table(base_table)
@@ -2898,6 +2916,90 @@ class SnappySession:
             overwrite=True,
         )
 
+    def _create_topk_sketch(
+        self,
+        name: str,
+        base_table: str,
+        key_col: str,
+        ts_col: str,
+        k: int,
+        window: str | None,
+        freq_col: str | None,
+    ) -> None:
+        """Sketch-backed TOPK TABLE state (clearspring CountMinSketch +
+        StreamSummary analogue, core/src/main/java/io/snappydata/util/
+        com/clearspring/analytics/stream/frequency/): two managed
+        tables —
+
+          <name>       (window_start, <key>, est)  — the per-window
+                       candidate list, top `size` keys by THAT window's
+                       CMS estimate (StreamSummary's heavy-hitter list);
+          <name>__cms  (window_start, row_idx, bucket, cnt) — the
+                       additive CMS cells, ≤ D·W rows per window.
+
+        State is O((D·W + size) · windows) at ANY key cardinality —
+        the 100 TB contract the exact panel can't make.  Query-time
+        merge: sum cells across the range, probe the union of candidate
+        lists, bound the overcount with the clearspring guarantee
+        eps·N = 2N/W (ErrorBoundsInfo, real and nonzero)."""
+        from snappydata_spark import aqp as aqp_mod
+
+        base = self.table(base_table)
+        size = max(k * 4, k)
+        if window is None:
+            win = F.lit("1970-01-01 00:00:00").cast("timestamp")
+            window = "all"
+        else:
+            win = F.window(F.col(ts_col), window)["start"]
+        rows = base.select(
+            win.alias("window_start"),
+            F.col(key_col),
+            *([F.col(freq_col)] if freq_col else []),
+        ).filter(F.col(key_col).isNotNull())
+        cells = aqp_mod.topk_cms_cells(
+            rows, key_col, "window_start", freq_col=freq_col
+        )
+        cells = cells.persist()  # candidate build + store read it twice
+        wkeys = rows.select("window_start", key_col).distinct()
+        est = aqp_mod.topk_cms_probe(
+            cells, wkeys, key_col, window_col="window_start"
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.desc("est"), F.asc(key_col)
+            )
+        )
+        panel = (
+            est.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= size)
+            .select("window_start", key_col, "est")
+        )
+        cms_table = f"{self._canon(name)}__cms"
+        self.create_table(
+            cms_table,
+            options={"key_columns": "window_start,row_idx,bucket"},
+            df=cells,
+            overwrite=True,
+        )
+        self.create_table(
+            name,
+            provider="topk",
+            options={
+                "base_table": self._canon(base_table),
+                "key": key_col.lower(),
+                "ts": ts_col.lower(),
+                "k": str(k),
+                "window": window,
+                "freq": (freq_col or "").lower(),
+                "mode": "sketch",
+                "cms_table": cms_table,
+                "key_columns": f"window_start,{key_col.lower()}",
+            },
+            df=panel,
+            overwrite=True,
+        )
+        cells.unpersist()
+
     def topk_stream_updater(self, name: str):
         """foreachBatch callable that maintains an approx-TS-topk
         structure from a STREAM: per micro-batch, additive (window, key)
@@ -2937,10 +3039,47 @@ class SnappySession:
         k = k or int(meta.options["k"])
         key = meta.options["key"]
         panel = self.table(name)
-        if start_time:
-            panel = panel.filter(F.col("window_start") >= F.lit(start_time).cast("timestamp"))
-        if end_time:
-            panel = panel.filter(F.col("window_start") < F.lit(end_time).cast("timestamp"))
+
+        def _range(df):
+            if start_time:
+                df = df.filter(
+                    F.col("window_start")
+                    >= F.lit(start_time).cast("timestamp")
+                )
+            if end_time:
+                df = df.filter(
+                    F.col("window_start") < F.lit(end_time).cast("timestamp")
+                )
+            return df
+
+        panel = _range(panel)
+        if meta.options.get("mode") == "sketch":
+            # bounded-state path: merge CMS cells across the range, probe
+            # the union of the range's candidate lists, attach the
+            # clearspring overcount bound eps*N = 2N/W (ErrorBoundsInfo)
+            from snappydata_spark import aqp as aqp_mod
+
+            cells = _range(self.table(meta.options["cms_table"]))
+            merged = cells.groupBy("row_idx", "bucket").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            cands = panel.select(key).distinct()
+            est = aqp_mod.topk_cms_probe(merged, cands, key)
+            n = merged.agg(
+                (F.sum("cnt") / aqp_mod.TOPK_CMS_D).cast("long").alias("__n")
+            )
+            out = (
+                est.crossJoin(F.broadcast(n))
+                .select(
+                    key,
+                    F.col("est").alias("estimated_count"),
+                    F.ceil(
+                        F.lit(2.0) * F.col("__n") / aqp_mod.TOPK_CMS_W
+                    ).cast("long").alias("error_bound"),
+                )
+                .orderBy(F.desc("estimated_count"), F.asc(key))
+            )
+            return out if k < 0 else out.limit(k)
         out = (
             panel.groupBy(key)
             .agg(F.sum("cnt").alias("estimated_count"))
@@ -2977,6 +3116,9 @@ class SnappySession:
             k=int(options.get("size", 10)),
             window=interval if (interval and ts) else None,
             freq_col=options.get("frequencycol"),
+            # sketch 'true' -> CMS + StreamSummary-bounded state (the
+            # reference's clearspring substrate; docs/aqp sketching)
+            sketch=str(options.get("sketch", "false")).lower() == "true",
         )
         return None
 
@@ -3037,12 +3179,20 @@ class SnappySession:
             and (om.group(2) or "DESC").upper() == "DESC"
         )
         k = int(limit) if limit else None
-        out = self.query_approx_ts_topk(
+        merged = self.query_approx_ts_topk(
             name, start, end, k=(k if default_order else -1)
-        ).select(
+        )
+        # sketch-backed structures carry the real CMS overcount bound
+        # (eps*N = 2N/W); exact panels have no overcount by construction
+        err = (
+            F.col("error_bound").cast("double")
+            if "error_bound" in merged.columns
+            else F.lit(0.0)
+        )
+        out = merged.select(
             F.col(key),
             F.col("estimated_count").alias("EstimatedValue"),
-            F.lit(0.0).alias("ErrorBoundsInfo"),
+            err.alias("ErrorBoundsInfo"),
         )
         if not default_order:
             cols = {c.lower(): c for c in out.columns}

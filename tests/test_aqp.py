@@ -862,3 +862,92 @@ def test_topk_table_maintained_through_base_mutations(snappy, spark, sf_dir):
     finally:
         snappy.drop_table("tkm")
         snappy.drop_table("tkm_base")
+
+
+class TestSketchTopK:
+    def _mk(self, snappy, spark, n_keys, name):
+        rows = [
+            (i, f"2024-01-01 0{i % 3}:10:00", f"k{i % n_keys}")
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, ts_s string, key string"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "key")
+        snappy.create_table(f"{name}_base", options={"key_columns": "id"}, df=df)
+        snappy.sql(
+            f"CREATE TOPK TABLE {name} ON {name}_base OPTIONS "
+            "(key 'key', timeSeriesColumn 'ts', timeInterval '1h', "
+            "size '5', sketch 'true')"
+        )
+
+    def test_state_bounded_under_cardinality_blowup(self, snappy, spark):
+        """100x more distinct keys must NOT grow the stored state: the
+        candidate panel stays <= size*4 rows/window and the CMS stays
+        <= D*W cells/window (the clearspring contract the exact panel
+        cannot make)."""
+        self._mk(snappy, spark, 10, "tks_small")
+        self._mk(snappy, spark, 1000, "tks_big")
+        windows = 3
+        for name in ("tks_small", "tks_big"):
+            panel_rows = snappy.table(name).count()
+            cms_rows = snappy.table(f"{name}__cms").count()
+            assert panel_rows <= 20 * windows, (name, panel_rows)
+            assert cms_rows <= 4 * 64 * windows, (name, cms_rows)
+
+    def test_estimates_overcount_never_under(self, snappy, spark):
+        """CMS property: EstimatedValue >= exact count for every
+        reported key, and ErrorBoundsInfo is a REAL nonzero bound that
+        covers the overcount."""
+        self._mk(snappy, spark, 200, "tks_cms")
+        got = snappy.sql(
+            "SELECT * FROM tks_cms ORDER BY EstimatedValue DESC LIMIT 5"
+        ).collect()
+        assert len(got) == 5
+        exact = {
+            r.key: r.c
+            for r in snappy.table("tks_cms_base")
+            .groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for r in got:
+            assert r.EstimatedValue >= exact[r.key]
+            assert r.ErrorBoundsInfo > 0
+            assert r.EstimatedValue - exact[r.key] <= r.ErrorBoundsInfo
+
+    def test_time_range_reads_merge_cells(self, snappy, spark):
+        """startTime/endTime reads merge only the range's cells — a
+        1-window range estimates that window's counts, not the total."""
+        self._mk(snappy, spark, 10, "tks_rng")
+        one = snappy.sql(
+            "SELECT * FROM tks_rng WHERE startTime='2024-01-01 00:00:00' "
+            "AND endTime='2024-01-01 01:00:00' "
+            "ORDER BY EstimatedValue DESC LIMIT 3"
+        ).collect()
+        all_w = snappy.sql(
+            "SELECT * FROM tks_rng ORDER BY EstimatedValue DESC LIMIT 3"
+        ).collect()
+        assert one and all_w
+        assert max(r.EstimatedValue for r in one) < max(
+            r.EstimatedValue for r in all_w
+        )
+
+    def test_base_mutation_rederives_sketch(self, snappy, spark):
+        """Batch mutations of the base re-derive the sketch structure
+        (the r6 panel-maintenance contract, now for sketch mode): new
+        rows shift the estimates; the companion CMS table follows."""
+        self._mk(snappy, spark, 10, "tks_mut")
+        before = snappy.sql(
+            "SELECT * FROM tks_mut ORDER BY EstimatedValue DESC LIMIT 1"
+        ).collect()[0]
+        add = spark.createDataFrame(
+            [(100000 + i, "2024-01-01 00:20:00", "hotkey") for i in range(500)],
+            "id long, ts_s string, key string",
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "key")
+        snappy.insert("tks_mut_base", add)
+        after = snappy.sql(
+            "SELECT * FROM tks_mut ORDER BY EstimatedValue DESC LIMIT 1"
+        ).collect()[0]
+        assert after.key == "hotkey" and after.EstimatedValue >= 500
+        assert before.key != "hotkey"
+        # drop cascades to the CMS companion
+        snappy.drop_table("tks_mut")
+        assert not snappy.catalog.exists("tks_mut__cms")

@@ -77,6 +77,9 @@ def test_bench_queries_subset_of_registry():
     diagnostics = {
         "plan_cache_20_repeats", "plan_cache_20_hits", "plan_cache_20_cold",
         "colocated_join_plain", "colocated_join_bucketed",
+        "join_agg_plain_parquet", "join_agg_colocated_buckets",
+        "quickstart_groupby_avg",
+        "index_ann_routed_cold_serve", "index_bm25_routed_cold_serve",
     }
     names = set(bench.get("queries", {})) - diagnostics
     cold = bench.get("cold") or {}

@@ -1,0 +1,67 @@
+"""Full-registry scale sweep: run EVERY registered query at a given
+sf_dir, recording wall seconds + output rows per query — the evidence
+artifact for sf1->sf10 slope analysis (BENCH_SF10.md).
+
+Unlike bench.py (headline timing at the driver's sf0.1, warm+cold
+lanes), this is a single cold pass per query with a per-query timeout
+guard: at rehearsal scale the question is "does any plan flip to a
+scale-killer shape?", not steady-state latency.
+
+Usage: python tools/bench_registry_sf.py <sf_dir> <out_json> [name_filter]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1]
+    out_path = sys.argv[2]
+    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+
+    from snappydata_spark import get_spark
+    from snappydata_spark.operators import QUERIES
+
+    spark = get_spark("registry-scale-sweep")
+    results: dict[str, dict] = {}
+    # resume support: a partially-written artifact skips finished rows
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+    for name, fn in sorted(QUERIES.items()):
+        if name_filter and name_filter not in name:
+            continue
+        if name in results and "err" not in results[name]:
+            continue
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            results[name] = {
+                "wall": round(time.time() - t0, 2), "rows": int(n)
+            }
+            print(f"{name}: {results[name]['wall']}s rows={n}", flush=True)
+        except Exception as e:
+            results[name] = {
+                "wall": round(time.time() - t0, 2),
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
+            print(f"FAIL {name}: {results[name]['err'][:120]}", flush=True)
+        finally:
+            spark.catalog.clearCache()
+        tmp = out_path + ".tmp"
+        json.dump(results, open(tmp, "w"), indent=1, sort_keys=True)
+        os.replace(tmp, out_path)
+    errs = [k for k, v in results.items() if "err" in v]
+    print(json.dumps({
+        "sf_dir": sf_dir, "queries": len(results), "errors": errs,
+        "total_wall": round(sum(v["wall"] for v in results.values()), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
