@@ -520,6 +520,16 @@ _FK_TABLE = re.compile(
     re.I,
 )
 _REFS_COL = re.compile(r"\bREFERENCES\s+([\w.]+)\s*(?:\(([^)]*)\))?", re.I)
+# GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START WITH n [, INCREMENT BY m]
+# | INCREMENT BY m [, START WITH n])] — create-table.md Identity Columns
+# (row tables, INTEGER/BIGINT only)
+_IDENTITY = re.compile(
+    r"\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(([^)]*)\))?",
+    re.I,
+)
+_START_WITH = re.compile(r"\bSTART\s+WITH\s+(-?\d+)", re.I)
+_INCREMENT_BY = re.compile(r"\bINCREMENT\s+BY\s+(-?\d+)", re.I)
 
 
 def _collist(s: str) -> list[str]:
@@ -528,7 +538,7 @@ def _collist(s: str) -> list[str]:
 
 def parse_ddl_schema(
     schema: str,
-) -> tuple[str, list[str], list[str], list[list[str]], list[dict]]:
+) -> tuple[str, list[str], list[str], list[list[str]], list[dict], list[dict]]:
     """``(col TYPE [NOT NULL] [PRIMARY KEY] [UNIQUE] [REFERENCES t [(c)]]
     [CHECK (expr)], ..., [CONSTRAINT name] PRIMARY KEY (..) | UNIQUE (..)
     | FOREIGN KEY (..) REFERENCES t [(..)] | CHECK (expr))`` →
@@ -541,7 +551,10 @@ def parse_ddl_schema(
     them (resolved to the referenced table's key columns at CREATE
     time).  Constraint NAMES are accepted and dropped (the reference
     auto-generates names; this engine addresses constraints by shape).
-    Tolerates the unparenthesized form."""
+    The sixth element lists identity columns (create-table.md Identity
+    Columns): {"column", "always", "start", "increment"} per
+    GENERATED ALWAYS|BY DEFAULT AS IDENTITY clause.  Tolerates the
+    unparenthesized form."""
     s = schema.strip()
     if s.startswith("(") and s.endswith(")"):
         s = s[1:-1]
@@ -569,6 +582,7 @@ def parse_ddl_schema(
     checks: list[str] = []
     uniques: list[list[str]] = []
     fks: list[dict] = []
+    identities: list[dict] = []
     for item in items:
         item = item.strip()
         if not item:
@@ -600,6 +614,19 @@ def parse_ddl_schema(
             )
             continue
         colname = item.split()[0].lower()
+        idm = _IDENTITY.search(item)
+        if idm:
+            spec = idm.group(2) or ""
+            sm, im = _START_WITH.search(spec), _INCREMENT_BY.search(spec)
+            identities.append(
+                {
+                    "column": colname,
+                    "always": idm.group(1).upper() == "ALWAYS",
+                    "start": int(sm.group(1)) if sm else 1,
+                    "increment": int(im.group(1)) if im else 1,
+                }
+            )
+            item = _IDENTITY.sub("", item)
         refs_col = _REFS_COL.search(item)
         if refs_col:
             fks.append(
@@ -618,7 +645,7 @@ def parse_ddl_schema(
             item = _UNIQUE_COL.sub("", item)
         item = _NOT_NULL_CONSTRAINT.sub("", item)
         cols.append(" ".join(item.split()))
-    return ", ".join(cols), keys, checks, uniques, fks
+    return ", ".join(cols), keys, checks, uniques, fks, identities
 
 
 # Function-surface rewrites (io/snappydata/functions.scala:39-54): DSID()
@@ -999,6 +1026,17 @@ def equi_key_pairs(on: str, t_alias: str, s_alias: str) -> list[tuple[str, str]]
 _QUERY_HEAD = re.compile(r"\s*\(*\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN)\b", re.I)
 
 
+def _values_defaults_to_null(body: str) -> str:
+    """DEFAULT keywords inside a VALUES body become NULL literals before
+    Spark parses the inline table (Spark's VALUES has no DEFAULT): the
+    managed write path then treats NULL in an identity column as "assign
+    the next sequence value" (create-table.md Identity Columns) — the
+    reference's `INSERT INTO greetings VALUES (DEFAULT, 'hello')`."""
+    if "default" not in body.lower():
+        return body
+    return sub_outside_quotes(r"\bDEFAULT\b", lambda m: "NULL", body, flags=re.I)
+
+
 def split_statement(text: str) -> Statement:
     # preparse gate (plan-cache cold-path cost discipline): a statement
     # whose head keyword is a plain query form can never match any of the
@@ -1264,7 +1302,7 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "put",
             table=m.group(1),
-            source_sql=f"SELECT * FROM {body}",
+            source_sql=f"SELECT * FROM {_values_defaults_to_null(body)}",
             options=cols,
         )
     m = _UPDATE.match(text)
@@ -1306,7 +1344,7 @@ def split_statement(text: str) -> Statement:
         return Statement(
             "insert_select",
             table=m.group(1),
-            source_sql=f"SELECT * FROM {m.group(3)}",
+            source_sql=f"SELECT * FROM {_values_defaults_to_null(m.group(3))}",
             options=_cols_opt(m.group(2)),
         )
     m = _INSERT_OVERWRITE.match(text)

@@ -727,9 +727,36 @@ class SnappySession:
             # column constraints)
             from snappydata_spark.dialect import parse_ddl_schema
 
-            schema, pk, checks, uniques, fks = parse_ddl_schema(schema)
-            if pk or checks or uniques or fks:
+            schema, pk, checks, uniques, fks, identities = parse_ddl_schema(
+                schema
+            )
+            # CHAR(n)/VARCHAR(n) store as STRING (Spark's own storage
+            # semantics; Spark 4 rejects char types in a python-built
+            # empty frame outright) — the reference's row DDL uses
+            # VARCHAR ubiquitously, so the managed route normalizes
+            schema = re.sub(
+                r"\b(?:VAR)?CHAR\s*\(\s*\d+\s*\)", "STRING", schema,
+                flags=re.I,
+            )
+            if pk or checks or uniques or fks or identities:
                 options = dict(options or {})
+            if identities:
+                import json as _json
+
+                # GENERATED ... AS IDENTITY (create-table.md Identity
+                # Columns): INTEGER/BIGINT only, like the reference
+                low_schema = schema.lower()
+                for ident in identities:
+                    m = re.search(
+                        rf"\b{ident['column']}\s+(\w+)", low_schema
+                    )
+                    if m and m.group(1) not in ("int", "integer", "bigint", "long"):
+                        raise ValueError(
+                            f"identity column {ident['column']} must be "
+                            f"INTEGER or BIGINT, not {m.group(1).upper()}"
+                        )
+                    ident["next"] = ident["start"]
+                options["identities"] = _json.dumps(identities)
             if pk:
                 options.setdefault("key_columns", ",".join(pk))
             if checks:
@@ -985,8 +1012,24 @@ class SnappySession:
         if not self.catalog.exists(lname):
             return self.spark.sql(f"SHOW CREATE TABLE {name}")
         meta = self.catalog.load_meta(lname)
+        idents = {i["column"]: i for i in self._meta_identities(meta)}
+
+        def _identity_clause(col: str) -> str:
+            i = idents.get(col.lower())
+            if not i:
+                return ""
+            # re-emit with START WITH = the live cursor so a replayed
+            # statement CONTINUES the sequence (Derby's RESTART WITH
+            # discipline for exported identity DDL)
+            kind = "ALWAYS" if i["always"] else "BY DEFAULT"
+            return (
+                f" GENERATED {kind} AS IDENTITY (START WITH "
+                f"{i.get('next', i['start'])}, INCREMENT BY {i['increment']})"
+            )
+
         col_items = [
             f"{f.name} {f.dataType.simpleString().upper()}"
+            + _identity_clause(f.name)
             + ("" if f.nullable else " NOT NULL")
             for f in self._read_table(lname).schema
         ]
@@ -1017,8 +1060,8 @@ class SnappySession:
         if meta.replicate and meta.provider != "row":
             opts.append("replicate 'true'")
         for k, v in sorted(meta.options.items()):
-            if k in ("checks", "uniques", "foreign_keys"):
-                continue  # emitted as constraint clauses above
+            if k in ("checks", "uniques", "foreign_keys", "identities"):
+                continue  # emitted as column/constraint clauses above
             opts.append(f"{k} '{v}'")
         stmt = f"CREATE TABLE {lname} ({cols}) USING {meta.provider.upper()}"
         if opts:
@@ -1369,6 +1412,64 @@ class SnappySession:
                     f"CHECK constraint violated on {meta.name}: {e}"
                 )
 
+    # -------------------------------------------- identity columns
+
+    def _meta_identities(self, meta: TableMeta) -> list:
+        raw = meta.options.get("identities")
+        if not raw:
+            return []
+        import json as _json
+
+        return _json.loads(raw)
+
+    def _assign_identities(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """GENERATED ... AS IDENTITY assignment (create-table.md Identity
+        Columns): NULLs in an identity column receive the next values of
+        the persisted arithmetic sequence (START WITH / INCREMENT BY).
+        GENERATED ALWAYS rejects user-supplied values — insert DEFAULT
+        (parsed to NULL) or omit the column from the insert list.  The
+        generated values are unique per the reference's contract;
+        assignment order within a batch is unspecified (Derby's is too).
+        The sequence cursor persists in the catalog so it survives
+        sessions; per-table write serialization keeps it race-free."""
+        idents = self._meta_identities(meta)
+        if not idents:
+            return df
+        import json as _json
+
+        changed = False
+        for ident in idents:
+            col, inc = ident["column"], ident["increment"]
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast("long"))
+            has_values = df.filter(F.col(col).isNotNull()).limit(1).count()
+            if has_values and ident["always"]:
+                raise ValueError(
+                    f"cannot insert a value into GENERATED ALWAYS identity "
+                    f"column {col} of {meta.name} — use DEFAULT or omit "
+                    "the column"
+                )
+            todo = df.filter(F.col(col).isNull())
+            n = todo.count()
+            if n == 0:
+                continue
+            done = df.filter(F.col(col).isNotNull())
+            rn = F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            )
+            dtype = dict(df.dtypes)[col]
+            assigned = todo.withColumn(
+                col,
+                (F.lit(ident["next"]) + (rn - 1) * F.lit(inc)).cast(dtype),
+            )
+            df = done.unionByName(assigned)
+            ident["next"] = ident["next"] + n * inc
+            changed = True
+        if changed:
+            meta.options["identities"] = _json.dumps(idents)
+            self.catalog.save_meta(meta)
+        return df
+
     # ---------------------------------------- UNIQUE / FOREIGN KEY
     # (create-table.md:341-366 — GemFireXD row-DDL constraint surface:
     # UNIQUE disallows NULLs; an FK row with any NULL component is
@@ -1560,6 +1661,7 @@ class SnappySession:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
         self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
+        df = self._assign_identities(meta, df)
         self._validate_checks(meta, df)
         self._validate_uniques_incremental(meta, df)
         self._validate_fks(meta, df)
@@ -1625,6 +1727,7 @@ class SnappySession:
         zero existing files — it degenerates to a pure insert."""
         self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
+        df = self._assign_identities(meta, df)
         self._validate_checks(meta, df)
         keys = meta.key_columns or meta.partition_by
         if not keys:
@@ -1674,6 +1777,15 @@ class SnappySession:
         bad = [c for c in assignments if c.lower() in meta.key_columns]
         if bad:
             raise ValueError(f"cannot UPDATE key column(s) {bad} of {name}")
+        always = {
+            i["column"] for i in self._meta_identities(meta) if i["always"]
+        }
+        bad_id = [c for c in assignments if c.lower() in always]
+        if bad_id:
+            raise ValueError(
+                f"cannot UPDATE GENERATED ALWAYS identity column(s) "
+                f"{bad_id} of {name} (create-table.md Identity Columns)"
+            )
         target = self._mutation_target(name, meta)
         if target is None:
             return

@@ -961,3 +961,67 @@ class TestUniqueForeignKey:
             snappy.sql("INSERT INTO networth4 VALUES (99, 2.0)")
         with pytest.raises(ValueError, match="CHECK"):
             snappy.sql("INSERT INTO networth4 VALUES (2, -5.0)")
+
+
+# ------------------------------------------------------- identity columns
+# (create-table.md Identity Columns: GENERATED ALWAYS / BY DEFAULT AS
+# IDENTITY for INTEGER/BIGINT row-table columns; START WITH/INCREMENT BY
+# for BY DEFAULT; insert DEFAULT or omit the column for ALWAYS.)
+
+
+class TestIdentityColumns:
+    def test_generated_always_assigns_unique_values(self, snappy):
+        snappy.sql(
+            "CREATE TABLE greetings (i INT GENERATED ALWAYS AS IDENTITY, "
+            "ch VARCHAR(50)) USING row"
+        )
+        snappy.sql("INSERT INTO greetings VALUES (DEFAULT, 'hello')")
+        snappy.sql("INSERT INTO greetings (ch) VALUES ('hi')")
+        rows = snappy.table("greetings").collect()
+        vals = sorted(r.i for r in rows)
+        assert len(vals) == 2 and len(set(vals)) == 2
+        assert vals == [1, 2]  # START defaults to 1, INCREMENT 1
+
+    def test_generated_always_rejects_explicit_value(self, snappy):
+        snappy.sql(
+            "CREATE TABLE g2 (i INT GENERATED ALWAYS AS IDENTITY, "
+            "ch STRING) USING row"
+        )
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            snappy.sql("INSERT INTO g2 VALUES (42, 'nope')")
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            snappy.sql("INSERT INTO g2 (ch) VALUES ('x')") or snappy.sql(
+                "UPDATE g2 SET i = 9"
+            )
+
+    def test_by_default_start_increment_and_mixed(self, snappy):
+        snappy.sql(
+            "CREATE TABLE g3 (i BIGINT GENERATED BY DEFAULT AS IDENTITY "
+            "(START WITH 100, INCREMENT BY 5), v STRING) USING row"
+        )
+        snappy.sql("INSERT INTO g3 VALUES (7, 'explicit')")  # allowed
+        snappy.sql("INSERT INTO g3 VALUES (DEFAULT, 'a'), (DEFAULT, 'b')")
+        vals = sorted(r.i for r in snappy.table("g3").collect())
+        assert vals == [7, 100, 105]
+        # the sequence cursor persists across statements
+        snappy.sql("INSERT INTO g3 (v) VALUES ('c')")
+        assert max(r.i for r in snappy.table("g3").collect()) == 110
+
+    def test_identity_requires_integer_type(self, snappy):
+        with pytest.raises(ValueError, match="INTEGER or BIGINT"):
+            snappy.sql(
+                "CREATE TABLE g4 (i STRING GENERATED ALWAYS AS IDENTITY) "
+                "USING row"
+            )
+
+    def test_show_create_roundtrip_continues_sequence(self, snappy):
+        snappy.sql(
+            "CREATE TABLE g5 (i INT GENERATED BY DEFAULT AS IDENTITY, "
+            "v STRING) USING row"
+        )
+        snappy.sql("INSERT INTO g5 (v) VALUES ('a'), ('b')")
+        stmt = snappy.show_create_table("g5").collect()[0].createtab_stmt
+        assert "GENERATED BY DEFAULT AS IDENTITY (START WITH 3" in stmt
+        snappy.sql(stmt.replace("g5", "g6"))
+        snappy.sql("INSERT INTO g6 (v) VALUES ('c')")
+        assert snappy.table("g6").collect()[0].i == 3
