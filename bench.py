@@ -386,6 +386,13 @@ def main() -> None:
         n = df.count()  # forces full execution without driver-side collect
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # release this query's persisted intermediates (dedup/index
+        # pipelines persist() with no handle): accumulated blocks from
+        # query A distort query B's timing (memory pressure + silent
+        # CacheManager plan-equality hits) — same discipline as
+        # tools/check_oracle.py.  Warmup->timed reuse within one query
+        # is unaffected (both runs happen before the clear).
+        spark.catalog.clearCache()
 
     t0 = time.time()
     plan_cache_repeat(spark, SF_DIR)
