@@ -361,13 +361,44 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within prefix blocks: block on the first
     `block_tokens` tokens (cheap key), compute exact Jaccard over distinct
-    shingle sets only within a block."""
+    shingle sets only within a block.
+
+    Exact-dup collapse (the collapse_banded_pairs discipline): documents
+    with IDENTICAL shingle sets (md5 fingerprint of the sorted set) group
+    to a min-id representative — one member→rep edge each at jaccard 1.0
+    — and only representatives enter the pairwise block join.  Jaccard
+    depends only on the sets, so a member's similarity to any third doc
+    EQUALS its rep's: the collapsed edge set's transitive closure equals
+    the full ≥-threshold pair set's, while output and join fan-out stay
+    linear in rows on verbatim-duplicate-heavy corpora (a k-copy page is
+    k-1 edges, not k(k-1)/2 pairs — the r7 sf10 wedge).  Docs with no
+    shingle emit nothing (their pairwise jaccard was NULL and never
+    passed the threshold before)."""
     docs = _shingle_string_sets(df, text_col, id_col, shingle_n, block_tokens)
-    docs = docs.persist()  # self-join reads cached shingle sets
-    a, b = docs.alias("a"), docs.alias("b")
+    docs = (
+        docs.filter(F.size("sh") > 0)
+        .withColumn(
+            "__sk", F.md5(F.array_join(F.array_sort("sh"), "\x01"))
+        )
+        .persist()  # grouping + both join sides read one shingle pass
+    )
+    reps = docs.groupBy("blk", "__sk").agg(F.min(id_col).alias("__rep"))
+    member_edges = (
+        docs.join(reps, ["blk", "__sk"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("doc1"),
+            F.col(id_col).alias("doc2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_docs = docs.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    a, b = rep_docs.alias("a"), rep_docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -380,6 +411,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return member_edges.unionByName(rep_pairs)
 
 
 def embedding_near_dups(
@@ -388,9 +420,20 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     block_col: str = "label",
     top_per_block: int = 3,
+    sub_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within a blocking column (cluster/label/
     LSH bucket), rank pairs by cosine and keep the top candidates.
+
+    **Hard sub-block cap** (`sub_cap`, the knn_graph_candidates
+    discipline): rows within a block are row_number-ordered by id and
+    chopped into sub-blocks of ≤ sub_cap members before the pairwise
+    pass — the per-task matrix is then ≤ sub_cap² doubles (8 MB at
+    1024) no matter how large a blocking value grows.  Without it a
+    degenerate block of b rows builds a b×b matrix in one task (the
+    sf10 rehearsal hit 20k-row label blocks → 3.2 GB per task and a
+    wedged stage).  Cross-sub pairs are skipped — the same documented
+    recall trade as the knn sub_cap; ranking is per (block, sub).
 
     Vectorized per block via applyInPandas, FLOAT-EXACT to the previous
     Catalyst fold (and the DuckDB oracle): the pairwise dot matrix
@@ -442,14 +485,21 @@ def embedding_near_dups(
             }
         )
 
+    from pyspark.sql import Window as W
+
     types = dict(df.dtypes)
     schema = (
         f"blk {types[block_col]}, v1 {types[id_col]}, "
         f"v2 {types[id_col]}, cos double, rn int"
     )
+    sub = F.floor(
+        (F.row_number().over(W.partitionBy(block_col).orderBy(id_col)) - 1)
+        / sub_cap
+    )
     return (
         df.select(id_col, block_col, vec_col)
-        .groupBy(block_col)
+        .withColumn("__sub", sub)
+        .groupBy(block_col, "__sub")
         .applyInPandas(per_block, schema)
     )
 

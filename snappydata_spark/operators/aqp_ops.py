@@ -1104,10 +1104,14 @@ def ev_kmv_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hv"),
     ).distinct()
     types = h.select("event_type").distinct()
+    # all-pairs of the event-TYPE set — model-sized by definition (k
+    # segments -> k(k-1)/2 sketch unions); broadcast pins the plan to a
+    # nested-loop over the tiny frame at ANY scale factor (at sf10 the
+    # optimizer otherwise picked a shuffled CartesianProduct)
     pairs = (
         types.alias("a")
         .join(
-            types.alias("b"),
+            F.broadcast(types.alias("b")),
             F.col("a.event_type") < F.col("b.event_type"),
         )
         .select(
@@ -1115,8 +1119,11 @@ def ev_kmv_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = (
-        pairs.join(
-            h,
+        # OR-of-equi is not an equi join; broadcasting the k²/2-row pair
+        # frame makes it a nested loop over the big sketch side instead
+        # of a shuffled CartesianProduct (sf10 audit_plans finding)
+        h.join(
+            F.broadcast(pairs),
             (F.col("event_type") == F.col("ta"))
             | (F.col("event_type") == F.col("tb")),
         )
@@ -1143,8 +1150,8 @@ def ev_kmv_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_union"),
     )
     exact = (
-        pairs.join(
-            ev,
+        ev.join(
+            F.broadcast(pairs),
             (F.col("event_type") == F.col("ta"))
             | (F.col("event_type") == F.col("tb")),
         )

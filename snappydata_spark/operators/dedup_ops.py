@@ -242,23 +242,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH {CORPUS},
 tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
-sh AS (SELECT doc_id,
-              md5(array_to_string(t[1:2], ' ')) AS blk,
-              list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
-                             for x in range(1, len(t) - 1)]) AS sh
-       FROM tok),
-pairs AS (
+sh0 AS (SELECT doc_id,
+               md5(array_to_string(t[1:2], ' ')) AS blk,
+               list_distinct([t[x] || ' ' || t[x+1] || ' ' || t[x+2]
+                              for x in range(1, len(t) - 1)]) AS sh
+        FROM tok),
+shf AS (SELECT doc_id, blk, sh,
+               md5(array_to_string(list_sort(sh), chr(1))) AS sk
+        FROM sh0 WHERE len(sh) > 0),
+grp AS (SELECT blk, sk, MIN(doc_id) AS rep FROM shf GROUP BY blk, sk),
+member_edges AS (
+  SELECT g.rep AS doc1, s.doc_id AS doc2, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM shf s JOIN grp g ON s.blk = g.blk AND s.sk = g.sk
+  WHERE s.doc_id <> g.rep),
+reps AS (SELECT s.* FROM shf s JOIN grp g ON s.doc_id = g.rep),
+rep_pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-SELECT doc1, doc2, jaccard FROM pairs WHERE jaccard >= 0.5
-""".replace("{CORPUS}", _CORPUS_SQL).replace("{_TOKS}", _TOKS),
+  FROM reps a JOIN reps b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, jaccard FROM member_edges
+UNION ALL
+SELECT doc1, doc2, jaccard FROM rep_pairs WHERE jaccard >= 0.5
+""".replace("{CORPUS}", _CORPUS_DUP_SQL).replace("{_TOKS}", _TOKS),
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5 within 2-token prefix blocks."""
+    """Exact 3-gram Jaccard ≥ 0.5 within 2-token prefix blocks over the
+    verbatim-dup corpus, with identical shingle SETS collapsed to
+    member→rep edges (jaccard 1.0) before the pairwise join — jaccard
+    depends only on the sets, so the edge set's closure equals the full
+    ≥-threshold pair set's while output stays linear in rows (the r7
+    sf10 fix; see dedup.ngram_jaccard_pairs)."""
     return dedup.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), shingle_n=3, threshold=0.5, block_tokens=2
+        _corpus_dup(spark, sf_dir), shingle_n=3, threshold=0.5, block_tokens=2
     )
 
 
@@ -275,24 +291,35 @@ list_aggregate([a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH pairs AS (
-  SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
+WITH sb AS (
+  SELECT vec_id, label, embedding,
+         (ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) // 1024
+             AS sub
+  FROM embeddings),
+pairs AS (
+  SELECT a.label AS blk, a.sub AS sub, a.vec_id AS v1, b.vec_id AS v2,
          ROUND({_COS_SQL}, 4) AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM sb a JOIN sb b
+    ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
   -- zero-vector pairs have cosine 0/0 = NaN, which DuckDB orders ABOVE
   -- every double; the engine drops them before ranking (dedup/__init__)
   WHERE NOT isnan({_COS_SQL})),
 ranked AS (
   SELECT blk, v1, v2, cos,
-         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY cos DESC, v1, v2) AS rn
+         ROW_NUMBER() OVER (PARTITION BY blk, sub
+                            ORDER BY cos DESC, v1, v2) AS rn
   FROM pairs)
 SELECT blk, v1, v2, cos, rn FROM ranked WHERE rn <= 3
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-3 most-similar pairs per label
-    block (label stands in for an ANN cluster / LSH bucket id)."""
+    block (label stands in for an ANN cluster / LSH bucket id), with the
+    r7 hard sub-block cap (1024 rows per pairwise task — a degenerate
+    block cannot build an unbounded b×b matrix; see
+    dedup.embedding_near_dups).  At this corpus's block sizes the cap
+    never binds, so the oracle's sub key reproduces the engine's exactly
+    and results equal the uncapped semantics."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     return dedup.embedding_near_dups(t["embeddings"], top_per_block=3)
 
@@ -383,7 +410,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 _IVF_SQL = f"""
 WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-              WHERE vec_id % 31 = 1),
+              WHERE vec_id % 31 = 1 AND vec_id < 1984),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 cc AS (SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS cc
        FROM embeddings e, cent c),
@@ -416,7 +443,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    cent = emb.filter(F.col("vec_id") % 31 == 1).select(
+    # fixed-K coarse quantizer: the id cap keeps the centroid count
+    # <= 64 at ANY scale factor (without it the mod-31 sample grows
+    # centroids LINEARLY with the corpus and the n x k assignment goes
+    # quadratic -- the r7 sf10 rehearsal wedged on exactly that; real
+    # IVF trains a constant K, which the materialized ivf_sq8 index does)
+    cent = emb.filter(
+        (F.col("vec_id") % 31 == 1) & (F.col("vec_id") < 1984)
+    ).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     assign = ann.ivf_assign(emb, cent)
@@ -438,7 +472,14 @@ def sim_ivf_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    cent = emb.filter(F.col("vec_id") % 31 == 1).select(
+    # fixed-K coarse quantizer: the id cap keeps the centroid count
+    # <= 64 at ANY scale factor (without it the mod-31 sample grows
+    # centroids LINEARLY with the corpus and the n x k assignment goes
+    # quadratic -- the r7 sf10 rehearsal wedged on exactly that; real
+    # IVF trains a constant K, which the materialized ivf_sq8 index does)
+    cent = emb.filter(
+        (F.col("vec_id") % 31 == 1) & (F.col("vec_id") < 1984)
+    ).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cent_rows = ann.collect_centroids(cent)

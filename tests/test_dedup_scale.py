@@ -170,3 +170,26 @@ def test_exact_dup_groups_emit_linear_edges(spark):
         assert clusters[m] == 0
     assert clusters[101] == 100 and clusters[102] == 100
     assert 500 not in clusters  # unrelated doc pairs with nothing
+
+
+def test_embedding_block_sub_cap_bounds_task_matrix(spark):
+    """A degenerate blocking value (every vector under one label) must
+    split into sub-blocks of <= sub_cap rows — the per-task pairwise
+    matrix is bounded no matter how big a block grows (the sf10 20k-row
+    label block built a 3.2 GB matrix before this cap)."""
+    import random
+
+    random.seed(3)
+    rows = [
+        (i, "same_label", [random.uniform(-1, 1) for _ in range(8)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = dedup.embedding_near_dups(df, top_per_block=3, sub_cap=100).collect()
+    # 3 sub-blocks of 100 -> top-3 per sub-block = 9 rows, and no pair
+    # crosses a sub boundary (ids sort into subs [0..99][100..199][200..])
+    assert len(out) == 9
+    for r in out:
+        assert r.v1 // 100 == r.v2 // 100
