@@ -3125,6 +3125,17 @@ class SnappySession:
         meta = self.catalog.load_meta(name.lower())
         if meta.provider != "topk":
             raise ValueError(f"{name} is not an approx TS topk structure")
+        if meta.options.get("mode") == "sketch":
+            # the sketch panel stores CMS estimates (not additive counts)
+            # and its cells live in the __cms companion — the exact-panel
+            # PUT-merge would silently corrupt both.  Stream-feed the
+            # exact panel, or re-derive the sketch from the base on each
+            # batch (the mutation-maintenance path already does).
+            raise ValueError(
+                f"{name} is a sketch-backed TOPK TABLE; the streaming "
+                "updater maintains exact panels only — batch mutations "
+                "of the base table re-derive the sketch"
+            )
         return ContinuousAggregate(
             self,
             name,

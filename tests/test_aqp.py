@@ -951,3 +951,11 @@ class TestSketchTopK:
         # drop cascades to the CMS companion
         snappy.drop_table("tks_mut")
         assert not snappy.catalog.exists("tks_mut__cms")
+
+    def test_stream_updater_rejects_sketch_mode(self, snappy, spark):
+        """topk_stream_updater PUT-merges additive exact partials — on a
+        sketch panel (CMS estimates + companion cells) that merge would
+        corrupt state silently; it must refuse with a clear error."""
+        self._mk(snappy, spark, 10, "tks_stream")
+        with pytest.raises(ValueError, match="sketch-backed"):
+            snappy.topk_stream_updater("tks_stream")
