@@ -152,12 +152,18 @@ def build_minhash(
     sn.create_table(
         idx_table, options={"key_columns": f"{id_col},band"}, df=rows
     )
+    rep_table = f"{index_name}__repband"
+    _write_rep_bands(sn, idx_table, rep_table, id_col)
     info = {
         "method": "minhash",
         "table": sn._canon(table),
         "column": text_col,
         "id_col": id_col,
         "index_table": idx_table,
+        # representatives' band rows, materialized at build (one row set
+        # per distinct signature): the rep-collapsed gate serves from
+        # this without re-deriving signature groups per probe batch
+        "rep_table": rep_table,
         "num_hashes": num_hashes,
         "bands": bands,
         "shingle_n": shingle_n,
@@ -165,6 +171,33 @@ def build_minhash(
     sn._ann_indexes[index_name.lower()] = info
     sn._save_registry()
     return info
+
+
+def _write_rep_bands(sn, idx_table: str, rep_table: str, id_col: str) -> None:
+    """Materialize the band rows of each signature group's min-id
+    REPRESENTATIVE (signature identity = the band-ordered hash tuple).
+    One grouped pass over the band table — paid at build/maintenance,
+    never at serve time."""
+    banded = sn.table(idx_table)
+    sig = banded.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
+                lambda s: s["band_hash"],
+            ),
+            ",",
+        ).alias("__sk")
+    )
+    reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
+    rep_bands = banded.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    sn.create_table(
+        rep_table,
+        options={"key_columns": f"{id_col},band"},
+        df=rep_bands,
+        overwrite=True,
+    )
 
 
 def _visible_bands(sn, info) -> DataFrame:
@@ -225,6 +258,66 @@ def near_dup_lookup(
     )
 
 
+def near_dup_lookup_reps(
+    sn, index_name: str, probe: DataFrame, text_col: str | None = None
+) -> DataFrame:
+    """The rep-collapsed ingestion gate: like near_dup_lookup, but each
+    probe matches the min-id REPRESENTATIVE of a stored duplicate group
+    instead of every member — output is (probe_id, match_rep), at most
+    one row per (probe, group).
+
+    On verbatim-duplicate-heavy corpora the full gate's output is
+    |probe| × |group| (the r7 sf10 rehearsal emitted 61 M match rows at
+    ~120 members per group); this variant joins probe bands against the
+    REPRESENTATIVES' bands only — members share their rep's signature,
+    so any member band hit IS a rep band hit and recall at group
+    granularity is identical.  Both the join fan-out and the output are
+    linear in probes."""
+    info = sn._ann_indexes[index_name.lower()]
+    id_col = info["id_col"]
+    rep_table = info.get("rep_table")
+    if rep_table and sn.catalog.exists(rep_table):
+        # build-once path: the representatives' band rows were
+        # materialized at CREATE INDEX / last refresh
+        rep_bands = sn.table(rep_table)
+        if sn._read_is_filtered(info["table"]):
+            rep_bands = rep_bands.join(
+                sn.table(info["table"]).select(id_col), id_col, "left_semi"
+            )
+    else:
+        # pre-r7 index without a rep table: derive the groups inline
+        banded = _visible_bands(sn, info)
+        sig = banded.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("band", "band_hash"))
+                    ),
+                    lambda s: s["band_hash"],
+                ),
+                ",",
+            ).alias("__sk")
+        )
+        reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
+        rep_bands = banded.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+    pb = _band_rows(
+        probe,
+        text_col or info["column"],
+        id_col,
+        info["num_hashes"],
+        info["bands"],
+        info["shingle_n"],
+    ).select(F.col(id_col).alias("probe_id"), "band", "band_hash")
+    return (
+        rep_bands.join(F.broadcast(pb), ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col).alias("match_rep"))
+        .distinct()
+    )
+
+
 def refresh_minhash(
     sn,
     index_name: str,
@@ -271,3 +364,10 @@ def refresh_minhash(
     )
     if not stale.isEmpty():
         sn.delete_from(info["index_table"], stale)
+    if info.get("rep_table"):
+        # signature groups may have gained/lost members or changed their
+        # min id — re-derive the representatives' band rows (one grouped
+        # pass over the maintained band table; serve paths never pay it)
+        _write_rep_bands(
+            sn, info["index_table"], info["rep_table"], id_col
+        )

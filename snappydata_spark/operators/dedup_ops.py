@@ -1006,3 +1006,48 @@ def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_minhash.near_dup_lookup(sn, "base_mh", probes).select(
         (F.col("probe_id") - 1000000).alias("probe_id"), F.col("match_id")
     )
+
+
+def _gate_reps_oracle() -> str:
+    """Rep-collapsed gate: each probe (the original documents re-texted,
+    ids + 5000000) matches the min-id REPRESENTATIVE of every stored
+    signature group whose bands it collides with.  Probe text equals the
+    originals', so probe bands == the originals' bands in the corpus
+    CTE."""
+    return f"""WITH {_minhash_ctes(16, 4, _CORPUS_DUP_SQL)},
+dockey AS (SELECT doc_id, string_agg(band_hash, ',' ORDER BY band) AS sk
+           FROM bands GROUP BY doc_id),
+grp AS (SELECT sk, MIN(doc_id) AS rep FROM dockey GROUP BY sk),
+rep_bands AS (SELECT b.doc_id, b.band, b.band_hash
+              FROM bands b JOIN grp g ON b.doc_id = g.rep),
+probe_bands AS (SELECT doc_id AS probe_id, band, band_hash
+                FROM bands WHERE doc_id < 1000000)
+SELECT DISTINCT p.probe_id, r.doc_id AS match_rep
+FROM probe_bands p JOIN rep_bands r
+  ON p.band = r.band AND p.band_hash = r.band_hash"""
+
+
+@register("dedup_incoming_batch_gate_reps", oracle=_gate_reps_oracle())
+def dedup_incoming_batch_gate_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ingestion-gate contract at duplicate-heavy scale:
+    each incoming document retrieves the min-id REPRESENTATIVE of every
+    stored near-dup GROUP (index_minhash.near_dup_lookup_reps) instead
+    of every member — the r7 sf10 rehearsal showed the full-match gate
+    emitting 61 M rows (~120 group members per probe) where this variant
+    emits one row per (probe, group).  Served by the same materialized
+    minhash index as dedup_minhash_lsh_index (built over the verbatim-dup
+    corpus); probe bands join REPRESENTATIVES' bands only, so join
+    fan-out and output are both linear in probes while group-granularity
+    recall is identical (members share their rep's signature)."""
+    from snappydata_spark import index_minhash
+
+    sn = _minhash_index_session(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # probes: the original texts under fresh ids (outside the corpus id
+    # space) — each should gate onto its 3-copy group's representative
+    probes = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), F.col("text")
+    )
+    return index_minhash.near_dup_lookup_reps(sn, "corpus_mh", probes).select(
+        (F.col("probe_id") - 5000000).alias("probe_id"), F.col("match_rep")
+    )

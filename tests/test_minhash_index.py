@@ -155,3 +155,41 @@ def test_concurrent_puts_keep_index_consistent(indexed, spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_rep_gate_matches_collapsed_full_gate(snappy, spark):
+    """near_dup_lookup_reps == the full gate's matches mapped to each
+    group's min-id representative — at linear output; and PUT maintenance
+    rebuilds the stored rep band table."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [Row(doc_id=i, text=base * 3) for i in range(1, 6)]  # 5 copies
+    rows += [Row(doc_id=10, text="entirely different content about query "
+                                 "engines and columnar storage designs " * 2)]
+    corpus = spark.createDataFrame(rows)
+    snappy.create_table("rg_docs", options={"key_columns": "doc_id"}, df=corpus)
+    snappy.sql("CREATE INDEX rg_mh ON rg_docs(text) USING minhash")
+    assert snappy.catalog.exists("rg_mh__repband")
+    probe = spark.createDataFrame([Row(doc_id=100, text=(base * 3) + " zzz")])
+    full = {
+        (r.probe_id, r.match_id)
+        for r in index_minhash.near_dup_lookup(snappy, "rg_mh", probe).collect()
+    }
+    reps = {
+        (r.probe_id, r.match_rep)
+        for r in index_minhash.near_dup_lookup_reps(
+            snappy, "rg_mh", probe
+        ).collect()
+    }
+    # full gate fans out to all 5 copies; rep gate returns ONE row (the
+    # group's min id), and it's the min of the full gate's matches
+    assert {m for _, m in full} == {1, 2, 3, 4, 5}
+    assert reps == {(100, 1)}
+    # maintenance: deleting the representative re-elects the next min id
+    snappy.sql("DELETE FROM rg_docs WHERE doc_id = 1")
+    reps2 = {
+        (r.probe_id, r.match_rep)
+        for r in index_minhash.near_dup_lookup_reps(
+            snappy, "rg_mh", probe
+        ).collect()
+    }
+    assert reps2 == {(100, 2)}
