@@ -366,6 +366,7 @@ def main() -> None:
         "sim_ann_batch_sql_routed",
         "txt_bm25_batch_sql_routed",
         "aqp_topk_sketch_table_sql",
+        "dedup_incoming_batch_gate_reps",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
