@@ -31,6 +31,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _sig_frame(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One (id, __sk) row per doc, where __sk is a signature-equality
+    key (equal iff every minhash agrees).
+
+    Fast path: banded tables produced by index_minhash._band_rows carry
+    a map-side `sig_digest` column (md5 of the full signature, identical
+    on every band row), so the per-doc row is just the band-0 slice —
+    NO shuffle.  Fallback for digest-less band tables (pre-r8 stored
+    indexes): re-derive the key via collect_list/array_sort — one
+    groupBy-id shuffle (the shape behind the r7 dedup_minhash_lsh 3x
+    regression, kept only for compatibility)."""
+    if "sig_digest" in banded.columns:
+        return banded.filter(F.col("band") == 0).select(
+            id_col, F.col("sig_digest").alias("__sk")
+        )
+    return banded.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
+                lambda s: s["band_hash"],
+            ),
+            ",",
+        ).alias("__sk")
+    )
+
+
 def collapse_banded_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate-collapsed candidate edges from a (id, band,
     band_hash) table.
@@ -54,25 +80,43 @@ def collapse_banded_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFram
     full pair list (members reach each other through their rep; reps of
     band-colliding groups are directly connected), so
     connected_components / keep_one_per_cluster results are unchanged —
-    only the materialized pair list shrinks from Σk² to Θ(n)."""
-    sig = banded.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
-                lambda s: s["band_hash"],
-            ),
-            ",",
-        ).alias("__sk")
-    )
-    reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
-    member_edges = (
-        sig.join(reps, "__sk")
-        .filter(F.col(id_col) != F.col("__rep"))
-        .select(F.col("__rep").alias("doc1"), F.col(id_col).alias("doc2"))
-    )
-    rep_bands = banded.join(
-        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    )
+    only the materialized pair list shrinks from Σk² to Θ(n).
+
+    Fast path (band table carries the map-side sig_digest column, r8+):
+    the per-doc signature key is just the band-0 slice — no
+    collect_list/array_sort re-derivation (the r7 dedup_minhash_lsh 3x
+    regression).  Rep election is a partial-aggregated groupBy on the
+    digest (map-side combine shrinks the exchange to one row per
+    DISTINCT signature before the network), and the reps frame — slim,
+    bounded by distinct signatures — feeds the member join and the
+    rep semi-join, both of which AQE converts to broadcast when reps
+    fit and degrade to shuffle joins when they don't.  Fallback
+    (digest-less pre-r8 band tables): derive the key via collect_list
+    (one extra shuffle)."""
+    if "sig_digest" in banded.columns:
+        band0 = banded.filter(F.col("band") == 0)
+        reps = band0.groupBy("sig_digest").agg(
+            F.min(id_col).alias("__rep")
+        )
+        member_edges = (
+            band0.join(reps, "sig_digest")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("doc1"), F.col(id_col).alias("doc2"))
+        )
+        rep_bands = banded.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        ).select(id_col, "band", "band_hash")
+    else:
+        sig = _sig_frame(banded, id_col)
+        reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
+        member_edges = (
+            sig.join(reps, "__sk")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("doc1"), F.col(id_col).alias("doc2"))
+        )
+        rep_bands = banded.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
     a, b = rep_bands.alias("a"), rep_bands.alias("b")
     rep_pairs = (
         a.join(
@@ -119,14 +163,62 @@ def minhash_lsh_candidates(
     # k² candidate pairs; the oracle's WHERE len(t) >= 3 matches).
     from snappydata_spark.index_minhash import _band_rows
 
-    banded = _band_rows(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # materialize signatures once: the signature grouping and both sides
-    # of the rep self-join read the cached band table instead of
+    # Verbatim-duplicate pre-collapse (r8): on web corpora the same page
+    # is mirrored k times, and minhashing each mirror re-pays the whole
+    # shingle->md5->minhash CPU for identical bytes.  Fingerprint the
+    # raw text map-side (one md5 per DOC vs one per shingle), elect a
+    # min-id representative per identical text, and band ONLY the
+    # representatives — signature CPU and band-table bytes scale with
+    # DISTINCT content, not raw corpus size.  Signature-level groups
+    # (distinct texts whose minhashes still all agree — e.g. trailing
+    # whitespace) collapse on the band table's map-side sig_digest.
+    # The final rep of a doc is sig_rep(text_rep(doc)); because a text
+    # group is a subset of its signature group and text reps are their
+    # groups' minima, the sig group's min over text reps IS the global
+    # min — member edges are exactly the oracle's (rep, doc) pairs.
+    fp = df.select(id_col, F.md5(F.col(text_col)).alias("__fp"))
+    tmap = fp.groupBy("__fp").agg(F.min(id_col).alias("__trep"))
+    doc2trep = fp.join(tmap, "__fp").select(id_col, "__trep")
+    rep_docs = df.join(
+        tmap.select(F.col("__trep").alias(id_col)), id_col, "left_semi"
+    )
+    # materialize rep signatures once: the signature grouping and both
+    # sides of the rep self-join read the cached band table instead of
     # re-running shingle->md5->minhash (2x the whole pipeline).  At
     # 100 TB the same move is "write signatures to a table, self-join
     # the table" -- signature bytes << text bytes.
-    banded = banded.persist()
-    return collapse_banded_pairs(banded, id_col)
+    banded = _band_rows(
+        rep_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
+    band0 = banded.filter(F.col("band") == 0)
+    smap = band0.groupBy("sig_digest").agg(F.min(id_col).alias("__srep"))
+    trep2srep = band0.join(smap, "sig_digest").select(
+        F.col(id_col).alias("__trep"), "__srep"
+    )
+    # inner join drops whole groups whose rep produced no bands (text
+    # shorter than one shingle / NULL) — the oracle's len(t) >= 3 gate
+    member_edges = (
+        doc2trep.join(trep2srep, "__trep")
+        .filter(F.col(id_col) != F.col("__srep"))
+        .select(F.col("__srep").alias("doc1"), F.col(id_col).alias("doc2"))
+    )
+    rep_bands = banded.join(
+        smap.select(F.col("__srep").alias(id_col)), id_col, "left_semi"
+    )
+    a, b = rep_bands.alias("a"), rep_bands.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
+        )
+        .distinct()
+    )
+    return member_edges.unionByName(rep_pairs)
 
 
 def _ascii_tokens(text):

@@ -58,7 +58,13 @@ def _band_rows(
     - sig[i] = min((h*(2i+1) + (12582917i+1)) % (2^31-1)) — int64-exact
       numpy; docs with no shingle are dropped (an all-NULL signature
       would bucket every short doc together);
-    - band_hash = md5 of the comma-joined signature slice.
+    - band_hash = md5 of the comma-joined signature slice;
+    - sig_digest = md5 of the comma-joined FULL signature, identical on
+      every band row of a doc.  Equal digests <=> equal signatures, so
+      collapse_banded_pairs / _write_rep_bands can group exact-duplicate
+      docs from the band-0 rows directly — a map-side column instead of
+      the collect_list/array_sort shuffle that re-derived the signature
+      key per doc (the r7 dedup_minhash_lsh 3x regression).
 
     Why not the Catalyst chain: its interpreted HOF lambdas (~24M evals
     at sf0.1) did not scale across local threads (9 s wall regardless
@@ -77,7 +83,7 @@ def _band_rows(
         import pandas as pd
 
         for pdf in batches:
-            out = {"__id": [], "band": [], "band_hash": []}
+            out = {"__id": [], "band": [], "band_hash": [], "sig_digest": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -100,6 +106,9 @@ def _band_rows(
                     int(((hs * m + a) % 2147483647).min())
                     for m, a in zip(mults, adds)
                 ]
+                dig = hashlib.md5(
+                    ",".join(str(s) for s in sig).encode()
+                ).hexdigest()
                 for b in range(bands):
                     chunk = ",".join(
                         str(sig[b * rows + r]) for r in range(rows)
@@ -109,9 +118,11 @@ def _band_rows(
                     out["band_hash"].append(
                         hashlib.md5(chunk.encode()).hexdigest()
                     )
+                    out["sig_digest"].append(dig)
             yield pd.DataFrame(
                 {id_col: out["__id"], "band": out["band"],
-                 "band_hash": out["band_hash"]}
+                 "band_hash": out["band_hash"],
+                 "sig_digest": out["sig_digest"]}
             )
 
     id_type = dict(df.dtypes)[id_col]
@@ -119,7 +130,11 @@ def _band_rows(
     return (
         df.select(id_col, text_col)
         .repartition(par)
-        .mapInPandas(run, f"{id_col} {id_type}, band int, band_hash string")
+        .mapInPandas(
+            run,
+            f"{id_col} {id_type}, band int, band_hash string, "
+            "sig_digest string",
+        )
     )
 
 
@@ -177,17 +192,12 @@ def _write_rep_bands(sn, idx_table: str, rep_table: str, id_col: str) -> None:
     """Materialize the band rows of each signature group's min-id
     REPRESENTATIVE (signature identity = the band-ordered hash tuple).
     One grouped pass over the band table — paid at build/maintenance,
-    never at serve time."""
+    never at serve time.  Uses the map-side sig_digest column when the
+    band table carries it (r8+), so no collect_list shuffle."""
+    from snappydata_spark.dedup import _sig_frame
+
     banded = sn.table(idx_table)
-    sig = banded.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("band", "band_hash"))),
-                lambda s: s["band_hash"],
-            ),
-            ",",
-        ).alias("__sk")
-    )
+    sig = _sig_frame(banded, id_col)
     reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
     rep_bands = banded.join(
         reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
@@ -276,28 +286,27 @@ def near_dup_lookup_reps(
     info = sn._ann_indexes[index_name.lower()]
     id_col = info["id_col"]
     rep_table = info.get("rep_table")
-    if rep_table and sn.catalog.exists(rep_table):
+    if (
+        rep_table
+        and sn.catalog.exists(rep_table)
+        and not sn._read_is_filtered(info["table"])
+    ):
         # build-once path: the representatives' band rows were
         # materialized at CREATE INDEX / last refresh
         rep_bands = sn.table(rep_table)
-        if sn._read_is_filtered(info["table"]):
-            rep_bands = rep_bands.join(
-                sn.table(info["table"]).select(id_col), id_col, "left_semi"
-            )
     else:
-        # pre-r7 index without a rep table: derive the groups inline
+        # No rep table (pre-r7 index), OR an RLS policy / grant filters
+        # the base read: the materialized reps were elected over ALL
+        # rows, so a group whose min-id rep is hidden would lose its
+        # entire band row set under a visible-id semi-join — probes
+        # would stop matching groups that still have visible members
+        # (false negatives at the ingestion gate).  Re-elect the min
+        # VISIBLE member as rep inline instead; with the sig_digest
+        # column (r8+) this is shuffle-light (_sig_frame fast path).
+        from snappydata_spark.dedup import _sig_frame
+
         banded = _visible_bands(sn, info)
-        sig = banded.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("band", "band_hash"))
-                    ),
-                    lambda s: s["band_hash"],
-                ),
-                ",",
-            ).alias("__sk")
-        )
+        sig = _sig_frame(banded, id_col)
         reps = sig.groupBy("__sk").agg(F.min(id_col).alias("__rep"))
         rep_bands = banded.join(
             reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"

@@ -675,7 +675,7 @@ def test_streaming_minhash_index_maintenance(snappy, stream_dir):
 
     snappy.create_table(
         "mh_bands",
-        schema="doc_id long, band int, band_hash string",
+        schema="doc_id long, band int, band_hash string, sig_digest string",
         options={"key_columns": "doc_id,band"},
     )
 
