@@ -362,6 +362,16 @@ def _route_batch(sn, bs: dict, hinted: bool, forced_name: str | None):
                 f"index '{forced_name}' covers column {fi['column']}, "
                 "not the scored column"
             )
+        # the forced index must serve the query's FROM relation — the
+        # hint's own (table, index) pairing was validated in try_route,
+        # but forcing idx-on-T2 into a query scanning T1 would silently
+        # serve T2's rows
+        if fi["table"] != _resolve_relation(sn, bs["table"]):
+            raise ValueError(
+                f"index '{forced_name}' is on {fi['table']}, not "
+                f"{_resolve_relation(sn, bs['table'])} — the hinted index "
+                "must cover the query's FROM relation"
+            )
         name, info = forced_name, fi
     enabled = _routing_enabled(sn, hinted) or forced_name is not None
     if not enabled or name is None:
@@ -479,6 +489,13 @@ def try_route(sn, text: str) -> DataFrame | None:
                             f"index '{forced_name}' covers column "
                             f"{fi['column']}, not the scored column"
                         )
+                    if fi["table"] != _resolve_relation(sn, th["table"]):
+                        raise ValueError(
+                            f"index '{forced_name}' is on {fi['table']}, "
+                            f"not {_resolve_relation(sn, th['table'])} — "
+                            "the hinted index must cover the query's "
+                            "FROM relation"
+                        )
                     name, info = forced_name, fi
                 if (
                     th_enabled
@@ -525,10 +542,10 @@ def try_route(sn, text: str) -> DataFrame | None:
                 f"index '{forced_name}' is a {fi.get('method')} index — "
                 f"this query needs {method}"
             )
-        if fi["table"] != sn._canon(shape["table"]):
+        if fi["table"] != _resolve_relation(sn, shape["table"]):
             raise ValueError(
                 f"index '{forced_name}' is on {fi['table']}, not "
-                f"{sn._canon(shape['table'])}"
+                f"{_resolve_relation(sn, shape['table'])}"
             )
         if fi["column"].lower() != (shape["args"][0].strip().lower()):
             raise ValueError(

@@ -233,6 +233,15 @@ class SnappySession:
         # DEPLOY PACKAGE/JAR registry (deployPackages SnappyDDLParser:
         # 858-874) — dependency metadata only; see dialect.py divergence note
         self._packages: dict[str, dict[str, str]] = {}
+        # identity-assignment pins: frames persisted by _assign_identities
+        # so validation probes and the final write see the SAME generated
+        # values (a nondeterministic source would otherwise recompute
+        # different ids per action); released after the write completes
+        self._identity_pins: list[DataFrame] = []
+        # mutation-path plan audit hook (tests only): a list here makes
+        # _audit_plan record (tag, executedPlan) for write/validation
+        # frames so tests/test_plan_audit_mutations.py can sweep them
+        self._plan_audit_log: list[tuple[str, str]] | None = None
         # persistent views (createView SnappyDDLParser:542): name →
         # defining SELECT; re-registered per session over the store, and
         # re-bound per query so RLS/grants resolve against the CURRENT
@@ -1405,7 +1414,9 @@ class SnappySession:
             ).alias(f"c{i}")
             for i, e in enumerate(exprs)
         ]
-        row = df.agg(*flags).first()
+        probe = df.agg(*flags)
+        self._audit_plan(f"check:{meta.name}", probe)
+        row = probe.first()
         for i, e in enumerate(exprs):
             if row[i] == 1:
                 raise ValueError(
@@ -1431,7 +1442,18 @@ class SnappySession:
         generated values are unique per the reference's contract;
         assignment order within a batch is unspecified (Derby's is too).
         The sequence cursor persists in the catalog so it survives
-        sessions; per-table write serialization keeps it race-free."""
+        sessions; per-table write serialization keeps it race-free.
+
+        Values come from a two-phase distributed prefix sum (the
+        txt_pack_sequences discipline, operators/pipeline_ops.py): a
+        per-partition row_number window (parallel) plus each partition's
+        broadcast prefix offset — NOT an unpartitioned
+        Window.orderBy(monotonically_increasing_id()), which funnels the
+        whole batch through one task.  The tagged frame is persisted so
+        partition ids — and therefore the generated values — are
+        identical across the validation probes and the final write even
+        over a nondeterministic source; insert()/put() release the pin
+        after the write."""
         idents = self._meta_identities(meta)
         if not idents:
             return df
@@ -1449,18 +1471,38 @@ class SnappySession:
                     f"column {col} of {meta.name} — use DEFAULT or omit "
                     "the column"
                 )
-            todo = df.filter(F.col(col).isNull())
-            n = todo.count()
+            done = df.filter(F.col(col).isNotNull())
+            tagged = (
+                df.filter(F.col(col).isNull())
+                .withColumn("__pid", F.spark_partition_id())
+                .persist()
+            )
+            self._identity_pins.append(tagged)
+            counts = tagged.groupBy("__pid").count().collect()
+            n = sum(r["count"] for r in counts)
             if n == 0:
                 continue
-            done = df.filter(F.col(col).isNotNull())
+            run, offs = 0, []
+            for r in sorted(counts, key=lambda r: r["__pid"]):
+                offs.append((int(r["__pid"]), run))
+                run += int(r["count"])
+            off_df = self.spark.createDataFrame(offs, "__pid int, __off long")
             rn = F.row_number().over(
-                Window.orderBy(F.monotonically_increasing_id())
+                Window.partitionBy("__pid").orderBy(
+                    F.monotonically_increasing_id()
+                )
             )
             dtype = dict(df.dtypes)[col]
-            assigned = todo.withColumn(
-                col,
-                (F.lit(ident["next"]) + (rn - 1) * F.lit(inc)).cast(dtype),
+            assigned = (
+                tagged.join(F.broadcast(off_df), "__pid")
+                .withColumn(
+                    col,
+                    (
+                        F.lit(ident["next"])
+                        + (F.col("__off") + rn - 1) * F.lit(inc)
+                    ).cast(dtype),
+                )
+                .drop("__pid", "__off")
             )
             df = done.unionByName(assigned)
             ident["next"] = ident["next"] + n * inc
@@ -1469,6 +1511,31 @@ class SnappySession:
             meta.options["identities"] = _json.dumps(idents)
             self.catalog.save_meta(meta)
         return df
+
+    def _audit_plan(self, tag: str, df: DataFrame) -> None:
+        """Mutation-path plan capture (tools/audit_plans.py companion):
+        when `_plan_audit_log` is a list, record (tag, executedPlan text)
+        for every frame the write/validation paths are about to execute.
+        The registry sweep only sees SELECT plans — the r7 identity
+        global-window scale-killer shipped precisely because mutation
+        plans were unaudited.  Off (None) outside tests: executedPlan()
+        forces planning work per write."""
+        if self._plan_audit_log is None:
+            return
+        try:
+            self._plan_audit_log.append(
+                (tag, df._jdf.queryExecution().executedPlan().toString())
+            )
+        except Exception:  # noqa: BLE001 — audit must never break writes
+            pass
+
+    def _release_identity_pins(self) -> None:
+        for p in self._identity_pins:
+            try:
+                p.unpersist()
+            except Exception:  # noqa: BLE001 — session teardown race
+                pass
+        self._identity_pins.clear()
 
     # ---------------------------------------- UNIQUE / FOREIGN KEY
     # (create-table.md:341-366 — GemFireXD row-DDL constraint surface:
@@ -1501,13 +1568,14 @@ class SnappySession:
             for c in cols:
                 p = F.col(c).isNull()
                 null_pred = p if null_pred is None else (null_pred | p)
-            bad = (
+            probe = (
                 post_df.groupBy(*cols)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter((F.col("__n") > 1) | null_pred)
                 .limit(1)
-                .count()
             )
+            self._audit_plan(f"unique_full:{meta.name}", probe)
+            bad = probe.count()
             if bad:
                 raise ValueError(
                     f"UNIQUE constraint ({', '.join(cols)}) violated on "
@@ -1533,13 +1601,14 @@ class SnappySession:
             for c in cols:
                 p = F.col(c).isNull()
                 null_pred = p if null_pred is None else (null_pred | p)
-            bad = (
+            probe = (
                 batch.groupBy(*cols)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter((F.col("__n") > 1) | null_pred)
                 .limit(1)
-                .count()
             )
+            self._audit_plan(f"unique_batch:{meta.name}", probe)
+            bad = probe.count()
             if bad:
                 raise ValueError(
                     f"UNIQUE constraint ({', '.join(cols)}) violated by "
@@ -1550,12 +1619,13 @@ class SnappySession:
             surviving = existing
             if exclude_keys:
                 surviving = mutate._anti_on_keys(existing, batch, exclude_keys)
-            clash = (
+            probe = (
                 surviving.select(*cols)
                 .join(batch.select(*cols).distinct(), list(cols), "inner")
                 .limit(1)
-                .count()
             )
+            self._audit_plan(f"unique_clash:{meta.name}", probe)
+            clash = probe.count()
             if clash:
                 raise ValueError(
                     f"UNIQUE constraint ({', '.join(cols)}) violated: "
@@ -1588,9 +1658,11 @@ class SnappySession:
             ref = parent.select(
                 *[F.col(rc).alias(c) for rc, c in zip(rcols, cols)]
             ).distinct()
-            missing = (
-                nonnull.select(*cols).join(ref, list(cols), "left_anti").limit(1).count()
+            probe = (
+                nonnull.select(*cols).join(ref, list(cols), "left_anti").limit(1)
             )
+            self._audit_plan(f"fk_probe:{meta.name}", probe)
+            missing = probe.count()
             if missing:
                 raise ValueError(
                     f"FOREIGN KEY ({', '.join(cols)}) on {meta.name}: value "
@@ -1637,9 +1709,11 @@ class SnappySession:
             ref = survivors.select(
                 *[F.col(rc).alias(c) for rc, c in zip(rcols, cols)]
             ).distinct()
-            orphan = (
-                nonnull.select(*cols).join(ref, list(cols), "left_anti").limit(1).count()
+            probe = (
+                nonnull.select(*cols).join(ref, list(cols), "left_anti").limit(1)
             )
+            self._audit_plan(f"fk_orphan:{parent_meta.name}", probe)
+            orphan = probe.count()
             if orphan:
                 raise ValueError(
                     f"delete from {parent_meta.name} would orphan FOREIGN "
@@ -1661,11 +1735,14 @@ class SnappySession:
         """INSERT INTO (append) — SnappySession.insert:1990-2029."""
         self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
-        df = self._assign_identities(meta, df)
-        self._validate_checks(meta, df)
-        self._validate_uniques_incremental(meta, df)
-        self._validate_fks(meta, df)
-        self._write(df, meta, mode="append")
+        try:
+            df = self._assign_identities(meta, df)
+            self._validate_checks(meta, df)
+            self._validate_uniques_incremental(meta, df)
+            self._validate_fks(meta, df)
+            self._write(df, meta, mode="append")
+        finally:
+            self._release_identity_pins()
         self._maybe_flush_small_files(name, meta)
         self._refresh_view(name)
 
@@ -1727,38 +1804,54 @@ class SnappySession:
         zero existing files — it degenerates to a pure insert."""
         self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
-        df = self._assign_identities(meta, df)
-        self._validate_checks(meta, df)
-        keys = meta.key_columns or meta.partition_by
-        if not keys:
-            # must fail BEFORE the pruned path: keys=[] would make the
-            # semi-join conditionless (every file "affected") and the
-            # anti-join keep nothing — silently replacing the whole table
-            raise ValueError(
-                f"PUT INTO {name} requires key_columns (or partition_by)"
+        try:
+            df = self._assign_identities(meta, df)
+            self._validate_checks(meta, df)
+            keys = meta.key_columns or meta.partition_by
+            if not keys:
+                # must fail BEFORE the pruned path: keys=[] would make the
+                # semi-join conditionless (every file "affected") and the
+                # anti-join keep nothing — silently replacing the whole table
+                raise ValueError(
+                    f"PUT INTO {name} requires key_columns (or partition_by)"
+                )
+            # duplicate keys within one batch conflate to the LAST occurrence
+            # (CDC keep-last discipline) BEFORE any path — the pruned path
+            # unions the source verbatim, so an unconflated batch would write
+            # two rows under one key
+            df = mutate.conflate_last(df, keys)
+            self._validate_uniques_incremental(meta, df, exclude_keys=keys)
+            self._validate_fks(meta, df)
+            target = self._mutation_target(name, meta)
+            if target is None:  # empty table: put == insert
+                self.insert(name, df)
+                return
+            # parent-side NO ACTION: a PUT replaces whole rows by key, so
+            # a child-REFERENCED non-key column (FKs may reference UNIQUE
+            # columns) can change and orphan child rows.  Ref columns that
+            # are a subset of the PUT key cannot change (same key = same
+            # value) — the common references-the-PK case costs nothing.
+            key_set = {k.lower() for k in keys}
+            if any(
+                not set(fk["ref_columns"]) <= key_set
+                for _, fk in self._referencing_fks(meta.name)
+            ):
+                self._assert_no_fk_orphans(
+                    meta, mutate.put_into_df(target, df, keys)
+                )
+            files = self._bucket_affected_files(meta, df, keys)
+            if files is None:
+                files = self._affected_files(target, source=df, keys=keys)
+            if files is None:
+                self._rewrite(mutate.put_into_df(target, df, keys), meta)
+                return
+            touched = self._read_files(target.schema, files)
+            keep = mutate._anti_on_keys(touched, df, keys).select(*target.columns)
+            self._replace_files(
+                meta, files, keep.unionByName(df.select(*target.columns))
             )
-        # duplicate keys within one batch conflate to the LAST occurrence
-        # (CDC keep-last discipline) BEFORE any path — the pruned path
-        # unions the source verbatim, so an unconflated batch would write
-        # two rows under one key
-        df = mutate.conflate_last(df, keys)
-        self._validate_uniques_incremental(meta, df, exclude_keys=keys)
-        self._validate_fks(meta, df)
-        target = self._mutation_target(name, meta)
-        if target is None:  # empty table: put == insert
-            self.insert(name, df)
-            return
-        files = self._bucket_affected_files(meta, df, keys)
-        if files is None:
-            files = self._affected_files(target, source=df, keys=keys)
-        if files is None:
-            self._rewrite(mutate.put_into_df(target, df, keys), meta)
-            return
-        touched = self._read_files(target.schema, files)
-        keep = mutate._anti_on_keys(touched, df, keys).select(*target.columns)
-        self._replace_files(
-            meta, files, keep.unionByName(df.select(*target.columns))
-        )
+        finally:
+            self._release_identity_pins()
         self._maybe_flush_small_files(name, meta)
 
     @_serialized
@@ -1805,6 +1898,14 @@ class SnappySession:
             fk for fk in self._meta_fks(meta)
             if assigned & set(fk["columns"])
         ]
+        # parent-side NO ACTION: SET on a column some child FK REFERENCES
+        # (FKs may reference UNIQUE / non-key columns) can rewrite a
+        # referenced value away and orphan the child rows — probe the
+        # post-update parent state like delete() does
+        ref_hit = any(
+            assigned & set(fk["ref_columns"])
+            for _, fk in self._referencing_fks(meta.name)
+        )
         files = self._affected_files(target, pred=where)
         if files is None:
             updated = mutate.update_df(target, where, assignments)
@@ -1813,12 +1914,18 @@ class SnappySession:
                 self._validate_uniques_full(meta, updated)
             if fk_hit:
                 self._validate_fks(meta, updated)
+            if ref_hit:
+                self._assert_no_fk_orphans(meta, updated)
             self._rewrite(updated, meta)
             return
         if not files:
             return  # nothing matched: zero writes
         if uq_hit:
             self._validate_uniques_full(
+                meta, mutate.update_df(target, where, assignments)
+            )
+        if ref_hit:
+            self._assert_no_fk_orphans(
                 meta, mutate.update_df(target, where, assignments)
             )
         touched = self._read_files(target.schema, files)
@@ -4185,6 +4292,7 @@ class SnappySession:
         plain parquet dirs."""
         # COMPRESSION option (ExternalStoreUtils.scala:88-105; batch codecs
         # CompressionCodecId.scala LZ4/SNAPPY) → parquet codec per table
+        self._audit_plan(f"write:{meta.name}", df)
         codec = str(meta.options.get("compression", "snappy")).lower()
         codec = {"lz4": "lz4", "snappy": "snappy", "none": "uncompressed"}.get(
             codec, codec
@@ -4861,6 +4969,7 @@ class SnappySession:
         (new parquet files present ⇒ finish the removals; none ⇒ the
         mutation never happened — drop the journal).  Either way a crash
         replays to exactly-before or exactly-after, never duplicates."""
+        self._audit_plan(f"replace_files:{meta.name}", new_rows)
         if self._is_bucketed(meta):
             self._recover_mutation_journal(meta)
             import json as _json
@@ -4942,6 +5051,7 @@ class SnappySession:
             n_files = max(1, len(live) if live is not None
                           else len(self._list_data_files(meta.name)))
             result = self._cluster_for_index(result, cols, n_files)
+        self._audit_plan(f"rewrite:{meta.name}", result)
         schema = result.schema
         tmp = self.catalog.table_path(meta.name) + "/rewrite-" + uuid.uuid4().hex[:8]
         result.write.mode("overwrite").options(

@@ -930,6 +930,52 @@ class TestUniqueForeignKey:
         snappy.sql("DELETE FROM customers WHERE cid = 1")
         assert snappy.table("customers").count() == 0
 
+    def test_fk_parent_update_and_put_restricted(self, snappy):
+        """Parent-side NO ACTION on update()/put(): rewriting a
+        REFERENCED non-key column (FKs may reference UNIQUE columns) away
+        from a child's value is rejected; touching unreferenced columns
+        or unreferenced values is not.  PUT against a parent whose ref
+        columns are the PUT key costs nothing and passes (same key =
+        same referenced value)."""
+        self._parents(snappy)
+        snappy.sql(
+            "CREATE TABLE contacts (kid INT PRIMARY KEY, em STRING, "
+            "FOREIGN KEY (em) REFERENCES customers (email)) USING row"
+        )
+        snappy.sql("INSERT INTO contacts VALUES (1, 'a@x')")
+        with pytest.raises(ValueError, match="orphan"):
+            snappy.sql("UPDATE customers SET email = 'z@x' WHERE cid = 1")
+        # unreferenced value may change; unreferenced column may change
+        snappy.sql("UPDATE customers SET email = 'bb@x' WHERE cid = 2")
+        snappy.sql("UPDATE customers SET cust_name = 'aa' WHERE cid = 1")
+        with pytest.raises(ValueError, match="orphan"):
+            snappy.put(
+                "customers",
+                snappy.spark.createDataFrame(
+                    [(1, "a", "gone@x")], "cid int, cust_name string, email string"
+                ),
+            )
+        # PUT keeping the referenced value passes
+        snappy.put(
+            "customers",
+            snappy.spark.createDataFrame(
+                [(1, "renamed", "a@x")], "cid int, cust_name string, email string"
+            ),
+        )
+        # child keyed by the parent PK: ref_columns ⊆ put key ⇒ no probe
+        snappy.sql(
+            "CREATE TABLE acct3 (aid INT PRIMARY KEY, cid INT "
+            "REFERENCES customers (cid)) USING row"
+        )
+        snappy.sql("INSERT INTO acct3 VALUES (1, 1)")
+        snappy.put(
+            "customers",
+            snappy.spark.createDataFrame(
+                [(1, "again", "a@x")], "cid int, cust_name string, email string"
+            ),
+        )
+        assert snappy.table("customers").filter("cid = 1").collect()[0].cust_name == "again"
+
     def test_fk_references_unknown_table_rejected(self, snappy):
         with pytest.raises(ValueError, match="unknown table"):
             snappy.sql(

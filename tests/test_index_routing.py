@@ -374,6 +374,44 @@ def test_threshold_radius_pruning_fires_and_stays_exact(snappy, spark):
     assert routed2 == exact2 and 999 in routed2
 
 
+def test_force_hint_wrong_relation_batch_and_threshold(ann_session, spark):
+    """A --+ index(T2, idx2) hint whose index does NOT cover the query's
+    FROM relation must error on the BATCH and THRESHOLD shapes exactly
+    like the single top-k _apply_force path — not silently serve T2's
+    rows into a query scanning T1."""
+    sn, sql = ann_session
+    # a second indexed table the hint will (wrongly) point at
+    emb = sn.table("emb_base")
+    sn.create_table("emb_other", options={"key_columns": "vec_id"}, df=emb)
+    sn.sql("CREATE INDEX other_ivf ON emb_other(embedding) USING ivf_sq8")
+    arr = sql.split("array(")[1].split(")")[0]
+    tsql = (
+        f"SELECT vec_id, ROUND(cosine_sim(embedding, array({arr})), 4) AS cos "
+        f"FROM emb_base WHERE cosine_sim(embedding, array({arr})) > 0.2"
+    )
+    with pytest.raises(ValueError, match="FROM relation"):
+        sn.sql("--+ index(emb_other, other_ivf)\n" + tsql)
+    qdf = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sn.create_table("annq_f", options={"key_columns": "qid"}, df=qdf)
+    bsql = """SELECT qid, vec_id, cos FROM (
+  SELECT q.qid AS qid, t.vec_id, ROUND(cosine_sim(t.embedding, q.qe), 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY cosine_sim(t.embedding, q.qe) DESC,
+                                     t.vec_id) AS rn
+  FROM annq_f q CROSS JOIN emb_base t) WHERE rn <= 3"""
+    with pytest.raises(ValueError, match="FROM relation"):
+        sn.sql("--+ index(emb_other, other_ivf)\n" + bsql)
+    # the correctly-targeted force hint still routes both shapes
+    assert "emb_ivf__ann" in _plan(
+        sn.sql("--+ index(emb_base, emb_ivf)\n" + tsql)
+    )
+    assert "emb_ivf__ann" in _plan(
+        sn.sql("--+ index(emb_base, emb_ivf)\n" + bsql)
+    )
+
+
 def test_batch_window_form_routes_to_batch_serve(ann_session, spark):
     """The per-query top-k window idiom over a query table lands on
     search_ivf_sq8_batch — one plan, no cross-join of the base."""

@@ -38,6 +38,11 @@ ALLOWLIST = {
         "window_unpartitioned",
         "single_partition_exchange",
     },
+    # ROW_NUMBER runs on the 10 survivors of a TakeOrderedAndProject
+    # (distributed top-k merged on the driver) — bounded at any scale;
+    # operators/tpcds.py ds_q44.  Visible since the r8 group-counting
+    # window detector (the old regex missed projected sort keys).
+    "ds_top_bottom_parts": {"window_unpartitioned"},
 }
 
 _AGG_BELOW = re.compile(
@@ -46,15 +51,30 @@ _AGG_BELOW = re.compile(
 
 
 def audit(name: str, df) -> set[str]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    return audit_text(df._jdf.queryExecution().executedPlan().toString())
+
+
+def audit_text(plan: str) -> set[str]:
+    """Flag scale-killer shapes in an executedPlan string — shared by the
+    registry sweep (main) and the mutation-path pytest sweep
+    (tests/test_plan_audit_mutations.py, which captures write/validation
+    plans via SnappySession's _plan_audit_log hook)."""
     flags: set[str] = set()
     if "CartesianProduct" in plan:
         flags.add("cartesian")
-    if re.search(r"Window \[[^\]]*\](?!, \[)", plan) and re.search(
-        r"windowspecdefinition\((?:[^,()]*\([^)]*\))? ?(?:ASC|DESC)", plan
-    ):
-        # windowspecdefinition(<order> ASC ...) with no partition exprs
-        flags.add("window_unpartitioned")
+    # Window lines print as `Window [fns], [partExprs], [orderExprs]`
+    # (3 bracket groups) when partitioned, `Window [fns], [orderExprs]`
+    # (2 groups, the 2nd carrying ASC/DESC) or `Window [fns]` when not:
+    # an order-by with no partition spec funnels everything through one
+    # task.  Group-counting beats the old windowspecdefinition regex,
+    # which missed projected sort keys (`_w0#3L ASC` — the r7 identity
+    # monotonically_increasing_id shape).
+    for wline in re.findall(r"Window \[.*", plan):
+        groups = re.findall(r"\[[^\[\]]*\]", wline)
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) < 2 or re.search(r"(?:ASC|DESC)", groups[1]):
+            flags.add("window_unpartitioned")
     # SinglePartition exchanges are the canonical final stage of a global
     # aggregate — fine when the line directly below is a keys=[] partial/
     # merge HashAggregate (map-side combine already shrank the data).
