@@ -157,6 +157,53 @@ _CALL_PROC = re.compile(
     r"^\s*CALL\s+SYS\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S
 )
 
+# CREATE DISKSTORE name [MAXLOGSIZE n] [AUTOCOMPACT b]
+# [ALLOWFORCECOMPACTION b] [COMPACTIONTHRESHOLD n] [TIMEINTERVAL n]
+# [WRITEBUFFERSIZE n] [QUEUESIZE n] [('dir' [mb] [, 'dir' [mb]]*)]
+# (reference/sql_reference/create-diskstore.md:6-20); DROP DISKSTORE
+# [IF EXISTS] name (drop-diskstore.md)
+_CREATE_DISKSTORE = re.compile(
+    r"^\s*CREATE\s+DISKSTORE\s+([\w.-]+)\s*(.*?)\s*;?\s*$", re.I | re.S
+)
+_DROP_DISKSTORE = re.compile(
+    r"^\s*DROP\s+DISKSTORE\s+(IF\s+EXISTS\s+)?([\w.-]+)\s*;?\s*$", re.I
+)
+_DISKSTORE_OPT = re.compile(
+    r"\b(MAXLOGSIZE|AUTOCOMPACT|ALLOWFORCECOMPACTION|COMPACTIONTHRESHOLD"
+    r"|TIMEINTERVAL|WRITEBUFFERSIZE|QUEUESIZE)\s+(\w+)",
+    re.I,
+)
+_DISKSTORE_DIRS = re.compile(r"\(([^()]*'[^()]*)\)\s*$", re.S)
+
+
+def _parse_diskstore_clauses(tail: str) -> dict:
+    """Option clauses + the trailing ('dir' [mb], ...) list of a CREATE
+    DISKSTORE statement (create-diskstore.md:6-20).  Unknown tokens
+    outside the known clauses are rejected so typos don't silently
+    become defaults."""
+    opts: dict = {}
+    dirs_m = _DISKSTORE_DIRS.search(tail)
+    if dirs_m:
+        opts["dirs"] = [
+            (d, int(mb) if mb else None)
+            for d, mb in re.findall(
+                r"'([^']*)'(?:\s+(\d+))?", dirs_m.group(1)
+            )
+        ]
+        tail = tail[: dirs_m.start()]
+    for k, v in _DISKSTORE_OPT.findall(tail):
+        opts[k.lower()] = v
+    leftover = _DISKSTORE_OPT.sub(" ", tail).strip()
+    if leftover:
+        raise ValueError(
+            f"unrecognized CREATE DISKSTORE clause: '{leftover}' "
+            "(create-diskstore.md options: MAXLOGSIZE AUTOCOMPACT "
+            "ALLOWFORCECOMPACTION COMPACTIONTHRESHOLD TIMEINTERVAL "
+            "WRITEBUFFERSIZE QUEUESIZE, then the ('dir' [mb], ...) list)"
+        )
+    return opts
+
+
 # CREATE SYNONYM s FOR t — alternate name for a table or view
 # (reference/sql_reference/create-synonym.md; Derby/GemFireXD surface)
 _CREATE_SYNONYM = re.compile(
@@ -1119,6 +1166,20 @@ def split_statement(text: str) -> Statement:
                 "proc": m.group(1).lower(),
                 "args": re.findall(r"'([^']*)'", m.group(2)),
             },
+        )
+    m = _CREATE_DISKSTORE.match(text)
+    if m:
+        return Statement(
+            "create_diskstore",
+            options={"name": m.group(1),
+                     **_parse_diskstore_clauses(m.group(2))},
+        )
+    m = _DROP_DISKSTORE.match(text)
+    if m:
+        return Statement(
+            "drop_diskstore",
+            options={"name": m.group(2)},
+            if_not_exists=bool(m.group(1)),
         )
     m = _CREATE_SYNONYM.match(text)
     if m:

@@ -233,6 +233,12 @@ class SnappySession:
         # DEPLOY PACKAGE/JAR registry (deployPackages SnappyDDLParser:
         # 858-874) — dependency metadata only; see dialect.py divergence note
         self._packages: dict[str, dict[str, str]] = {}
+        # CREATE DISKSTORE registry (create-diskstore.md:6-20): disk
+        # stores are GemFire oplog config — a documented metadata no-op
+        # here (parquet+manifest storage has no oplogs); recorded so DDL
+        # scripts replay, SYSDISKSTORES serves rows, and DROP validates
+        # no table still targets the store
+        self._diskstores: dict[str, dict] = {}
         # identity-assignment pins: frames persisted by _assign_identities
         # so validation probes and the final write see the SAME generated
         # values (a nondeterministic source would otherwise recompute
@@ -681,6 +687,7 @@ class SnappySession:
             self._packages = dict(data.get("packages", {}))
             self._views = dict(data.get("views", {}))
             self._synonyms = dict(data.get("synonyms", {}))
+            self._diskstores = dict(data.get("diskstores", {}))
         except FileNotFoundError:
             pass
 
@@ -705,6 +712,7 @@ class SnappySession:
                     "packages": self._packages,
                     "views": self._views,
                     "synonyms": self._synonyms,
+                    "diskstores": self._diskstores,
                 },
                 f,
                 indent=2,
@@ -804,6 +812,14 @@ class SnappySession:
                         )
                 options["foreign_keys"] = _json.dumps(fks)
         meta = TableMeta.from_options(name, provider, options)
+        ds = str(meta.options.get("diskstore", "")).lower()
+        if ds and ds not in self._all_diskstores():
+            # the reference rejects a table targeting an uncreated store
+            # (create-table.md DISKSTORE option / StoreUtils vocabulary)
+            raise ValueError(
+                f"CREATE TABLE {name}: diskstore '{ds}' does not exist — "
+                "CREATE DISKSTORE it first (create-diskstore.md)"
+            )
         if df is not None:
             # initial load (CREATE TABLE AS SELECT / df=) obeys the
             # declared constraints like any other write
@@ -1076,6 +1092,18 @@ class SnappySession:
         if opts:
             stmt += f" OPTIONS ({', '.join(opts)})"
         return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+    def _member_id(self) -> str:
+        """This process's member id (host:port of the first executor —
+        the 'loner' in local mode), the MEMBERID SYSDISKSTOREIDS uses."""
+        infos = (
+            self.spark.sparkContext._jsc.sc()
+            .statusTracker()
+            .getExecutorInfos()
+        )
+        if infos:
+            return f"{infos[0].host()}:{infos[0].port()}"
+        return "localhost:0"
 
     def _show_members(self) -> DataFrame:
         """SHOW MEMBERS (SnappyParser.show:1264-1270, rewritten there to
@@ -2024,7 +2052,10 @@ class SnappySession:
         # queryable system tables (reference/system_tables/): SYS.MEMBERS
         # and SYS.SYSTABLES resolve to session-computed frames
         if "sys." in low and re.search(
-            r"\bSYS\.(MEMBERS|SYSTABLES|TABLESTATS)\b", text, re.I
+            r"\bSYS\.(MEMBERS|SYSTABLES|TABLESTATS|SYSDISKSTORES"
+            r"|(?:SYS)?DISKSTOREIDS)\b",
+            text,
+            re.I,
         ):
             if re.search(r"\bSYS\.MEMBERS\b", text, re.I):
                 self._show_members().createOrReplaceTempView("sys_members")
@@ -2034,12 +2065,30 @@ class SnappySession:
                 self._systablestats().createOrReplaceTempView(
                     "sys_tablestats"
                 )
+            if re.search(r"\bSYS\.SYSDISKSTORES\b", text, re.I):
+                self._sysdiskstores().createOrReplaceTempView(
+                    "sys_sysdiskstores"
+                )
+            if re.search(r"\bSYS\.(?:SYS)?DISKSTOREIDS\b", text, re.I):
+                # sysdiskstoreids.md's own example queries
+                # `sys.diskstoreids` — both spellings resolve
+                self._sysdiskstoreids().createOrReplaceTempView(
+                    "sys_sysdiskstoreids"
+                )
             text = re.sub(r"\bSYS\.MEMBERS\b", "sys_members", text, flags=re.I)
             text = re.sub(
                 r"\bSYS\.SYSTABLES\b", "sys_systables", text, flags=re.I
             )
             text = re.sub(
                 r"\bSYS\.TABLESTATS\b", "sys_tablestats", text, flags=re.I
+            )
+            text = re.sub(
+                r"\bSYS\.SYSDISKSTORES\b", "sys_sysdiskstores", text,
+                flags=re.I,
+            )
+            text = re.sub(
+                r"\bSYS\.(?:SYS)?DISKSTOREIDS\b", "sys_sysdiskstoreids",
+                text, flags=re.I,
             )
         if "." in text:
             # schema-qualified relation references (APP.t / other.t) over
@@ -2143,6 +2192,10 @@ class SnappySession:
         if stmt.kind == "set_schema":
             self.set_current_schema(stmt.options["schema"])
             return None
+        if stmt.kind == "create_diskstore":
+            return self._create_diskstore(stmt.options)
+        if stmt.kind == "drop_diskstore":
+            return self._drop_diskstore(stmt.options["name"], stmt.if_not_exists)
         if stmt.kind == "create_synonym":
             return self._create_synonym(stmt.table, stmt.source_sql)
         if stmt.kind == "drop_synonym":
@@ -3459,6 +3512,17 @@ class SnappySession:
     def _call_proc(self, proc: str, args: list[str]):
         """CALL SYS.<proc>(...) dispatch
         (reference/inbuilt_system_procedures/)."""
+        if proc == "diskstore_fsync":
+            # sys.diskstore_fsync (GemFireXD surface): force-fsync a disk
+            # store's oplogs.  DIVERGENCE: manifests here commit via
+            # atomic rename (already durable) — accepted as a no-op after
+            # validating the store exists, so reference scripts replay.
+            (name,) = args or ("",)
+            if name.lower() not in self._all_diskstores():
+                raise ValueError(f"diskstore '{name}' does not exist")
+            return self.spark.createDataFrame(
+                [(name.upper(), "synced")], "diskstore string, status string"
+            )
         if proc == "export_data":
             return self._export_data(*args)
         if proc == "export_ddls":
@@ -3480,7 +3544,8 @@ class SnappySession:
             ).filter(F.col("table") != "")
         raise ValueError(
             f"unknown system procedure SYS.{proc.upper()} "
-            "(supported: EXPORT_DATA, EXPORT_DDLS, REBALANCE_ALL_BUCKETS)"
+            "(supported: EXPORT_DATA, EXPORT_DDLS, REBALANCE_ALL_BUCKETS, "
+            "DISKSTORE_FSYNC)"
         )
 
     def _export_data(
@@ -3538,6 +3603,19 @@ class SnappySession:
         out_dir = f"{uri.rstrip('/')}_{int(_time.time() * 1000)}"
         os.makedirs(out_dir, exist_ok=True)
         ddls: list[str] = []
+        # diskstores replay FIRST: a table's `diskstore` option must
+        # resolve when its CREATE TABLE replays
+        for dn, rec in self._diskstores.items():
+            clauses = [f"CREATE DISKSTORE {dn}"]
+            for k in ("maxlogsize", "autocompact", "allowforcecompaction",
+                      "compactionthreshold", "timeinterval",
+                      "writebuffersize", "queuesize"):
+                if rec.get(k) != self._DISKSTORE_DEFAULTS[k]:
+                    clauses.append(f"{k.upper()} {rec[k]}")
+            dir_sql = ", ".join(
+                f"'{d}'" + (f" {mb}" if mb else "") for d, mb in rec["dirs"]
+            )
+            ddls.append(" ".join(clauses) + f" ({dir_sql});")
         derived: list[str] = []  # sample/topk DDL replays AFTER its base
         for t in self.catalog.list_tables():
             meta = self.catalog.load_meta(t)
@@ -3702,6 +3780,151 @@ class SnappySession:
             seen.add(n)
             n = self._synonyms[n]
         return n
+
+    # ------------------------------------------------------- disk stores
+
+    #: the reference's built-in stores (sysdiskstores.md example output):
+    #: data-dictionary + default-data stores exist in every system
+    _BUILTIN_DISKSTORES = {
+        "gfxd-dd-diskstore": {"maxlogsize": 10},
+        "gfxd-default-diskstore": {},
+    }
+    _DISKSTORE_DEFAULTS = {
+        # create-diskstore.md documented defaults: MAXLOGSIZE 1 GB,
+        # AUTOCOMPACT true, ALLOWFORCECOMPACTION false,
+        # COMPACTIONTHRESHOLD 50 %, TIMEINTERVAL 1000 ms,
+        # WRITEBUFFERSIZE 32768 B, QUEUESIZE 0 (unbounded)
+        "maxlogsize": 1024,
+        "autocompact": "true",
+        "allowforcecompaction": "false",
+        "compactionthreshold": 50,
+        "timeinterval": 1000,
+        "writebuffersize": 32768,
+        "queuesize": 0,
+    }
+
+    def _create_diskstore(self, opts: dict) -> None:
+        """CREATE DISKSTORE (create-diskstore.md:6-20).  DIVERGENCE:
+        GemFire preallocates oplog files; this engine's storage is
+        parquet files under an atomic manifest, so the store is catalog
+        metadata — its directories are created under the store dir and
+        recorded so SYSDISKSTORES/EXPORT_DDLS/table `diskstore` options
+        resolve, but no oplogs exist to roll or compact."""
+        name = opts["name"].lower()
+        if name in self._diskstores or name in self._BUILTIN_DISKSTORES:
+            raise ValueError(f"diskstore '{opts['name']}' already exists")
+        rec = dict(self._DISKSTORE_DEFAULTS)
+        for k in rec:
+            if k in opts:
+                v = str(opts[k]).lower()
+                if k in ("autocompact", "allowforcecompaction"):
+                    if v not in ("true", "false"):
+                        raise ValueError(
+                            f"CREATE DISKSTORE {k.upper()} expects a "
+                            f"boolean constant, got '{opts[k]}'"
+                        )
+                    rec[k] = v
+                else:
+                    rec[k] = int(v)
+        dirs = []
+        for d, mb in opts.get("dirs", []):
+            path = d if os.path.isabs(d) else os.path.join(
+                self.catalog.base_dir, "diskstores", name, d
+            )
+            os.makedirs(path, exist_ok=True)
+            dirs.append([path, mb])
+        if not dirs:
+            # default: the member working directory (create-diskstore.md
+            # "By default ... the working directory of the member")
+            path = os.path.join(self.catalog.base_dir, "diskstores", name)
+            os.makedirs(path, exist_ok=True)
+            dirs.append([path, None])
+        rec["dirs"] = dirs
+        self._diskstores[name] = rec
+        # cached SELECTs over SYS.SYSDISKSTORES pinned the pre-create view
+        self.plan_cache.clear()
+        self._save_registry()
+
+    def _drop_diskstore(self, name: str, if_exists: bool) -> None:
+        """DROP DISKSTORE [IF EXISTS] (drop-diskstore.md) — blocked while
+        any table's `diskstore` option still targets the store (the
+        reference fails the drop while a table uses it)."""
+        n = name.lower()
+        if n in self._BUILTIN_DISKSTORES:
+            raise ValueError(f"cannot drop built-in diskstore '{name}'")
+        if n not in self._diskstores:
+            if if_exists:
+                return
+            raise ValueError(f"diskstore '{name}' does not exist")
+        users = [
+            t for t in self.catalog.list_tables()
+            if str(
+                self.catalog.load_meta(t).options.get("diskstore", "")
+            ).lower() == n
+        ]
+        if users:
+            raise ValueError(
+                f"cannot drop diskstore '{name}': in use by table(s) "
+                f"{', '.join(sorted(users))}"
+            )
+        self._diskstores.pop(n)
+        self.plan_cache.clear()
+        self._save_registry()
+
+    def _all_diskstores(self) -> dict:
+        out = {
+            k: {**self._DISKSTORE_DEFAULTS, **v,
+                "dirs": [[self.catalog.base_dir, None]]}
+            for k, v in self._BUILTIN_DISKSTORES.items()
+        }
+        out.update(self._diskstores)
+        return out
+
+    def _sysdiskstores(self) -> DataFrame:
+        """SYS.SYSDISKSTORES (system_tables/sysdiskstores.md): one row per
+        disk store with the documented columns; DIR_PATH_SIZE is the
+        comma-joined 'dir[ size-mb]' list."""
+        rows = []
+        for n, rec in self._all_diskstores().items():
+            rows.append((
+                n.upper(),
+                int(rec["maxlogsize"]),
+                str(rec["autocompact"]),
+                str(rec["allowforcecompaction"]),
+                int(rec["compactionthreshold"]),
+                int(rec["timeinterval"]),
+                int(rec["writebuffersize"]),
+                int(rec["queuesize"]),
+                ",".join(
+                    f"{d} {mb}" if mb else d for d, mb in rec["dirs"]
+                ),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "name string, maxlogsize bigint, autocompact string, "
+            "allowforcecompaction string, compactionthreshold int, "
+            "timeinterval bigint, writebuffersize int, queuesize int, "
+            "dir_path_size string",
+        )
+
+    def _sysdiskstoreids(self) -> DataFrame:
+        """SYS.SYSDISKSTOREIDS / SYS.DISKSTOREIDS
+        (system_tables/sysdiskstoreids.md): per-member store ids — one
+        member here (the driver); IDs are stable uuid5 digests of the
+        store path so repeated queries agree."""
+        member = self._member_id()
+        rows = []
+        for n, rec in self._all_diskstores().items():
+            sid = str(uuid.uuid5(
+                uuid.NAMESPACE_URL, f"{self.catalog.base_dir}/{n}"
+            ))
+            rows.append((
+                member, n.upper(), sid,
+                ",".join(d for d, _ in rec["dirs"]),
+            ))
+        return self.spark.createDataFrame(
+            rows, "memberid string, name string, id string, dirs string"
+        )
 
     def _create_synonym(self, name: str, target: str) -> None:
         """CREATE SYNONYM s FOR t (create-synonym.md): synonyms share the
