@@ -1418,6 +1418,18 @@ class SnappySession:
 
     # ------------------------------------------------------------------ DML
 
+    def _skip_constraints(self) -> bool:
+        """skip-constraint-checks connection property
+        (configuration_parameters/skip-constraint-checks.md): true =
+        bulk-import mode — constraint validation scans are absent from
+        every write plan; PK uniqueness is preserved by routing keyed
+        INSERTs through PUT INTO keep-last (the reference's documented
+        exception); UNIQUE/FK violations become undefined behavior until
+        the property is unset."""
+        return str(
+            self.get_conf("snappydata.skip-constraint-checks", "false")
+        ).lower() == "true"
+
     def _validate_checks(self, meta: TableMeta, df: DataFrame) -> None:
         """Enforce CHECK constraints (GemFireXD row-DDL surface) on the
         incoming/rewritten rows — SQL semantics: NULL passes, FALSE
@@ -1427,7 +1439,7 @@ class SnappySession:
         by the write — a nondeterministic source (rand()) can pass
         validation yet write different rows; stage such sources first."""
         raw = meta.options.get("checks")
-        if not raw:
+        if not raw or self._skip_constraints():
             return
         import json as _json
 
@@ -1591,6 +1603,8 @@ class SnappySession:
         """Enforce UNIQUE over a frame that IS the table's full
         post-write state (create/overwrite/update paths): one grouped
         count per constraint — a violation is a >1 group or any NULL."""
+        if self._skip_constraints():
+            return
         for cols in self._meta_uniques(meta):
             null_pred = None
             for c in cols:
@@ -1621,7 +1635,7 @@ class SnappySession:
         `exclude_keys` (the PUT path) removes existing rows whose key
         the batch replaces before the collision probe."""
         uniques = self._meta_uniques(meta)
-        if not uniques:
+        if not uniques or self._skip_constraints():
             return
         existing = self._mutation_target(meta.name, meta)
         for cols in uniques:
@@ -1666,6 +1680,8 @@ class SnappySession:
         (left-anti probe against the parent's distinct key projection —
         column-pruned, never a full parent materialization).  Rows with
         any NULL component pass (the reference's documented rule)."""
+        if self._skip_constraints():
+            return
         for fk in self._meta_fks(meta):
             cols, rt, rcols = fk["columns"], fk["ref_table"], fk["ref_columns"]
             if not self.catalog.exists(rt):
@@ -1718,6 +1734,8 @@ class SnappySession:
         post-operation frame (None = table emptied/dropped).  Per child:
         one anti-join of its non-null FK projection against the
         surviving referenced values."""
+        if self._skip_constraints():
+            return
         refs = self._referencing_fks(parent_meta.name)
         for child, fk in refs:
             cols, rcols = fk["columns"], fk["ref_columns"]
@@ -1765,6 +1783,14 @@ class SnappySession:
         meta = self.catalog.load_meta(name.lower())
         try:
             df = self._assign_identities(meta, df)
+            if self._skip_constraints() and meta.key_columns:
+                # skip-constraint-checks.md: PK constraints survive the
+                # bypass because the reference executes keyed inserts as
+                # PUT INTO — only the last value per key remains
+                if self._mutation_target(name, meta) is not None:
+                    self.put(name, df)
+                    return
+                df = mutate.conflate_last(df, meta.key_columns)
             self._validate_checks(meta, df)
             self._validate_uniques_incremental(meta, df)
             self._validate_fks(meta, df)
@@ -4113,6 +4139,20 @@ class SnappySession:
         columnar format is parquet).  spark.* keys pass through."""
         key_l = key.lower()
         value = str(value).strip().strip("'\"")
+        if key_l in (
+            "skip-constraint-checks", "snappydata.skip-constraint-checks"
+        ):
+            # connection property skip-constraint-checks.md ("Prefix:
+            # n/a" — both spellings accepted): bulk-import mode that
+            # bypasses UNIQUE/FK/CHECK validation scans on the write
+            # paths; keyed inserts route through PUT INTO keep-last so
+            # primary keys stay unique (the reference's documented
+            # exception).  Violations admitted while set are UNDEFINED
+            # BEHAVIOR, exactly as documented.
+            self._engine_confs["snappydata.skip-constraint-checks"] = (
+                value.lower()
+            )
+            return
         if key_l == "snappydata.sql.plancaching":
             self.plan_cache.enabled = value.lower() == "true"
         elif key_l == "snappydata.sql.plancachesize":

@@ -103,3 +103,56 @@ def test_mutation_and_constraint_plans_clean(audited, sf_dir):
     assert not flags, f"scale-killer plans on mutation paths: {flags}"
     sn.sql("DROP TABLE chi")
     sn.sql("DROP TABLE par")
+
+
+def test_skip_constraint_checks_property(audited):
+    """skip-constraint-checks (configuration_parameters/
+    skip-constraint-checks.md): under the flag the UNIQUE/FK/CHECK
+    validation scans are absent from the write path (zero probe captures
+    in the plan-audit log), violations are admitted (documented
+    undefined behavior), keyed INSERTs conflate through PUT-INTO
+    keep-last so the PK stays unique, and constraints re-enforce the
+    moment the property unsets."""
+    sn = audited
+    sn.sql(
+        "CREATE TABLE skc_par (pk INT NOT NULL PRIMARY KEY, em STRING, "
+        "UNIQUE (em)) USING row"
+    )
+    sn.sql(
+        "CREATE TABLE skc_chi (ck INT NOT NULL PRIMARY KEY, pref INT, "
+        "v INT CHECK (v >= 0), FOREIGN KEY (pref) REFERENCES skc_par (pk)"
+        ") USING row"
+    )
+    sn.sql("INSERT INTO skc_par VALUES (1, 'a@x'), (2, 'b@x')")
+    sn.sql("INSERT INTO skc_chi VALUES (10, 1, 5)")
+    sn.sql("SET skip-constraint-checks = true")
+    sn._plan_audit_log.clear()
+    # UNIQUE + FK + CHECK violations all admitted under the flag
+    sn.sql("INSERT INTO skc_par VALUES (3, 'a@x')")      # dup UNIQUE em
+    sn.sql("INSERT INTO skc_chi VALUES (11, 99, -7)")    # FK miss + CHECK<0
+    probes = [t for t, _ in sn._plan_audit_log
+              if t.split(":")[0] in ("unique_batch", "unique_clash",
+                                     "unique_full", "fk_probe",
+                                     "fk_orphan", "check")]
+    assert probes == [], f"validation scans ran under the flag: {probes}"
+    assert sn.table("skc_par").filter("em = 'a@x'").count() == 2
+    assert sn.table("skc_chi").filter("ck = 11").count() == 1
+    # PK preserved via PUT-INTO keep-last (the documented exception):
+    # re-inserting pk=1 REPLACES it instead of duplicating
+    sn.sql("INSERT INTO skc_par VALUES (1, 'new@x')")
+    one = sn.table("skc_par").filter("pk = 1").collect()
+    assert len(one) == 1 and one[0].em == "new@x"
+    # batch-internal duplicate keys keep the LAST occurrence
+    sn.sql("INSERT INTO skc_par VALUES (7, 'x1'), (7, 'x2')")
+    seven = sn.table("skc_par").filter("pk = 7").collect()
+    assert len(seven) == 1 and seven[0].em == "x2"
+    # unset: enforcement returns immediately
+    sn.sql("SET skip-constraint-checks = false")
+    with pytest.raises(ValueError, match="UNIQUE"):
+        sn.sql("INSERT INTO skc_par VALUES (8, 'b@x')")
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
+        sn.sql("INSERT INTO skc_chi VALUES (12, 55, 1)")
+    with pytest.raises(ValueError, match="CHECK"):
+        sn.sql("INSERT INTO skc_chi VALUES (13, 1, -1)")
+    sn.sql("DROP TABLE skc_chi")
+    sn.sql("DROP TABLE skc_par")
