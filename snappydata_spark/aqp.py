@@ -282,10 +282,12 @@ TOPK_CMS_D = 4
 TOPK_CMS_W = 64
 
 
-def _cms_bucket(row_idx_col, key_col):
+def _cms_bucket(row_idx_col, key_col, width: int = TOPK_CMS_W):
     """bucket = md5('tcms<row>~<key>') first-8-hex % W — the md5-derived
     hash family every verified-sketch query uses (oracle-reproducible:
-    DuckDB computes the identical md5)."""
+    DuckDB computes the identical md5).  `width` is the accuracy/state
+    knob: overcount <= eps*N = 2N/W at state D*W cells
+    (tests/test_aqp.py pins the tradeoff at W=64/1024/8192)."""
     return (
         F.conv(
             F.substring(
@@ -303,7 +305,7 @@ def _cms_bucket(row_idx_col, key_col):
             16,
             10,
         ).cast("long")
-        % TOPK_CMS_W
+        % width
     )
 
 
@@ -312,6 +314,7 @@ def topk_cms_cells(
     key_col: str,
     window_col: str = "window_start",
     freq_col: str | None = None,
+    width: int = TOPK_CMS_W,
 ) -> DataFrame:
     """Per-window CMS cells: (window_start, row_idx, bucket, cnt) —
     additive integer state, ≤ D*W rows per window regardless of key
@@ -325,7 +328,7 @@ def topk_cms_cells(
     ).select(
         window_col,
         "row_idx",
-        _cms_bucket(F.col("row_idx"), key_col).alias("bucket"),
+        _cms_bucket(F.col("row_idx"), key_col, width).alias("bucket"),
         "__w",
     )
     return cells.groupBy(window_col, "row_idx", "bucket").agg(
@@ -338,6 +341,7 @@ def topk_cms_probe(
     keys: DataFrame,
     key_col: str,
     window_col: str | None = None,
+    width: int = TOPK_CMS_W,
 ) -> DataFrame:
     """CMS point estimates for `keys` against (…, row_idx, bucket, cnt)
     cells: est(key) = MIN over the D rows of the probed counters (the
@@ -354,9 +358,89 @@ def topk_cms_probe(
         *extra,
         key_col,
         "row_idx",
-        _cms_bucket(F.col("row_idx"), key_col).alias("bucket"),
+        _cms_bucket(F.col("row_idx"), key_col, width).alias("bucket"),
     )
     joined = cells.join(
         F.broadcast(probes), [*extra, "row_idx", "bucket"]
     )
     return joined.groupBy(*extra, key_col).agg(F.min("cnt").alias("est"))
+
+
+def stream_summary_state(
+    df: DataFrame,
+    key_col: str,
+    capacity: int,
+    order_cols: list[str],
+    window_col: str | None = None,
+    freq_col: str | None = None,
+) -> DataFrame:
+    """Space-Saving / Stream-Summary candidate list per window — the
+    clearspring StreamSummary the reference's TopK structures vendor
+    (StreamSummary.java offerReturnAll: a monitored key increments; a
+    new key takes free capacity at error 0; at capacity the MIN-count
+    counter is evicted and the newcomer inherits count = min + inc,
+    error = min — the Metwally et al. overcount bound).
+
+    Determinism contract (what makes the state hash-checkable against a
+    DuckDB recursive-CTE oracle): events process in `order_cols` order
+    within each window, and the eviction victim is the (count,
+    last-update-seq)-minimum counter — clearspring evicts the min
+    bucket's LRU tail; stamping each touch with the event sequence
+    reproduces that rule exactly and leaves no ties (seq is unique).
+
+    Columns out: (window_start?, <key>, cnt, err) — cnt is the
+    possibly-overcounted estimate, err its maximum overcount, so
+    cnt - err is the GUARANTEED minimum and err > 0 marks a counter
+    that inherited an evicted slot.  State is `capacity` counters per
+    window at ANY key cardinality.
+
+    Scale: the pass is sequential WITHIN a window (the algorithm is;
+    so is the reference's) but windows process in parallel via
+    applyInPandas, and each group's state is `capacity` dicts — the
+    driver never sees per-key data."""
+    import pandas as pd
+
+    win = window_col or "__w"
+    frame = df
+    if window_col is None:
+        frame = frame.withColumn(
+            "__w", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
+    cols = list(dict.fromkeys([win, key_col, *order_cols]))
+    if freq_col:
+        cols.append(freq_col)
+    frame = frame.select(*cols).filter(F.col(key_col).isNotNull())
+    key_type = dict(frame.dtypes)[key_col]
+    out_schema = (
+        f"{win} timestamp, {key_col} {key_type}, cnt long, err long"
+    )
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        state: dict = {}  # key -> [cnt, err, upd]
+        seq = 0
+        incs = pdf[freq_col] if freq_col else None
+        for i, key in enumerate(pdf[key_col]):
+            seq += 1
+            inc = int(incs.iloc[i]) if incs is not None else 1
+            ent = state.get(key)
+            if ent is not None:
+                ent[0] += inc
+                ent[2] = seq
+            elif len(state) < capacity:
+                state[key] = [inc, 0, seq]
+            else:
+                vk = min(state, key=lambda s: (state[s][0], state[s][2]))
+                vcnt = state.pop(vk)[0]
+                state[key] = [vcnt + inc, vcnt, seq]
+        w = pdf[win].iloc[0] if len(pdf) else None
+        return pd.DataFrame(
+            {
+                win: [w] * len(state),
+                key_col: list(state),
+                "cnt": [v[0] for v in state.values()],
+                "err": [v[1] for v in state.values()],
+            }
+        )
+
+    return frame.groupBy(win).applyInPandas(run, out_schema)

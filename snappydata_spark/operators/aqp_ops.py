@@ -1170,3 +1170,87 @@ def ev_kmv_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("rel_err"),
     )
+
+
+# ------------------- StreamSummary (Space-Saving) candidate-list state
+
+def _streamsummary_oracle() -> str:
+    """DuckDB recursive-CTE simulation of the clearspring StreamSummary
+    (StreamSummary.java offerReturnAll): same deterministic (ts, key)
+    stream order, same free-slot / min-count-eviction / inherited-error
+    rule, same (count, last-update-seq) victim tie-break as
+    aqp.stream_summary_state — the final counter list matches the Spark
+    state row-for-row, the ev_cms_* hash-check discipline applied to an
+    ORDER-DEPENDENT sketch."""
+    return """
+WITH RECURSIVE stream AS (
+  SELECT row_number() OVER (ORDER BY ts, user_id, event_id) AS seq,
+         user_id AS k
+  FROM events WHERE event_id < 2000 AND user_id IS NOT NULL
+),
+sim AS (
+  SELECT 0::BIGINT AS seq,
+         []::STRUCT(cnt BIGINT, upd BIGINT, k BIGINT, err BIGINT)[] AS st
+  UNION ALL
+  SELECT e.seq,
+    CASE
+      WHEN len(list_filter(s.st, x -> x.k = e.k)) > 0 THEN
+        list_transform(s.st, x -> CASE WHEN x.k = e.k
+          THEN {'cnt': x.cnt + 1, 'upd': e.seq, 'k': x.k, 'err': x.err}
+          ELSE x END)
+      WHEN len(s.st) < 16 THEN
+        list_append(s.st, {'cnt': 1::BIGINT, 'upd': e.seq, 'k': e.k,
+                           'err': 0::BIGINT})
+      ELSE
+        list_append(
+          list_filter(s.st, x -> x.upd != list_sort(s.st)[1].upd),
+          {'cnt': list_sort(s.st)[1].cnt + 1, 'upd': e.seq, 'k': e.k,
+           'err': list_sort(s.st)[1].cnt})
+    END
+  FROM sim s JOIN stream e ON e.seq = s.seq + 1
+),
+last AS (SELECT st FROM sim ORDER BY seq DESC LIMIT 1),
+flat AS (SELECT unnest(st) AS x FROM last)
+SELECT x.k AS user_id, x.cnt AS cnt, x.err AS err,
+       x.cnt - x.err AS guaranteed_min, x.err > 0 AS possibly_over
+FROM flat
+ORDER BY cnt DESC, user_id
+"""
+
+
+@register(
+    "aqp_topk_streamsummary_evictions", oracle=_streamsummary_oracle()
+)
+def aqp_topk_streamsummary_evictions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch-mode TOPK TABLE's StreamSummary companion under a key
+    distribution that FORCES evictions: 150 near-uniform user_ids
+    through 16 Space-Saving counters (capacity = 4x size, clearspring
+    StreamSummary.java) — nearly every counter ends with a nonzero
+    inherited error.  The __ss table is the queryable candidate list:
+    cnt (possible overcount), err (max overcount), cnt - err (the
+    GUARANTEED minimum), err > 0 (inherited an evicted slot).  The
+    DuckDB oracle replays the identical eviction sequence step-by-step
+    (recursive CTE), so counts AND error fields are hash-checked, not
+    just the surviving key set."""
+    sn = _topk_table_session(spark, sf_dir)
+    if not sn.catalog.exists("tk_ss_base"):
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        sn.create_table(
+            "tk_ss_base",
+            options={"key_columns": "event_id"},
+            df=ev.filter(
+                (F.col("event_id") < 2000) & F.col("user_id").isNotNull()
+            ),
+        )
+        sn.sql(
+            "CREATE TOPK TABLE tk_ss ON tk_ss_base OPTIONS "
+            "(key 'user_id', timeSeriesColumn 'ts', size '4', "
+            "sketch 'true')"
+        )
+    return sn.sql(
+        "SELECT user_id, cnt, err, cnt - err AS guaranteed_min, "
+        "err > 0 AS possibly_over FROM tk_ss__ss "
+        "ORDER BY cnt DESC, user_id"
+    )

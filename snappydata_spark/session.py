@@ -849,10 +849,13 @@ class SnappySession:
                 )
         if self.catalog.exists(name):
             m = self.catalog.load_meta(name)
-            # a sketch-backed TOPK TABLE drops its CMS companion with it
-            cms = m.options.get("cms_table")
-            if m.provider == "topk" and cms and self.catalog.exists(cms):
-                self.drop_table(cms)
+            # a sketch-backed TOPK TABLE drops its CMS + StreamSummary
+            # companions with it
+            for companion in (m.options.get("cms_table"),
+                              m.options.get("ss_table")):
+                if (m.provider == "topk" and companion
+                        and self.catalog.exists(companion)):
+                    self.drop_table(companion)
         if self.catalog.exists(name) and self._is_bucketed(self.catalog.load_meta(name)):
             cur = int(
                 self.catalog.load_meta(name).options.get("bucket_gen", 0)
@@ -3279,6 +3282,36 @@ class SnappySession:
             df=cells,
             overwrite=True,
         )
+        # the clearspring StreamSummary companion (StreamSummary.java
+        # offerReturnAll): the candidate list AS THE REFERENCE MAINTAINS
+        # IT — capacity-bounded Space-Saving counters with per-counter
+        # overcount error from min-count eviction, processed in
+        # deterministic (ts, key) order so the state is reproducible
+        # (and hash-checkable by the aqp_topk_streamsummary_evictions
+        # oracle).  Queryable directly: SELECT * FROM <name>__ss —
+        # cnt - err is the guaranteed minimum, err > 0 flags a counter
+        # that inherited an evicted slot.
+        ss_rows = base.select(
+            win.alias("window_start"),
+            F.col(key_col),
+            *([F.col(ts_col).alias("__ord")] if ts_col else []),
+            *([F.col(freq_col)] if freq_col else []),
+        )
+        ss = aqp_mod.stream_summary_state(
+            ss_rows,
+            key_col,
+            capacity=size,
+            order_cols=(["__ord", key_col] if ts_col else [key_col]),
+            window_col="window_start",
+            freq_col=freq_col,
+        )
+        ss_table = f"{self._canon(name)}__ss"
+        self.create_table(
+            ss_table,
+            options={"key_columns": f"window_start,{key_col.lower()}"},
+            df=ss,
+            overwrite=True,
+        )
         self.create_table(
             name,
             provider="topk",
@@ -3291,6 +3324,7 @@ class SnappySession:
                 "freq": (freq_col or "").lower(),
                 "mode": "sketch",
                 "cms_table": cms_table,
+                "ss_table": ss_table,
                 "key_columns": f"window_start,{key_col.lower()}",
             },
             df=panel,

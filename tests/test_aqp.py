@@ -959,3 +959,77 @@ class TestSketchTopK:
         self._mk(snappy, spark, 10, "tks_stream")
         with pytest.raises(ValueError, match="sketch-backed"):
             snappy.topk_stream_updater("tks_stream")
+
+
+@pytest.mark.parametrize("width", [64, 1024, 8192])
+def test_cms_width_geometry_tradeoff(spark, width):
+    """The W knob (r8): at every width the CMS state is EXACTLY D*W
+    rows once all buckets are touched, and every key's overcount obeys
+    the clearspring guarantee est - true <= eps*N = 2N/W — wider sketch,
+    tighter estimates, linearly more (still bounded) state."""
+    from snappydata_spark import aqp
+
+    n_keys, reps = 3000, 4  # high cardinality >> W for W=64/1024
+    rows = [(f"k{i % n_keys}",) for i in range(n_keys * reps)]
+    df = spark.createDataFrame(rows, "key string").withColumn(
+        "window_start", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    cells = aqp.topk_cms_cells(df, "key", width=width)
+    got = cells.collect()
+    # zero cells are omitted (sparse storage), so state is AT MOST D*W
+    # rows; at W=64 with 3000 keys every bucket is hit — exactly D*W
+    assert len(got) <= aqp.TOPK_CMS_D * width
+    if width == 64:
+        assert len(got) == aqp.TOPK_CMS_D * width
+    n = n_keys * reps
+    eps_n = 2.0 * n / width
+    keys = df.select("key").distinct()
+    est = {
+        r.key: r.est
+        for r in aqp.topk_cms_probe(cells, keys, "key", width=width).collect()
+    }
+    # the clearspring guarantee is probabilistic: P(over > eps*N) <=
+    # delta = 2^-D per key — assert the realized violation RATE, not the
+    # max (at W=8192 eps*N is ~3, so a single 4-row collision may exceed
+    # it; what the knob buys is the rate and magnitude shrinking)
+    violators = sum(1 for k in est if est[k] - reps > eps_n)
+    assert violators / n_keys <= 2.0 ** -aqp.TOPK_CMS_D, (width, violators)
+    assert all(est[k] >= reps for k in est)  # never undercounts
+    if width == 8192:
+        # wide sketch at this load: collisions nearly vanish
+        assert max(est[k] - reps for k in est) <= reps * 4
+
+
+def test_stream_summary_eviction_contract(spark):
+    """aqp.stream_summary_state implements the clearspring
+    offerReturnAll rule (StreamSummary.java): capacity-bounded counters,
+    min-count eviction, evicted-then-readmitted keys inherit
+    count = min + inc and error = min; cnt - err never exceeds the true
+    count; a key hot enough to stay monitored ends at err 0."""
+    from snappydata_spark import aqp
+
+    # stream: 'hot' every other event, cold keys c0..c9 cycling — with
+    # capacity 4 the cold keys perpetually evict each other
+    seq = []
+    for i in range(200):
+        seq.append((i * 2, "hot"))
+        seq.append((i * 2 + 1, f"c{i % 10}"))
+    df = spark.createDataFrame(seq, "pos long, key string")
+    out = aqp.stream_summary_state(
+        df, "key", capacity=4, order_cols=["pos"]
+    ).collect()
+    assert len(out) == 4  # capacity-bounded despite 11 distinct keys
+    state = {r.key: r for r in out}
+    assert state["hot"].cnt == 200 and state["hot"].err == 0
+    true = {f"c{j}": 20 for j in range(10)}
+    for r in out:
+        if r.key == "hot":
+            continue
+        assert r.err > 0          # inherited an evicted slot
+        assert r.cnt - r.err <= true[r.key]  # guaranteed min is sound
+        assert r.cnt >= true[r.key] - 0      # space-saving never drops below... 
+    # determinism: same input, same state, any partitioning
+    out2 = aqp.stream_summary_state(
+        df.repartition(7), "key", capacity=4, order_cols=["pos"]
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
