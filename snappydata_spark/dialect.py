@@ -1075,15 +1075,39 @@ def equi_key_pairs(on: str, t_alias: str, s_alias: str) -> list[tuple[str, str]]
 _QUERY_HEAD = re.compile(r"\s*\(*\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN)\b", re.I)
 
 
-def _values_defaults_to_null(body: str) -> str:
+def _values_defaults_to_null(body: str) -> tuple[str, list[int]]:
     """DEFAULT keywords inside a VALUES body become NULL literals before
     Spark parses the inline table (Spark's VALUES has no DEFAULT): the
     managed write path then treats NULL in an identity column as "assign
     the next sequence value" (create-table.md Identity Columns) — the
-    reference's `INSERT INTO greetings VALUES (DEFAULT, 'hello')`."""
+    reference's `INSERT INTO greetings VALUES (DEFAULT, 'hello')`.
+
+    Returns (rewritten_body, explicit_null_positions): the 0-based value
+    positions where some row carried a LITERAL NULL (as opposed to
+    DEFAULT).  The write path uses this to reproduce the reference's
+    distinction — an identity column is implicitly NOT NULL, so an
+    explicit NULL into it errors (Derby/GemFireXD 23502) while DEFAULT
+    assigns the next sequence value.  Applied only when the body head is
+    VALUES: a SELECT body must keep its DEFAULT identifiers (e.g. a
+    column named `default` would otherwise be mangled)."""
+    if not re.match(r"\s*\(*\s*VALUES\b", body, re.I):
+        return body, []
+    null_pos: set[int] = set()
+    if re.search(r"\bNULL\b", body, re.I):
+        rows_part = re.sub(r"^\s*\(*\s*VALUES\b", "", body, flags=re.I)
+        for row in _split_top_commas(rows_part):
+            row = row.strip()
+            if row.startswith("(") and row.endswith(")"):
+                row = row[1:-1]
+            for i, v in enumerate(_split_top_commas(row)):
+                if v.strip().upper() == "NULL":
+                    null_pos.add(i)
     if "default" not in body.lower():
-        return body
-    return sub_outside_quotes(r"\bDEFAULT\b", lambda m: "NULL", body, flags=re.I)
+        return body, sorted(null_pos)
+    return (
+        sub_outside_quotes(r"\bDEFAULT\b", lambda m: "NULL", body, flags=re.I),
+        sorted(null_pos),
+    )
 
 
 def split_statement(text: str) -> Statement:
@@ -1362,11 +1386,12 @@ def split_statement(text: str) -> Statement:
         if body.upper().startswith("SELECT"):
             return Statement("put", table=m.group(1), source_sql=body, options=cols)
         # VALUES (...) [, (...)] — let Spark parse it as an inline table
+        vbody, null_pos = _values_defaults_to_null(body)
         return Statement(
             "put",
             table=m.group(1),
-            source_sql=f"SELECT * FROM {_values_defaults_to_null(body)}",
-            options=cols,
+            source_sql=f"SELECT * FROM {vbody}",
+            options={**cols, "explicit_null_positions": null_pos},
         )
     m = _UPDATE.match(text)
     if m:
@@ -1404,11 +1429,13 @@ def split_statement(text: str) -> Statement:
     m = _INSERT_VALUES.match(text)
     if m:
         # inline table → positional SELECT, same contract as PUT VALUES
+        vbody, null_pos = _values_defaults_to_null(m.group(3))
         return Statement(
             "insert_select",
             table=m.group(1),
-            source_sql=f"SELECT * FROM {_values_defaults_to_null(m.group(3))}",
-            options=_cols_opt(m.group(2)),
+            source_sql=f"SELECT * FROM {vbody}",
+            options={**_cols_opt(m.group(2)),
+                     "explicit_null_positions": null_pos},
         )
     m = _INSERT_OVERWRITE.match(text)
     if m:

@@ -1468,6 +1468,40 @@ class SnappySession:
 
     # -------------------------------------------- identity columns
 
+    def _reject_explicit_null_identities(self, stmt, src, cols) -> None:
+        """The reference's DEFAULT-vs-NULL distinction for identity
+        columns (create-table.md Identity Columns; Derby 23502): an
+        identity column is implicitly NOT NULL, so `VALUES (NULL, ...)`
+        into it ERRORS while `VALUES (DEFAULT, ...)` assigns the next
+        sequence value.  The parser records which VALUES positions
+        carried a literal NULL (dialect._values_defaults_to_null);
+        positions map through the explicit column list when present,
+        else the table's column order."""
+        null_pos = stmt.options.get("explicit_null_positions")
+        if not null_pos:
+            return
+        meta = self.catalog.load_meta(stmt.table.lower())
+        idents = {i["column"] for i in self._meta_identities(meta)}
+        if not idents:
+            return
+        names = [c.lower() for c in cols] if cols else [
+            c.lower() for c in src.columns
+        ]
+        if not cols:
+            # positional VALUES without a column list target the table's
+            # declared order
+            names = [f.name.lower() for f in self._read_table(
+                stmt.table).schema.fields]
+        hit = [
+            names[p] for p in null_pos if p < len(names) and names[p] in idents
+        ]
+        if hit:
+            raise ValueError(
+                f"cannot insert NULL into identity column(s) "
+                f"{sorted(set(hit))} of {stmt.table} (23502) — use DEFAULT "
+                "or omit the column to assign the next sequence value"
+            )
+
     def _meta_identities(self, meta: TableMeta) -> list:
         raw = meta.options.get("identities")
         if not raw:
@@ -2527,6 +2561,7 @@ class SnappySession:
                 else stmt.source_df
             )
             cols = stmt.options.get("columns")
+            self._reject_explicit_null_identities(stmt, src, cols)
             src = (
                 self._apply_column_list(stmt.table, src, cols)
                 if cols
@@ -2556,6 +2591,7 @@ class SnappySession:
             self._resolve_read_access(stmt.source_sql)
             src = self.spark.sql(self._tx_reads(stmt.source_sql))
             cols = stmt.options.get("columns")
+            self._reject_explicit_null_identities(stmt, src, cols)
             src = (
                 self._apply_column_list(stmt.table, src, cols)
                 if cols

@@ -1053,6 +1053,31 @@ class TestIdentityColumns:
         snappy.sql("INSERT INTO g3 (v) VALUES ('c')")
         assert max(r.i for r in snappy.table("g3").collect()) == 110
 
+    def test_explicit_null_vs_default_into_identity(self, snappy):
+        """The reference distinguishes NULL from DEFAULT in a VALUES body
+        (create-table.md Identity Columns; Derby 23502): an identity
+        column is implicitly NOT NULL, so a LITERAL NULL into it errors
+        while DEFAULT assigns the next sequence value — and a NULL
+        placed in a NON-identity position stays an ordinary NULL."""
+        snappy.sql(
+            "CREATE TABLE g5 (i INT GENERATED BY DEFAULT AS IDENTITY, "
+            "v STRING) USING row"
+        )
+        with pytest.raises(ValueError, match="23502"):
+            snappy.sql("INSERT INTO g5 VALUES (NULL, 'boom')")
+        with pytest.raises(ValueError, match="23502"):
+            snappy.sql("INSERT INTO g5 (i, v) VALUES (NULL, 'boom')")
+        snappy.sql("INSERT INTO g5 VALUES (DEFAULT, NULL)")  # v NULL is fine
+        rows = snappy.table("g5").collect()
+        assert len(rows) == 1 and rows[0].i == 1 and rows[0].v is None
+        # ALWAYS identities reject explicit NULL the same way
+        snappy.sql(
+            "CREATE TABLE g6 (i INT GENERATED ALWAYS AS IDENTITY, "
+            "v STRING) USING row"
+        )
+        with pytest.raises(ValueError, match="23502"):
+            snappy.sql("INSERT INTO g6 VALUES (NULL, 'x')")
+
     def test_identity_requires_integer_type(self, snappy):
         with pytest.raises(ValueError, match="INTEGER or BIGINT"):
             snappy.sql(
