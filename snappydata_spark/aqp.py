@@ -414,8 +414,45 @@ def stream_summary_state(
     out_schema = (
         f"{win} timestamp, {key_col} {key_type}, cnt long, err long"
     )
+    # JVM fast path: a window whose DISTINCT key count fits `capacity`
+    # can never evict, so its Space-Saving state is exact counting with
+    # err 0 and processing order is irrelevant — serve those windows
+    # from a plain partial-aggregated groupBy and ship ONLY the
+    # eviction-prone windows' rows through the Python pass (at low key
+    # cardinality the Arrow transfer of the whole corpus cost 2x the
+    # sf10 sketch build; after this split it costs one countDistinct).
+    frame = frame.persist()
+    nd = frame.groupBy(win).agg(F.countDistinct(key_col).alias("__nd"))
+    small_w = nd.filter(F.col("__nd") <= capacity).select(win)
+    inc = F.col(freq_col).cast("long") if freq_col else F.lit(1).cast("long")
+    small = (
+        frame.join(F.broadcast(small_w), win, "left_semi")
+        .groupBy(win, key_col)
+        .agg(F.sum(inc).alias("cnt"))
+        .select(win, key_col, "cnt", F.lit(0).cast("long").alias("err"))
+    )
+    big = frame.join(F.broadcast(small_w), win, "left_anti")
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf[key_col].nunique() <= capacity:
+            # every key fits a counter: no eviction can occur, so the
+            # Space-Saving state is exact counting with err 0 and
+            # processing order is irrelevant — vectorize (the common
+            # case for low-cardinality keys; the sequential loop below
+            # cost 2.5x the whole sf10 sketch build before this)
+            if freq_col:
+                counts = pdf.groupby(key_col, sort=False)[freq_col].sum()
+            else:
+                counts = pdf[key_col].value_counts(sort=False)
+            w = pdf[win].iloc[0] if len(pdf) else None
+            return pd.DataFrame(
+                {
+                    win: [w] * len(counts),
+                    key_col: counts.index,
+                    "cnt": counts.astype("int64").values,
+                    "err": [0] * len(counts),
+                }
+            )
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         state: dict = {}  # key -> [cnt, err, upd]
         seq = 0
@@ -443,4 +480,4 @@ def stream_summary_state(
             }
         )
 
-    return frame.groupBy(win).applyInPandas(run, out_schema)
+    return small.unionByName(big.groupBy(win).applyInPandas(run, out_schema))
