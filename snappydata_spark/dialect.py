@@ -154,7 +154,8 @@ _CREATE_SAMPLE = re.compile(
 # (reference/inbuilt_system_procedures: EXPORT_DATA export_data.md,
 # EXPORT_DDLS export_ddl.md)
 _CALL_PROC = re.compile(
-    r"^\s*CALL\s+SYS\.(\w+)\s*\((.*)\)\s*;?\s*$", re.I | re.S
+    r"^\s*CALL\s+(?:SYS|SYSCS_UTIL)\.(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.I | re.S,
 )
 
 # CREATE DISKSTORE name [MAXLOGSIZE n] [AUTOCOMPACT b]
@@ -1190,7 +1191,13 @@ def split_statement(text: str) -> Statement:
             "call_proc",
             options={
                 "proc": m.group(1).lower(),
-                "args": re.findall(r"'([^']*)'", m.group(2)),
+                # quoted strings AND bare literals (DUMP_STACKS(true),
+                # SET_STATISTICS_TIMING(1) pass unquoted booleans/ints)
+                "args": [
+                    a.strip().strip("'")
+                    for a in _split_top_commas(m.group(2))
+                    if a.strip()
+                ],
             },
         )
     m = _CREATE_DISKSTORE.match(text)

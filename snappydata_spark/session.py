@@ -244,6 +244,11 @@ class SnappySession:
         # values (a nondeterministic source would otherwise recompute
         # different ids per action); released after the write completes
         self._identity_pins: list[DataFrame] = []
+        # SYSCS_UTIL.SET_STATISTICS_TIMING (setstatstimingproc.md): when
+        # on, sql() records (statement, wall_ms) per execution; off
+        # resets all timing values (the documented zeroing)
+        self._stats_timing = False
+        self._stmt_stats: list[tuple[str, float]] = []
         # mutation-path plan audit hook (tests only): a list here makes
         # _audit_plan record (tag, executedPlan) for write/validation
         # frames so tests/test_plan_audit_mutations.py can sweep them
@@ -2093,6 +2098,29 @@ class SnappySession:
         managed tables are dispatched to the mutation layer; everything else
         goes to spark.sql via the plan cache (normalized-literal keyed,
         mirroring ParamLiteral tokenization SnappyParser.scala:226-261)."""
+        if self._stats_timing:
+            # SYSCS_UTIL.SET_STATISTICS_TIMING(1): record wall per
+            # statement (setstatstimingproc.md) — dispatch only; the
+            # flag costs one boolean test when off
+            import time as _time
+
+            t0 = _time.perf_counter()
+            try:
+                return self._sql_dispatch(text)
+            finally:
+                if self._stats_timing:  # the OFF call zeroed mid-flight
+                    self._stmt_stats.append(
+                        (text, (_time.perf_counter() - t0) * 1000.0)
+                    )
+        return self._sql_dispatch(text)
+
+    def get_statement_stats(self) -> list[tuple[str, float]]:
+        """(statement, wall_ms) pairs recorded while statistics timing is
+        on; empty after SET_STATISTICS_TIMING(0) (the documented
+        zeroing)."""
+        return list(self._stmt_stats)
+
+    def _sql_dispatch(self, text: str) -> DataFrame | None:
         # ONE lowercase scan gates every rewriter below on its trigger
         # substring (r6 verdict #3: the rewriter chain grew per round and
         # its preparse cost crept into plan_cache_20_cold; a substring
@@ -2116,7 +2144,7 @@ class SnappySession:
         # and SYS.SYSTABLES resolve to session-computed frames
         if "sys." in low and re.search(
             r"\bSYS\.(MEMBERS|SYSTABLES|TABLESTATS|SYSDISKSTORES"
-            r"|(?:SYS)?DISKSTOREIDS)\b",
+            r"|(?:SYS)?DISKSTOREIDS|SYSPOLICIES)\b",
             text,
             re.I,
         ):
@@ -2153,6 +2181,14 @@ class SnappySession:
                 r"\bSYS\.(?:SYS)?DISKSTOREIDS\b", "sys_sysdiskstoreids",
                 text, flags=re.I,
             )
+            if re.search(r"\bSYS\.SYSPOLICIES\b", text, re.I):
+                self._syspolicies().createOrReplaceTempView(
+                    "sys_syspolicies"
+                )
+                text = re.sub(
+                    r"\bSYS\.SYSPOLICIES\b", "sys_syspolicies", text,
+                    flags=re.I,
+                )
         if "." in text:
             # schema-qualified relation references (APP.t / other.t) over
             # MANAGED tables/streams canonicalize in the statement text;
@@ -3638,10 +3674,77 @@ class SnappySession:
             return self.spark.createDataFrame(
                 rows or [("", 0)], "table string, buckets int"
             ).filter(F.col("table") != "")
+        if proc == "dump_stacks":
+            # sys.dump_stacks(all) (dump-stacks.md): thread stacks to the
+            # log.  Here: the DRIVER JVM's stacks via
+            # Thread.getAllStackTraces (executors are in-process on
+            # local[n]; on a cluster the `all` flag would fan out — the
+            # lead-only scope is the documented divergence).
+            traces = (
+                self.spark.sparkContext._jvm.java.lang.Thread
+                .getAllStackTraces()
+            )
+            it = traces.entrySet().iterator()
+            n_threads, lines = 0, []
+            while it.hasNext():
+                e = it.next()
+                t = e.getKey()
+                n_threads += 1
+                lines.append(
+                    f'"{t.getName()}" state={t.getState().toString()} '
+                    f"frames={len(e.getValue())}"
+                )
+            print("SYS.DUMP_STACKS:\n" + "\n".join(sorted(lines)))
+            return self.spark.createDataFrame(
+                [(n_threads,)], "threads int"
+            )
+        if proc == "set_trace_flag":
+            flag, on = (args + ["", "false"])[:2]
+            self._engine_confs[f"snappydata.trace.{flag.lower()}"] = (
+                str(on).lower()
+            )
+            return None
+        if proc in ("set_critical_heap_percentage",
+                    "set_eviction_heap_percentage"):
+            (pct,) = args or ("",)
+            v = float(pct)
+            if not 0.0 <= v <= 100.0:
+                raise ValueError(
+                    f"SYS.{proc.upper()} expects a percentage in [0, 100], "
+                    f"got {pct}"
+                )
+            # recorded, inert: Spark sizes executor memory statically
+            # (spark.memory.fraction at launch) — the reference's
+            # runtime heap thresholds have no live Spark equivalent
+            self._engine_confs[f"snappydata.{proc}"] = str(v)
+            return None
+        if proc == "set_statistics_timing":
+            (flag,) = args or ("0",)
+            self._stats_timing = str(flag).strip() not in ("0", "false", "")
+            if not self._stats_timing:
+                self._stmt_stats.clear()
+            return None
+        if proc == "remove_metastore_entry":
+            # sys.remove_metastore_entry('<db>.<table>', '<forceDrop>')
+            # (sys_remove_metastore_entry.md): drop the catalog entry
+            # WITHOUT existence/constraint/policy checks — the emergency
+            # hatch for an inconsistent catalog.  Policies/base tables
+            # are intentionally untouched (the doc says drop those
+            # separately).
+            name = self._canon((args or [""])[0])
+            self.catalog.drop(name)
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — view may not exist
+                pass
+            self.plan_cache.clear()
+            return None
         raise ValueError(
             f"unknown system procedure SYS.{proc.upper()} "
             "(supported: EXPORT_DATA, EXPORT_DDLS, REBALANCE_ALL_BUCKETS, "
-            "DISKSTORE_FSYNC)"
+            "DISKSTORE_FSYNC, DUMP_STACKS, SET_TRACE_FLAG, "
+            "SET_CRITICAL_HEAP_PERCENTAGE, SET_EVICTION_HEAP_PERCENTAGE, "
+            "SET_STATISTICS_TIMING, REMOVE_METASTORE_ENTRY)"
         )
 
     def _export_data(
@@ -3825,6 +3928,27 @@ class SnappySession:
             "tablename string, tabletype string, tableschemaname string, "
             "datapolicy string, provider string",
         )
+
+    def _syspolicies(self) -> DataFrame:
+        """SYS.SYSPOLICIES (docs/security/row_level_security.md:126): one
+        row per RLS policy — NAME, SCHEMANAME, TABLENAME, POLICYFOR
+        (always SELECT, as documented), APPLYTO (user or CURRENT_USER),
+        FILTER, OWNER (the target table's schema owner)."""
+        rows = []
+        for pname, (table, filter_sql, user) in self._policies.items():
+            if "__" in table:
+                sch, tbl = table.split("__", 1)
+            else:
+                sch, tbl = "app", table
+            rows.append((
+                pname.upper(), sch.upper(), tbl.upper(), "SELECT",
+                (user or "current_user").upper(), filter_sql, sch.upper(),
+            ))
+        return self.spark.createDataFrame(
+            rows or [("", "", "", "", "", "", "")],
+            "name string, schemaname string, tablename string, "
+            "policyfor string, applyto string, filter string, owner string",
+        ).filter(F.col("name") != "")
 
     def _systablestats(self) -> DataFrame:
         """SYS.TABLESTATS (reference/system_tables/systablestats.md):

@@ -878,3 +878,64 @@ def test_sys_rebalance_all_buckets(snappy):
     )
     snappy.drop_table("rb_t")
     snappy.drop_table("rb_plain")
+
+
+# ------------------------------------------------ r8 system procedures
+
+
+def test_dump_stacks_and_trace_flag(snappy):
+    """SYS.DUMP_STACKS writes driver-JVM thread stacks to the log and
+    reports the thread count; SYS.SET_TRACE_FLAG records the flag
+    (dump-stacks.md, set-trace-flag.md)."""
+    out = snappy.sql("CALL SYS.DUMP_STACKS(false)").collect()
+    assert out[0].threads > 0
+    snappy.sql("CALL SYS.SET_TRACE_FLAG('DistributionManager.VERBOSE', true)")
+    assert snappy.get_conf(
+        "snappydata.trace.distributionmanager.verbose"
+    ) == "true"
+
+
+def test_heap_percentage_procs_validate(snappy):
+    snappy.sql("CALL SYS.SET_CRITICAL_HEAP_PERCENTAGE(90.5)")
+    snappy.sql("CALL SYS.SET_EVICTION_HEAP_PERCENTAGE(81)")
+    assert snappy.get_conf(
+        "snappydata.set_critical_heap_percentage") == "90.5"
+    with pytest.raises(ValueError, match=r"\[0, 100\]"):
+        snappy.sql("CALL SYS.SET_CRITICAL_HEAP_PERCENTAGE(150)")
+
+
+def test_statistics_timing_records_and_zeroes(snappy):
+    """SYSCS_UTIL.SET_STATISTICS_TIMING (setstatstimingproc.md): on →
+    per-statement wall recorded; off → all timing values zeroed."""
+    snappy.sql("CALL SYSCS_UTIL.SET_STATISTICS_TIMING(1)")
+    snappy.sql("SELECT 1 AS x").collect()
+    snappy.sql("SELECT 2 AS x").collect()
+    stats = snappy.get_statement_stats()
+    assert len(stats) >= 2
+    assert all(ms > 0 for _, ms in stats)
+    assert any("SELECT 1" in q for q, _ in stats)
+    snappy.sql("CALL SYSCS_UTIL.SET_STATISTICS_TIMING(0)")
+    assert snappy.get_statement_stats() == []
+
+
+def test_remove_metastore_entry_and_syspolicies(snappy):
+    """SYS.REMOVE_METASTORE_ENTRY drops the catalog entry without the
+    DROP TABLE guards (sys_remove_metastore_entry.md); SYS.SYSPOLICIES
+    lists RLS policies with the documented columns
+    (row_level_security.md:126)."""
+    snappy.sql("CREATE TABLE rme (k INT, v INT) USING column")
+    snappy.sql("INSERT INTO rme VALUES (1, 1)")
+    snappy.sql("CREATE POLICY p_rme ON rme FOR SELECT TO alice USING (k > 0)")
+    pol = snappy.sql(
+        "SELECT * FROM SYS.SYSPOLICIES WHERE tablename = 'RME'"
+    ).collect()
+    assert len(pol) == 1
+    assert (pol[0].name, pol[0].policyfor, pol[0].applyto) == (
+        "P_RME", "SELECT", "ALICE",
+    )
+    assert pol[0].filter == "k > 0" and pol[0].schemaname == "APP"
+    # the emergency hatch: entry gone without touching policies
+    snappy.sql("CALL SYS.REMOVE_METASTORE_ENTRY('APP.rme', 'false')")
+    assert not snappy.catalog.exists("rme")
+    assert "p_rme" in snappy._policies  # doc: drop policies separately
+    snappy.sql("DROP POLICY p_rme")
