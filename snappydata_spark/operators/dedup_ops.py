@@ -1051,3 +1051,76 @@ def dedup_incoming_batch_gate_reps(spark: SparkSession, sf_dir: str) -> DataFram
     return index_minhash.near_dup_lookup_reps(sn, "corpus_mh", probes).select(
         (F.col("probe_id") - 5000000).alias("probe_id"), F.col("match_rep")
     )
+
+
+@register(
+    "dedup_cluster_aware_split",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes(corpus_sql=_CORPUS_DUP_SQL)},
+edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+          UNION SELECT doc2, doc1 FROM mh_pairs),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+           FROM reach GROUP BY a),
+lab AS (SELECT c.doc_id, COALESCE(l.cluster, c.doc_id) AS cluster
+        FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id),
+sp AS (SELECT doc_id, cluster,
+       CASE WHEN ('0x' || substr(md5('split~' || cluster::VARCHAR), 1, 8))::BIGINT
+                 % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+       FROM lab)
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT cluster)::BIGINT AS n_clusters
+FROM sp GROUP BY split ORDER BY split
+""",
+)
+def dedup_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/holdout split — the leakage-prevention step a
+    plain per-document hash split misses: a document and its near-dup
+    mirror landing on opposite sides of the split leaks training data
+    into evaluation.  Each document is assigned by hashing its CLUSTER
+    representative (connected component over the exact-dup-collapsed
+    candidate edges; singletons represent themselves), so every member
+    of a duplicate cluster lands on the SAME side by construction.
+    Deterministic md5 split hash (the txt_train_val_split discipline —
+    retries and re-runs agree); output is the per-split doc/cluster
+    census the oracle reproduces over the full recursive closure.
+
+    Scale: clustering is the same min-label propagation as
+    dedup_cluster_components (O(diameter) shuffles on slim label
+    frames); the split itself is one map-side hash on the cluster id —
+    no extra shuffle beyond the final bounded groupBy."""
+    corpus = _corpus_dup(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs)
+    labeled = (
+        corpus.select("doc_id")
+        .join(cc, corpus.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split~"), F.col("cluster").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return (
+        labeled.withColumn(
+            "split", F.when(bucket < 90, "train").otherwise("val")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

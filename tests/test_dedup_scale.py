@@ -193,3 +193,43 @@ def test_embedding_block_sub_cap_bounds_task_matrix(spark):
     assert len(out) == 9
     for r in out:
         assert r.v1 // 100 == r.v2 // 100
+
+
+def test_cluster_aware_split_no_leakage(spark, sf_dir):
+    """The invariant the op exists for: NO candidate edge straddles the
+    train/val boundary (both endpoints share a cluster, clusters hash
+    whole) — and every document is assigned exactly once."""
+    from snappydata_spark import dedup
+    from snappydata_spark.operators.dedup_ops import _corpus_dup
+    from pyspark.sql import functions as F
+
+    corpus = _corpus_dup(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs)
+    labeled = (
+        corpus.select("doc_id")
+        .join(cc, corpus.doc_id == cc.node, "left")
+        .select("doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split~"), F.col("cluster").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 100
+    )
+    split = labeled.withColumn(
+        "split", F.when(bucket < 90, "train").otherwise("val")
+    ).select("doc_id", "split")
+    assert split.count() == corpus.count()  # total assignment, no dups
+    s1 = split.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+        "split", "split1")
+    s2 = split.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+        "split", "split2")
+    straddling = (
+        pairs.join(s1, "doc1").join(s2, "doc2")
+        .filter(F.col("split1") != F.col("split2"))
+        .count()
+    )
+    assert straddling == 0
