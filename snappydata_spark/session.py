@@ -1824,14 +1824,18 @@ class SnappySession:
         self._check_write_priv(name, "insert")
         meta = self.catalog.load_meta(name.lower())
         try:
-            df = self._assign_identities(meta, df)
             if self._skip_constraints() and meta.key_columns:
                 # skip-constraint-checks.md: PK constraints survive the
                 # bypass because the reference executes keyed inserts as
-                # PUT INTO — only the last value per key remains
+                # PUT INTO — only the last value per key remains.  Route
+                # BEFORE identity assignment: put() assigns identities
+                # itself, and pre-assigned GENERATED ALWAYS values would
+                # trip its user-supplied-value rejection.
                 if self._mutation_target(name, meta) is not None:
                     self.put(name, df)
                     return
+            df = self._assign_identities(meta, df)
+            if self._skip_constraints() and meta.key_columns:
                 df = mutate.conflate_last(df, meta.key_columns)
             self._validate_checks(meta, df)
             self._validate_uniques_incremental(meta, df)

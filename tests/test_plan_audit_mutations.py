@@ -156,3 +156,24 @@ def test_skip_constraint_checks_property(audited):
         sn.sql("INSERT INTO skc_chi VALUES (13, 1, -1)")
     sn.sql("DROP TABLE skc_chi")
     sn.sql("DROP TABLE skc_par")
+
+
+def test_skip_constraint_checks_with_identity(audited):
+    """Keyed INSERT under skip-constraint-checks routes through PUT
+    BEFORE identity assignment — a pre-assigned GENERATED ALWAYS value
+    would otherwise trip put()'s own user-supplied-value rejection."""
+    sn = audited
+    sn.sql(
+        "CREATE TABLE ski2 (pk INT NOT NULL PRIMARY KEY, "
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v INT) USING row"
+    )
+    sn.sql("INSERT INTO ski2 VALUES (1, DEFAULT, 10)")
+    sn.sql("SET skip-constraint-checks = true")
+    sn.sql("INSERT INTO ski2 VALUES (2, DEFAULT, 20)")
+    sn.sql("INSERT INTO ski2 VALUES (2, DEFAULT, 99)")  # keep-last replace
+    rows = {r.pk: r for r in sn.table("ski2").collect()}
+    assert len(rows) == 2 and rows[2].v == 99
+    ids = [r.id for r in rows.values()]
+    assert len(set(ids)) == 2 and all(i is not None for i in ids)
+    sn.sql("SET skip-constraint-checks = false")
+    sn.sql("DROP TABLE ski2")
