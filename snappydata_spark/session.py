@@ -1483,20 +1483,21 @@ class SnappySession:
         positions map through the explicit column list when present,
         else the table's column order."""
         null_pos = stmt.options.get("explicit_null_positions")
-        if not null_pos:
+        if not null_pos or not self.catalog.exists(stmt.table.lower()):
             return
         meta = self.catalog.load_meta(stmt.table.lower())
         idents = {i["column"] for i in self._meta_identities(meta)}
         if not idents:
             return
-        names = [c.lower() for c in cols] if cols else [
-            c.lower() for c in src.columns
-        ]
-        if not cols:
+        if cols:
+            names = [c.lower() for c in cols]
+        else:
             # positional VALUES without a column list target the table's
             # declared order
-            names = [f.name.lower() for f in self._read_table(
-                stmt.table).schema.fields]
+            names = [
+                f.name.lower()
+                for f in self._read_table(stmt.table).schema.fields
+            ]
         hit = [
             names[p] for p in null_pos if p < len(names) and names[p] in idents
         ]
