@@ -193,3 +193,42 @@ def test_rep_gate_matches_collapsed_full_gate(snappy, spark):
         ).collect()
     }
     assert reps2 == {(100, 2)}
+
+
+def test_rep_gate_reelects_visible_rep_under_rls(snappy, spark):
+    """r8 (ADVICE #1): the materialized rep table elects reps over ALL
+    rows — under RLS, a group whose MIN-ID member is hidden must still
+    match probes through a re-elected VISIBLE representative (the
+    pre-fix semi-join dropped the whole group's band rows: false
+    negatives at the ingestion gate)."""
+    base = "tokens repeat across this verbatim duplicate group forever "
+    rows = [
+        Row(doc_id=1, text=base * 3),   # min id — will be RLS-hidden
+        Row(doc_id=2, text=base * 3),   # verbatim dup, visible
+        Row(doc_id=3, text=base * 3),   # verbatim dup, visible
+        Row(doc_id=9, text="something else entirely about databases "
+                           "and storage engines " * 3),
+    ]
+    snappy.create_table(
+        "mh_rls", options={"key_columns": "doc_id"},
+        df=spark.createDataFrame(rows),
+    )
+    snappy.sql("CREATE INDEX mh_rls_idx ON mh_rls(text) USING minhash")
+    probe = spark.createDataFrame([Row(doc_id=100, text=base * 3)])
+    # no RLS: the materialized rep table serves; rep = global min (1)
+    got = index_minhash.near_dup_lookup_reps(
+        snappy, "mh_rls_idx", probe
+    ).collect()
+    assert {r.match_rep for r in got} == {1}
+    snappy.sql("CREATE POLICY p_rls_rep ON mh_rls FOR SELECT USING (doc_id <> 1)")
+    snappy.sql("ALTER TABLE mh_rls ENABLE ROW LEVEL SECURITY")
+    try:
+        got = index_minhash.near_dup_lookup_reps(
+            snappy, "mh_rls_idx", probe
+        ).collect()
+        # the group still matches, through the min VISIBLE member —
+        # and the hidden doc id never surfaces
+        assert {r.match_rep for r in got} == {2}
+    finally:
+        snappy.sql("ALTER TABLE mh_rls DISABLE ROW LEVEL SECURITY")
+        snappy.sql("DROP POLICY p_rls_rep")
