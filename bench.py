@@ -367,6 +367,12 @@ def main() -> None:
         "txt_bm25_batch_sql_routed",
         "aqp_topk_sketch_table_sql",
         "dedup_incoming_batch_gate_reps",
+        # round-8 additions: StreamSummary eviction state, cluster-aware
+        # split, the scale-safe NOT IN twin
+        "aqp_topk_streamsummary_evictions",
+        "dedup_cluster_aware_split",
+        "sql_not_in_scalable",
+        "sql_in_subquery",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
