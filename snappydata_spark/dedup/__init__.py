@@ -752,3 +752,45 @@ def containment_pairs(
         .filter(F.col("__cont") >= threshold)
         .select("src", "dst", F.round("__cont", 4).alias("containment"))
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.9,
+    salt: str = "split~",
+) -> DataFrame:
+    """Near-dup-aware train/holdout assignment: every row of `df` gets a
+    `cluster` (its connected-component representative over `pairs`;
+    rows in no pair represent themselves) and a `split` decided by a
+    deterministic md5 hash of the CLUSTER id — so all members of a
+    duplicate cluster land on the same side and near-dups never leak
+    from train into eval.  Returns df's id column + (cluster, split).
+
+    Scale: clustering is min-label propagation over slim (id, label)
+    frames (O(diameter) shuffles); the split is one map-side hash —
+    no extra shuffle beyond the component join."""
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    cc = connected_components(pairs)
+    labeled = (
+        df.select(id_col)
+        .join(cc, F.col(id_col) == cc.node, "left")
+        .select(
+            id_col, F.coalesce("cluster", F.col(id_col)).alias("cluster")
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("cluster").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < int(train_frac * 100), "train").otherwise("val"),
+    )

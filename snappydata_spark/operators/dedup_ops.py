@@ -1095,28 +1095,8 @@ def dedup_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle beyond the final bounded groupBy."""
     corpus = _corpus_dup(spark, sf_dir)
     pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
-    cc = dedup.connected_components(pairs)
-    labeled = (
-        corpus.select("doc_id")
-        .join(cc, corpus.doc_id == cc.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
-        )
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split~"), F.col("cluster").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % 100
-    )
     return (
-        labeled.withColumn(
-            "split", F.when(bucket < 90, "train").otherwise("val")
-        )
+        dedup.cluster_aware_split(corpus, pairs, train_frac=0.9)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
