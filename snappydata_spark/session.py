@@ -760,6 +760,20 @@ class SnappySession:
                 r"\b(?:VAR)?CHAR\s*\(\s*\d+\s*\)", "STRING", schema,
                 flags=re.I,
             )
+            # GemFireXD LOB/legacy type spellings
+            # (reference/misc/supported_datatypes.md): CLOB / LONG
+            # VARCHAR are unbounded text -> STRING; BLOB is unbounded
+            # bytes -> BINARY (the doc's "work only if you do not
+            # provide the size" rule — a size suffix is accepted and
+            # dropped like CHAR(n)'s)
+            schema = re.sub(
+                r"\bLONG\s+VARCHAR\b|\bCLOB\s*(?:\(\s*\d+\s*[KMG]?\s*\))?",
+                "STRING", schema, flags=re.I,
+            )
+            schema = re.sub(
+                r"\bBLOB\s*(?:\(\s*\d+\s*[KMG]?\s*\))?", "BINARY",
+                schema, flags=re.I,
+            )
             if pk or checks or uniques or fks or identities:
                 options = dict(options or {})
             if identities:

@@ -1096,3 +1096,24 @@ class TestIdentityColumns:
         snappy.sql(stmt.replace("g5", "g6"))
         snappy.sql("INSERT INTO g6 (v) VALUES ('c')")
         assert snappy.table("g6").collect()[0].i == 3
+
+
+def test_lob_and_legacy_type_spellings(snappy):
+    """GemFireXD LOB / legacy type spellings
+    (reference/misc/supported_datatypes.md): CLOB and LONG VARCHAR are
+    unbounded text -> STRING, BLOB is unbounded bytes -> BINARY; an
+    optional size suffix is accepted and dropped (the doc's 'work only
+    if you do not provide the size' rule, relaxed like CHAR(n))."""
+    snappy.sql(
+        "CREATE TABLE lobs (k INT NOT NULL PRIMARY KEY, b BLOB, "
+        "c CLOB, lv LONG VARCHAR, b2 BLOB(2K)) USING row"
+    )
+    types = {f.name: f.dataType.simpleString()
+             for f in snappy.table("lobs").schema.fields}
+    assert types == {"k": "int", "b": "binary", "c": "string",
+                     "lv": "string", "b2": "binary"}
+    snappy.sql("INSERT INTO lobs VALUES (1, CAST('ab' AS BINARY), "
+               "'text', 'more text', NULL)")
+    row = snappy.table("lobs").collect()[0]
+    assert row.c == "text" and bytes(row.b) == b"ab"
+    snappy.sql("DROP TABLE lobs")
