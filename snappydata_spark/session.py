@@ -1561,28 +1561,43 @@ class SnappySession:
             col, inc = ident["column"], ident["increment"]
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("long"))
-            has_values = df.filter(F.col(col).isNotNull()).limit(1).count()
-            if has_values and ident["always"]:
+            # ONE aggregation job answers both questions this column
+            # needs (r8 verdict: the limit(1).count() ALWAYS-gate probe
+            # plus the per-pid null-count pass scanned the batch twice):
+            # per-partition (nulls, non-nulls) gives the ALWAYS gate via
+            # any(non-nulls) and the prefix-sum offsets via the null
+            # counts.  The persist also materializes under the same job,
+            # pinning partition ids for the validation/write replays.
+            tagged_all = (
+                df.withColumn("__pid", F.spark_partition_id()).persist()
+            )
+            self._identity_pins.append(tagged_all)
+            stats = (
+                tagged_all.groupBy("__pid")
+                .agg(
+                    F.count(F.when(F.col(col).isNull(), 1)).alias("__nulls"),
+                    F.count(
+                        F.when(F.col(col).isNotNull(), 1)
+                    ).alias("__vals"),
+                )
+                .collect()
+            )
+            if any(r["__vals"] for r in stats) and ident["always"]:
                 raise ValueError(
                     f"cannot insert a value into GENERATED ALWAYS identity "
                     f"column {col} of {meta.name} — use DEFAULT or omit "
                     "the column"
                 )
-            done = df.filter(F.col(col).isNotNull())
-            tagged = (
-                df.filter(F.col(col).isNull())
-                .withColumn("__pid", F.spark_partition_id())
-                .persist()
-            )
-            self._identity_pins.append(tagged)
-            counts = tagged.groupBy("__pid").count().collect()
-            n = sum(r["count"] for r in counts)
+            done = tagged_all.filter(F.col(col).isNotNull()).drop("__pid")
+            tagged = tagged_all.filter(F.col(col).isNull())
+            n = sum(r["__nulls"] for r in stats)
             if n == 0:
                 continue
             run, offs = 0, []
-            for r in sorted(counts, key=lambda r: r["__pid"]):
-                offs.append((int(r["__pid"]), run))
-                run += int(r["count"])
+            for r in sorted(stats, key=lambda r: r["__pid"]):
+                if r["__nulls"]:
+                    offs.append((int(r["__pid"]), run))
+                    run += int(r["__nulls"])
             off_df = self.spark.createDataFrame(offs, "__pid int, __off long")
             rn = F.row_number().over(
                 Window.partitionBy("__pid").orderBy(

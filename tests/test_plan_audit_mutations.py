@@ -177,3 +177,70 @@ def test_skip_constraint_checks_with_identity(audited):
     assert len(set(ids)) == 2 and all(i is not None for i in ids)
     sn.sql("SET skip-constraint-checks = false")
     sn.sql("DROP TABLE ski2")
+
+
+def test_identity_counting_is_one_job_per_column(audited):
+    """r8 verdict 'wrong #1': the ALWAYS-gate probe
+    (limit(1).count()) and the per-partition prefix-sum counts used to
+    run as two separate Spark jobs per identity column.  Folded into one
+    groupBy(spark_partition_id()) aggregation, a single-identity-column
+    batch must submit exactly ONE job inside _assign_identities (the
+    assignment itself stays lazy; the broadcast-offset frame is
+    driver-local)."""
+    import time
+
+    sn = audited
+    sn.sql(
+        "CREATE TABLE idjobs (a BIGINT GENERATED BY DEFAULT AS IDENTITY, "
+        "v INT) USING column"
+    )
+    meta = sn.catalog.load_meta("idjobs")
+    df = (
+        sn.spark.range(2000)
+        .repartition(8)
+        .selectExpr("CAST(NULL AS BIGINT) AS a", "CAST(id AS INT) AS v")
+    )
+    sc = sn.spark.sparkContext
+    group = "identity-count-jobs-test"
+    # AQE materializes every exchange as its own stage-job, which would
+    # make the job count measure Spark internals instead of how many
+    # ACTIONS _assign_identities runs; with it off, 1 action == 1 job.
+    aqe = sn.spark.conf.get("spark.sql.adaptive.enabled")
+    sn.spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "count identity counting jobs")
+    try:
+        out = sn._assign_identities(meta, df)
+    finally:
+        sc._jsc.clearJobGroup()
+        sn.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    tracker = sc.statusTracker()
+    deadline = time.time() + 10
+    jobs = tracker.getJobIdsForGroup(group)
+    while not jobs and time.time() < deadline:
+        time.sleep(0.2)
+        jobs = tracker.getJobIdsForGroup(group)
+    assert len(jobs) == 1, f"expected 1 counting job, saw {len(jobs)}"
+    assert sorted(r.a for r in out.collect()) == list(range(1, 2001))
+    sn._release_identity_pins()
+    sn.sql("DROP TABLE idjobs")
+
+
+def test_identity_two_columns_sequences_dense(audited):
+    """Two identity columns on one table still produce their own dense
+    START/INCREMENT sequences through the single-job counting path."""
+    sn = audited
+    sn.sql(
+        "CREATE TABLE idjobs2 (a BIGINT GENERATED BY DEFAULT AS IDENTITY, "
+        "b BIGINT GENERATED BY DEFAULT AS IDENTITY "
+        "(START WITH 100, INCREMENT BY 5), v INT) USING column"
+    )
+    sn.spark.range(500).repartition(8).selectExpr(
+        "CAST(NULL AS BIGINT) AS a",
+        "CAST(NULL AS BIGINT) AS b",
+        "CAST(id AS INT) AS v",
+    ).createOrReplaceTempView("idjobs2_src")
+    sn.sql("INSERT INTO idjobs2 SELECT * FROM idjobs2_src")
+    rows = sn.table("idjobs2").select("a", "b").collect()
+    assert sorted(r.a for r in rows) == list(range(1, 501))
+    assert sorted(r.b for r in rows) == [100 + 5 * i for i in range(500)]
+    sn.sql("DROP TABLE idjobs2")
