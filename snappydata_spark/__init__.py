@@ -10,12 +10,19 @@ plus its SQL dialect extras (PUT INTO, DELETE FROM via DataFrame,
 stream windows) and its AQP-lite surface.
 """
 
-from snappydata_spark.session import SnappySession, get_spark
+from snappydata_spark.session import (
+    QueryCancelled,
+    SnappySession,
+    TransactionConflict,
+    get_spark,
+)
 from snappydata_spark.compat import SchemaDStream, SnappyContext, SnappyStreamingContext
 from snappydata_spark.tables import load_tables, register_views, TPCH_TABLES
 
 __all__ = [
+    "QueryCancelled",
     "SnappySession",
+    "TransactionConflict",
     "SnappyContext",
     "SnappyStreamingContext",
     "SchemaDStream",

@@ -356,8 +356,9 @@ _DROP_POLICY = re.compile(r"^\s*DROP\s+POLICY\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*
 # SET snappydata.* = v (SnappyDDLParser set:932; config keys
 # Literals.scala:122-310) — intercepted so engine knobs reach the session
 _SET_CONF = re.compile(
-    r"^\s*SET\s+((?:(?:snappydata|spark)\.[\w.-]+)"
-    r"|skip-constraint-checks)\s*=\s*(.+?)\s*;?\s*$",
+    r"^\s*SET\s+((?:(?:snappydata|spark|gemfirexd)\.[\w.-]+)"
+    r"|skip-constraint-checks|allow-explicit-commit"
+    r"|query-timeout|query-cancellation-interval)\s*=\s*(.+?)\s*;?\s*$",
     re.I,
 )
 

@@ -96,6 +96,133 @@ class TransactionConflict(Exception):
     is already rolled back when this raises."""
 
 
+class QueryCancelled(Exception):
+    """A query exceeded snappydata.query-timeout and was cancelled
+    (gemfirexd.query-timeout.md; Derby/GemFireXD SQLState XCL52: the
+    statement has been cancelled or timed out).  The session stays
+    usable — only the offending statement's jobs were killed."""
+
+
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+
+class _CancellableDataFrame(_ClassicDataFrame):
+    """DataFrame whose actions run under the session's query-timeout
+    budget (gemfirexd.query-timeout.md / query-cancellation-interval.md;
+    the reference's CancelStatement path).  Each action submits its jobs
+    inside a dedicated job group with interruptOnCancel=true; a watchdog
+    thread cancels the group when the budget expires and keeps
+    re-cancelling every cancellation-interval ms so multi-job actions
+    (persist pipelines, broadcast stages) can't outrun the first cancel.
+    Transformations return plain DataFrames — the budget binds to the
+    statement the user got back from sql()/table(), not derived frames
+    (re-wrap by running the derived query through sql())."""
+
+    def __new__(cls, *args, **kwargs):
+        # pyspark.sql.dataframe.DataFrame.__new__ dispatches classic vs
+        # connect from (jdf, session) args — bypass it, this class is
+        # constructed from an existing classic frame
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, session, timeout_s: float):
+        super().__init__(df._jdf, df.sparkSession)
+        self._snappy_session = session
+        self._timeout_s = timeout_s
+
+    def _cancellable(self, fn):
+        import uuid
+
+        sn = self._snappy_session
+        sc = self.sparkSession.sparkContext
+        try:
+            interval = (
+                float(
+                    sn.get_conf(
+                        "snappydata.query-cancellation-interval", "100"
+                    )
+                )
+                / 1000.0
+            )
+        except (TypeError, ValueError):
+            interval = 0.1
+        group = f"snappy-query-timeout-{uuid.uuid4().hex[:12]}"
+        done = threading.Event()
+        cancelled = threading.Event()
+
+        def _watch():
+            if done.wait(self._timeout_s):
+                return
+            cancelled.set()
+            while not done.is_set():
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — context shut down
+                    return
+                done.wait(max(interval, 0.01))
+
+        sc.setJobGroup(
+            group,
+            f"snappydata.query-timeout={self._timeout_s}s",
+            interruptOnCancel=True,
+        )
+        watcher = threading.Thread(
+            target=_watch, name=group, daemon=True
+        )
+        watcher.start()
+        try:
+            return fn()
+        except Exception as e:
+            if cancelled.is_set():
+                raise QueryCancelled(
+                    "query cancelled after exceeding "
+                    f"snappydata.query-timeout={self._timeout_s:g}s "
+                    "(SQLState XCL52)"
+                ) from e
+            raise
+        finally:
+            done.set()
+            try:
+                sc._jsc.clearJobGroup()
+            except Exception:  # noqa: BLE001 — py4j teardown race
+                pass
+
+    def count(self):
+        return self._cancellable(lambda: _ClassicDataFrame.count(self))
+
+    def collect(self):
+        return self._cancellable(lambda: _ClassicDataFrame.collect(self))
+
+    def toPandas(self):
+        return self._cancellable(lambda: _ClassicDataFrame.toPandas(self))
+
+    def take(self, num):
+        return self._cancellable(lambda: _ClassicDataFrame.take(self, num))
+
+    def head(self, n=None):
+        return self._cancellable(lambda: _ClassicDataFrame.head(self, n))
+
+    def first(self):
+        return self._cancellable(lambda: _ClassicDataFrame.first(self))
+
+    def show(self, n=20, truncate=True, vertical=False):
+        return self._cancellable(
+            lambda: _ClassicDataFrame.show(self, n, truncate, vertical)
+        )
+
+    def toLocalIterator(self, prefetchPartitions=False):
+        return self._cancellable(
+            lambda: _ClassicDataFrame.toLocalIterator(self, prefetchPartitions)
+        )
+
+    def foreach(self, f):
+        return self._cancellable(lambda: _ClassicDataFrame.foreach(self, f))
+
+    def foreachPartition(self, f):
+        return self._cancellable(
+            lambda: _ClassicDataFrame.foreachPartition(self, f)
+        )
+
+
 _TX_STAGEABLE = {"insert", "put", "update", "delete", "delete_from"}
 # DDL/maintenance inside an explicit transaction is a syntax error in the
 # reference (use_transactions_isolation_levels.md) — reject the same ops
@@ -267,6 +394,8 @@ class SnappySession:
         # explicit-transaction state (begin_transaction/commit/rollback)
         self._tx: dict | None = None
         self._isolation = "none"  # SET ISOLATION default for BEGIN
+        # java.sql.Connection#setAutoCommit analogue (ij: AUTOCOMMIT OFF)
+        self._autocommit = True
         # deferred-manifest mode for atomic cross-table commits: while a
         # dict, _manifest_commit stages payloads instead of publishing
         self._staged_manifests: dict | None = None
@@ -384,9 +513,43 @@ class SnappySession:
             "row_fps": {},
         }
 
+    def _allow_explicit_commit(self) -> bool:
+        """allow-explicit-commit connection property
+        (configuration_parameters/allow-explicit-commit.md): SQL-client
+        tools set autocommit(false) and issue commit/rollback; with the
+        property, those calls are the documented no-ops (autocommit
+        stays effectively true) instead of errors."""
+        return (
+            self.get_conf("snappydata.allow-explicit-commit", "false")
+            == "true"
+        )
+
+    def set_autocommit(self, on: bool) -> None:
+        """java.sql.Connection#setAutoCommit analogue (ij/SQL clients:
+        AUTOCOMMIT OFF).  With allow-explicit-commit=true the OFF call is
+        the documented no-op — autocommit remains effectively true and
+        commit/rollback are accepted as no-ops
+        (allow-explicit-commit.md).  Without it, OFF opens a real chained
+        row-table transaction (commit/rollback immediately reopen the
+        next one, JDBC semantics); column-table operations inside it
+        raise the reference's documented routing error."""
+        if not on:
+            if self._allow_explicit_commit():
+                return  # documented: autocommit is always effectively true
+            self._autocommit = False
+            if self._tx is None:
+                self.begin_transaction()
+            return
+        was_off = not self._autocommit
+        self._autocommit = True
+        if was_off and self._tx is not None:
+            self.commit()  # JDBC: enabling autocommit commits the open tx
+
     def commit(self) -> None:
         tx = self._tx
         if tx is None:
+            if self._allow_explicit_commit():
+                return  # documented no-op (allow-explicit-commit.md)
             raise ValueError("no transaction in progress")
         self._tx = None  # replay goes through the normal mutation paths
         from contextlib import ExitStack
@@ -471,13 +634,21 @@ class SnappySession:
                     os.remove(ipath)
         finally:
             self._tx_cleanup(tx)
+            if not self._autocommit and self._tx is None:
+                # chained transactions (JDBC autocommit-off): the next
+                # statement runs inside a fresh implicit transaction
+                self.begin_transaction()
 
     def rollback(self) -> None:
         tx = self._tx
         if tx is None:
+            if self._allow_explicit_commit():
+                return  # documented no-op (allow-explicit-commit.md)
             raise ValueError("no transaction in progress")
         self._tx = None
         self._tx_cleanup(tx)
+        if not self._autocommit:
+            self.begin_transaction()
 
     def _tx_cleanup(self, tx: dict) -> None:
         for df in tx["staged_dfs"]:
@@ -517,6 +688,16 @@ class SnappySession:
         name = self._canon(name)
         meta = self.catalog.load_meta(name)
         if meta.provider != "row":
+            if not self._autocommit:
+                # the reference's documented error for column-table ops
+                # under autocommit(false) (allow-explicit-commit.md);
+                # setting the property makes them no-op-autocommit instead
+                raise ValueError(
+                    "Operations on column tables are not supported when "
+                    "query routing is disabled or autocommit is false "
+                    "(set allow-explicit-commit=true to allow them as "
+                    "documented no-op autocommit)"
+                )
             raise ValueError(
                 f"{name} is a column table: transactions are supported "
                 "for row tables only (reference semantics)"
@@ -1258,7 +1439,9 @@ class SnappySession:
                     f"user '{self.current_user}' lacks SELECT on '{scope}' "
                     f"(GRANT SELECT ON {scope} TO {self.current_user})"
                 )
-        return self._apply_policies(lname, self._read_table(name))
+        return self._wrap_query_timeout(
+            self._apply_policies(lname, self._read_table(name))
+        )
 
     def _read_table(self, name: str, tx_bypass: bool = False) -> DataFrame:
         name = self._canon(name)
@@ -2140,13 +2323,29 @@ class SnappySession:
 
             t0 = _time.perf_counter()
             try:
-                return self._sql_dispatch(text)
+                return self._wrap_query_timeout(self._sql_dispatch(text))
             finally:
                 if self._stats_timing:  # the OFF call zeroed mid-flight
                     self._stmt_stats.append(
                         (text, (_time.perf_counter() - t0) * 1000.0)
                     )
-        return self._sql_dispatch(text)
+        return self._wrap_query_timeout(self._sql_dispatch(text))
+
+    def _wrap_query_timeout(self, res):
+        """Bind the session's query-timeout budget (if set) to the
+        statement's result frame — actions on it are cancelled via job
+        groups when the budget expires (gemfirexd.query-timeout.md)."""
+        if res is None or not isinstance(res, DataFrame):
+            return res
+        try:
+            timeout = float(
+                self.get_conf("snappydata.query-timeout", 0) or 0
+            )
+        except (TypeError, ValueError):
+            timeout = 0.0
+        if timeout <= 0:
+            return res
+        return _CancellableDataFrame(res, self, timeout)
 
     def get_statement_stats(self) -> list[tuple[str, float]]:
         """(statement, wall_ms) pairs recorded while statistics timing is
@@ -2272,6 +2471,12 @@ class SnappySession:
                 self.commit()
             else:
                 self.rollback()
+            return None
+        m = re.match(r"\s*AUTOCOMMIT\s+(ON|OFF)\s*;?\s*$", text, flags=re.I)
+        if m:
+            # ij / SQL-client statement shape (allow-explicit-commit.md's
+            # target scenario); semantics live in set_autocommit()
+            self.set_autocommit(m.group(1).upper() == "ON")
             return None
         m = re.match(
             r"\s*SET\s+ISOLATION\s+(?:TO\s+)?([A-Za-z_ ]+?)\s*;?\s*$",
@@ -3927,6 +4132,18 @@ class SnappySession:
         for pkg, info in self._packages.items():
             kind = info.get("kind", "package").upper()
             ddls.append(f"DEPLOY {kind} {pkg} '{info.get('coords', '')}';")
+        # connection/system properties that shape statement semantics
+        # replay too, so an EXPORT_DDLS-restored session behaves like the
+        # one that exported (allow-explicit-commit.md, query-timeout.md)
+        for prop in (
+            "snappydata.allow-explicit-commit",
+            "snappydata.skip-constraint-checks",
+            "snappydata.query-timeout",
+            "snappydata.query-cancellation-interval",
+        ):
+            v = self._engine_confs.get(prop)
+            if v is not None:
+                ddls.append(f"SET {prop} = {v};")
         with open(os.path.join(out_dir, "part-00000"), "w") as f:
             f.write("\n".join(ddls) + "\n")
         open(os.path.join(out_dir, "_SUCCESS"), "w").close()
@@ -4380,6 +4597,40 @@ class SnappySession:
             self._engine_confs["snappydata.skip-constraint-checks"] = (
                 value.lower()
             )
+            return
+        if key_l in (
+            "allow-explicit-commit", "snappydata.allow-explicit-commit"
+        ):
+            # connection property allow-explicit-commit.md: commit /
+            # rollback / autocommit(false) become documented no-ops for
+            # SQL-client tools (see set_autocommit / commit / rollback)
+            self._engine_confs["snappydata.allow-explicit-commit"] = (
+                value.lower()
+            )
+            return
+        if key_l in (
+            "query-timeout", "snappydata.query-timeout",
+            "gemfirexd.query-timeout",
+        ):
+            # gemfirexd.query-timeout.md: seconds; queries running longer
+            # are cancelled (enforced by _CancellableDataFrame around the
+            # actions of frames returned by sql()/table())
+            float(value)  # validate now, not at first query
+            self._engine_confs["snappydata.query-timeout"] = value
+            return
+        if key_l in (
+            "query-cancellation-interval",
+            "snappydata.query-cancellation-interval",
+            "gemfirexd.query-cancellation-interval",
+        ):
+            # gemfirexd.query-cancellation-interval.md: ms between
+            # cancellation attempts — here the watchdog's re-cancel
+            # period (a multi-job action can submit NEW jobs after the
+            # first cancelJobGroup; re-issuing every interval kills them)
+            float(value)
+            self._engine_confs[
+                "snappydata.query-cancellation-interval"
+            ] = value
             return
         if key_l == "snappydata.sql.plancaching":
             self.plan_cache.enabled = value.lower() == "true"

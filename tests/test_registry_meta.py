@@ -86,3 +86,30 @@ def test_bench_queries_subset_of_registry():
     names |= set(cold.get("queries", {})) - diagnostics
     unknown = sorted(names - set(QUERIES))
     assert unknown == [], f"BENCH.json rows not in registry: {unknown[:8]}"
+
+
+def test_scale_rehearsal_artifacts_match_registry():
+    """r8 verdict 'missing #2' guard: the sf1/sf10 full-registry
+    rehearsal artifacts must carry exactly one row per currently
+    registered query and zero errors — a query added to the registry
+    without an at-scale run fails HERE instead of silently skipping the
+    sweep (sql_not_in_scalable did exactly that in r8).  Regenerate with
+    `python tools/bench_registry_sf.py /tmp/sfgen/sf{1,10}
+    BENCH_REGISTRY_SF{1,10}.json` (tools/gen_sf.py rebuilds the data)."""
+    import json
+    import os
+
+    from snappydata_spark.operators import QUERIES
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    for fname in ("BENCH_REGISTRY_SF1.json", "BENCH_REGISTRY_SF10.json"):
+        path = os.path.join(root, fname)
+        assert os.path.exists(path), f"{fname} missing — regenerate"
+        report = json.load(open(path))
+        assert sorted(report) == sorted(QUERIES), (
+            f"stale {fname}: "
+            f"missing={sorted(set(QUERIES) - set(report))[:5]} "
+            f"extra={sorted(set(report) - set(QUERIES))[:5]}"
+        )
+        errs = {k: v for k, v in report.items() if "err" in v}
+        assert not errs, f"{fname} carries errors: {sorted(errs)[:5]}"
