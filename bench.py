@@ -392,6 +392,8 @@ def main() -> None:
         "dedup_cluster_aware_split",
         "sql_not_in_scalable",
         "sql_in_subquery",
+        # round-9 additions: StreamSummary merged-range guarantees
+        "aqp_topk_range_guaranteed_min",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

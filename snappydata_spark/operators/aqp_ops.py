@@ -1244,6 +1244,10 @@ def aqp_topk_streamsummary_evictions(
                 (F.col("event_id") < 2000) & F.col("user_id").isNotNull()
             ),
         )
+    if not sn.catalog.exists("tk_ss"):
+        # gate on the TOPK table itself, not the base: another query in
+        # this shared session (aqp_topk_range_guaranteed_min) may have
+        # created the base already
         sn.sql(
             "CREATE TOPK TABLE tk_ss ON tk_ss_base OPTIONS "
             "(key 'user_id', timeSeriesColumn 'ts', size '4', "
@@ -1253,4 +1257,147 @@ def aqp_topk_streamsummary_evictions(
         "SELECT user_id, cnt, err, cnt - err AS guaranteed_min, "
         "err > 0 AS possibly_over FROM tk_ss__ss "
         "ORDER BY cnt DESC, user_id"
+    )
+
+
+def _streamsummary_range_oracle() -> str:
+    """Merged-range read with per-key guaranteed minima, fully replayed
+    in DuckDB: (1) the per-window Space-Saving states via a PARALLEL
+    recursive CTE — every window's 16-counter state advances one event
+    per iteration (wseq joins), same free-slot / min-(cnt,upd)-eviction
+    / inherited-error rule as aqp.stream_summary_state; (2) the CMS
+    range merge + candidate re-probe of _topk_sketch_oracle, both
+    restricted to every window AFTER the earliest (the multi-window
+    range); (3) guaranteed_min = SUM over range windows of (cnt - err)
+    for windows where the key held a counter — the clearspring merge
+    contract (a summary guarantees cnt-err per counter; absent keys
+    guarantee nothing)."""
+    bucket = "('0x' || substr(md5('tcms' || i.i || '~' || {key}), 1, 8))::BIGINT % 64"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT date_trunc('hour', ts) AS w, user_id AS k, ts, event_id
+  FROM events WHERE event_id < 2000 AND user_id IS NOT NULL),
+cutoff AS (SELECT MIN(w) AS w0 FROM ev),
+stream AS (
+  SELECT w,
+         row_number() OVER (PARTITION BY w ORDER BY ts, k, event_id)
+           AS wseq,
+         k
+  FROM ev),
+sim AS (
+  SELECT w, 0::BIGINT AS wseq,
+         []::STRUCT(cnt BIGINT, upd BIGINT, k BIGINT, err BIGINT)[] AS st
+  FROM (SELECT DISTINCT w FROM stream)
+  UNION ALL
+  SELECT e.w, e.wseq,
+    CASE
+      WHEN len(list_filter(s.st, x -> x.k = e.k)) > 0 THEN
+        list_transform(s.st, x -> CASE WHEN x.k = e.k
+          THEN {{'cnt': x.cnt + 1, 'upd': e.wseq, 'k': x.k, 'err': x.err}}
+          ELSE x END)
+      WHEN len(s.st) < 16 THEN
+        list_append(s.st, {{'cnt': 1::BIGINT, 'upd': e.wseq, 'k': e.k,
+                            'err': 0::BIGINT}})
+      ELSE
+        list_append(
+          list_filter(s.st, x -> x.upd != list_sort(s.st)[1].upd),
+          {{'cnt': list_sort(s.st)[1].cnt + 1, 'upd': e.wseq, 'k': e.k,
+            'err': list_sort(s.st)[1].cnt}})
+    END
+  FROM sim s JOIN stream e ON e.w = s.w AND e.wseq = s.wseq + 1),
+laststate AS (
+  SELECT w, st FROM (
+    SELECT w, st,
+           row_number() OVER (PARTITION BY w ORDER BY wseq DESC) AS rn
+    FROM sim) WHERE rn = 1),
+guars AS (
+  SELECT x.k AS k, SUM(x.cnt - x.err)::BIGINT AS guaranteed_min
+  FROM (SELECT w, unnest(st) AS x FROM laststate) u, cutoff
+  WHERE u.w > cutoff.w0
+  GROUP BY x.k),
+cells AS (
+  SELECT w, i.i AS row_idx, {bucket.format(key="k")} AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM ev, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+  GROUP BY w, row_idx, bucket),
+wkeys AS (SELECT DISTINCT w, k FROM ev),
+probes AS (
+  SELECT kk.w, kk.k, i.i AS row_idx, {bucket.format(key="kk.k")} AS bucket
+  FROM wkeys kk, LATERAL (SELECT unnest(range(0, 4)) AS i) i),
+west AS (
+  SELECT p.w, p.k, MIN(c.cnt) AS est
+  FROM probes p JOIN cells c
+    ON c.w = p.w AND c.row_idx = p.row_idx AND c.bucket = p.bucket
+  GROUP BY p.w, p.k),
+panel AS (
+  SELECT w, k FROM (
+    SELECT w, k,
+           ROW_NUMBER() OVER (PARTITION BY w ORDER BY est DESC, k) AS rk
+    FROM west) WHERE rk <= 16),
+merged AS (
+  SELECT row_idx, bucket, SUM(cnt)::BIGINT AS cnt
+  FROM cells, cutoff WHERE cells.w > cutoff.w0
+  GROUP BY row_idx, bucket),
+cand AS (
+  SELECT DISTINCT k FROM panel, cutoff WHERE panel.w > cutoff.w0),
+cprobe AS (
+  SELECT kk.k, i.i AS row_idx, {bucket.format(key="kk.k")} AS bucket
+  FROM cand kk, LATERAL (SELECT unnest(range(0, 4)) AS i) i),
+est AS (
+  SELECT p.k, MIN(m.cnt) AS est
+  FROM cprobe p JOIN merged m USING (row_idx, bucket)
+  GROUP BY p.k),
+n AS (SELECT CAST(SUM(cnt) / 4 AS BIGINT) AS n FROM merged)
+SELECT est.k AS user_id,
+       est.est AS estimated_count,
+       CAST(CEIL(2.0 * n.n / 64) AS BIGINT) AS error_bound,
+       COALESCE(g.guaranteed_min, 0) AS guaranteed_min
+FROM est CROSS JOIN n
+LEFT JOIN guars g ON g.k = est.k
+ORDER BY estimated_count DESC, user_id
+"""
+
+
+@register(
+    "aqp_topk_range_guaranteed_min",
+    oracle=_streamsummary_range_oracle(),
+)
+def aqp_topk_range_guaranteed_min(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged-range TOPK read surfacing the StreamSummary guarantee
+    (clearspring merge contract): an HOURLY sketch TOPK TABLE queried
+    over every window after the earliest, returning per candidate key
+    the CMS range estimate, the 2N/W overcount bound, AND
+    guaranteed_min = the sum of that key's per-window (cnt - err)
+    floors from the __ss companions — the count the key PROVABLY
+    reached in the range, regardless of sketch overcount.  Hash-checked
+    against a DuckDB replay of both sketches (parallel-recursion
+    Space-Saving per window + CMS merge)."""
+    sn = _topk_table_session(spark, sf_dir)
+    if not sn.catalog.exists("tk_ss_base"):
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        sn.create_table(
+            "tk_ss_base",
+            options={"key_columns": "event_id"},
+            df=ev.filter(
+                (F.col("event_id") < 2000) & F.col("user_id").isNotNull()
+            ),
+        )
+    if not sn.catalog.exists("tk_grange"):
+        sn.sql(
+            "CREATE TOPK TABLE tk_grange ON tk_ss_base OPTIONS "
+            "(key 'user_id', timeSeriesColumn 'ts', timeInterval '1h', "
+            "size '4', sketch 'true')"
+        )
+    ws = sorted(
+        r.window_start
+        for r in sn.table("tk_grange__ss")
+        .select("window_start")
+        .distinct()
+        .collect()
+    )
+    start = ws[1] if len(ws) > 1 else ws[0]
+    return sn.query_approx_ts_topk(
+        "tk_grange", start_time=str(start), k=-1, with_guarantees=True
     )

@@ -3683,10 +3683,20 @@ class SnappySession:
         start_time: str | None = None,
         end_time: str | None = None,
         k: int | None = None,
+        with_guarantees: bool = False,
     ) -> DataFrame:
         """queryApproxTSTopK (SnappySession.scala:2162-2167): top-k keys
         over a time range — per-window partial counts are merged (sum)
-        across the requested range, never touching base-table rows."""
+        across the requested range, never touching base-table rows.
+
+        with_guarantees=True adds `guaranteed_min`: in sketch mode the
+        clearspring StreamSummary MERGE contract (StreamSummary.java —
+        each summary guarantees count-error per counter; summing the
+        per-window guarantees over the range is a floor the merged
+        overcounted estimate can never undershoot), served from the
+        `<name>__ss` companion; windows where a key fell off the
+        candidate list contribute 0.  In exact-panel mode the partials
+        carry no overcount, so guaranteed_min == estimated_count."""
         meta = self.catalog.load_meta(name.lower())
         if meta.provider != "topk":
             raise ValueError(f"{name} is not an approx TS topk structure")
@@ -3722,23 +3732,32 @@ class SnappySession:
             n = merged.agg(
                 (F.sum("cnt") / aqp_mod.TOPK_CMS_D).cast("long").alias("__n")
             )
-            out = (
-                est.crossJoin(F.broadcast(n))
-                .select(
-                    key,
-                    F.col("est").alias("estimated_count"),
-                    F.ceil(
-                        F.lit(2.0) * F.col("__n") / aqp_mod.TOPK_CMS_W
-                    ).cast("long").alias("error_bound"),
-                )
-                .orderBy(F.desc("estimated_count"), F.asc(key))
+            out = est.crossJoin(F.broadcast(n)).select(
+                key,
+                F.col("est").alias("estimated_count"),
+                F.ceil(
+                    F.lit(2.0) * F.col("__n") / aqp_mod.TOPK_CMS_W
+                ).cast("long").alias("error_bound"),
             )
+            if with_guarantees:
+                ss = _range(self.table(meta.options["ss_table"]))
+                g = ss.groupBy(key).agg(
+                    F.sum(F.col("cnt") - F.col("err")).cast("long").alias(
+                        "guaranteed_min"
+                    )
+                )
+                out = out.join(F.broadcast(g), key, "left").na.fill(
+                    {"guaranteed_min": 0}
+                )
+            out = out.orderBy(F.desc("estimated_count"), F.asc(key))
             return out if k < 0 else out.limit(k)
-        out = (
-            panel.groupBy(key)
-            .agg(F.sum("cnt").alias("estimated_count"))
-            .orderBy(F.desc("estimated_count"), F.asc(key))
-        )
+        out = panel.groupBy(key).agg(F.sum("cnt").alias("estimated_count"))
+        if with_guarantees:
+            # exact partials: no overcount, the estimate IS the floor
+            out = out.withColumn(
+                "guaranteed_min", F.col("estimated_count")
+            )
+        out = out.orderBy(F.desc("estimated_count"), F.asc(key))
         # k < 0 = every merged key (custom-ordered reads rank over all)
         return out if k < 0 else out.limit(k)
 

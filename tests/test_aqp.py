@@ -1033,3 +1033,51 @@ def test_stream_summary_eviction_contract(spark):
         df.repartition(7), "key", capacity=4, order_cols=["pos"]
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_query_topk_with_guarantees(snappy, sf_dir):
+    """with_guarantees merged-range read (clearspring StreamSummary
+    merge contract): guaranteed_min = sum of per-window (cnt - err)
+    floors.  Invariants: floor <= CMS estimate always; with a key
+    universe under the counter capacity (no evictions possible),
+    floor == true count == estimate."""
+    ev = snappy.spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    snappy.create_table(
+        "tkg_events", df=ev.filter(F.col("user_id").isNotNull())
+    )
+    snappy.sql(
+        "CREATE TOPK TABLE tkg ON tkg_events OPTIONS (key 'event_type', "
+        "timeSeriesColumn 'ts', timeInterval '24h', size '8', "
+        "sketch 'true')"
+    )
+    out = snappy.query_approx_ts_topk(
+        "tkg", k=-1, with_guarantees=True
+    ).collect()
+    assert out, "no candidates returned"
+    exact = {
+        r.event_type: r.n
+        for r in snappy.table("tkg_events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r.guaranteed_min <= r.estimated_count
+        # event_type cardinality (~6) < capacity 32: exact everywhere
+        assert r.guaranteed_min == exact[r.event_type]
+        assert r.estimated_count >= exact[r.event_type]  # CMS never under
+    # exact-panel mode: the floor IS the estimate
+    snappy.create_approx_ts_topk(
+        "tkg_exact", "tkg_events", "event_type", "ts", k=3, window="24 hours"
+    )
+    for r in snappy.query_approx_ts_topk(
+        "tkg_exact", with_guarantees=True
+    ).collect():
+        assert r.guaranteed_min == r.estimated_count
+    snappy.drop_table("tkg_exact")
+    snappy.drop_table("tkg")
+    snappy.drop_table("tkg_events")
