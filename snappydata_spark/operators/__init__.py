@@ -24,4 +24,18 @@ from snappydata_spark.operators import tpcds  # noqa: F401
 from snappydata_spark.operators import ml_ops  # noqa: F401
 from snappydata_spark.operators import corpus_ops  # noqa: F401
 
-__all__ = ["QUERIES", "ORACLES", "register"]
+def reset_build_once_sessions() -> None:
+    """Drop every module-level build-once index/TOPK session cache.
+
+    These caches pin a SparkSession inside a SnappySession keyed by
+    sf_dir; after a fatal executor error kills the SparkContext (e.g. a
+    deliberate over-scale rehearsal query), a fresh context cannot serve
+    the cached sessions — harnesses that restart Spark mid-sweep
+    (tools/bench_registry_sf.py) must clear them so the next index query
+    rebuilds against the live context."""
+    aqp_ops._TOPK_SESSIONS.clear()
+    corpus_ops._ANN_SESSIONS.clear()
+    dedup_ops._MINHASH_SESSIONS.clear()
+
+
+__all__ = ["QUERIES", "ORACLES", "register", "reset_build_once_sessions"]

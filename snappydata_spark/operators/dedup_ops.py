@@ -560,14 +560,21 @@ def _knn_oracle_sql(
     max_planes: int = 24,
     sub_cap: int = 256,
     k: int = 3,
+    vec_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    final_sql: str | None = None,
 ) -> str:
     # plane count derived from COUNT(*) inside the query, so the oracle
-    # reproduces the corpus-scaled bucketing exactly at any sf
+    # reproduces the corpus-scaled bucketing exactly at any sf.
+    # `vec_sql` is the vector source relation (the collapsed twin passes
+    # the distinct-embedding rep set); `final_sql` optionally replaces
+    # the trailing SELECT (it sees the `topk` CTE).
+    tail = final_sql or "SELECT src, dst, sim, rank FROM topk"
     return f"""
-WITH np AS (
+WITH vsrc AS ({vec_sql}),
+np AS (
   SELECT LEAST({max_planes}, GREATEST({min_planes},
                CEIL(LOG2(COUNT(*) / {target_bucket}.0))::INT)) AS bp
-  FROM embeddings),
+  FROM vsrc),
 comps AS (
   SELECT band, p,
          [('0x' || substr(md5('b' || band::VARCHAR || 'plane' || p::VARCHAR
@@ -581,7 +588,7 @@ proj AS (
   SELECT e.vec_id, c.band, c.p,
          list_aggregate([e.embedding[x]::DOUBLE * c.cvec[x]
                          for x in range(1, len(e.embedding) + 1)], 'sum') AS pr
-  FROM embeddings e CROSS JOIN comps c),
+  FROM vsrc e CROSS JOIN comps c),
 bkt AS (
   SELECT vec_id, band,
          SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
@@ -600,17 +607,19 @@ nv AS (
   SELECT vec_id, embedding,
          sqrt(list_aggregate([v::DOUBLE * v::DOUBLE for v in embedding],
                              'sum')) AS nrm
-  FROM embeddings),
+  FROM vsrc),
 pairs AS (
   SELECT c.src, c.dst,
          (list_aggregate([a.embedding[x]::DOUBLE * b.embedding[x]::DOUBLE
                           for x in range(1, len(a.embedding) + 1)], 'sum')
           / (a.nrm * b.nrm)) AS sim
-  FROM cand c JOIN nv a ON a.vec_id = c.src JOIN nv b ON b.vec_id = c.dst)
-SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
-  SELECT src, dst, sim,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
-  FROM pairs) WHERE rank <= {k}
+  FROM cand c JOIN nv a ON a.vec_id = c.src JOIN nv b ON b.vec_id = c.dst),
+topk AS (
+  SELECT src, dst, ROUND(sim, 4) AS sim, rank FROM (
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+    FROM pairs) WHERE rank <= {k})
+{tail}
 """
 
 
@@ -796,11 +805,23 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors join back by id afterwards (2.1x faster measured at sf0.1
     than riding the embeddings through the bucket join; at 100 TB the
     id-keyed joins are plain shuffle joins on the pair set, which the
-    sub_cap bound keeps linear in n)."""
-    from pyspark.sql import Window as W
+    sub_cap bound keeps linear in n).
 
+    CAVEAT at duplicate-heavy scale: with m byte-identical copies of a
+    vector, the in-bucket pair set is Θ(n·min(m, sub_cap)) and every
+    top-k list is the vector's own mirrors at sim 1.0 — pure waste.
+    sim_knn_graph_collapsed is the production twin (exact-duplicate
+    collapse first; see the sf100 rehearsal in BENCH_SF100.md)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
+    return _knn_topk(emb)
+
+
+def _knn_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Banded-LSH candidate generation + id-keyed cosine + per-src
+    top-k — the shared core of sim_knn_graph and its collapsed twin."""
+    from pyspark.sql import Window as W
+
     cand = knn_graph_candidates(emb)
     vecs = emb.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
     pairs = (
@@ -852,8 +873,53 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("src", "dst", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+_KNN_COLLAPSED_VEC_SQL = """SELECT MIN(vec_id) AS vec_id, embedding
+FROM embeddings GROUP BY embedding"""
+
+
+@register(
+    "sim_knn_graph_collapsed",
+    oracle=_knn_oracle_sql(
+        vec_sql=_KNN_COLLAPSED_VEC_SQL,
+        final_sql=""", grpn AS (
+  SELECT MIN(vec_id) AS vec_id, COUNT(*)::BIGINT AS n
+  FROM embeddings GROUP BY embedding)
+SELECT t.src, t.dst, t.sim, t.rank, gs.n AS n_src, gd.n AS n_dst
+FROM topk t
+JOIN grpn gs ON gs.vec_id = t.src
+JOIN grpn gd ON gd.vec_id = t.dst""",
+    ),
+)
+def sim_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION k-NN graph at duplicate-heavy scale: byte-identical
+    embeddings collapse to their min-id representative FIRST (one
+    groupBy on the embedding array — exact-dup dedup, the same
+    discipline the minhash family applies to text), the LSH-banded
+    graph is built over representatives only, and each edge carries
+    both groups' member counts.  Rationale: mirrors sit at sim 1.0, so
+    a member's neighbor list under the uncollapsed semantics is just
+    its own copies — at the sf100 rehearsal (1000 verbatim copies per
+    vector) the uncollapsed twin's candidate join carries ~1 B wide
+    pairs and dies on executor heap, while this plan's pair stage is
+    invariant to the duplication factor (2 000 reps at any K).  Group
+    sizes make the member-level graph recoverable: an edge (s, d,
+    n_src, n_dst) stands for n_src·n_dst member edges."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    grp = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    topk = _knn_topk(grp.select("vec_id", "embedding"))
+    gs = grp.select(F.col("vec_id").alias("src"), F.col("n").alias("n_src"))
+    gd = grp.select(F.col("vec_id").alias("dst"), F.col("n").alias("n_dst"))
+    return topk.join(gs, "src").join(gd, "dst").select(
+        "src", "dst", "sim", "rank", "n_src", "n_dst"
     )
 
 

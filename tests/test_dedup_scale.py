@@ -233,3 +233,47 @@ def test_cluster_aware_split_no_leakage(spark, sf_dir):
         .count()
     )
     assert straddling == 0
+
+
+def test_knn_collapsed_invariant_to_duplication(spark, tmp_path):
+    """sim_knn_graph_collapsed's contract (the sf100 rehearsal fix):
+    byte-identical embedding copies collapse to their min-id rep BEFORE
+    the LSH graph, so the (src, dst, sim, rank) edge set is IDENTICAL
+    whether each vector appears once or 50 times — only the carried
+    group counts change.  The uncollapsed twin's pair stage grows
+    Θ(n·min(m, sub_cap)) with duplication factor m (it heap-OOMs at the
+    sf100 rehearsal's m=1000); this plan's pair stage sees exactly the
+    rep set at any m."""
+    import random
+
+    from pyspark.sql import Row
+
+    from snappydata_spark.operators import QUERIES
+
+    rng = random.Random(7)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(60)
+    ]
+
+    def write_sf(m: int) -> str:
+        rows = [Row(vec_id=i, embedding=[float(x) for x in v])
+                for i, v in enumerate(vecs)]
+        # duplicates get ids ABOVE the originals so min-id reps are stable
+        for r in range(1, m):
+            rows += [Row(vec_id=1000 * r + i, embedding=[float(x) for x in v])
+                     for i, v in enumerate(vecs)]
+        d = tmp_path / f"m{m}"
+        df = spark.createDataFrame(rows).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        df.write.parquet(str(d / "embeddings.parquet"))
+        return str(d)
+
+    out1 = QUERIES["sim_knn_graph_collapsed"](spark, write_sf(1)).collect()
+    out50 = QUERIES["sim_knn_graph_collapsed"](spark, write_sf(50)).collect()
+
+    edges1 = {(r.src, r.dst, r.rank): r.sim for r in out1}
+    edges50 = {(r.src, r.dst, r.rank): r.sim for r in out50}
+    assert edges1 and edges1 == edges50  # same graph at any duplication
+    assert all(r.n_src == 1 and r.n_dst == 1 for r in out1)
+    assert all(r.n_src == 50 and r.n_dst == 50 for r in out50)

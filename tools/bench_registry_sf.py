@@ -23,36 +23,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
-    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+    # comma-separated name prefixes; a query runs if ANY matches
+    name_filter = sys.argv[3].split(",") if len(sys.argv) > 3 else []
 
     from snappydata_spark import get_spark
-    from snappydata_spark.operators import QUERIES
+    from snappydata_spark.operators import QUERIES, reset_build_once_sessions
 
     spark = get_spark("registry-scale-sweep")
+
+    def _context_alive() -> bool:
+        try:
+            return not spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return False
+
     results: dict[str, dict] = {}
     # resume support: a partially-written artifact skips finished rows
     if os.path.exists(out_path):
         results = json.load(open(out_path))
     for name, fn in sorted(QUERIES.items()):
-        if name_filter and name_filter not in name:
+        if name_filter and not any(name.startswith(f) for f in name_filter):
             continue
         if name in results and "err" not in results[name]:
             continue
-        t0 = time.time()
-        try:
-            n = fn(spark, sf_dir).count()
-            results[name] = {
-                "wall": round(time.time() - t0, 2), "rows": int(n)
-            }
-            print(f"{name}: {results[name]['wall']}s rows={n}", flush=True)
-        except Exception as e:
-            results[name] = {
-                "wall": round(time.time() - t0, 2),
-                "err": f"{type(e).__name__}: {e}"[:300],
-            }
-            print(f"FAIL {name}: {results[name]['err'][:120]}", flush=True)
-        finally:
-            spark.catalog.clearCache()
+        # one retry on a fresh context: a fatal executor error from the
+        # PREVIOUS query (e.g. a deliberately over-scale rehearsal row)
+        # must not cascade into this one
+        for attempt in (0, 1):
+            t0 = time.time()
+            try:
+                n = fn(spark, sf_dir).count()
+                results[name] = {
+                    "wall": round(time.time() - t0, 2), "rows": int(n)
+                }
+                print(f"{name}: {results[name]['wall']}s rows={n}", flush=True)
+            except Exception as e:
+                results[name] = {
+                    "wall": round(time.time() - t0, 2),
+                    "err": f"{type(e).__name__}: {e}"[:300],
+                }
+                print(f"FAIL {name}: {results[name]['err'][:120]}", flush=True)
+            if _context_alive():
+                spark.catalog.clearCache()
+                break
+            print(f"-- SparkContext died during {name}; restarting", flush=True)
+            spark.stop()
+            spark = get_spark("registry-scale-sweep")
+            reset_build_once_sessions()
+            if "err" not in results[name]:
+                break  # died but the result was already in; keep it
         tmp = out_path + ".tmp"
         json.dump(results, open(tmp, "w"), indent=1, sort_keys=True)
         os.replace(tmp, out_path)

@@ -81,7 +81,12 @@ def _shift_cols(table_name: str) -> dict[str, str]:
     }
 
 
-def generate(src: str, dst: str, factor: int) -> None:
+def generate(
+    src: str, dst: str, factor: int, only: tuple[str, ...] | None = None
+) -> None:
+    """`only` restricts generation to a table subset (plus the tiny
+    COPY_AS_IS dims) — the sf100 family rehearsal needs documents/
+    embeddings/events, not a 10 GB lineitem."""
     os.makedirs(dst, exist_ok=True)
     strides = _strides(src)
     for name in COPY_AS_IS:
@@ -90,6 +95,8 @@ def generate(src: str, dst: str, factor: int) -> None:
             pq.write_table(pq.read_table(p), os.path.join(dst, f"{name}.parquet"))
             print(f"{name}: copied")
     for name in SCALED:
+        if only is not None and name not in only:
+            continue
         p = os.path.join(src, f"{name}.parquet")
         if not os.path.exists(p):
             continue
@@ -117,4 +124,5 @@ def generate(src: str, dst: str, factor: int) -> None:
 
 if __name__ == "__main__":
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    generate(src, dst, factor)
+    only = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    generate(src, dst, factor, only)
