@@ -113,3 +113,54 @@ def test_scale_rehearsal_artifacts_match_registry():
         )
         errs = {k: v for k, v in report.items() if "err" in v}
         assert not errs, f"{fname} carries errors: {sorted(errs)[:5]}"
+
+
+# the sf100 rehearsal covers the north-star LLM-data-pipeline families
+# (tables: documents/embeddings/events only — TPC-H facts would be 10 GB+)
+SF100_FAMILIES = (
+    "dedup_", "sim_", "txt_", "pipeline_", "emb_", "mm_", "ev_", "ts_",
+    "aqp_hll", "aqp_topk",
+)
+# rows documented as infeasible-or-marginal at x1000 verbatim mirroring —
+# an err row for these is allowed (never required: sim_knn_graph passes in
+# some runs), and each must carry a twin that runs green (BENCH_SF100.md)
+SF100_ALLOWED_ERRS = {
+    # member-granularity gate: output is quadratic in the duplication
+    # factor (~6B pair rows > local disk); production twin:
+    # dedup_incoming_batch_gate_reps
+    "dedup_incoming_batch_gate",
+    # member-granularity kNN graph: ~1B wide mirror pairs, heap-marginal
+    # (1-of-3 runs pass); production twin: sim_knn_graph_collapsed
+    "sim_knn_graph",
+}
+
+
+def test_sf100_family_rehearsal_artifact():
+    """Third scale decade (r8 verdict stretch #7): every north-star
+    family query has an sf100 row, and the only err rows are the
+    documented mirror-quadratic exclusions, each of which has a green
+    scale-safe twin in the same artifact."""
+    import json
+    import os
+
+    from snappydata_spark.operators import QUERIES
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    path = os.path.join(root, "BENCH_REGISTRY_SF100.json")
+    assert os.path.exists(path), "BENCH_REGISTRY_SF100.json missing"
+    report = json.load(open(path))
+    expected = sorted(
+        q for q in QUERIES if any(q.startswith(p) for p in SF100_FAMILIES)
+    )
+    assert sorted(report) == expected, (
+        f"missing={sorted(set(expected) - set(report))[:5]} "
+        f"extra={sorted(set(report) - set(expected))[:5]}"
+    )
+    errs = {k for k, v in report.items() if "err" in v}
+    assert errs <= SF100_ALLOWED_ERRS, f"unexpected err rows: {sorted(errs)}"
+    # every allowed-err member-granularity op has its scale-safe twin green
+    assert "dedup_incoming_batch_gate_reps" not in errs
+    assert "sim_knn_graph_collapsed" not in errs
+    # allowed err rows must say WHY (a documented divergence, not a crash)
+    for k in errs:
+        assert report[k].get("note"), f"{k} err row lacks a note"

@@ -7,7 +7,15 @@ lanes), this is a single cold pass per query with a per-query timeout
 guard: at rehearsal scale the question is "does any plan flip to a
 scale-killer shape?", not steady-state latency.
 
-Usage: python tools/bench_registry_sf.py <sf_dir> <out_json> [name_filter]
+Usage: python tools/bench_registry_sf.py <sf_dir> <out_json> \
+           [name_prefixes] [skip_names]
+
+`skip_names` (comma-separated exact names) are never (re)run — for
+rehearsal rows that are KNOWN fatal at this scale (e.g. the
+member-granularity ingestion gate whose output is quadratic under
+gen_sf's verbatim mirroring): a fatal spill/OOM poisons the JVM for
+several queries after it, so the honest artifact records their err row
+once and measures everything else in an uncontaminated session.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ def main():
     out_path = sys.argv[2]
     # comma-separated name prefixes; a query runs if ANY matches
     name_filter = sys.argv[3].split(",") if len(sys.argv) > 3 else []
+    skip_names = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
 
     from snappydata_spark import get_spark
     from snappydata_spark.operators import QUERIES, reset_build_once_sessions
@@ -44,17 +53,21 @@ def main():
     for name, fn in sorted(QUERIES.items()):
         if name_filter and not any(name.startswith(f) for f in name_filter):
             continue
+        if name in skip_names:
+            continue
         if name in results and "err" not in results[name]:
             continue
         # one retry on a fresh context: a fatal executor error from the
         # PREVIOUS query (e.g. a deliberately over-scale rehearsal row)
         # must not cascade into this one
         for attempt in (0, 1):
+            load1 = round(os.getloadavg()[0], 1)
             t0 = time.time()
             try:
                 n = fn(spark, sf_dir).count()
                 results[name] = {
-                    "wall": round(time.time() - t0, 2), "rows": int(n)
+                    "wall": round(time.time() - t0, 2), "rows": int(n),
+                    "load_before": load1,
                 }
                 print(f"{name}: {results[name]['wall']}s rows={n}", flush=True)
             except Exception as e:
@@ -65,6 +78,17 @@ def main():
                 print(f"FAIL {name}: {results[name]['err'][:120]}", flush=True)
             if _context_alive():
                 spark.catalog.clearCache()
+                # long single-JVM sweeps drift: dropped DataFrames are
+                # py4j proxies whose JVM counterparts (plans, broadcasts,
+                # shuffle registrations) free only when Python GC runs —
+                # hours in, late queries measured 2-4x slower than the
+                # same query in a fresh session.  Collect both sides and
+                # give the async ContextCleaner a beat.
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1.0)
                 break
             print(f"-- SparkContext died during {name}; restarting", flush=True)
             spark.stop()
