@@ -226,6 +226,11 @@ def test_rate_stream_provider(spark):
 
 def test_unknown_stream_provider_rejected(spark):
     with pytest.raises(ValueError, match="not available"):
+        stream_reader(spark, "bogus_stream")
+    # twitter_stream is now a built-in OFFLINE provider (r9): without a
+    # replay archive or synthetic mode it raises the documented
+    # no-live-connector divergence, not "unknown provider"
+    with pytest.raises(ValueError, match="no live connector"):
         stream_reader(spark, "twitter_stream")
 
 
