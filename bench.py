@@ -392,8 +392,10 @@ def main() -> None:
         "dedup_cluster_aware_split",
         "sql_not_in_scalable",
         "sql_in_subquery",
-        # round-9 additions: StreamSummary merged-range guarantees
+        # round-9 additions: StreamSummary merged-range guarantees, the
+        # duplication-invariant kNN graph twin
         "aqp_topk_range_guaranteed_min",
+        "sim_knn_graph_collapsed",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,
