@@ -143,6 +143,50 @@ JOINS = [
     ("customer", "nation", "c_nationkey = n_nationkey", ("customer", "nation")),
 ]
 
+# LEFT JOIN shapes: group/agg/pred pools restricted to the LEFT side so
+# right-side NULLs never become group keys (pandas null-vs-NaN canon
+# hazard); the preserved-row semantics is still exercised through
+# COUNT(<right key>), which counts only matched rows
+OUTER_JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey", "n_nationkey"),
+    ("orders", "lineitem", "o_orderkey = l_orderkey", "l_suppkey"),
+    ("nation", "customer", "n_nationkey = c_nationkey", "c_custkey"),
+]
+
+# subquery predicates (r9): IN / EXISTS / NOT EXISTS / scalar compare.
+# Always appended as a TOP-LEVEL AND conjunct — Spark plans correlated
+# and IN-subqueries only as conjunctive filters, and that restriction is
+# itself part of the shared subset being fuzzed.  Correlation uses bare
+# table names (the generated FROM never aliases), relying on standard
+# inner-shadowing scope rules on both engines.
+SUB_PREDICATES = {
+    "orders": [
+        "o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > {bal})",
+        "EXISTS (SELECT 1 FROM lineitem WHERE lineitem.l_orderkey ="
+        " orders.o_orderkey AND lineitem.l_quantity >= {qty})",
+        "NOT EXISTS (SELECT 1 FROM lineitem WHERE lineitem.l_orderkey ="
+        " orders.o_orderkey AND lineitem.l_returnflag = 'R')",
+        "o_totalprice > (SELECT CAST(MAX(c_acctbal) AS DOUBLE)"
+        " FROM customer WHERE c_nationkey % {m} = 0)",
+    ],
+    "customer": [
+        "c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice"
+        " > {price})",
+        "NOT EXISTS (SELECT 1 FROM orders WHERE orders.o_custkey ="
+        " customer.c_custkey)",
+        "c_nationkey IN (SELECT n_nationkey FROM nation WHERE"
+        " n_regionkey <> {m5})",
+    ],
+    "lineitem": [
+        "l_orderkey IN (SELECT o_orderkey FROM orders WHERE"
+        " o_orderstatus = 'F' AND o_totalprice > {price})",
+        "EXISTS (SELECT 1 FROM orders WHERE orders.o_orderkey ="
+        " lineitem.l_orderkey AND orders.o_orderpriority LIKE '{d}-%')",
+    ],
+    "nation": [],
+}
+
 
 def _fill(rng: random.Random, template: str) -> str:
     return template.format(
@@ -215,7 +259,13 @@ def gen_query(rng: random.Random) -> str:
 def _gen_agg_query(
     rng: random.Random, allow_order: bool = True, require_cnt: bool = False
 ) -> str:
-    if rng.random() < 0.35:
+    extra_aggs: list[str] = []
+    roll = rng.random()
+    if roll < 0.15:
+        left, right, cond, rkey = rng.choice(OUTER_JOINS)
+        frm, pools = f"{left} LEFT JOIN {right} ON {cond}", (left,)
+        extra_aggs.append(f"COUNT({rkey}) AS r_matched")
+    elif roll < 0.45:
         left, right, cond, pools = rng.choice(JOINS)
         frm = f"{left} JOIN {right} ON {cond}"
     else:
@@ -228,7 +278,7 @@ def _gen_agg_query(
 
     keys = pick(GROUP_EXPRS, rng.randrange(1, 3))
     key_aliases = [f"k{i}" for i in range(len(keys))]
-    aggs = pick(AGG_EXPRS, rng.randrange(1, 4))
+    aggs = pick(AGG_EXPRS, rng.randrange(1, 4)) + extra_aggs
     # dedupe agg aliases (sampling across pools can repeat a name)
     seen, uniq = set(), []
     for a in aggs:
@@ -246,8 +296,17 @@ def _gen_agg_query(
     sql = f"SELECT {select} FROM {frm}"
 
     preds = pick(PREDICATES, rng.randrange(0, 3))
+    conjuncts = []
     if preds:
-        sql += " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(preds)
+        conjuncts.append(
+            "(" + f" {rng.choice(['AND', 'OR'])} ".join(preds) + ")"
+        )
+    if rng.random() < 0.35:
+        spool = [e for t in pools for e in SUB_PREDICATES.get(t, ())]
+        if spool:
+            conjuncts.append(_fill(rng, rng.choice(spool)))
+    if conjuncts:
+        sql += " WHERE " + " AND ".join(conjuncts)
     sql += " GROUP BY " + ", ".join(key_aliases)
     if rng.random() < 0.3:
         sql += f" HAVING COUNT(*) > {rng.randrange(0, 4)}"
