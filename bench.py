@@ -385,7 +385,7 @@ def main() -> None:
         "sim_ann_batch_sql_routed",
         "txt_bm25_batch_sql_routed",
         "aqp_topk_sketch_table_sql",
-        "dedup_incoming_batch_gate_reps",
+        "dedup_incoming_batch_gate_members",
         # round-8 additions: StreamSummary eviction state, cluster-aware
         # split, the scale-safe NOT IN twin
         "aqp_topk_streamsummary_evictions",
@@ -395,7 +395,7 @@ def main() -> None:
         # round-9 additions: StreamSummary merged-range guarantees, the
         # duplication-invariant kNN graph twin
         "aqp_topk_range_guaranteed_min",
-        "sim_knn_graph_collapsed",
+        "sim_knn_graph_members",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

@@ -241,12 +241,33 @@ def candidate_pairs(sn, index_name: str) -> DataFrame:
 
 
 def near_dup_lookup(
-    sn, index_name: str, probe: DataFrame, text_col: str | None = None
+    sn,
+    index_name: str,
+    probe: DataFrame,
+    text_col: str | None = None,
+    granularity: str = "rep",
 ) -> DataFrame:
-    """Candidate near-dup ids for each probe document: band the probes
-    with the index's own parameters, join against the stored band
-    table.  `probe` carries (<id_col>, <text_col>); returns distinct
-    (probe_id, match_id)."""
+    """The ingestion gate: candidate near-dup ids for each probe
+    document — band the probes with the index's own parameters, join
+    against the stored band table.  `probe` carries (<id_col>,
+    <text_col>).
+
+    ``granularity`` picks the output contract (r10: the scale-safe shape
+    is the DEFAULT — on verbatim-duplicate-heavy corpora the member
+    gate's output is |probe| x |group|, quadratic in the mirror factor,
+    and dies at the sf100 rehearsal; see near_dup_lookup_reps):
+
+    - ``"rep"`` (default): distinct (probe_id, match_rep) — at most one
+      row per (probe, stored duplicate group); linear in probes.
+    - ``"member"``: distinct (probe_id, match_id) over every stored
+      member — the reference's full-match semantics, opt-in because its
+      output is quadratic under verbatim mirroring."""
+    if granularity == "rep":
+        return near_dup_lookup_reps(sn, index_name, probe, text_col)
+    if granularity != "member":
+        raise ValueError(
+            f"granularity must be 'rep' or 'member', got {granularity!r}"
+        )
     info = sn._ann_indexes[index_name.lower()]
     id_col = info["id_col"]
     pb = _band_rows(

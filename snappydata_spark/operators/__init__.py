@@ -38,4 +38,22 @@ def reset_build_once_sessions() -> None:
     dedup_ops._MINHASH_SESSIONS.clear()
 
 
-__all__ = ["QUERIES", "ORACLES", "register", "reset_build_once_sessions"]
+# Build-once index/session constructors, exposed so sweep harnesses can
+# force each build EXPLICITLY and time it as its own "_build_*" row
+# instead of charging it to whichever dependent query happens to run
+# first (r9 verdict Wrong#2: the sf100 artifact charged the ~110 s
+# corpus_mh build to its alphabetical successor).  Each callable is
+# idempotent — a second call returns the cached session.
+PREBUILDS = {
+    "_build_ann_ivf_sq8_index": corpus_ops._ann_index_session,
+    "_build_minhash_corpus_index": dedup_ops._minhash_index_session,
+    "_build_minhash_gate_base_index": dedup_ops._gate_base_index_session,
+    "_build_bm25_inverted_index": pipeline_ops._bm25_index_session,
+    "_build_topk_sketch_table": aqp_ops._topk_table_session,
+}
+
+
+__all__ = [
+    "QUERIES", "ORACLES", "register", "reset_build_once_sessions",
+    "PREBUILDS",
+]

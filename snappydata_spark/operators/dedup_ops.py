@@ -787,12 +787,11 @@ def knn_graph_candidates(
     ).dropDuplicates(["src", "dst"])
 
 
-@register("sim_knn_graph", oracle=_knn_oracle_sql())
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph construction within banded, corpus-scaled LSH buckets —
-    the neighborhood graph that feeds graph-based dedup/clustering
-    (connected components over near-duplicate edges) and diversity
-    sampling.  Candidate generation is knn_graph_candidates (plane count
+@register("sim_knn_graph_members", oracle=_knn_oracle_sql())
+def sim_knn_graph_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPT-IN member-granularity k-NN graph — `knn_graph(emb,
+    collapse=False)`, every vector (including byte-identical mirrors) a
+    node.  Candidate generation is knn_graph_candidates (plane count
     scales with n, hard sub_cap bucket split — pair count
     Θ(n·target_bucket·bands) expected, ≤ n·sub_cap·bands worst-case);
     cosine is computed only on candidate ids via two id-keyed joins
@@ -807,14 +806,18 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed joins are plain shuffle joins on the pair set, which the
     sub_cap bound keeps linear in n).
 
-    CAVEAT at duplicate-heavy scale: with m byte-identical copies of a
-    vector, the in-bucket pair set is Θ(n·min(m, sub_cap)) and every
-    top-k list is the vector's own mirrors at sim 1.0 — pure waste.
-    sim_knn_graph_collapsed is the production twin (exact-duplicate
-    collapse first; see the sf100 rehearsal in BENCH_SF100.md)."""
+    WHY opt-in (r10, the former `sim_knn_graph` name): with m
+    byte-identical copies of a vector, the in-bucket pair set is
+    Θ(n·min(m, sub_cap)) and every top-k list is the vector's own
+    mirrors at sim 1.0 — pure waste that OOMs the sf100 rehearsal
+    (~1 B wide mirror pairs).  The DEFAULT `sim_knn_graph` /
+    `knn_graph(collapse=True)` collapses exact duplicates first and is
+    invariant to the mirror factor; use this shape only when distinct
+    ids with identical payloads genuinely need separate neighbor lists
+    (BENCH_SF100.md)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    return _knn_topk(emb)
+    return knn_graph(emb, collapse=False)
 
 
 def _knn_topk(emb: DataFrame, k: int = 3) -> DataFrame:
@@ -882,8 +885,60 @@ _KNN_COLLAPSED_VEC_SQL = """SELECT MIN(vec_id) AS vec_id, embedding
 FROM embeddings GROUP BY embedding"""
 
 
+def knn_graph(emb: DataFrame, k: int = 3, collapse: bool = True) -> DataFrame:
+    """PUBLIC k-NN graph API over an (vec_id, embedding) frame.
+
+    ``collapse=True`` (the DEFAULT, r10 — the shape that survives 100 TB):
+    byte-identical embeddings collapse to their min-id representative
+    FIRST (exact-dup dedup, the same discipline the minhash family
+    applies to text), the LSH-banded graph is built over representatives
+    only, and each edge carries both groups' member counts (columns
+    n_src/n_dst — an edge stands for n_src·n_dst member edges, so the
+    member-level graph is recoverable).  Rationale: mirrors sit at
+    sim 1.0, so a member's neighbor list under uncollapsed semantics is
+    just its own copies — at the sf100 rehearsal (1000 verbatim copies
+    per vector) the uncollapsed shape's candidate join carries ~1 B wide
+    pairs and dies on executor heap, while this plan's pair stage is
+    invariant to the duplication factor.
+
+    ``collapse=False`` opts into member granularity (columns
+    src/dst/sim/rank only) — quadratic in the mirror factor by
+    definition; reference conflation discipline:
+    internal/ColumnTableBulkOps.scala:46-120 (first-match-wins collapse
+    before the expensive stage)."""
+    if not collapse:
+        return _knn_topk(emb, k)
+    # r10 (verdict Wrong#1): group on a FIXED-WIDTH md5 digest of the
+    # vector instead of the d-dimensional array itself — the collapse
+    # shuffle carries 32-byte keys, not 8·d-byte vector payloads (Spark's
+    # double→string cast is shortest-round-trip, so distinct values never
+    # share a digest preimage); the representative vector rejoins by
+    # vec_id.  localCheckpoint truncates lineage so the collapse
+    # aggregation runs ONCE, not once per downstream consumer (candidate
+    # banding, norm join, n_src/n_dst joins — ADVICE r9).
+    grp = (
+        emb.select(
+            "vec_id", F.md5(F.col("embedding").cast("string")).alias("dg")
+        )
+        .groupBy("dg")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("n"))
+        .drop("dg")
+    )
+    reps = (
+        grp.join(emb, "vec_id")
+        .select("vec_id", "n", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    topk = _knn_topk(reps.select("vec_id", "embedding"), k)
+    gs = reps.select(F.col("vec_id").alias("src"), F.col("n").alias("n_src"))
+    gd = reps.select(F.col("vec_id").alias("dst"), F.col("n").alias("n_dst"))
+    return topk.join(gs, "src").join(gd, "dst").select(
+        "src", "dst", "sim", "rank", "n_src", "n_dst"
+    )
+
+
 @register(
-    "sim_knn_graph_collapsed",
+    "sim_knn_graph",
     oracle=_knn_oracle_sql(
         vec_sql=_KNN_COLLAPSED_VEC_SQL,
         final_sql=""", grpn AS (
@@ -895,32 +950,15 @@ JOIN grpn gs ON gs.vec_id = t.src
 JOIN grpn gd ON gd.vec_id = t.dst""",
     ),
 )
-def sim_knn_graph_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION k-NN graph at duplicate-heavy scale: byte-identical
-    embeddings collapse to their min-id representative FIRST (one
-    groupBy on the embedding array — exact-dup dedup, the same
-    discipline the minhash family applies to text), the LSH-banded
-    graph is built over representatives only, and each edge carries
-    both groups' member counts.  Rationale: mirrors sit at sim 1.0, so
-    a member's neighbor list under the uncollapsed semantics is just
-    its own copies — at the sf100 rehearsal (1000 verbatim copies per
-    vector) the uncollapsed twin's candidate join carries ~1 B wide
-    pairs and dies on executor heap, while this plan's pair stage is
-    invariant to the duplication factor (2 000 reps at any K).  Group
-    sizes make the member-level graph recoverable: an edge (s, d,
-    n_src, n_dst) stands for n_src·n_dst member edges."""
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION k-NN graph (r10: the DEFAULT name now carries the
+    duplicate-collapsed semantics that survive the sf100 rehearsal —
+    formerly `sim_knn_graph_collapsed`; the member-granularity shape is
+    the opt-in `sim_knn_graph_members`).  See knn_graph(collapse=True)
+    for the collapse-first plan and the n_src/n_dst recoverability
+    contract."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
-    grp = emb.groupBy("embedding").agg(
-        F.min("vec_id").alias("vec_id"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    topk = _knn_topk(grp.select("vec_id", "embedding"))
-    gs = grp.select(F.col("vec_id").alias("src"), F.col("n").alias("n_src"))
-    gd = grp.select(F.col("vec_id").alias("dst"), F.col("n").alias("n_dst"))
-    return topk.join(gs, "src").join(gd, "dst").select(
-        "src", "dst", "sim", "rank", "n_src", "n_dst"
-    )
+    return knn_graph(t["embeddings"])
 
 
 # ----------------------------------------------------------------- containment
@@ -1021,6 +1059,26 @@ def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_minhash.candidate_pairs(sn, "corpus_mh")
 
 
+def _gate_base_index_session(spark: SparkSession, sf_dir: str):
+    """docs_base + its base_mh minhash index in the shared build-once
+    session (the member-granularity gate's store; also forced by the
+    scale-sweep prebuild so index builds are timed as their own rows,
+    tools/bench_registry_sf.py)."""
+    sn = _minhash_index_session(spark, sf_dir)
+    if "base_mh" not in sn._ann_indexes:
+        # docs_base may already exist (txt_bm25_index_topk shares it in
+        # this build-once session) — create only when absent
+        if not sn.catalog.exists("docs_base"):
+            docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+                "doc_id", "text"
+            )
+            sn.create_table(
+                "docs_base", options={"key_columns": "doc_id"}, df=docs
+            )
+        sn.sql("CREATE INDEX base_mh ON docs_base(text) USING minhash")
+    return sn
+
+
 def _gate_oracle() -> str:
     """Probe-vs-corpus candidate pairs: the perturbed copies (doc_id >=
     1000000) act as the INCOMING batch probed against the base corpus'
@@ -1034,33 +1092,29 @@ SELECT doc1 - 1000000 AS probe_id, doc2 AS match_id
 FROM mh_pairs WHERE doc2 < 1000000 AND doc1 >= 1000000"""
 
 
-@register("dedup_incoming_batch_gate", oracle=_gate_oracle())
-def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-pipeline ingestion gate, served by the MATERIALIZED
-    minhash index: band the incoming batch (the perturbed near-dup
-    copies, probe ids re-based to the original doc ids) and join
-    against the STORED band table of the base corpus — "which existing
-    documents is each incoming document a near-duplicate of?".  The
-    corpus' signature pipeline never re-runs; per-probe work is banding
-    the probe text + one broadcast join into the band table.
+@register("dedup_incoming_batch_gate_members", oracle=_gate_oracle())
+def dedup_incoming_batch_gate_members(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPT-IN member-granularity ingestion gate (r10: formerly the
+    `dedup_incoming_batch_gate` name; the DEFAULT name now carries the
+    rep-collapsed contract that survives the sf100 rehearsal — this
+    shape's output is |probe| x |group members|, quadratic in the
+    verbatim-mirror factor, ~6 B rows at sf100).  Band the incoming
+    batch (the perturbed near-dup copies, probe ids re-based to the
+    original doc ids) and join against the STORED band table of the
+    base corpus via `near_dup_lookup(..., granularity="member")` —
+    "which existing documents is each incoming document a
+    near-duplicate of?".  The corpus' signature pipeline never re-runs;
+    per-probe work is banding the probe text + one broadcast join into
+    the band table.
 
     Note the index here is built over the BASE corpus only (not the
     augmented corpus of dedup_minhash_lsh_index) — a separate keyed
     store in the same build-once session."""
     from snappydata_spark import index_minhash
 
-    sn = _minhash_index_session(spark, sf_dir)
-    if "base_mh" not in sn._ann_indexes:
-        # docs_base may already exist (txt_bm25_index_topk shares it in
-        # this build-once session) — create only when absent
-        if not sn.catalog.exists("docs_base"):
-            docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
-                "doc_id", "text"
-            )
-            sn.create_table(
-                "docs_base", options={"key_columns": "doc_id"}, df=docs
-            )
-        sn.sql("CREATE INDEX base_mh ON docs_base(text) USING minhash")
+    sn = _gate_base_index_session(spark, sf_dir)
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # probe ids offset out of the corpus id space (so a probe's match
     # with its own original is a REAL pair, not a self-match to filter),
@@ -1069,7 +1123,9 @@ def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
-    return index_minhash.near_dup_lookup(sn, "base_mh", probes).select(
+    return index_minhash.near_dup_lookup(
+        sn, "base_mh", probes, granularity="member"
+    ).select(
         (F.col("probe_id") - 1000000).alias("probe_id"), F.col("match_id")
     )
 
@@ -1093,11 +1149,14 @@ FROM probe_bands p JOIN rep_bands r
   ON p.band = r.band AND p.band_hash = r.band_hash"""
 
 
-@register("dedup_incoming_batch_gate_reps", oracle=_gate_reps_oracle())
-def dedup_incoming_batch_gate_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION ingestion-gate contract at duplicate-heavy scale:
-    each incoming document retrieves the min-id REPRESENTATIVE of every
-    stored near-dup GROUP (index_minhash.near_dup_lookup_reps) instead
+@register("dedup_incoming_batch_gate", oracle=_gate_reps_oracle())
+def dedup_incoming_batch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ingestion gate (r10: the DEFAULT name now carries
+    the rep-collapsed contract that survives duplicate-heavy scale —
+    formerly `dedup_incoming_batch_gate_reps`; member granularity is the
+    opt-in `dedup_incoming_batch_gate_members`): each incoming document
+    retrieves the min-id REPRESENTATIVE of every stored near-dup GROUP
+    (index_minhash.near_dup_lookup, default granularity="rep") instead
     of every member — the r7 sf10 rehearsal showed the full-match gate
     emitting 61 M rows (~120 group members per probe) where this variant
     emits one row per (probe, group).  Served by the same materialized
@@ -1114,7 +1173,7 @@ def dedup_incoming_batch_gate_reps(spark: SparkSession, sf_dir: str) -> DataFram
     probes = docs.select(
         (F.col("doc_id") + 5000000).alias("doc_id"), F.col("text")
     )
-    return index_minhash.near_dup_lookup_reps(sn, "corpus_mh", probes).select(
+    return index_minhash.near_dup_lookup(sn, "corpus_mh", probes).select(
         (F.col("probe_id") - 5000000).alias("probe_id"), F.col("match_rep")
     )
 

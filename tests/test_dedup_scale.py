@@ -236,7 +236,7 @@ def test_cluster_aware_split_no_leakage(spark, sf_dir):
 
 
 def test_knn_collapsed_invariant_to_duplication(spark, tmp_path):
-    """sim_knn_graph_collapsed's contract (the sf100 rehearsal fix):
+    """sim_knn_graph (collapse-first default)'s contract (the sf100 rehearsal fix):
     byte-identical embedding copies collapse to their min-id rep BEFORE
     the LSH graph, so the (src, dst, sim, rank) edge set is IDENTICAL
     whether each vector appears once or 50 times — only the carried
@@ -269,8 +269,8 @@ def test_knn_collapsed_invariant_to_duplication(spark, tmp_path):
         df.write.parquet(str(d / "embeddings.parquet"))
         return str(d)
 
-    out1 = QUERIES["sim_knn_graph_collapsed"](spark, write_sf(1)).collect()
-    out50 = QUERIES["sim_knn_graph_collapsed"](spark, write_sf(50)).collect()
+    out1 = QUERIES["sim_knn_graph"](spark, write_sf(1)).collect()
+    out50 = QUERIES["sim_knn_graph"](spark, write_sf(50)).collect()
 
     edges1 = {(r.src, r.dst, r.rank): r.sim for r in out1}
     edges50 = {(r.src, r.dst, r.rank): r.sim for r in out50}

@@ -87,10 +87,17 @@ def test_near_dup_lookup_gates_incoming_batch(indexed, spark):
                                  "nothing in the corpus at all here " * 2),
         ]
     )
-    got = index_minhash.near_dup_lookup(indexed, "mh_idx", probe).collect()
+    got = index_minhash.near_dup_lookup(
+        indexed, "mh_idx", probe, granularity="member"
+    ).collect()
     flagged = {r.probe_id for r in got}
     assert 100 in flagged and 101 not in flagged
     assert {r.match_id for r in got if r.probe_id == 100} >= {1}
+    # r10: the DEFAULT granularity is the scale-safe rep gate — same
+    # group-level verdict, (probe_id, match_rep) schema
+    rep = index_minhash.near_dup_lookup(indexed, "mh_idx", probe).collect()
+    assert {r.probe_id for r in rep} == {100}
+    assert all(hasattr(r, "match_rep") for r in rep)
 
 
 def test_rls_hidden_docs_never_leak_through_index(indexed, spark):
@@ -108,7 +115,9 @@ def test_rls_hidden_docs_never_leak_through_index(indexed, spark):
                  text="the quick brown fox jumps over the lazy dog "
                       "again and again " * 3)]
         )
-        got = index_minhash.near_dup_lookup(sn, "mh_idx", probe).collect()
+        got = index_minhash.near_dup_lookup(
+            sn, "mh_idx", probe, granularity="member"
+        ).collect()
         # doc 1 (visible near-dup) matches; doc 2 (hidden near-dup) never
         assert {r.match_id for r in got} == {1}
     finally:
@@ -172,7 +181,9 @@ def test_rep_gate_matches_collapsed_full_gate(snappy, spark):
     probe = spark.createDataFrame([Row(doc_id=100, text=(base * 3) + " zzz")])
     full = {
         (r.probe_id, r.match_id)
-        for r in index_minhash.near_dup_lookup(snappy, "rg_mh", probe).collect()
+        for r in index_minhash.near_dup_lookup(
+            snappy, "rg_mh", probe, granularity="member"
+        ).collect()
     }
     reps = {
         (r.probe_id, r.match_rep)

@@ -36,7 +36,11 @@ def main():
     skip_names = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
 
     from snappydata_spark import get_spark
-    from snappydata_spark.operators import QUERIES, reset_build_once_sessions
+    from snappydata_spark.operators import (
+        PREBUILDS,
+        QUERIES,
+        reset_build_once_sessions,
+    )
 
     spark = get_spark("registry-scale-sweep")
 
@@ -50,6 +54,33 @@ def main():
     # resume support: a partially-written artifact skips finished rows
     if os.path.exists(out_path):
         results = json.load(open(out_path))
+
+    def _prebuild():
+        """Force every build-once index session NOW, each timed as its
+        own "_build_*" meta row — so a dependent query's row measures
+        pure query wall regardless of run order or skip lists (r9
+        verdict Wrong#2: the sf100 artifact charged the corpus_mh build
+        to an unrelated query)."""
+        for bname, bfn in PREBUILDS.items():
+            t0 = time.time()
+            try:
+                bfn(spark, sf_dir)
+                wall = round(time.time() - t0, 2)
+                # keep the FIRST (real) build time across restarts; the
+                # idempotent re-warm after a context restart is recorded
+                # only if the original row is missing
+                if bname not in results or "err" in results[bname]:
+                    results[bname] = {"wall": wall, "build": True}
+                print(f"{bname}: {wall}s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                results[bname] = {
+                    "wall": round(time.time() - t0, 2),
+                    "err": f"{type(e).__name__}: {e}"[:300],
+                    "build": True,
+                }
+                print(f"FAIL {bname}: {results[bname]['err'][:120]}", flush=True)
+
+    _prebuild()
     for name, fn in sorted(QUERIES.items()):
         if name_filter and not any(name.startswith(f) for f in name_filter):
             continue
@@ -91,9 +122,16 @@ def main():
                 time.sleep(1.0)
                 break
             print(f"-- SparkContext died during {name}; restarting", flush=True)
-            spark.stop()
+            try:
+                # if the JVM/py4j gateway itself died (executor OOM kills
+                # the whole local-mode JVM), stop() raises — the fresh
+                # session below is all that matters
+                spark.stop()
+            except Exception:
+                pass
             spark = get_spark("registry-scale-sweep")
             reset_build_once_sessions()
+            _prebuild()  # rebuild index sessions against the live context
             if "err" not in results[name]:
                 break  # died but the result was already in; keep it
         tmp = out_path + ".tmp"
