@@ -18,7 +18,7 @@ from pyspark.sql.types import StructType
 
 # provider name (reference DDL USING clause) → structured streaming format
 PROVIDER_FORMATS = {
-    "kafka_stream": "kafka",
+    "kafka_stream": "kafka",  # live path; offline replay via _kafka_factory
     "file_stream": "file",  # resolved per options (format option)
     "socket_stream": "socket",
     "text_socket_stream": "socket",
@@ -33,6 +33,32 @@ PROVIDER_FORMATS = {
 
 # user-registered providers: name → factory(spark, schema, **options) -> DataFrame
 _CUSTOM_PROVIDERS: dict[str, Callable[..., DataFrame]] = {}
+# user-registered format overrides (register_stream_provider(format=...)).
+# Kept separate from PROVIDER_FORMATS so builtins stay IMMUTABLE —
+# precedence is resolved at lookup time in stream_reader (custom factory
+# > custom format > builtin factory > builtin format), and dropping a
+# custom registration restores the builtin instead of losing it (r9
+# ADVICE: register_stream_provider used to pop the builtin for the rest
+# of the process).
+_CUSTOM_FORMATS: dict[str, str] = {}
+
+# StreamToRowsConverter class name (reference DDL rowConverter option) →
+# offline payload decode discipline: "csv" (comma-separated fields per
+# message, the reference examples' RowsConverter shape,
+# StreamingExample.scala:223, SnappyStreamingKafkaSuite.scala:237) or
+# "json".  register_row_converter adds entries (or a python callable).
+_ROW_CONVERTERS: dict[str, object] = {
+    "org.apache.spark.examples.snappydata.rowsconverter": "csv",
+    "rowsconverter": "csv",
+}
+
+
+def register_row_converter(class_name: str, decode) -> None:
+    """Map a reference StreamToRowsConverter class name to an offline
+    decode: "csv", "json", or a callable(DataFrame) -> DataFrame — the
+    python stand-in for the converter jar (StreamToRowsConverter.scala:21),
+    so reference DDL carrying `rowConverter '<class>'` replays offline."""
+    _ROW_CONVERTERS[class_name.lower()] = decode
 
 # the reference's 6-column tweet shape (create-stream-table.md:84,
 # TweetToRowsConverter in stream_processing_using_sql.md:108)
@@ -49,6 +75,124 @@ def _pop_ignored(options: dict, keys: tuple) -> None:
     ignored offline, so reference DDL replays verbatim)."""
     for k in keys:
         options.pop(k, None)
+
+
+# the structured-streaming kafka source contract (key/value bytes +
+# provenance columns), served offline by _kafka_factory so the exact
+# column contract the reference's DirectKafkaStreamSource.scala:52 /
+# SnappyStructuredKafkaSuite.scala shapes exercise runs end-to-end
+# without a broker
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+# replay archive line shape (key/value as strings; cast to bytes on read)
+_KAFKA_REPLAY_READ_SCHEMA = (
+    "key string, value string, topic string, partition int, "
+    "offset long, timestamp timestamp"
+)
+
+
+def _kafka_factory(spark: SparkSession, schema=None, **options) -> DataFrame:
+    """kafka_stream (DirectKafkaStreamSource.scala:52).  Three paths:
+
+    - ``replay '<dir>'``: an OFFLINE JSON-lines archive — one kafka
+      record per line carrying topic/partition/offset/key/value
+      [/timestamp] — read with the file source and served under the
+      exact kafka column contract (KAFKA_SCHEMA: key/value binary,
+      timestampType 0).  Offsets come from the archive, so a
+      multi-partition CDC batch replays offset-ordered exactly as a
+      broker would deliver it.
+    - ``synthetic 'true'`` [+ ``rowsPerSecond``, ``numPartitions``,
+      ``topic``]: the rate source mapped deterministically onto the
+      kafka shape — partition = n % numPartitions, offset = n div
+      numPartitions (monotone per partition), value = JSON
+      ``{"id": n, "payload": "msg-<n>"}`` bytes, key = the id bytes.
+    - otherwise: the LIVE structured-streaming kafka source
+      (``format("kafka")``) — consumer options pass through, and the
+      reference DDL's ``kafkaParams 'k->v;k->v'`` bundle (
+      stream_processing_using_sql.md:241-246) is unpacked into
+      ``kafka.*`` options.  Untestable in this sandbox (no broker);
+      documented divergence.
+
+    Consumer-group bookkeeping options (groupId, startingOffsets,
+    storagelevel) are accepted and ignored on the offline paths so
+    reference DDL replays verbatim."""
+    replay = options.pop("replay", None)
+    synthetic = str(options.pop("synthetic", "")).lower() in ("true", "1")
+    topic = (
+        options.get("subscribe")
+        or options.get("topics")
+        or options.get("topic")
+        or "replay"
+    ).split(",")[0]
+    if replay or synthetic:
+        _pop_ignored(options, (
+            "kafkaparams", "kafkaParams", "startingoffsets",
+            "startingOffsets", "subscribe", "topics", "topic", "groupid",
+            "groupId", "storagelevel", "storageLevel", "rowconverter",
+            "rowConverter", "failondataloss", "failOnDataLoss",
+        ))
+    if replay:
+        reader = spark.readStream.format("json").schema(
+            _KAFKA_REPLAY_READ_SCHEMA
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(replay)
+        return raw.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.coalesce(F.col("topic"), F.lit(topic)).alias("topic"),
+            F.coalesce(F.col("partition"), F.lit(0)).alias("partition"),
+            F.col("offset"),
+            F.col("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+    if synthetic:
+        rps = options.pop("rowsPerSecond", options.pop("rowspersecond", "50"))
+        nparts = int(options.pop("numPartitions", options.pop("numpartitions", 2)))
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .load()
+        )
+        v = F.col("value")
+        return rate.select(
+            v.cast("string").cast("binary").alias("key"),
+            F.to_json(
+                F.struct(
+                    v.alias("id"),
+                    F.concat(F.lit("msg-"), v.cast("string")).alias("payload"),
+                )
+            ).cast("binary").alias("value"),
+            F.lit(topic if topic != "replay" else "synthetic").alias("topic"),
+            (v % nparts).cast("int").alias("partition"),
+            (v / nparts).cast("long").alias("offset"),
+            F.col("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+    # live broker path: unpack the reference's kafkaParams bundle into
+    # kafka.* options and hand everything to the DSv2 kafka source
+    params = options.pop("kafkaparams", options.pop("kafkaParams", None))
+    _pop_ignored(options, (
+        "rowconverter", "rowConverter", "storagelevel", "storageLevel",
+        "topics",
+    ))
+    reader = spark.readStream.format("kafka")
+    if params:
+        for kv in str(params).split(";"):
+            if "->" in kv:
+                k, v = kv.split("->", 1)
+                k = k.strip()
+                if k in ("bootstrap.servers", "metadata.broker.list"):
+                    reader = reader.option("kafka.bootstrap.servers", v.strip())
+                else:
+                    reader = reader.option(f"kafka.{k}", v.strip())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def _twitter_factory(
@@ -84,6 +228,19 @@ def _twitter_factory(
             reader = reader.option(k, v)
         return reader.load(replay)
     if synthetic:
+        if schema is not None:
+            # synthetic mode ALWAYS emits the reference tweet shape — a
+            # DDL declaring different columns must fail loudly instead of
+            # silently registering a diverging view (r9 ADVICE)
+            want = [c.split()[0].lower() for c in str(schema).split(",")]
+            have = [c.split()[0].lower() for c in TWITTER_SCHEMA.split(",")]
+            if not isinstance(schema, str) or want != have:
+                raise ValueError(
+                    "twitter_stream synthetic mode emits the fixed tweet "
+                    f"shape ({TWITTER_SCHEMA}); declared schema "
+                    f"{schema!r} does not match — use replay mode or a "
+                    "custom provider for other shapes"
+                )
         rps = options.pop("rowsPerSecond", options.pop("rowspersecond", "50"))
         rate = (
             spark.readStream.format("rate")
@@ -153,10 +310,14 @@ def _rabbitmq_factory(
     )
 
 
-# built-in factory providers; register_stream_provider overrides them
+# built-in factory providers — IMMUTABLE; user registrations shadow them
+# via _CUSTOM_PROVIDERS/_CUSTOM_FORMATS and precedence at lookup time.
+# kafka_stream's factory handles offline replay/synthetic AND delegates
+# to the live format("kafka") source itself, so one name covers both.
 _BUILTIN_FACTORIES: dict[str, Callable[..., DataFrame]] = {
     "twitter_stream": _twitter_factory,
     "rabbitmq_stream": _rabbitmq_factory,
+    "kafka_stream": _kafka_factory,
 }
 
 
@@ -174,18 +335,19 @@ def register_stream_provider(
     Either map the name to a Structured Streaming `format` string (for
     connector packages like a deployed kafka/pulsar DSv2 jar) or supply a
     `factory(spark, schema=None, **options) -> streaming DataFrame` for
-    full control of the read + conversion."""
+    full control of the read + conversion.  A registration SHADOWS any
+    built-in provider of the same name (precedence resolved per lookup);
+    dropping the registration (pop from _CUSTOM_PROVIDERS /
+    _CUSTOM_FORMATS) restores the built-in — the builtin tables are
+    never mutated."""
     if (format is None) == (factory is None):
         raise ValueError("register_stream_provider needs exactly one of format/factory")
     key = name.lower()
-    # a user registration always replaces the offline built-in factory
-    # (e.g. a deployed twitter/rabbitmq connector jar)
-    _BUILTIN_FACTORIES.pop(key, None)
     if factory is not None:
         _CUSTOM_PROVIDERS[key] = factory
-        PROVIDER_FORMATS.pop(key, None)
+        _CUSTOM_FORMATS.pop(key, None)
     else:
-        PROVIDER_FORMATS[key] = format
+        _CUSTOM_FORMATS[key] = format
         _CUSTOM_PROVIDERS.pop(key, None)
 
 
@@ -203,6 +365,20 @@ def stream_reader(
     payloads pass schema= and we apply from_json to the value column.
     """
     provider = provider.lower()
+    # the reference DDL's rowConverter class resolves to an offline
+    # decode discipline (csv/json/callable) via the converter registry —
+    # an unknown class name is accepted-and-ignored (json default), so
+    # reference DDL replays verbatim
+    rc = options.pop("rowConverter", options.pop("rowconverter", None))
+    value_format = "json"
+    if rc is not None:
+        decode = _ROW_CONVERTERS.get(
+            str(rc).lower(), _ROW_CONVERTERS.get(str(rc).lower().rsplit(".", 1)[-1])
+        )
+        if callable(decode):
+            converter = converter or decode
+        elif isinstance(decode, str):
+            value_format = decode
     if provider == "jdbc_stream":
         # built-in JDBC CDC landing-zone source (the reference's JDBC
         # streaming connector, docs/connectors/
@@ -211,19 +387,24 @@ def stream_reader(
 
         raw = create_jdbc_stream(spark, schema=schema, **options)
         return converter(raw) if converter is not None else raw
+    # precedence: custom factory > custom format > builtin factory >
+    # builtin format (builtin tables are immutable; see
+    # register_stream_provider)
     if provider in _CUSTOM_PROVIDERS:
         raw = _CUSTOM_PROVIDERS[provider](spark, schema=schema, **options)
         return converter(raw) if converter is not None else raw
-    if provider in _BUILTIN_FACTORIES:
+    fmt = _CUSTOM_FORMATS.get(provider)
+    if fmt is None and provider in _BUILTIN_FACTORIES:
         raw = _BUILTIN_FACTORIES[provider](spark, schema=schema, **options)
-        return _parse_payload(raw, schema, converter)
-    if provider not in PROVIDER_FORMATS:
+        return _parse_payload(raw, schema, converter, value_format)
+    if fmt is None:
+        fmt = PROVIDER_FORMATS.get(provider)
+    if fmt is None:
         raise ValueError(
             f"stream provider {provider!r} not available — register one "
             f"with register_stream_provider, or choose from "
             f"{sorted(set(PROVIDER_FORMATS) | set(_BUILTIN_FACTORIES))}"
         )
-    fmt = PROVIDER_FORMATS[provider]
     if provider == "file_stream":
         fmt = options.pop("format", "json")
         reader = spark.readStream.format(fmt)
@@ -234,13 +415,14 @@ def stream_reader(
     for k, v in options.items():
         reader = reader.option(k, v)
     raw = reader.load()
-    return _parse_payload(raw, schema, converter)
+    return _parse_payload(raw, schema, converter, value_format)
 
 
 def _parse_payload(
     raw: DataFrame,
     schema: StructType | str | None,
     converter: Callable[[DataFrame], DataFrame] | None,
+    value_format: str = "json",
 ) -> DataFrame:
     """Shared StreamToRowsConverter step for raw payload sources."""
     if converter is not None:
@@ -250,8 +432,17 @@ def _parse_payload(
         and dict(raw.dtypes).get("value") in ("string", "binary")
     ):
         # kafka/socket/rabbitmq style: parse the STRING/BINARY value
-        # payload as json.  Typed value columns (e.g. the rate source's
-        # LONG) are NOT payloads — from_json would yield all-null rows
+        # payload per the converter discipline (json default; csv for
+        # the reference examples' comma-separated RowsConverter shape).
+        # Typed value columns (e.g. the rate source's LONG) are NOT
+        # payloads — from_json would yield all-null rows
+        if value_format == "csv":
+            ddl = schema if isinstance(schema, str) else ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            )
+            return raw.select(
+                F.from_csv(F.col("value").cast("string"), ddl).alias("r")
+            ).select("r.*")
         return raw.select(
             F.from_json(F.col("value").cast("string"), schema).alias("r")
         ).select("r.*")

@@ -240,7 +240,7 @@ def test_register_custom_stream_provider(spark, snappy):
     through CREATE STREAM TABLE DDL, then unknown again after swap to a
     format-backed registration."""
     from snappydata_spark.streaming import register_stream_provider
-    from snappydata_spark.streaming.sources import _CUSTOM_PROVIDERS, PROVIDER_FORMATS
+    from snappydata_spark.streaming.sources import _CUSTOM_FORMATS, _CUSTOM_PROVIDERS
 
     def fake_feed(sp, schema=None, **options):
         # converter applied inside the factory: rate → typed event rows
@@ -264,10 +264,10 @@ def test_register_custom_stream_provider(spark, snappy):
         with pytest.raises(ValueError, match="exactly one"):
             register_stream_provider("x_stream")
         register_stream_provider("fake_feed_stream", format="rate")
-        assert "fake_feed_stream" in PROVIDER_FORMATS
+        assert "fake_feed_stream" in _CUSTOM_FORMATS
         assert "fake_feed_stream" not in _CUSTOM_PROVIDERS
     finally:
-        PROVIDER_FORMATS.pop("fake_feed_stream", None)
+        _CUSTOM_FORMATS.pop("fake_feed_stream", None)
         _CUSTOM_PROVIDERS.pop("fake_feed_stream", None)
         snappy._streams.pop("ddl_fake", None)
 
