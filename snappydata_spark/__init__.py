@@ -11,6 +11,7 @@ stream windows) and its AQP-lite surface.
 """
 
 from snappydata_spark.session import (
+    LockTimeout,
     QueryCancelled,
     SnappySession,
     TransactionConflict,
@@ -20,6 +21,7 @@ from snappydata_spark.compat import SchemaDStream, SnappyContext, SnappyStreamin
 from snappydata_spark.tables import load_tables, register_views, TPCH_TABLES
 
 __all__ = [
+    "LockTimeout",
     "QueryCancelled",
     "SnappySession",
     "TransactionConflict",

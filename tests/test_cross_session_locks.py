@@ -28,8 +28,9 @@ def test_two_sessions_same_store_serialize_puts(spark, sf_dir):
         df=base,
     )
 
-    # the two sessions must hand out the SAME lock object for the table
-    assert sn1._table_lock("xs_orders") is sn2._table_lock("xs_orders")
+    # the two sessions must share the SAME underlying lock for the table
+    # (the guard wrapper binds each acquisition to a max-lock-wait budget)
+    assert sn1._table_lock("xs_orders")._lock is sn2._table_lock("xs_orders")._lock
 
     # concurrent upsert storms through BOTH sessions over disjoint keys:
     # without cross-session serialization the copy-on-write swap loses

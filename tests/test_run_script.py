@@ -42,3 +42,38 @@ def test_table_reads_survive_missing_history(snappy, sf_dir):
     assert snappy.table_history("rs_hist") == []
     with pytest.raises(ValueError):
         snappy.table_version("rs_hist", 1)
+
+
+def test_interactive_command_shims(snappy, capsys):
+    """snappy-CLI interactive commands inside a script
+    (interactive_commands/elapsedtime.md, maximumdisplaywidth.md):
+    elapsedtime on records + echoes per-statement wall via the
+    SET_STATISTICS_TIMING machinery; maximumdisplaywidth clamps the
+    session's display width used by show_df."""
+    results = snappy.run_script(
+        """
+        elapsedtime on;
+        maximumdisplaywidth 1000;
+        CREATE TABLE rs_ic (k int, v string) USING COLUMN;
+        INSERT INTO rs_ic VALUES (1, 'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa');
+        SELECT k, v FROM rs_ic ORDER BY k;
+        elapsedtime off
+        """
+    )
+    assert results[0] is None and results[1] is None  # command shims
+    assert [(r.k,) for r in results[-2].collect()] == [(1,)]
+    out = capsys.readouterr().out
+    assert out.count("ELAPSED TIME =") == 3  # one per real statement
+    assert snappy.max_display_width == 1000
+    # the timing substance went through the statistics-timing machinery
+    stats = snappy.get_statement_stats()
+    assert any("INSERT INTO rs_ic" in s for s, _ in stats)
+    # show_df honors the width: the 30-char value prints untruncated
+    snappy.show_df(snappy.table("rs_ic"))
+    shown = capsys.readouterr().out
+    assert "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" in shown
+    snappy.run_script("maximumdisplaywidth 4")
+    snappy.show_df(snappy.table("rs_ic"))
+    shown4 = capsys.readouterr().out
+    assert "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" not in shown4
+    snappy.sql("DROP TABLE rs_ic")
