@@ -4063,6 +4063,19 @@ class SnappySession:
             if not self._stats_timing:
                 self._stmt_stats.clear()
             return None
+        if proc == "backup_store":
+            (dest,) = args or ("",)
+            path = self.backup_store(dest)
+            return self.spark.createDataFrame(
+                [(path, len(self.catalog.list_tables()))],
+                "backup_path string, tables int",
+            )
+        if proc == "restore_store":
+            (src,) = args or ("",)
+            n = self.restore_store(src)
+            return self.spark.createDataFrame(
+                [(src, n)], "backup_path string, tables int"
+            )
         if proc == "remove_metastore_entry":
             # sys.remove_metastore_entry('<db>.<table>', '<forceDrop>')
             # (sys_remove_metastore_entry.md): drop the catalog entry
@@ -4083,7 +4096,8 @@ class SnappySession:
             "(supported: EXPORT_DATA, EXPORT_DDLS, REBALANCE_ALL_BUCKETS, "
             "DISKSTORE_FSYNC, DUMP_STACKS, SET_TRACE_FLAG, "
             "SET_CRITICAL_HEAP_PERCENTAGE, SET_EVICTION_HEAP_PERCENTAGE, "
-            "SET_STATISTICS_TIMING, REMOVE_METASTORE_ENTRY)"
+            "SET_STATISTICS_TIMING, REMOVE_METASTORE_ENTRY, BACKUP_STORE, "
+            "RESTORE_STORE)"
         )
 
     def _export_data(
@@ -4252,6 +4266,153 @@ class SnappySession:
             [(os.path.join(out_dir, "part-00000"), len(ddls))],
             "path string, statements int",
         )
+
+    # -------------------------------------------------- store backup/restore
+
+    def backup_store(self, dest_dir: str) -> str:
+        """Consistent online store backup — the engine's analogue of the
+        reference's `store-backup` utility (command_line_utilities/
+        store-backup.md: per-member disk-store snapshot into a
+        minute-stamped subdirectory, restorable to the original
+        locations).  Here the "disk store" is the managed-table store
+        directory: for each table, UNDER ITS MUTATION LOCK (so no writer
+        is mid-swap — the doc's "run during low activity" caveat becomes
+        a hard per-table consistency guarantee), the backup copies the
+        table meta + the CURRENT manifest generation + exactly the
+        manifest's live files (tombstones and uncommitted orphans are
+        skipped); bucketed tables copy their live bucketed files plus
+        the schema/bucketing spec needed to re-register them.  The
+        catalog registry (indexes, grants, policies, views) rides along,
+        so restored indexes serve without a rebuild.  Returns the
+        created backup directory."""
+        import datetime
+        import json as _json
+
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        bdir = os.path.join(dest_dir, stamp)
+        n = 0
+        while os.path.exists(bdir):  # same-second reruns
+            n += 1
+            bdir = os.path.join(dest_dir, f"{stamp}-{n}")
+        os.makedirs(os.path.join(bdir, "store"))
+        desc: dict = {"created": stamp, "tables": {}}
+        if os.path.exists(self._registry_path):
+            shutil.copy2(
+                self._registry_path, os.path.join(bdir, "_registry.json")
+            )
+        from snappydata_spark.catalog import _META_FILE
+
+        for t in self.catalog.list_tables():
+            with self._table_lock(t):
+                meta = self.catalog.load_meta(t)
+                tdir = os.path.join(bdir, "store", t)
+                os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
+                shutil.copy2(
+                    os.path.join(self.catalog.table_path(t), _META_FILE),
+                    os.path.join(tdir, _META_FILE),
+                )
+                entry: dict = {"bucketed": False}
+                if self._is_bucketed(meta):
+                    df = self.spark.table(self._cat_name(t))
+                    wdir = os.path.join(bdir, "warehouse", t)
+                    os.makedirs(wdir)
+                    for f in df.inputFiles():
+                        src = re.sub(r"^file:(//)?(?=/)", "", f)
+                        shutil.copy2(src, wdir)
+                    entry = {
+                        "bucketed": True,
+                        "buckets": meta.buckets,
+                        "partition_by": list(meta.partition_by),
+                        "schema_ddl": ", ".join(
+                            f"`{fld.name}` {fld.dataType.simpleString()}"
+                            for fld in df.schema.fields
+                        ),
+                    }
+                else:
+                    m = self._load_manifest(t)
+                    data = self.catalog.data_path(t)
+                    if m is not None:
+                        # manifest-pinned copy: live generation only; the
+                        # backed-up manifest carries no tombstones (their
+                        # files are not copied)
+                        clean = dict(m)
+                        clean["tombstones"] = []
+                        with open(
+                            os.path.join(tdir, "manifest.json"), "w"
+                        ) as f:
+                            _json.dump(clean, f)
+                        files = m["files"]
+                    else:
+                        files = self._list_data_files(t)
+                    for f in files:
+                        shutil.copy2(
+                            os.path.join(data, f),
+                            os.path.join(tdir, "data", f),
+                        )
+                desc["tables"][t] = entry
+        with open(os.path.join(bdir, "backup.json"), "w") as f:
+            _json.dump(desc, f, indent=1)
+        return bdir
+
+    def restore_store(self, backup_dir: str) -> int:
+        """Restore a backup_store() snapshot into THIS session's store:
+        each backed-up table's directory (meta + manifest + live files)
+        replaces the current one under the table's mutation lock;
+        bucketed tables re-register in the Spark catalog as external
+        bucketed tables over the restored files (CLUSTERED BY ... INTO n
+        BUCKETS LOCATION), so colocated-join exchange elision survives
+        the round trip; the catalog registry (indexes/grants/policies)
+        is restored and reloaded.  Returns the number of tables
+        restored.  (store-backup.md's restore script analogue — copy
+        back to original locations, refusing nothing: restore is an
+        operator action that overwrites current state.)"""
+        import json as _json
+
+        with open(os.path.join(backup_dir, "backup.json")) as f:
+            desc = _json.load(f)
+        for t, entry in desc["tables"].items():
+            with self._table_lock(t):
+                # drop the live bucketed catalog entries before the swap
+                if self.catalog.exists(t):
+                    old_meta = self.catalog.load_meta(t)
+                    if self._is_bucketed(old_meta):
+                        old_gen = int(old_meta.options.get("bucket_gen", 0))
+                        for g in (old_gen - 1, old_gen, old_gen + 1):
+                            if g >= 0:
+                                try:
+                                    self.spark.sql(
+                                        "DROP TABLE IF EXISTS "
+                                        + self._cat_name(t, gen=g)
+                                    )
+                                except Exception:  # noqa: BLE001
+                                    pass
+                tpath = self.catalog.table_path(t)
+                shutil.rmtree(tpath, ignore_errors=True)
+                shutil.copytree(os.path.join(backup_dir, "store", t), tpath)
+                if entry.get("bucketed"):
+                    loc = os.path.join(tpath, "bucketdata")
+                    shutil.copytree(
+                        os.path.join(backup_dir, "warehouse", t), loc
+                    )
+                    meta = self.catalog.load_meta(t)
+                    gen = int(meta.options.get("bucket_gen", 0))
+                    cat = self._cat_name(t, gen=gen)
+                    self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                    cluster = ", ".join(entry["partition_by"])
+                    self.spark.sql(
+                        f"CREATE TABLE {cat} ({entry['schema_ddl']}) "
+                        f"USING parquet CLUSTERED BY ({cluster}) "
+                        f"SORTED BY ({cluster}) "
+                        f"INTO {entry['buckets']} BUCKETS "
+                        f"LOCATION '{loc}'"
+                    )
+            self._refresh_view(t)
+        reg = os.path.join(backup_dir, "_registry.json")
+        if os.path.exists(reg):
+            shutil.copy2(reg, self._registry_path)
+            self._load_registry()
+        self.plan_cache.clear()
+        return len(desc["tables"])
 
     def _systables(self) -> DataFrame:
         """SYS.SYSTABLES (reference/system_tables/systables.md): one row
