@@ -240,6 +240,49 @@ def gen_window_query(rng: random.Random) -> str:
     return tpl.format(frame=rng.randrange(1, 6), key=rng.randrange(200, 1500))
 
 
+def gen_grouping_sets_query(rng: random.Random) -> str:
+    """GROUPING SETS / CUBE / ROLLUP over one table (r10 — the §2.22
+    family the fuzzer didn't reach).  NULL-canon discipline: the
+    super-aggregate rows' NULL keys are projected through
+    COALESCE(CAST(k AS STRING), '~all~') — every grouping expression in
+    the pools is non-null on TPC-H data, so the sentinel marks exactly
+    the rollup levels and the comparison never sorts raw NULL keys
+    (the pandas object-column hazard that kept this family out of the
+    grammar); aggregates reuse the decimal-exact pool."""
+    tbl = rng.choice(TABLES)
+    keys = [
+        _fill(rng, e)
+        for e in rng.sample(GROUP_EXPRS[tbl], min(2, len(GROUP_EXPRS[tbl])))
+    ]
+    aggs = [_fill(rng, e) for e in rng.sample(AGG_EXPRS[tbl], rng.randrange(1, 3))]
+    seen, uniq = set(), []
+    for a in aggs:
+        alias = a.rsplit(" AS ", 1)[1]
+        if alias not in seen:
+            seen.add(alias)
+            uniq.append(a)
+    proj = ", ".join(
+        [
+            f"COALESCE(CAST({k} AS STRING), '~all~') AS k{i}"
+            for i, k in enumerate(keys)
+        ]
+        + uniq
+    )
+    kl = ", ".join(keys)
+    grouping = rng.choice([
+        f"GROUPING SETS (({kl}), ({keys[0]}), ())",
+        f"ROLLUP({kl})",
+        f"CUBE({kl})",
+    ])
+    sql = f"SELECT {proj} FROM {tbl}"
+    preds = [_fill(rng, e) for e in rng.sample(
+        PREDICATES[tbl], rng.randrange(0, 2)
+    )]
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    return sql + f" GROUP BY {grouping}"
+
+
 def gen_query(rng: random.Random) -> str:
     """One random query in the shared ANSI subset: grouped aggregation
     (possibly joined / HAVING / LIMIT), a window-function scan, or a
@@ -247,7 +290,9 @@ def gen_query(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.15:
         return gen_window_query(rng)
-    if roll < 0.3:
+    if roll < 0.27:
+        return gen_grouping_sets_query(rng)
+    if roll < 0.4:
         # derived table: aggregate inside, re-filter + re-project outside
         inner = _gen_agg_query(rng, allow_order=False, require_cnt=True)
         return (
