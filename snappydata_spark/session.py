@@ -393,6 +393,11 @@ def get_spark(
         if "=" in pair:
             k, v = pair.split("=", 1)
             builder = builder.config(k.strip(), v.strip())
+    # programmatic overrides win over everything (the parameter was
+    # silently ignored before r10 — callers like the shuffle-bytes
+    # measurement need spark.ui.enabled back on)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or f"local[{cpus}]")
     spark = builder.getOrCreate()
