@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from snappydata_spark import aqp
-from snappydata_spark.operators.registry import register
+from snappydata_spark.operators.registry import _cleanup_at_exit, register
 from snappydata_spark.tables import load_tables
 
 
@@ -45,6 +45,7 @@ def _topk_table_session(spark: SparkSession, sf_dir: str):
     from snappydata_spark import SnappySession
 
     sn = SnappySession(spark, store_dir=tempfile.mkdtemp(prefix="topk_tbl_"))
+    _cleanup_at_exit(sn.catalog.base_dir)
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     sn.create_table("tk_events", options={"key_columns": "event_id"}, df=ev)
     sn.sql(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from snappydata_spark.functions import vector as V
-from snappydata_spark.operators.registry import register
+from snappydata_spark.operators.registry import _cleanup_at_exit, register
 from snappydata_spark.tables import load_tables
 
 # ------------------------------------------------ exact substring dedup
@@ -981,6 +981,7 @@ def _ann_index_session(spark: SparkSession, sf_dir: str):
     sn = SnappySession(
         spark, store_dir=tempfile.mkdtemp(prefix="ann_index_store_")
     )
+    _cleanup_at_exit(sn.catalog.base_dir)
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     sn.create_table("emb_base", options={"key_columns": "vec_id"}, df=emb)
     sn.sql("CREATE INDEX emb_ivf ON emb_base(embedding) USING ivf_sq8")

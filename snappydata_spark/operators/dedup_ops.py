@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from snappydata_spark import dedup
 from snappydata_spark.functions import text as T
 from snappydata_spark.functions import vector as V
-from snappydata_spark.operators.registry import register
+from snappydata_spark.operators.registry import _cleanup_at_exit, register
 from snappydata_spark.tables import load_tables
 
 _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
@@ -1035,6 +1035,7 @@ def _minhash_index_session(spark: SparkSession, sf_dir: str):
     sn = SnappySession(
         spark, store_dir=tempfile.mkdtemp(prefix="minhash_index_store_")
     )
+    _cleanup_at_exit(sn.catalog.base_dir)
     sn.create_table(
         "corpus_base",
         options={"key_columns": "doc_id"},

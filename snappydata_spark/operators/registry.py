@@ -29,3 +29,16 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Register a build-once session's temp store directory for removal
+    at PROCESS exit.  Scale sweeps build multi-GB index stores per
+    process (minhash bands over 5M docs ≈ 4.8 GB at sf100); without
+    this, repeated sweep/test processes leak them until the disk fills
+    (observed: sf100 containment failing with 'No space left on
+    device' after a day of rehearsals)."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)

@@ -79,6 +79,17 @@ def main():
                     "build": True,
                 }
                 print(f"FAIL {bname}: {results[bname]['err'][:120]}", flush=True)
+        # release builds' cached relations/broadcasts before the timed
+        # rows: at rehearsal scale the storage pool they pin is exactly
+        # the execution-memory headroom the heavy self-join queries need
+        # (dedup_containment OOMed at sf100 with builds-first but passed
+        # for r9's lazy build order, which reached it on a fresh heap)
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
 
     _prebuild()
     for name, fn in sorted(QUERIES.items()):
