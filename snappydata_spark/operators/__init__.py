@@ -52,8 +52,33 @@ PREBUILDS = {
     "_build_topk_sketch_table": aqp_ops._topk_table_session,
 }
 
+# Registry queries SERVED BY the build-once sessions above.  Sweep
+# harnesses run every other query FIRST on a fresh heap, then force the
+# builds (timed as _build_* rows), then these: the live index sessions
+# pin JVM memory (broadcasts, plan state) that heavy standalone
+# self-joins need as execution headroom — at sf100, builds-first OOMed
+# dedup_ngram_jaccard/dedup_containment, which pass on a fresh heap.
+INDEX_SERVED = frozenset({
+    "aqp_topk_table_sql",
+    "aqp_topk_sketch_table_sql",
+    "aqp_topk_streamsummary_evictions",
+    "aqp_topk_range_guaranteed_min",
+    "dedup_minhash_lsh_index",
+    "dedup_incoming_batch_gate",
+    "dedup_incoming_batch_gate_members",
+    "sim_ivf_sq8_index_topk",
+    "sim_ann_sql_routed",
+    "sim_ann_threshold_sql_routed",
+    "sim_ann_batch_sql_routed",
+    "sim_ann_batch_topk",
+    "txt_bm25_index_topk",
+    "txt_bm25_sql_routed",
+    "txt_bm25_batch_sql_routed",
+    "txt_bm25_batch_topk",
+})
+
 
 __all__ = [
     "QUERIES", "ORACLES", "register", "reset_build_once_sessions",
-    "PREBUILDS",
+    "PREBUILDS", "INDEX_SERVED",
 ]

@@ -37,6 +37,7 @@ def main():
 
     from snappydata_spark import get_spark
     from snappydata_spark.operators import (
+        INDEX_SERVED,
         PREBUILDS,
         QUERIES,
         reset_build_once_sessions,
@@ -91,14 +92,26 @@ def main():
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)
 
-    _prebuild()
-    for name, fn in sorted(QUERIES.items()):
+    # Standalone queries run FIRST on a fresh heap; the build-once index
+    # sessions are forced (and timed as _build_* rows) only when the
+    # first INDEX_SERVED query comes up — the live sessions pin JVM
+    # memory the heavy standalone self-joins need (at sf100,
+    # builds-first OOMed dedup_ngram_jaccard/containment, which pass in
+    # r9's lazy order; this keeps that order WITH build attribution).
+    prebuilt = False
+    ordered = sorted(
+        QUERIES.items(), key=lambda kv: (kv[0] in INDEX_SERVED, kv[0])
+    )
+    for name, fn in ordered:
         if name_filter and not any(name.startswith(f) for f in name_filter):
             continue
         if name in skip_names:
             continue
         if name in results and "err" not in results[name]:
             continue
+        if name in INDEX_SERVED and not prebuilt:
+            _prebuild()
+            prebuilt = True
         # one retry on a fresh context: a fatal executor error from the
         # PREVIOUS query (e.g. a deliberately over-scale rehearsal row)
         # must not cascade into this one
@@ -142,7 +155,8 @@ def main():
                 pass
             spark = get_spark("registry-scale-sweep")
             reset_build_once_sessions()
-            _prebuild()  # rebuild index sessions against the live context
+            if prebuilt:
+                _prebuild()  # rebuild index sessions for the live context
             if "err" not in results[name]:
                 break  # died but the result was already in; keep it
         tmp = out_path + ".tmp"
