@@ -33,24 +33,45 @@ TPCH_TABLES = (
 REPLICATED = frozenset({"region", "nation", "supplier"})
 
 
+# (applicationId, abspath) → resolved DataFrame.  spark.read.parquet
+# does driver-side file listing + footer schema resolution EVERY call
+# (~150-250 ms per query at sf0.1 — same-plan queries measured 1.5-2×
+# the latency of their SQL-over-registered-view twins purely from this);
+# the testdata tables are immutable, so the resolved frame is reusable.
+# Keyed by applicationId so a restarted context never serves a frame
+# whose file index belongs to a dead session.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
-    """Load the driver-generated parquet tables as DataFrames."""
+    """Load the driver-generated parquet tables as DataFrames (resolved
+    once per (SparkContext, path) — these inputs are immutable)."""
     out: dict[str, DataFrame] = {}
+    app_id = spark.sparkContext.applicationId
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
-            # rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set
-            # in get_spark) it arrives as int64 nanos — convert to a real
-            # timestamp with the same ns→µs truncation DuckDB applies.
-            if dict(df.dtypes).get("ts") == "bigint":
-                # integer division: ns values exceed double's 53-bit mantissa
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        key = (app_id, os.path.abspath(path))
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            if not os.path.exists(path):
+                continue
+            df = spark.read.parquet(path)
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
+                # rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set
+                # in get_spark) it arrives as int64 nanos — convert to a real
+                # timestamp with the same ns→µs truncation DuckDB applies.
+                if dict(df.dtypes).get("ts") == "bigint":
+                    # integer division: ns values exceed double's 53-bit
+                    # mantissa
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            if len(_TABLE_CACHE) > 512:  # dead-context entries, bounded
+                _TABLE_CACHE.clear()
+            _TABLE_CACHE[key] = df
         out[name] = df
     return out
 
