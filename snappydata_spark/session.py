@@ -480,6 +480,10 @@ class SnappySession:
         # deferred-manifest mode for atomic cross-table commits: while a
         # dict, _manifest_commit stages payloads instead of publishing
         self._staged_manifests: dict | None = None
+        # connection/system properties (SET ...) — initialized BEFORE the
+        # tx roll-forward below: recovery takes table locks, and the lock
+        # guard reads the max-lock-wait property via get_conf (r10)
+        self._engine_confs: dict[str, str] = {}
         self._load_registry()
         # roll forward any multi-table commit a crashed process left
         # behind its commit point (see commit(): intent-log two-phase)
@@ -498,7 +502,6 @@ class SnappySession:
         self._cqs: dict[str, tuple[DataFrame, object, str]] = {}
         self._active_cqs: dict[str, object] = {}
         self._streaming_trigger: str | None = None
-        self._engine_confs: dict[str, str] = {}
         self.current_user: str = ""
         # disambiguates bucketed catalog-table names across SnappySession
         # instances sharing one SparkSession (e.g. test fixtures).  Derived
