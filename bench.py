@@ -37,6 +37,36 @@ def _load1() -> float:
     except OSError:
         return -1.0
 
+
+# r10 verdict: the apparent r9->r10 "regression" was entirely rows timed
+# at load1 3.3-5.4 — the host, not the code.  Guard every measurement:
+# wait (bounded) for a quiet window before timing, and stamp rows that
+# never got one `contended: true` so round-over-round deltas can discount
+# them instead of reading weather as regression.
+QUIET_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD1", "2.0"))
+QUIET_RETRIES = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_RETRIES", "3")))
+QUIET_SLEEP = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_SLEEP", "20"))
+
+
+def _quiet_window(label: str) -> tuple[float, bool]:
+    """Return (load1, contended).  Sleeps up to QUIET_RETRIES x QUIET_SLEEP
+    seconds waiting for the 1-min load average to drop under QUIET_LOAD1;
+    if it never does, the caller stamps the row contended rather than
+    publishing a weather measurement as if it were a code delta."""
+    load1 = _load1()
+    tries = 0
+    while 0 <= QUIET_LOAD1 < load1 and tries < QUIET_RETRIES:
+        print(
+            f"# {label}: load1={load1} > {QUIET_LOAD1}, waiting "
+            f"{QUIET_SLEEP:.0f}s for a quiet window "
+            f"({tries + 1}/{QUIET_RETRIES})",
+            file=sys.stderr,
+        )
+        time.sleep(QUIET_SLEEP)
+        load1 = _load1()
+        tries += 1
+    return load1, 0 <= QUIET_LOAD1 < load1
+
 HEADLINE = [
     "tpch_q01_pricing_summary",
     "tpch_q03_shipping_priority",
@@ -204,6 +234,7 @@ def cold_main() -> None:
     from snappydata_spark import SnappySession, get_spark
     from snappydata_spark.operators import QUERIES
 
+    load1_start, contended = _quiet_window("cold_lane")
     spark = get_spark("bench-cold")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
@@ -254,7 +285,8 @@ def cold_main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "reps": 1,  # cold = the FIRST run by definition; reps don't apply
-        "load1_start": _load1(),
+        "load1_start": load1_start,
+        "contended": contended,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "note": (
@@ -411,7 +443,7 @@ def main() -> None:
         # reference methodology (Quickstart.scala:52-84 does 3 warmups +
         # 5 timed runs): one warmup run amortizes codegen/classloading,
         # then REPS timed runs; the median is the reported wall.
-        load1 = _load1()
+        load1, contended = _quiet_window(name)
         fn(spark, SF_DIR).count()
         runs, n = [], 0
         for _ in range(REPS):
@@ -421,6 +453,8 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = {"min": min(runs), "max": max(runs), "load1": load1}
+        if contended:
+            spread[name]["contended"] = True
         print(
             f"# {name}: {timings[name]}s median of {runs} ({n} rows, "
             f"load1={load1})",
@@ -434,7 +468,7 @@ def main() -> None:
         # is unaffected (both runs happen before the clear).
         spark.catalog.clearCache()
 
-    load1 = _load1()
+    load1, contended = _quiet_window("plan_cache_20_repeats")
     runs = []
     for _ in range(REPS):
         t0 = time.time()
@@ -444,13 +478,15 @@ def main() -> None:
     spread["plan_cache_20_repeats"] = {
         "min": min(runs), "max": max(runs), "load1": load1,
     }
+    if contended:
+        spread["plan_cache_20_repeats"]["contended"] = True
     print(
         f"# plan_cache_20_repeats: {timings['plan_cache_20_repeats']}s "
         f"median of {runs}",
         file=sys.stderr,
     )
 
-    load1 = _load1()
+    load1, contended = _quiet_window("plan_cache_hit_vs_cold")
     hits, colds = [], []
     for _ in range(REPS):
         hit, cold = plan_cache_hit_vs_cold(spark, SF_DIR)
@@ -464,6 +500,9 @@ def main() -> None:
     spread["plan_cache_20_cold"] = {
         "min": min(colds), "max": max(colds), "load1": load1,
     }
+    if contended:
+        spread["plan_cache_20_hits"]["contended"] = True
+        spread["plan_cache_20_cold"]["contended"] = True
     print(
         f"# plan_cache hit={timings['plan_cache_20_hits']}s vs "
         f"cold={timings['plan_cache_20_cold']}s "
@@ -472,7 +511,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    load1 = _load1()
+    load1, contended = _quiet_window("colocated_join_delta")
     plains, colocs = colocated_join_delta(spark, SF_DIR, reps=REPS)
     timings["join_agg_plain_parquet"] = round(
         statistics.median(plains), 3
@@ -486,6 +525,9 @@ def main() -> None:
     spread["join_agg_colocated_buckets"] = {
         "min": min(colocs), "max": max(colocs), "load1": load1,
     }
+    if contended:
+        spread["join_agg_plain_parquet"]["contended"] = True
+        spread["join_agg_colocated_buckets"]["contended"] = True
     print(
         f"# colocated join: plain={timings['join_agg_plain_parquet']}s "
         f"bucketed={timings['join_agg_colocated_buckets']}s "
@@ -511,6 +553,13 @@ def main() -> None:
         # is measuring the host, not the code
         "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # quiet-window guard (r10 verdict): rows listed here were timed at
+        # load1 > quiet_load1 even after bounded retries — discount their
+        # deltas before reading them as regressions
+        "quiet_load1": QUIET_LOAD1,
+        "contended_rows": sorted(
+            k for k, v in spread.items() if v.get("contended")
+        ),
     }
     # cold lane in a child process (fresh JVM): full detail lands in
     # BENCH.json's "cold" section; set SPARK_GRAFT_SKIP_COLD=1 to skip

@@ -24,7 +24,13 @@ def duck_connect(sf_dir: str):
         "documents embeddings".split()
     ):
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # synthesized scale dirs (tools/gen_sf.py) write each table as
+            # a directory of part files, like a Spark write would
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
@@ -67,8 +73,14 @@ def canon(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    name_filter = argv[1] if len(argv) > 1 else ""
 
     from snappydata_spark import get_spark
     from snappydata_spark.operators import QUERIES, ORACLES
@@ -77,6 +89,26 @@ def main():
     con = duck_connect(sf_dir)
 
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, rows_match, schema_match, hash_match, s_rows, o_rows, err,
+               secs=None):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "err": err,
+        }
+        if secs is not None:
+            report[name]["secs"] = round(secs, 2)
+        if json_out:
+            import json
+
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=2)
+
     for name, fn in sorted(QUERIES.items()):
         if name_filter and name_filter not in name:
             continue
@@ -87,6 +119,8 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            record(name, False, False, False, None, None,
+                   f"spark {type(e).__name__}: {e}"[:500])
             continue
         finally:
             # some operators persist() intermediates for their own multi-
@@ -95,22 +129,29 @@ def main():
             spark.catalog.clearCache()
         if name not in ORACLES:
             print(f"ok?   {name}: rows={len(spdf)} (no oracle — rows-only)")
+            record(name, True, True, None, len(spdf), None, None,
+                   time.time() - t0)
             continue
         try:
             dpdf = con.execute(ORACLES[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
+            record(name, False, False, False, len(spdf), None,
+                   f"duckdb: {e}"[:500])
             continue
         dt = time.time() - t0
         scols, dcols = list(spdf.columns), list(dpdf.columns)
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             failures.append(name)
             print(f"FAIL  {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            record(name, len(spdf) == len(dpdf), False, False, len(spdf),
+                   len(dpdf), None, dt)
             continue
         if len(spdf) != len(dpdf):
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(spdf)} duck={len(dpdf)}")
+            record(name, False, True, False, len(spdf), len(dpdf), None, dt)
             continue
         try:
             sc = canon(spdf)
@@ -118,6 +159,8 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: canonicalizer error {type(e).__name__}: {e}")
+            record(name, True, True, False, len(spdf), len(dpdf),
+                   f"canon {type(e).__name__}: {e}"[:500], dt)
             continue
         if sc != dc:
             failures.append(name)
@@ -127,8 +170,10 @@ def main():
             print(f"FAIL  {name}: value mismatch at sorted-row {diff[0]}:")
             print(f"      spark: {diff[1][:200]}")
             print(f"      duck : {diff[2][:200]}")
+            record(name, True, True, False, len(spdf), len(dpdf), None, dt)
             continue
         print(f"PASS  {name}: rows={len(spdf)} ({dt:.1f}s)")
+        record(name, True, True, True, len(spdf), len(dpdf), None, dt)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
