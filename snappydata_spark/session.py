@@ -72,6 +72,29 @@ class _TableMutationLock:
         self._path = lock_path
         self._depth = 0  # mutated only while _rlock is held
         self._fh = None
+        # flock PINS (r11 disjoint-writer concurrency): a downgraded
+        # writer releases the in-process rlock so disjoint-radius peers
+        # can proceed, but must keep serializing OTHER PROCESSES at table
+        # granularity — it pins the flock across the downgrade.  _state
+        # guards the fh/pin/depth transitions that happen outside _rlock.
+        self._pins = 0
+        self._state = threading.Lock()
+
+    def pin_flock(self) -> None:
+        """Keep the cross-process flock held after this thread releases
+        its rlock acquisition.  Call only while holding the lock."""
+        with self._state:
+            self._pins += 1
+
+    def unpin_flock(self) -> None:
+        with self._state:
+            self._pins -= 1
+            if self._pins == 0 and self._depth == 0 and self._fh is not None:
+                try:
+                    _fcntl.flock(self._fh, _fcntl.LOCK_UN)
+                finally:
+                    self._fh.close()
+                    self._fh = None
 
     def acquire(self, timeout_s: float | None = None):
         import errno
@@ -87,18 +110,23 @@ class _TableMutationLock:
                 f"40XL1: lock on {self._path} not obtained within "
                 f"{timeout_s:g}s (gemfirexd.max-lock-wait)"
             )
-        self._depth += 1
-        if self._depth == 1 and _fcntl is not None:
+        with self._state:
+            self._depth += 1
+            need_flock = (
+                self._depth == 1 and self._fh is None and _fcntl is not None
+            )
+        if need_flock:
+            fh = None
             try:
                 os.makedirs(os.path.dirname(self._path), exist_ok=True)
-                self._fh = open(self._path, "w")  # noqa: SIM115
+                fh = open(self._path, "w")  # noqa: SIM115
                 if deadline is None:
-                    _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+                    _fcntl.flock(fh, _fcntl.LOCK_EX)
                 else:
                     while True:
                         try:
                             _fcntl.flock(
-                                self._fh, _fcntl.LOCK_EX | _fcntl.LOCK_NB
+                                fh, _fcntl.LOCK_EX | _fcntl.LOCK_NB
                             )
                             break
                         except OSError as e:
@@ -106,9 +134,9 @@ class _TableMutationLock:
                                 raise  # not "held elsewhere" — fall back
                             remaining = deadline - _time.monotonic()
                             if remaining <= 0:
-                                self._fh.close()
-                                self._fh = None
-                                self._depth -= 1
+                                fh.close()
+                                with self._state:
+                                    self._depth -= 1
                                 self._rlock.release()
                                 raise LockTimeout(
                                     f"40XL1: lock on {self._path} not "
@@ -117,24 +145,30 @@ class _TableMutationLock:
                                     "another process"
                                 ) from None
                             _time.sleep(min(0.05, remaining))
+                with self._state:
+                    self._fh = fh
             except LockTimeout:
                 raise
             except OSError:
                 # store on a filesystem without flock: fall back to
                 # in-process serialization only
-                if self._fh is not None:
-                    self._fh.close()
-                self._fh = None
+                if fh is not None:
+                    fh.close()
         return self
 
     def release(self) -> None:
-        if self._depth == 1 and self._fh is not None:
+        with self._state:
+            self._depth -= 1
+            drop = (
+                self._depth == 0 and self._pins == 0 and self._fh is not None
+            )
+            if drop:
+                fh, self._fh = self._fh, None
+        if drop:
             try:
-                _fcntl.flock(self._fh, _fcntl.LOCK_UN)
+                _fcntl.flock(fh, _fcntl.LOCK_UN)
             finally:
-                self._fh.close()
-                self._fh = None
-        self._depth -= 1
+                fh.close()
         self._rlock.release()
 
     def __enter__(self):
@@ -162,6 +196,164 @@ class _LockGuard:
 
 _MUTATION_LOCKS: dict[tuple[str, str], _TableMutationLock] = {}
 _MUTATION_LOCKS_GUARD = threading.Lock()
+
+
+class _MutationRetry(Exception):
+    """Internal control flow: a mutation observed an intersecting
+    in-flight write claim; its computed blast radius is stale once the
+    rival commits, so the whole operation re-runs against fresh state."""
+
+
+class _TableWriteClaims:
+    """Per-(store, table) write-claim registry — the engine analogue of
+    the reference's ROW-level write locks (using_transactions_row.md:
+    writers on disjoint rows of one table both commit).  A pruned
+    mutation claims its blast radius (live data-file names + key-hash
+    tokens) and runs its rewrite OUTSIDE the table mutation lock;
+    writers whose claims intersect wait and retry.  In-process only:
+    cross-process writers still serialize on the table flock, which a
+    claim holder keeps pinned for its duration (documented divergence —
+    the reference's distributed lock service spans members; a shared
+    filesystem flock has no sub-table granularity)."""
+
+    def __init__(self):
+        self.cond = threading.Condition()
+        self.by_owner: dict[int, frozenset] = {}
+
+    def try_claim(self, owner: int, tokens: frozenset) -> bool:
+        with self.cond:
+            for o, t in self.by_owner.items():
+                if o != owner and t & tokens:
+                    return False
+            self.by_owner[owner] = tokens
+            return True
+
+    def release(self, owner: int) -> None:
+        with self.cond:
+            if self.by_owner.pop(owner, None) is not None:
+                self.cond.notify_all()
+
+    def has_others(self, owner: int | None) -> bool:
+        with self.cond:
+            return any(o != owner for o in self.by_owner)
+
+    def wait_clear(
+        self, owner: int, tokens: frozenset | None, deadline: float
+    ) -> bool:
+        """Block until no OTHER owner's claim intersects `tokens`
+        (None = until no other claim exists at all).  True once clear;
+        False on deadline expiry.  Callers must NOT hold the table
+        mutation lock (a claim holder needs it briefly to commit)."""
+        import time as _time
+
+        with self.cond:
+            while True:
+                busy = any(
+                    o != owner and (tokens is None or t & tokens)
+                    for o, t in self.by_owner.items()
+                )
+                if not busy:
+                    return True
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return False
+                self.cond.wait(min(remaining, 1.0))
+
+
+_TABLE_CLAIMS: dict[tuple[str, str], _TableWriteClaims] = {}
+_TABLE_CLAIMS_GUARD = threading.Lock()
+
+
+class _WriteScope:
+    """One mutation's locking lifecycle.  Starts holding the exclusive
+    table lock (classic behavior).  A pruned mutation with a computed
+    blast radius may `downgrade(tokens)`: claim the radius, pin the
+    cross-process flock, and release the in-process lock so writers with
+    DISJOINT radii proceed concurrently; the manifest commit re-takes
+    the table lock briefly.  `ensure_exclusive()` is the other side:
+    whole-table actions wait out any in-flight claims (releasing the
+    lock while waiting, then retrying the mutation from scratch)."""
+
+    def __init__(self, session: "SnappySession", name: str):
+        import time as _time
+
+        self.session = session
+        self.name = session._canon(name)
+        self.lock, self.timeout_s = session._lock_and_timeout(name)
+        self.claims = session._claims(name)
+        self.owner = id(self)
+        self.holding_lock = False
+        self.downgraded = False
+        self.deadline = _time.monotonic() + (self.timeout_s or 300.0)
+
+    def _remaining(self) -> float:
+        import time as _time
+
+        return self.deadline - _time.monotonic()
+
+    def enter(self) -> None:
+        remaining = self._remaining()
+        if remaining <= 0:
+            raise LockTimeout(
+                f"40XL1: mutation of {self.name} exceeded "
+                "gemfirexd.max-lock-wait across claim retries"
+            )
+        self.lock.acquire(remaining)
+        self.holding_lock = True
+
+    def exit(self) -> None:
+        if self.downgraded:
+            self.claims.release(self.owner)
+            self.lock.unpin_flock()
+            self.downgraded = False
+        if self.holding_lock:
+            self.lock.release()
+            self.holding_lock = False
+
+    def reset_for_retry(self) -> None:
+        """Re-arm after _MutationRetry: the scope released the table lock
+        before waiting; re-acquire it for the next attempt."""
+        if not self.holding_lock:
+            self.enter()
+
+    def downgrade(self, tokens: frozenset) -> None:
+        """Swap the exclusive table lock for a claim on `tokens`.  On
+        intersection with an in-flight claim: release the lock, wait for
+        the blockers, and raise _MutationRetry (the caller's file list
+        is stale once the rival commits)."""
+        assert self.holding_lock and not self.downgraded
+        if self.claims.try_claim(self.owner, tokens):
+            self.lock.pin_flock()
+            self.lock.release()
+            self.holding_lock = False
+            self.downgraded = True
+            return
+        self.lock.release()
+        self.holding_lock = False
+        if not self.claims.wait_clear(self.owner, tokens, self.deadline):
+            raise LockTimeout(
+                f"40XL1: write claim on {self.name} not obtained within "
+                "gemfirexd.max-lock-wait — intersecting writer in flight"
+            )
+        raise _MutationRetry
+
+    def ensure_exclusive(self) -> None:
+        """Whole-table action gate: with claim holders in flight, release
+        the lock, wait them out, and retry the mutation.  No-op during a
+        transaction replay (commit() drains claims before applying)."""
+        if self.session._staged_manifests is not None:
+            return
+        if not self.claims.has_others(self.owner):
+            return
+        if self.holding_lock:
+            self.lock.release()
+            self.holding_lock = False
+        if not self.claims.wait_clear(self.owner, None, self.deadline):
+            raise LockTimeout(
+                f"40XL1: exclusive access to {self.name} not obtained "
+                "within gemfirexd.max-lock-wait — claim holders in flight"
+            )
+        raise _MutationRetry
 
 
 class TransactionConflict(Exception):
@@ -306,8 +498,14 @@ _TX_FORBIDDEN = {"truncate_table", "alter_table", "compact_table"}
 
 
 def _serialized(fn):
-    """Serialize a (self, table_name, ...) mutation per table — one
-    writer's read→rewrite→swap section at a time (see _table_lock).
+    """Per-table write section for a (self, table_name, ...) mutation.
+    Default: exclusive table lock for the whole read→rewrite→swap (see
+    _table_lock).  Pruned mutations may DOWNGRADE to a blast-radius
+    claim mid-flight (see _WriteScope) — disjoint-radius writers then
+    commit concurrently, the reference's row-write-lock behavior
+    (using_transactions_row.md).  A _MutationRetry (stale radius after
+    waiting out an intersecting claim) re-runs the mutation from
+    scratch against fresh state, bounded by gemfirexd.max-lock-wait.
     With an explicit transaction open, stageable mutations buffer into
     the transaction instead of executing."""
     import functools
@@ -322,13 +520,30 @@ def _serialized(fn):
                     f"{fn.__name__} is not allowed inside a transaction "
                     "(the reference rejects DDL with autocommit off)"
                 )
-        with self._table_lock(name):
-            result = fn(self, name, *args, **kwargs)
+        scope = _WriteScope(self, name)
+        scope.enter()
+        stack = self._scope_stack()
+        stack.append(scope)
+        try:
+            for _ in range(64):  # livelock backstop; deadline is the gate
+                try:
+                    if fn.__name__ in _EXCLUSIVE_REQUIRED:
+                        scope.ensure_exclusive()
+                    result = fn(self, name, *args, **kwargs)
+                    break
+                except _MutationRetry:
+                    scope.reset_for_retry()
+            else:
+                raise LockTimeout(
+                    f"40XL1: mutation of {name} kept losing claim races"
+                )
             # maintain materialized ANN indexes on the mutated table with
             # the stored model — assignment + encoding only, never a
             # training job (IndexColumnFormatRelation's index-updated-on-
             # mutation contract).  put/insert narrow the refresh to the
             # source rows; other mutations re-derive + prune stale keys.
+            # (Tables with ANN indexes / samples never downgrade —
+            # _claims_eligible — so this still runs under the table lock.)
             if fn.__name__ in _ANN_MAINTAINED:
                 if getattr(self, "_ann_indexes", None):
                     src = pred = None
@@ -341,8 +556,17 @@ def _serialized(fn):
                     )
                 self._sample_maintain(name)
             return result
+        finally:
+            stack.pop()
+            scope.exit()
 
     return wrapper
+
+
+# whole-table operations: never downgrade, and must wait out in-flight
+# claim holders before acting (insert is append-only — new files under
+# fresh names, manifest add-only commit — so it composes with claims)
+_EXCLUSIVE_REQUIRED = {"truncate_table", "alter_table", "compact_table"}
 
 
 _ANN_MAINTAINED = {"put", "insert", "update", "delete", "delete_from",
@@ -636,92 +860,124 @@ class SnappySession:
                 return  # documented no-op (allow-explicit-commit.md)
             raise ValueError("no transaction in progress")
         self._tx = None  # replay goes through the normal mutation paths
+        import time as _time
         from contextlib import ExitStack
 
         try:
-            with ExitStack() as stack:
-                for t in sorted(tx["ops"]):
-                    stack.enter_context(self._table_lock(t))
-                for t in sorted(tx["ops"]):
-                    if self._table_snapshot_token(t) == tx["tokens"][t]:
-                        continue  # table untouched since first touch
-                    # Key-level check (reference: row write locks /
-                    # use_transactions_isolation_levels.md — writers on
-                    # DISJOINT rows of one table both commit): the table
-                    # changed, but conflict only if a row THIS tx writes
-                    # was itself changed.  Re-fingerprint the committed
-                    # rows under our touched keys and compare with the
-                    # fingerprints taken at stage time.
-                    touched = tx["keys"].get(t)
-                    if touched is None:
-                        raise TransactionConflict(
-                            f"table {t} was modified by another writer "
-                            "since this transaction first touched it"
-                        )
-                    now_fps = self._key_fingerprints(t, touched)
-                    before_fps = tx["row_fps"].get(t, {})
-                    changed = [
-                        k
-                        for k in touched
-                        if before_fps.get(k) != now_fps.get(k)
-                    ]
-                    if changed:
-                        raise TransactionConflict(
-                            f"row(s) {sorted(changed)[:5]} of {t} were "
-                            "modified by another writer since this "
-                            "transaction staged its writes"
-                        )
-                # Cross-table crash atomicity (reference: store-level tx,
-                # SnapshotConnectionListener.scala:395), two-phase:
-                # (1) apply every op with manifest publication DEFERRED —
-                #     data files land on disk as invisible orphans and
-                #     each table's would-be generation is staged beside
-                #     its manifest;
-                # (2) write ONE intent record listing every staged
-                #     manifest (os.replace — the atomic COMMIT POINT);
-                # (3) publish each staged manifest into place and drop
-                #     the intent record.
-                # A crash before (2) leaves every table on its old
-                # generation (staged files are unreferenced garbage); a
-                # crash during (3) rolls FORWARD on the next session over
-                # the store (_recover_tx_intents).  Index/sample tables
-                # maintained by the ops join the same atomic group.
-                import uuid
-
-                self._tx_commit_id = uuid.uuid4().hex
-                self._staged_manifests = {}
-                try:
+            timeout_s = 300.0
+            if tx["ops"]:
+                timeout_s = self._lock_and_timeout(next(iter(tx["ops"])))[1]
+            deadline = _time.monotonic() + timeout_s
+            while True:
+                with ExitStack() as stack:
                     for t in sorted(tx["ops"]):
-                        for kind, args, kwargs in tx["ops"][t]:
-                            getattr(self, kind)(t, *args, **kwargs)
-                    staged = self._staged_manifests
-                finally:
-                    self._staged_manifests = None
-                if staged:
-                    import json
-
-                    txdir = os.path.join(self.catalog.base_dir, "_tx")
-                    os.makedirs(txdir, exist_ok=True)
-                    intent = {
-                        "tables": {
-                            n: {"staged": v["staged"], "gen": v["payload"]["gen"]}
-                            for n, v in staged.items()
-                        }
-                    }
-                    ipath = os.path.join(txdir, f"{self._tx_commit_id}.json")
-                    tmp = ipath + ".tmp"
-                    with open(tmp, "w") as f:
-                        json.dump(intent, f)
-                    os.replace(tmp, ipath)  # ---- commit point ----
-                    for n, v in staged.items():
-                        self._publish_staged(n, v["staged"], v["payload"])
-                    os.remove(ipath)
+                        stack.enter_context(self._table_lock(t))
+                    # single-statement writers that DOWNGRADED to a
+                    # blast-radius claim run outside the table lock —
+                    # drain them before replaying (replay assumes
+                    # exclusive tables).  New claims can't appear while
+                    # we hold every lock (claiming requires the table
+                    # lock), so a clean check here is stable.
+                    busy = [
+                        t
+                        for t in sorted(tx["ops"])
+                        if self._claims(t).has_others(None)
+                    ]
+                    if not busy:
+                        self._commit_locked(tx)
+                        break
+                # all locks released: wait out the claim holders, retry
+                for t in busy:
+                    if not self._claims(t).wait_clear(-1, None, deadline):
+                        raise LockTimeout(
+                            f"40XL1: commit could not drain claim holders "
+                            f"on {t} within gemfirexd.max-lock-wait"
+                        )
         finally:
             self._tx_cleanup(tx)
             if not self._autocommit and self._tx is None:
                 # chained transactions (JDBC autocommit-off): the next
                 # statement runs inside a fresh implicit transaction
                 self.begin_transaction()
+
+    def _commit_locked(self, tx: dict) -> None:
+        """commit() body once every touched-table lock is held and claim
+        holders are drained: optimistic conflict checks, then the
+        two-phase cross-table-atomic replay."""
+        for t in sorted(tx["ops"]):
+            if self._table_snapshot_token(t) == tx["tokens"][t]:
+                continue  # table untouched since first touch
+            # Key-level check (reference: row write locks /
+            # use_transactions_isolation_levels.md — writers on
+            # DISJOINT rows of one table both commit): the table
+            # changed, but conflict only if a row THIS tx writes
+            # was itself changed.  Re-fingerprint the committed
+            # rows under our touched keys and compare with the
+            # fingerprints taken at stage time.
+            touched = tx["keys"].get(t)
+            if touched is None:
+                raise TransactionConflict(
+                    f"table {t} was modified by another writer "
+                    "since this transaction first touched it"
+                )
+            now_fps = self._key_fingerprints(t, touched)
+            before_fps = tx["row_fps"].get(t, {})
+            changed = [
+                k
+                for k in touched
+                if before_fps.get(k) != now_fps.get(k)
+            ]
+            if changed:
+                raise TransactionConflict(
+                    f"row(s) {sorted(changed)[:5]} of {t} were "
+                    "modified by another writer since this "
+                    "transaction staged its writes"
+                )
+        # Cross-table crash atomicity (reference: store-level tx,
+        # SnapshotConnectionListener.scala:395), two-phase:
+        # (1) apply every op with manifest publication DEFERRED —
+        #     data files land on disk as invisible orphans and
+        #     each table's would-be generation is staged beside
+        #     its manifest;
+        # (2) write ONE intent record listing every staged
+        #     manifest (os.replace — the atomic COMMIT POINT);
+        # (3) publish each staged manifest into place and drop
+        #     the intent record.
+        # A crash before (2) leaves every table on its old
+        # generation (staged files are unreferenced garbage); a
+        # crash during (3) rolls FORWARD on the next session over
+        # the store (_recover_tx_intents).  Index/sample tables
+        # maintained by the ops join the same atomic group.
+        import uuid
+
+        self._tx_commit_id = uuid.uuid4().hex
+        self._staged_manifests = {}
+        try:
+            for t in sorted(tx["ops"]):
+                for kind, args, kwargs in tx["ops"][t]:
+                    getattr(self, kind)(t, *args, **kwargs)
+            staged = self._staged_manifests
+        finally:
+            self._staged_manifests = None
+        if staged:
+            import json
+
+            txdir = os.path.join(self.catalog.base_dir, "_tx")
+            os.makedirs(txdir, exist_ok=True)
+            intent = {
+                "tables": {
+                    n: {"staged": v["staged"], "gen": v["payload"]["gen"]}
+                    for n, v in staged.items()
+                }
+            }
+            ipath = os.path.join(txdir, f"{self._tx_commit_id}.json")
+            tmp = ipath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(intent, f)
+            os.replace(tmp, ipath)  # ---- commit point ----
+            for n, v in staged.items():
+                self._publish_staged(n, v["staged"], v["payload"])
+            os.remove(ipath)
 
     def rollback(self) -> None:
         tx = self._tx
@@ -915,7 +1171,7 @@ class SnappySession:
         self.current_schema = schema.strip().lower()
         self.plan_cache.clear()  # cached plans bound names in the old schema
 
-    def _table_lock(self, name: str) -> "_LockGuard":
+    def _lock_and_timeout(self, name: str) -> tuple[_TableMutationLock, float]:
         # RLock semantics: put() on an empty table delegates to insert()
         # in-thread, so the same thread re-enters without re-flocking
         key = (os.path.abspath(self.catalog.base_dir), self._canon(name))
@@ -930,7 +1186,116 @@ class SnappySession:
         wait_ms = float(
             self.get_conf("snappydata.max-lock-wait", 300000) or 300000
         )
-        return _LockGuard(lock, wait_ms / 1000.0)
+        return lock, wait_ms / 1000.0
+
+    def _table_lock(self, name: str) -> "_LockGuard":
+        lock, timeout_s = self._lock_and_timeout(name)
+        return _LockGuard(lock, timeout_s)
+
+    def _claims(self, name: str) -> _TableWriteClaims:
+        key = (os.path.abspath(self.catalog.base_dir), self._canon(name))
+        with _TABLE_CLAIMS_GUARD:
+            claims = _TABLE_CLAIMS.get(key)
+            if claims is None:
+                claims = _TABLE_CLAIMS[key] = _TableWriteClaims()
+        return claims
+
+    def _scope_stack(self) -> list:
+        """Per-thread stack of active _WriteScopes (sessions are shared
+        across threads; a scope belongs to the thread that opened it)."""
+        tl = getattr(self, "_scope_tl", None)
+        if tl is None:
+            tl = self._scope_tl = threading.local()
+        if not hasattr(tl, "scopes"):
+            tl.scopes = []
+        return tl.scopes
+
+    def _current_write_scope(self) -> "_WriteScope | None":
+        stack = self._scope_stack()
+        return stack[-1] if stack else None
+
+    def _claims_eligible(self, meta: TableMeta) -> bool:
+        """May a pruned mutation of this table downgrade to a blast-radius
+        claim and run beside disjoint writers?  Only when nothing about
+        the table requires observing the WHOLE post-state of a rival
+        write: no bucketed layout (its mutation journal + eager deletes
+        assume one writer), no UNIQUE/FK constraints (their validators
+        scan the full table), nothing referencing it, no identity columns
+        (assignment reads the current max), no clustered/ANN index or
+        dependent sample/topk table (maintained synchronously under the
+        table lock).  Everything else serializes exactly as before."""
+        if self._staged_manifests is not None:
+            return False  # tx replay: commit() already drained claims
+        name = meta.name.lower()
+        if self._is_bucketed(meta):
+            return False
+        if self._meta_uniques(meta) or self._meta_fks(meta):
+            return False
+        if self._referencing_fks(meta.name):
+            return False
+        if self._meta_identities(meta):
+            return False
+        if self._index_cols(meta.name):
+            return False
+        if any(
+            v.get("table") == name
+            for v in (getattr(self, "_ann_indexes", None) or {}).values()
+        ):
+            return False
+        for t in self.catalog.list_tables():
+            m = self.catalog.load_meta(t)
+            if (
+                m.provider in ("sample", "topk")
+                and m.options.get("base_table") == name
+            ):
+                return False
+        return True
+
+    def _scope_gate(
+        self,
+        meta: TableMeta,
+        files: list[str] | None,
+        key_source: tuple[DataFrame, list[str]] | None = None,
+    ) -> None:
+        """Locking decision point for a pruned mutation, called once the
+        blast radius is known.  Eligible + bounded radius → downgrade the
+        current write scope to a file/key claim (disjoint writers commit
+        in parallel — reference row-write-lock semantics).  Otherwise
+        (full rewrite, constrained table) → wait out in-flight claim
+        holders and keep the classic exclusive table lock.  Either branch
+        may raise _MutationRetry, re-running the mutation fresh."""
+        scope = self._current_write_scope()
+        if scope is None or scope.downgraded:
+            return
+        if files is not None and self._claims_eligible(meta):
+            tokens = frozenset(
+                os.path.basename(self._local_path(f)) for f in files
+            )
+            if key_source is not None:
+                src, keys = key_source
+                tokens |= self._key_claim_tokens(src, keys)
+            scope.downgrade(tokens)
+        else:
+            scope.ensure_exclusive()
+
+    def _key_claim_tokens(
+        self, source: DataFrame, keys: list[str], buckets: int = 4096
+    ) -> frozenset:
+        """Key-space claim tokens for keyed upserts: two concurrent PUTs
+        of the SAME key whose key is new to the table have EMPTY file
+        radii — without a shared token both would append and duplicate
+        the key.  Hashing source keys into a bounded token space makes
+        them intersect (false-positive collisions just serialize)."""
+        rows = (
+            source.select(
+                F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(buckets)).alias(
+                    "__t"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        return frozenset(f"key:{r[0]}" for r in rows)
 
     # -------------------------------------------------------- registry persist
 
@@ -2171,6 +2536,15 @@ class SnappySession:
         )
         if not limit or self._is_bucketed(meta):
             return
+        # opportunistic maintenance must not run beside blast-radius
+        # claim holders (it merges files it didn't claim) — a downgraded
+        # or claim-adjacent writer just skips; the next quiet write
+        # flushes instead
+        scope = self._current_write_scope()
+        if scope is not None and scope.downgraded:
+            return
+        if self._claims(name).has_others(scope.owner if scope else None):
+            return
         cname = self._canon(name)
         live = self._live_files(cname)
         if live is None or len(live) < 2:
@@ -2244,6 +2618,10 @@ class SnappySession:
             files = self._bucket_affected_files(meta, df, keys)
             if files is None:
                 files = self._affected_files(target, source=df, keys=keys)
+            # key tokens guard the empty-radius case: two concurrent PUTs
+            # of the same NEW key touch zero common files but must still
+            # serialize, or both would append and duplicate the key
+            self._scope_gate(meta, files, key_source=(df, keys))
             if files is None:
                 self._rewrite(mutate.put_into_df(target, df, keys), meta)
                 return
@@ -2309,6 +2687,9 @@ class SnappySession:
             for _, fk in self._referencing_fks(meta.name)
         )
         files = self._affected_files(target, pred=where)
+        if files is not None and not files:
+            return  # nothing matched: zero writes
+        self._scope_gate(meta, files)
         if files is None:
             updated = mutate.update_df(target, where, assignments)
             self._validate_checks(meta, updated)
@@ -2320,8 +2701,6 @@ class SnappySession:
                 self._assert_no_fk_orphans(meta, updated)
             self._rewrite(updated, meta)
             return
-        if not files:
-            return  # nothing matched: zero writes
         if uq_hit:
             self._validate_uniques_full(
                 meta, mutate.update_df(target, where, assignments)
@@ -2356,10 +2735,11 @@ class SnappySession:
             # cover every child's non-null FK values
             self._assert_no_fk_orphans(meta, mutate.delete_df(target, where))
         files = self._affected_files(target, pred=where)
+        if files is not None and not files:
+            return
+        self._scope_gate(meta, files)
         if files is None:
             self._rewrite(mutate.delete_df(target, where), meta)
-            return
-        if not files:
             return
         touched = self._read_files(target.schema, files)
         if alias:
@@ -2387,10 +2767,11 @@ class SnappySession:
         files = self._bucket_affected_files(meta, df, keys)
         if files is None:
             files = self._affected_files(target, source=df, keys=keys)
+        if files is not None and not files:
+            return
+        self._scope_gate(meta, files)
         if files is None:
             self._rewrite(mutate.delete_from_df(target, df, keys), meta)
-            return
-        if not files:
             return
         touched = self._read_files(target.schema, files)
         self._replace_files(
@@ -6100,12 +6481,22 @@ class SnappySession:
                     )
                     added.append(f"mut-{stamp}-{f}")
             shutil.rmtree(tmp, ignore_errors=True)
-            self._manifest_commit(
-                meta.name,
-                add=added,
-                remove=[os.path.basename(self._local_path(f)) for f in files],
-                schema=schema,
-            )
+            # the manifest read-modify-write is the only section that
+            # needs the table lock: a DOWNGRADED writer (claims held,
+            # lock released — see _WriteScope) re-takes it just for this.
+            # Its removals can't collide: the claimed files are live and
+            # no intersecting writer is in flight.
+            with self._table_lock(meta.name):
+                self._manifest_commit(
+                    meta.name,
+                    add=added,
+                    remove=[
+                        os.path.basename(self._local_path(f)) for f in files
+                    ],
+                    schema=schema,
+                )
+                self._refresh_view(meta.name)
+            return
         self._refresh_view(meta.name)
 
     def _rewrite(self, result: DataFrame, meta: TableMeta) -> None:
