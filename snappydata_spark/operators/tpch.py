@@ -35,16 +35,57 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _rev_exact():
+    """Revenue term accumulated in EXACT decimal arithmetic.  The money
+    columns are 2-decimal values stored as doubles, so the casts are
+    lossless; decimal addition is associative, which makes the SUM
+    independent of partition/merge order.  Double sums drift in the last
+    cent at sf>=1 (6M+ rows per group): the sf1 differential caught q07
+    and q09 off the DuckDB oracle by 0.01 — not wrongness, but
+    accumulation-order noise that exact decimal removes at every scale.
+    The matching oracle casts the same way; the final value converts
+    back to DOUBLE so the output schema is unchanged."""
+    return _dec2("l_extendedprice") * _one_minus_disc()
+
+
+def _dec2(col: str, p: int = 12):
+    """Lossless decimal view of a 2-decimal money column stored as
+    double (quantities/prices/balances in the driver's tables are all
+    exact 2-decimal values)."""
+    return F.col(col).cast(f"decimal({p},2)")
+
+
+def _one_minus_disc():
+    # (1 - x) computes in double first — the identical IEEE op on both
+    # engines — then the cast pins it to the exact 2-decimal value
+    return (1 - F.col("l_discount")).cast("decimal(4,2)")
+
+
+def _one_plus_tax():
+    return (1 + F.col("l_tax")).cast("decimal(4,2)")
+
+
+def _sum_money(expr, alias: str):
+    """SUM a money term exactly, round while STILL decimal (a half-cent
+    tie must tie-break in decimal arithmetic on both engines — rounding
+    after a double cast flips .865 to .86 vs .87), then return to DOUBLE
+    so the output schema is unchanged."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
 # --------------------------------------------------------------------- Q1
 
 @register(
     "tpch_q01_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)      AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
        ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -66,10 +107,10 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _sum_money(_dec2("l_quantity"), "sum_qty"),
+            _sum_money(_dec2("l_extendedprice"), "sum_base_price"),
+            _sum_money(_rev_exact(), "sum_disc_price"),
+            _sum_money(_rev_exact() * _one_plus_tax(), "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -112,7 +153,8 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q03_shipping_priority",
     oracle="""
-SELECT l.l_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT l.l_orderkey, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -136,7 +178,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         line.join(orders, line.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_money(_rev_exact(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -177,7 +219,8 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q05_local_supplier",
     oracle="""
-SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -216,7 +259,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_money(_rev_exact(), "revenue"))
     )
 
 
@@ -225,7 +268,8 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q06_forecast_revenue",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -248,8 +292,10 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
+            _sum_money(
+                _dec2("l_extendedprice")
+                * F.col("l_discount").cast("decimal(4,2)"),
+                "revenue",
             ),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -263,7 +309,9 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        YEAR(l.l_shipdate) AS l_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -297,7 +345,12 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(
+            # round while still decimal: a sum ending in a half-cent
+            # (.xx5) must tie-break in decimal on BOTH engines — rounding
+            # after the double cast flips .865 -> .86 vs .87 (sf1 catch)
+            F.round(F.sum(_rev_exact()), 2).cast("double").alias("revenue")
+        )
     )
 
 
@@ -307,7 +360,9 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q09_product_profit",
     oracle="""
 SELECT n.n_name AS nation, YEAR(l.l_shipdate) AS o_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -329,7 +384,9 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
         )
-        .agg(F.round(F.sum(_rev()), 2).alias("profit"))
+        .agg(
+            F.round(F.sum(_rev_exact()), 2).cast("double").alias("profit")
+        )
     )
 
 
@@ -339,7 +396,8 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -365,7 +423,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_money(_rev_exact(), "revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -448,7 +506,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey)
@@ -469,7 +528,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1997-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(_sum_money(_rev_exact(), "total_revenue"))
     )
     # materialize the derived view once: the scalar-max subquery and the
     # final join otherwise re-run the lineitem scan-agg three times (the
@@ -517,7 +576,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        ROUND(o.o_totalprice, 2) AS o_totalprice,
-       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -543,7 +602,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(_sum_money(_dec2("l_quantity"), "sum_qty"))
         .select(
             "c_name",
             "c_custkey",
@@ -560,7 +619,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_filter",
     oracle="""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -584,7 +644,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_rev()), 2).alias("revenue"),
+        _sum_money(_rev_exact(), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -594,7 +654,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_idle_customers",
     oracle="""
-SELECT c.c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+SELECT c.c_nationkey, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -621,6 +681,6 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _sum_money(_dec2("c_acctbal"), "totacctbal"),
         )
     )
