@@ -198,6 +198,11 @@ _MUTATION_LOCKS: dict[tuple[str, str], _TableMutationLock] = {}
 _MUTATION_LOCKS_GUARD = threading.Lock()
 
 
+class _ScriptExit(Exception):
+    """CLI `exit` (interactive_commands/exit.md): halts the outermost
+    script input loop, including every `run`-included file."""
+
+
 class _MutationRetry(Exception):
     """Internal control flow: a mutation observed an intersecting
     in-flight write claim; its computed blast radius is stale once the
@@ -4465,6 +4470,9 @@ class SnappySession:
             return self.spark.createDataFrame(
                 [(src, n)], "backup_path string, tables int"
             )
+        if proc == "recover_table":
+            (t,) = args or ("",)
+            return self.recover_table(t)
         if proc == "remove_metastore_entry":
             # sys.remove_metastore_entry('<db>.<table>', '<forceDrop>')
             # (sys_remove_metastore_entry.md): drop the catalog entry
@@ -4486,7 +4494,7 @@ class SnappySession:
             "DISKSTORE_FSYNC, DUMP_STACKS, SET_TRACE_FLAG, "
             "SET_CRITICAL_HEAP_PERCENTAGE, SET_EVICTION_HEAP_PERCENTAGE, "
             "SET_STATISTICS_TIMING, REMOVE_METASTORE_ENTRY, BACKUP_STORE, "
-            "RESTORE_STORE)"
+            "RESTORE_STORE, RECOVER_TABLE)"
         )
 
     def _export_data(
@@ -4685,10 +4693,6 @@ class SnappySession:
             bdir = os.path.join(dest_dir, f"{stamp}-{n}")
         os.makedirs(os.path.join(bdir, "store"))
         desc: dict = {"created": stamp, "tables": {}}
-        if os.path.exists(self._registry_path):
-            shutil.copy2(
-                self._registry_path, os.path.join(bdir, "_registry.json")
-            )
         from snappydata_spark.catalog import _META_FILE
 
         for t in self.catalog.list_tables():
@@ -4739,6 +4743,17 @@ class SnappySession:
                             os.path.join(tdir, "data", f),
                         )
                 desc["tables"][t] = entry
+        # registry copied LAST (r10 advice): it then reflects every DDL
+        # that completed before any per-table copy it describes.  Each
+        # table copy is individually consistent (taken under its lock);
+        # CROSS-table + registry consistency still needs a quiet window —
+        # a DDL racing the backup can create a table/index after its
+        # would-be position in the loop, leaving it out of the snapshot
+        # (the reference's 'run during low activity' caveat applies).
+        if os.path.exists(self._registry_path):
+            shutil.copy2(
+                self._registry_path, os.path.join(bdir, "_registry.json")
+            )
         with open(os.path.join(bdir, "backup.json"), "w") as f:
             _json.dump(desc, f, indent=1)
         return bdir
@@ -4759,6 +4774,14 @@ class SnappySession:
 
         with open(os.path.join(backup_dir, "backup.json")) as f:
             desc = _json.load(f)
+        # wholesale semantics (r10 advice; store-backup.md restore copies
+        # the snapshot back verbatim): tables created AFTER the backup
+        # are dropped first — otherwise they would survive on disk while
+        # the restored registry (indexes/grants/views) knows nothing of
+        # them, leaving store and catalog registry inconsistent
+        for t in list(self.catalog.list_tables()):
+            if t not in desc["tables"]:
+                self.drop_table(t, if_exists=True)
         for t, entry in desc["tables"].items():
             with self._table_lock(t):
                 # drop the live bucketed catalog entries before the swap
@@ -4802,6 +4825,145 @@ class SnappySession:
             self._load_registry()
         self.plan_cache.clear()
         return len(desc["tables"])
+
+    def recover_table(self, name: str) -> DataFrame:
+        """CALL SYS.RECOVER_TABLE('t') — disk-store salvage for a managed
+        table whose MANIFEST is corrupted or deleted (the engine analogue
+        of the reference's data extractor / `dataextractor` utility,
+        command_line_utilities/data_extractor.md + modify_disk_store.md:
+        recover table data from a store that no longer opens cleanly).
+
+        Recovery ladder:
+          1. **History replay** — the newest `_history/gen-N.json`
+             snapshot whose files all survive becomes the manifest again
+             (every in-grace generation keeps its full file set on disk),
+             an EXACT recovery.
+          2. **Footer scavenge** — no usable history: every data file
+             whose parquet footer still reads joins the rebuilt table;
+             torn/corrupt files are skipped (reported).  With
+             key_columns the rows dedup keep-newest by file mtime, so an
+             in-grace tombstoned pre-image can't double a key; without
+             keys the surviving files are taken verbatim (duplicate rows
+             from a mid-flight mutation may survive — reported, exactly
+             the salvage contract of the reference tool).
+
+        Unrecoverable by design: data whose bytes are gone, and
+        uncommitted orphans (correctly invisible).  Catalog metadata
+        (key columns, indexes, grants) lives in the catalog registry —
+        restore that from a SYS.BACKUP_STORE copy if it was lost too.
+        Returns one row: (table, mode, files, skipped, rows)."""
+        import json as _json
+        import time as _time
+
+        name = self._canon(name)
+        meta = self.catalog.load_meta(name)
+        if self._is_bucketed(meta):
+            raise ValueError(
+                f"SYS.RECOVER_TABLE: {name} is a bucketed table — its "
+                "layout lives in the Spark catalog, not a manifest; "
+                "recreate it from SYS.BACKUP_STORE or re-register it"
+            )
+        with self._table_lock(name):
+            data = self.catalog.data_path(name)
+            hist_gens = self._history_gens(name)
+            # 1) newest intact history generation
+            for gen in reversed(hist_gens):
+                try:
+                    with open(
+                        os.path.join(self._history_dir(name), f"gen-{gen}.json")
+                    ) as f:
+                        payload = _json.load(f)
+                except (OSError, ValueError):
+                    continue
+                if not all(
+                    os.path.exists(os.path.join(data, fn))
+                    for fn in payload["files"]
+                ):
+                    continue
+                new_gen = max(hist_gens) + 1
+                fresh = {
+                    "gen": new_gen,
+                    "ts": _time.time(),
+                    "files": payload["files"],
+                    "tombstones": [],
+                    "schema": payload.get("schema"),
+                }
+                tmp = self._manifest_path(name) + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(fresh, f)
+                os.replace(tmp, self._manifest_path(name))
+                hdir = self._history_dir(name)
+                os.makedirs(hdir, exist_ok=True)
+                htmp = os.path.join(hdir, f".gen-{new_gen}.tmp")
+                with open(htmp, "w") as f:
+                    _json.dump(fresh, f)
+                os.replace(htmp, os.path.join(hdir, f"gen-{new_gen}.json"))
+                self._refresh_view(name)
+                n = self.table(name).count()
+                return self.spark.createDataFrame(
+                    [(name, f"history:gen-{gen}", len(payload["files"]), 0, n)],
+                    "table string, mode string, files int, skipped int, "
+                    "rows long",
+                )
+            # 2) footer scavenge
+            import pyarrow.parquet as _pq
+
+            valid, skipped = [], []
+            for fn in self._list_data_files(name):
+                p = os.path.join(data, fn)
+                try:
+                    _pq.ParquetFile(p)  # footer parse = readability probe
+                    valid.append(p)
+                except Exception:  # noqa: BLE001 — torn/corrupt file
+                    skipped.append(fn)
+            if not valid:
+                raise ValueError(
+                    f"SYS.RECOVER_TABLE: no readable data files under "
+                    f"{data} — nothing to salvage"
+                )
+            # a corrupt manifest must not poison the rebuild below
+            # (_manifest_commit seeds from the directory listing when the
+            # manifest is unreadable); stale history snapshots reference
+            # a numbering we are about to restart — retire them
+            try:
+                os.remove(self._manifest_path(name))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(self._history_dir(name), ignore_errors=True)
+            df = (
+                self.spark.read.option("mergeSchema", "true").parquet(*valid)
+            )
+            mode = "scavenge"
+            if meta.key_columns:
+                mode = "scavenge:keyed-dedup"
+                ranks = sorted(
+                    valid, key=lambda p: (os.path.getmtime(p), p)
+                )
+                rank_df = self.spark.createDataFrame(
+                    [(os.path.basename(p), i) for i, p in enumerate(ranks)],
+                    "___fname string, ___rank int",
+                )
+                from pyspark.sql import Window as _W
+
+                tagged = df.withColumn(
+                    "___fname",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                ).join(F.broadcast(rank_df), "___fname")
+                w = _W.partitionBy(
+                    *[F.col(k) for k in meta.key_columns]
+                ).orderBy(F.col("___rank").desc())
+                df = (
+                    tagged.withColumn("___rn", F.row_number().over(w))
+                    .filter(F.col("___rn") == 1)
+                    .drop("___fname", "___rank", "___rn")
+                )
+            self._rewrite(df, meta)
+            self._refresh_view(name)
+            n = self.table(name).count()
+            return self.spark.createDataFrame(
+                [(name, mode, len(valid), len(skipped), n)],
+                "table string, mode string, files int, skipped int, rows long",
+            )
 
     def _systables(self) -> DataFrame:
         """SYS.SYSTABLES (reference/system_tables/systables.md): one row
@@ -5426,44 +5588,173 @@ class SnappySession:
         # cached plans resolved the old function at analysis time
         self.plan_cache.clear()
 
-    def run_script(self, script: str) -> list[DataFrame | None]:
+    _RUN_MAX_DEPTH = 16  # nested `run 'file.sql'` include depth cap
+
+    def run_script(
+        self, script: str, base_dir: str | None = None
+    ) -> list[DataFrame | None]:
         """Execute a multi-statement SQL script (the reference's
         snappy-sql CLI shape: statements separated by top-level `;`).
         Splits outside quotes and comments, runs each statement through
         sql(), returns the per-statement results in order.
 
-        The two snappy-CLI interactive commands that reference scripts
-        commonly open with are accepted inline:
+        The snappy-CLI interactive commands that reference scripts use
+        are accepted inline (reference/interactive_commands/):
 
-        - ``elapsedtime on|off`` (interactive_commands/elapsedtime.md):
-          toggles per-statement wall recording — the same machinery as
+        - ``elapsedtime on|off`` (elapsedtime.md): toggles per-statement
+          wall recording — the same machinery as
           SYSCS_UTIL.SET_STATISTICS_TIMING, readable via
           get_statement_stats(); ON also echoes ``ELAPSED TIME = N
-          milliseconds`` per statement like the CLI.
-        - ``maximumdisplaywidth <n>`` (interactive_commands/
-          maximumdisplaywidth.md): clamps column display width for
-          show_df()/subsequent echoes; stored on the session as
-          max_display_width."""
+          milliseconds`` per statement like the CLI.  OFF restores the
+          timing state elapsedtime found (a script's toggle must not
+          permanently pin SET_STATISTICS_TIMING on).
+        - ``maximumdisplaywidth <n>`` (maximumdisplaywidth.md): clamps
+          column display width for show_df(); stored on the session as
+          max_display_width.
+        - ``run 'file.sql'`` (run.md): reads and executes the named
+          script inline; relative paths resolve against the INCLUDING
+          script's directory, files can contain further run commands
+          (depth-capped), and environment changes persist when the
+          including script resumes.
+        - ``connect 'url' [as name]`` / ``set connection name`` /
+          ``disconnect [all|current|name]`` / ``show connections``
+          (connect.md, set_connection.md, disconnect.md): connection
+          BOOKKEEPING so reference CLI scripts replay end-to-end.  The
+          engine is a single in-process store — every statement executes
+          against this session whichever named connection is "current"
+          (documented divergence; there is no remote endpoint to dial).
+        - ``exit`` (exit.md): halts the outermost input loop — remaining
+          statements in THIS and every including script are skipped.
+        """
+        results: list = []
+        try:
+            self._run_statements(script, base_dir, results, depth=0)
+        except _ScriptExit:
+            pass  # exit.md: outermost input loop halts
+        return results
+
+    def run_script_file(self, path: str) -> list[DataFrame | None]:
+        """``snappy run 'file.sql'`` entry point: execute a script FILE,
+        resolving its nested run commands relative to its directory."""
+        with open(path) as fh:
+            text = fh.read()
+        return self.run_script(text, base_dir=os.path.dirname(os.path.abspath(path)))
+
+    def _run_statements(
+        self,
+        script: str,
+        base_dir: str | None,
+        results: list,
+        depth: int,
+    ) -> None:
         import re as _re
 
-        results = []
         for stmt in self._split_script(script):
-            m = _re.fullmatch(
-                r"elapsedtime\s+(on|off)", stmt.strip(), _re.IGNORECASE
-            )
+            s = stmt.strip()
+            m = _re.fullmatch(r"elapsedtime\s+(on|off)", s, _re.IGNORECASE)
             if m:
                 on = m.group(1).lower() == "on"
+                if on and not getattr(self, "_elapsedtime_echo", False):
+                    # remember the pre-elapsedtime timing state so OFF
+                    # restores rather than pinning timing on for the
+                    # session's lifetime (r10 advice)
+                    self._elapsedtime_prior_timing = self._stats_timing
                 self._elapsedtime_echo = on
-                self._stats_timing = on or self._stats_timing
+                if on:
+                    self._stats_timing = True
+                else:
+                    self._stats_timing = getattr(
+                        self, "_elapsedtime_prior_timing", False
+                    )
                 results.append(None)
                 continue
-            m = _re.fullmatch(
-                r"maximumdisplaywidth\s+(\d+)", stmt.strip(), _re.IGNORECASE
-            )
+            m = _re.fullmatch(r"maximumdisplaywidth\s+(\d+)", s, _re.IGNORECASE)
             if m:
                 self.max_display_width = int(m.group(1))
                 results.append(None)
                 continue
+            m = _re.fullmatch(r"run\s+'([^']+)'", s, _re.IGNORECASE)
+            if m:
+                if depth >= self._RUN_MAX_DEPTH:
+                    raise ValueError(
+                        f"run: include depth exceeds {self._RUN_MAX_DEPTH} "
+                        f"(cycle?) at {m.group(1)!r}"
+                    )
+                path = m.group(1)
+                if not os.path.isabs(path) and base_dir:
+                    path = os.path.join(base_dir, path)
+                with open(path) as fh:
+                    nested = fh.read()
+                self._run_statements(
+                    nested, os.path.dirname(os.path.abspath(path)),
+                    results, depth + 1,
+                )
+                continue
+            m = _re.fullmatch(
+                r"connect\s+'([^']*)'(?:\s+as\s+([A-Za-z_]\w*))?",
+                s,
+                _re.IGNORECASE,
+            )
+            if m:
+                conns = self._cli_connections
+                name = (
+                    m.group(2) or f"CONNECTION{len(conns)}"
+                ).upper()
+                conns[name] = m.group(1)
+                self._cli_current_connection = name
+                results.append(None)
+                continue
+            m = _re.fullmatch(
+                r"set\s+connection\s+([A-Za-z_]\w*)", s, _re.IGNORECASE
+            )
+            if m:
+                name = m.group(1).upper()
+                if name not in self._cli_connections:
+                    raise ValueError(
+                        f"set connection: no connection named {name}"
+                    )
+                self._cli_current_connection = name
+                results.append(None)
+                continue
+            m = _re.fullmatch(
+                r"disconnect(?:\s+(all|current|[A-Za-z_]\w*))?",
+                s,
+                _re.IGNORECASE,
+            )
+            if m:
+                which = (m.group(1) or "current").lower()
+                conns = self._cli_connections
+                if which == "all":
+                    conns.clear()
+                    self._cli_current_connection = None
+                else:
+                    name = (
+                        self._cli_current_connection
+                        if which == "current"
+                        else which.upper()
+                    )
+                    if name:
+                        conns.pop(name, None)
+                    if self._cli_current_connection == name:
+                        self._cli_current_connection = None
+                results.append(None)
+                continue
+            if _re.fullmatch(r"show\s+connections", s, _re.IGNORECASE):
+                rows = [
+                    (
+                        n + ("*" if n == self._cli_current_connection else ""),
+                        url,
+                    )
+                    for n, url in self._cli_connections.items()
+                ]
+                results.append(
+                    self.spark.createDataFrame(
+                        rows or [("", "")], "name string, url string"
+                    ).filter("name != ''")
+                )
+                continue
+            if _re.fullmatch(r"exit", s, _re.IGNORECASE):
+                raise _ScriptExit
             if getattr(self, "_elapsedtime_echo", False):
                 import time as _time
 
@@ -5474,7 +5765,13 @@ class SnappySession:
                 results.append(res)
             else:
                 results.append(self.sql(stmt))
-        return results
+
+    @property
+    def _cli_connections(self) -> dict:
+        if not hasattr(self, "_cli_conns"):
+            self._cli_conns: dict[str, str] = {}
+            self._cli_current_connection: str | None = None
+        return self._cli_conns
 
     def show_df(self, df: DataFrame, n: int = 20) -> None:
         """CLI-style display honoring ``maximumdisplaywidth`` (snappy

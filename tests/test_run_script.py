@@ -77,3 +77,91 @@ def test_interactive_command_shims(snappy, capsys):
     shown4 = capsys.readouterr().out
     assert "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" not in shown4
     snappy.sql("DROP TABLE rs_ic")
+
+
+def test_run_nested_script_files(snappy, tmp_path):
+    """`run 'file.sql'` (interactive_commands/run.md): nested script
+    files execute inline, relative paths resolve against the INCLUDING
+    script's directory, and environment changes (tables, display width)
+    persist when the outer script resumes."""
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "inner.sql").write_text(
+        "INSERT INTO rs_run VALUES (2, 'from-inner');\n"
+        "maximumdisplaywidth 77;\n"
+        "run 'leaf.sql';\n"
+    )
+    (sub / "leaf.sql").write_text("INSERT INTO rs_run VALUES (3, 'from-leaf');\n")
+    (tmp_path / "outer.sql").write_text(
+        "CREATE TABLE rs_run (k INT, v STRING) USING row;\n"
+        "INSERT INTO rs_run VALUES (1, 'outer');\n"
+        "run 'sub/inner.sql';\n"
+        "SELECT k, v FROM rs_run ORDER BY k;\n"
+    )
+    results = snappy.run_script_file(str(tmp_path / "outer.sql"))
+    rows = [(r.k, r.v) for r in results[-1].collect()]
+    assert rows == [(1, "outer"), (2, "from-inner"), (3, "from-leaf")]
+    assert snappy.max_display_width == 77  # inner env change persisted
+    snappy.sql("DROP TABLE rs_run")
+
+
+def test_run_cycle_is_bounded(snappy, tmp_path):
+    (tmp_path / "a.sql").write_text("run 'b.sql';\n")
+    (tmp_path / "b.sql").write_text("run 'a.sql';\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        snappy.run_script_file(str(tmp_path / "a.sql"))
+
+
+def test_exit_halts_outermost_loop(snappy, tmp_path):
+    """exit.md: EXIT inside a run-included file halts the OUTERMOST
+    loop — statements after the run command must not execute."""
+    (tmp_path / "inner.sql").write_text(
+        "INSERT INTO rs_exit VALUES (1);\nexit;\nINSERT INTO rs_exit VALUES (2);\n"
+    )
+    (tmp_path / "outer.sql").write_text(
+        "CREATE TABLE rs_exit (k INT) USING row;\n"
+        "run 'inner.sql';\n"
+        "INSERT INTO rs_exit VALUES (3);\n"
+    )
+    snappy.run_script_file(str(tmp_path / "outer.sql"))
+    assert [r.k for r in snappy.table("rs_exit").collect()] == [1]
+    snappy.sql("DROP TABLE rs_exit")
+
+
+def test_connect_disconnect_bookkeeping(snappy):
+    """connect.md / set_connection.md / disconnect.md: connection
+    bookkeeping so reference CLI scripts replay; every statement still
+    executes against this session (single-store engine, documented)."""
+    results = snappy.run_script(
+        """
+        connect 'jdbc:snappydata://localhost:1527/' as db1;
+        connect 'jdbc:snappydata://other:1527/';
+        show connections;
+        set connection DB1;
+        CREATE TABLE rs_conn (k INT) USING row;
+        INSERT INTO rs_conn VALUES (42);
+        disconnect all;
+        SELECT k FROM rs_conn
+        """
+    )
+    conns = {(r.name, r.url) for r in results[2].collect()}
+    assert ("DB1", "jdbc:snappydata://localhost:1527/") in conns
+    assert any(n.startswith("CONNECTION1") and n.endswith("*") for n, _ in conns)
+    # work done "on" a named connection landed in this engine session
+    assert [r.k for r in results[-1].collect()] == [42]
+    assert snappy._cli_connections == {}
+    snappy.sql("DROP TABLE rs_conn")
+
+
+def test_elapsedtime_off_restores_timing_state(snappy):
+    """r10 advice: 'elapsedtime off' must restore the timing state it
+    found — a script's toggle must not pin SET_STATISTICS_TIMING on."""
+    assert snappy._stats_timing is False
+    snappy.run_script("elapsedtime on; SELECT 1; elapsedtime off")
+    assert snappy._stats_timing is False
+    # but a pre-existing SET_STATISTICS_TIMING(1) survives the toggle
+    snappy.sql("CALL SYSCS_UTIL.SET_STATISTICS_TIMING(1)")
+    snappy.run_script("elapsedtime on; SELECT 1; elapsedtime off")
+    assert snappy._stats_timing is True
