@@ -39,24 +39,36 @@ REPLICATED = frozenset({"region", "nation", "supplier"})
 # the latency of their SQL-over-registered-view twins purely from this);
 # the testdata tables are immutable, so the resolved frame is reusable.
 # Keyed by applicationId so a restarted context never serves a frame
-# whose file index belongs to a dead session.
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# whose file index belongs to a dead session, and by the path's
+# mtime_ns (r10 advice) so a parquet dir REWRITTEN IN PLACE within one
+# SparkContext (e.g. a tool regenerating a scale dir) misses the cache
+# instead of serving stale or deleted file references.
+_TABLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _mtime_or_none(path: str) -> int | None:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
 
 
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables as DataFrames (resolved
-    once per (SparkContext, path) — these inputs are immutable)."""
+    once per (SparkContext, path, mtime) — these inputs are immutable)."""
     out: dict[str, DataFrame] = {}
     app_id = spark.sparkContext.applicationId
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        key = (app_id, os.path.abspath(path))
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            continue
+        key = (app_id, os.path.abspath(path), mtime)
         df = _TABLE_CACHE.get(key)
         if df is None:
-            if not os.path.exists(path):
-                continue
             df = spark.read.parquet(path)
             if name == "events":
                 # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
@@ -69,8 +81,19 @@ def load_tables(
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
-            if len(_TABLE_CACHE) > 512:  # dead-context entries, bounded
+            if len(_TABLE_CACHE) > 512:
+                # evict dead-context and superseded-mtime entries first;
+                # only if the table set for THIS context genuinely
+                # exceeds the bound does the whole cache reset
+                live = {
+                    k: v
+                    for k, v in _TABLE_CACHE.items()
+                    if k[0] == app_id
+                    and _mtime_or_none(k[1]) == k[2]
+                }
                 _TABLE_CACHE.clear()
+                if len(live) <= 512:
+                    _TABLE_CACHE.update(live)
             _TABLE_CACHE[key] = df
         out[name] = df
     return out

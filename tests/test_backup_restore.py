@@ -115,3 +115,25 @@ def test_backup_skips_tombstones_and_orphans(populated, tmp_path):
     assert backed == live
     m = json.load(open(os.path.join(bdir, "store", "bk_plain", "manifest.json")))
     assert m["tombstones"] == []
+
+
+def test_restore_drops_tables_created_after_backup(snappy, spark, tmp_path):
+    """r10 advice: restore is WHOLESALE (store-backup.md copies the
+    snapshot back verbatim) — a table created after the backup must not
+    survive restore with no registry entry behind it."""
+    snappy.create_table(
+        "br_old",
+        options={"key_columns": "k"},
+        df=spark.createDataFrame([(1, 10)], "k long, v long"),
+    )
+    bdir = snappy.backup_store(str(tmp_path))
+    snappy.create_table(
+        "br_new",
+        options={"key_columns": "k"},
+        df=spark.createDataFrame([(2, 20)], "k long, v long"),
+    )
+    assert "br_new" in snappy.catalog.list_tables()
+    snappy.restore_store(bdir)
+    assert "br_old" in snappy.catalog.list_tables()
+    assert "br_new" not in snappy.catalog.list_tables()
+    assert snappy.table("br_old").count() == 1

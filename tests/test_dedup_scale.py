@@ -277,3 +277,23 @@ def test_knn_collapsed_invariant_to_duplication(spark, tmp_path):
     assert edges1 and edges1 == edges50  # same graph at any duplication
     assert all(r.n_src == 1 and r.n_dst == 1 for r in out1)
     assert all(r.n_src == 50 and r.n_dst == 50 for r in out50)
+
+
+def test_knn_graph_collapse_negative_zero(spark):
+    """r10 advice: -0.0 and 0.0 compare equal under GROUP BY but
+    stringify differently; the md5 digest collapse must normalize them
+    or a corpus containing negative zeros yields MORE representatives
+    than the oracle's GROUP BY embedding."""
+    from snappydata_spark.operators.dedup_ops import _collapse_reps
+
+    v62 = [2.5] * 62
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0] + v62 + [1.0]),
+            (2, [-0.0] + v62 + [1.0]),  # same vector, negative zero
+            (3, [1.0] + v62 + [0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    reps = {r.vec_id: r.n for r in _collapse_reps(emb).collect()}
+    assert reps == {1: 2, 3: 1}  # 1 and 2 collapse; min vec_id represents
