@@ -308,3 +308,73 @@ def test_kafka_replay_cdc_multi_partition_to_sink(spark, tmp_path, snappy):
     q.awaitTermination(90)
     got = {r.k: r.v for r in snappy.table("kstream_tgt").collect()}
     assert got == {0: "seed", 1: "a2", 3: "c"}
+
+
+class _FakeReader:
+    """DataStreamReader recorder for the LIVE kafka branch: no broker in
+    this sandbox, so the dry-run asserts the exact (format, options)
+    handed to the reader for reference DDL shapes
+    (r10 verdict stretch #10)."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self):
+        return ("loaded", self.fmt, dict(self.opts))
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.reader = _FakeReader()
+
+    @property
+    def readStream(self):
+        return self.reader
+
+
+def test_kafka_live_branch_option_plumbing():
+    """Reference DDL (stream_processing_using_sql.md:241-246):
+    kafkaParams 'k->v;...' unbundles into kafka.* consumer options with
+    broker-list spellings normalized, `topics` maps to the DSv2
+    source's `subscribe`, and passthrough options survive verbatim."""
+    from snappydata_spark.streaming.sources import _kafka_factory
+
+    fake = _FakeSpark()
+    out = _kafka_factory(
+        fake,
+        topics="adImpressionsTopic",
+        kafkaParams=(
+            "metadata.broker.list->localhost:9092;"
+            "auto.offset.reset->earliest;group.id->cg1"
+        ),
+        startingOffsets="earliest",
+        rowConverter="io.snappydata.app.AdImpressionToRowsConverter",
+    )
+    tag, fmt, opts = out
+    assert tag == "loaded" and fmt == "kafka"
+    assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+    assert opts["kafka.auto.offset.reset"] == "earliest"
+    assert opts["kafka.group.id"] == "cg1"
+    assert opts["subscribe"] == "adImpressionsTopic"  # topics -> subscribe
+    assert opts["startingOffsets"] == "earliest"  # passthrough verbatim
+    assert "rowConverter" not in opts  # engine-side concept, not a kafka opt
+
+
+def test_kafka_live_branch_explicit_subscribe_wins():
+    from snappydata_spark.streaming.sources import _kafka_factory
+
+    fake = _FakeSpark()
+    _, fmt, opts = _kafka_factory(
+        fake, subscribe="explicit", topics="ignored-when-subscribe-present"
+    )
+    assert fmt == "kafka" and opts["subscribe"] == "explicit"
+    assert "topics" not in opts

@@ -235,7 +235,119 @@ _WINDOW_TEMPLATES = [
 ]
 
 
+# compositional window generation (r11): partition keys come from the
+# deterministic GROUP_EXPRS-style pools, every ORDER BY ends in the
+# table's unique pk (no ties → ranking/navigation deterministic), ROWS
+# and RANGE frames randomize their bounds (RANGE only over the unique
+# INTEGER pk — a deterministic peer set), windowed SUM goes through
+# DECIMAL (DuckDB's segment-tree evaluation adds in a different order
+# than Spark's running accumulation — divergence class 1), and named
+# windows exercise the WINDOW clause on both engines.
+_WIN_TABLES = {
+    "orders": {
+        "pk": "o_orderkey",
+        "pkeys": ["o_orderstatus", "o_orderpriority", "(o_custkey % {m})"],
+        "money": "o_totalprice",
+        "num": "o_custkey",
+        "ranks": ["o_orderpriority", "o_totalprice", "o_orderdate"],
+        "filter": "o_orderkey <= {key}",
+    },
+    "customer": {
+        "pk": "c_custkey",
+        "pkeys": [
+            "c_mktsegment",
+            "(c_nationkey % {m})",
+            "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END",
+        ],
+        "money": "c_acctbal",
+        "num": "c_nationkey",
+        "ranks": ["c_mktsegment", "c_acctbal"],
+        "filter": "c_custkey <= {key}",
+    },
+}
+
+_WIN_FRAMES = [
+    "ROWS BETWEEN {a} PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND {b} FOLLOWING",
+]
+
+
+def _gen_window_compositional(rng: random.Random) -> str:
+    tbl, cfg = rng.choice(sorted(_WIN_TABLES.items()))
+    pk, money, num = cfg["pk"], cfg["money"], cfg["num"]
+    pkey = _fill(rng, rng.choice(cfg["pkeys"]))
+    rk = rng.choice(cfg["ranks"])
+    frame = rng.choice(_WIN_FRAMES).format(
+        a=rng.randrange(1, 8), b=rng.randrange(1, 8)
+    )
+    r = rng.randrange(1, 50)
+    pool = [
+        ("rn", "ROW_NUMBER() OVER w AS rn"),
+        ("ntl", f"NTILE({rng.randrange(2, 7)}) OVER w AS ntl"),
+        ("rk", f"RANK() OVER (ORDER BY {rk}, {pk}) AS rk"),
+        (
+            "drk",
+            f"DENSE_RANK() OVER (PARTITION BY {pkey} ORDER BY {rk}, {pk})"
+            " AS drk",
+        ),
+        (
+            "lag_v",
+            f"CAST(LAG({num}, {rng.randrange(1, 4)}, -1) OVER w AS BIGINT)"
+            " AS lag_v",
+        ),
+        (
+            "lead_v",
+            f"CAST(LEAD({num}, {rng.randrange(1, 4)}, -1) OVER w AS BIGINT)"
+            " AS lead_v",
+        ),
+        ("fv", f"CAST(FIRST_VALUE({num}) OVER w AS BIGINT) AS fv"),
+        (
+            "lv",
+            f"CAST(LAST_VALUE({num}) OVER (PARTITION BY {pkey} ORDER BY {pk}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " AS BIGINT) AS lv",
+        ),
+        (
+            "wsum",
+            f"CAST(SUM(CAST({money} AS DECIMAL(18,4))) OVER"
+            f" (PARTITION BY {pkey} ORDER BY {pk} {frame}) AS DOUBLE)"
+            " AS wsum",
+        ),
+        (
+            "wcnt",
+            f"CAST(COUNT(*) OVER (PARTITION BY {pkey} ORDER BY {pk} {frame})"
+            " AS BIGINT) AS wcnt",
+        ),
+        (
+            "rmin",
+            f"CAST(MIN({pk}) OVER (PARTITION BY {pkey} ORDER BY {pk}"
+            f" RANGE BETWEEN {r} PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS rmin",
+        ),
+        (
+            "rmax",
+            f"CAST(MAX({pk}) OVER (PARTITION BY {pkey} ORDER BY {pk}"
+            f" RANGE BETWEEN CURRENT ROW AND {r} FOLLOWING) AS BIGINT)"
+            " AS rmax",
+        ),
+    ]
+    chosen = rng.sample(pool, rng.randrange(3, 6))
+    exprs = [e for _, e in chosen]
+    sql = (
+        f"SELECT {pk}, " + ", ".join(exprs)
+        + f" FROM {tbl} WHERE "
+        + cfg["filter"].format(key=rng.randrange(200, 1500))
+    )
+    if any(" OVER w " in e or e.endswith("OVER w AS rn") for _, e in chosen):
+        sql += f" WINDOW w AS (PARTITION BY {pkey} ORDER BY {pk})"
+    return sql
+
+
 def gen_window_query(rng: random.Random) -> str:
+    if rng.random() < 0.75:
+        return _gen_window_compositional(rng)
     _, tpl = rng.choice(_WINDOW_TEMPLATES)
     return tpl.format(frame=rng.randrange(1, 6), key=rng.randrange(200, 1500))
 

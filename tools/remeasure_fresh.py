@@ -1,0 +1,78 @@
+"""Re-measure registry sweep rows in FRESH sessions and make the fresh
+wall the artifact's primary value (r10 verdict Wrong#3: single-pass
+sweep walls drift in a long JVM — a heavy neighbor degrades the next
+minutes of the same session, overstating rows by up to 2.4×).  The
+original sweep wall moves to a `sweep_wall` sidecar so the history
+stays auditable.
+
+Each query runs in its OWN subprocess (fresh JVM, fresh python workers)
+on a quiet box; the pre-measurement 1-min load average is recorded so a
+contaminated remeasure is visible.
+
+Usage: python tools/remeasure_fresh.py <sf_dir> <artifact.json> <name>[,name...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {here!r})
+from snappydata_spark import get_spark
+from snappydata_spark.operators import QUERIES
+spark = get_spark("fresh-remeasure")
+load1 = round(os.getloadavg()[0], 2)
+t0 = time.time()
+n = QUERIES[{name!r}](spark, {sf_dir!r}).count()
+wall = round(time.time() - t0, 2)
+print("RESULT " + json.dumps({{"wall": wall, "rows": n, "load_before": load1}}))
+"""
+
+
+def main():
+    sf_dir, artifact = sys.argv[1], sys.argv[2]
+    names = sys.argv[3].split(",")
+    with open(artifact) as f:
+        data = json.load(f)
+    for name in names:
+        if name not in data:
+            print(f"{name}: not in artifact, skipping")
+            continue
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD.format(here=HERE, name=name, sf_dir=sf_dir)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
+            None,
+        )
+        if line is None:
+            print(f"{name}: FRESH RUN FAILED rc={proc.returncode}")
+            print(proc.stderr[-500:])
+            continue
+        fresh = json.loads(line[len("RESULT "):])
+        row = data[name]
+        if "sweep_wall" not in row:
+            row["sweep_wall"] = row["wall"]
+        row["wall"] = fresh["wall"]
+        row["rows"] = fresh["rows"]
+        row["load_before"] = fresh["load_before"]
+        row["fresh_session"] = True
+        with open(artifact, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        print(
+            f"{name}: fresh {fresh['wall']}s (sweep {row['sweep_wall']}s, "
+            f"load1 {fresh['load_before']}, rows {fresh['rows']})"
+        )
+
+
+if __name__ == "__main__":
+    main()
