@@ -172,3 +172,25 @@ def test_sf100_family_rehearsal_artifact():
     # allowed err rows must say WHY (a documented divergence, not a crash)
     for k in errs:
         assert report[k].get("note"), f"{k} err row lacks a note"
+
+
+def test_sf100_fresh_walls_are_primary():
+    """r10 verdict Wrong#3: rows re-measured in a fresh session carry
+    the FRESH wall as the primary `wall` value, with the one-pass sweep
+    wall preserved in a `sweep_wall` sidecar (single-JVM sweep drift —
+    a heavy neighbor degrades the next minutes of the session — must
+    not be the number the artifact leads with)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    report = json.load(open(os.path.join(root, "BENCH_REGISTRY_SF100.json")))
+    fresh = {k: v for k, v in report.items() if v.get("fresh_session")}
+    assert fresh, "no fresh-session rows recorded (tools/remeasure_fresh.py)"
+    for k, v in fresh.items():
+        assert "sweep_wall" in v, f"{k}: fresh row lacks sweep_wall sidecar"
+        assert "wall" in v and v["wall"] > 0
+    # the headline overstatement the verdict named is gone: the heavy
+    # dedup rows lead with their fresh walls
+    for k in ("dedup_embedding_cosine", "dedup_simhash"):
+        assert report[k].get("fresh_session") is True

@@ -479,7 +479,12 @@ def _gen_agg_query(
 
 
 def run(
-    sf_dir: str, n: int, seed: int, spark=None, through_session: bool = False
+    sf_dir: str,
+    n: int,
+    seed: int,
+    spark=None,
+    through_session: bool = False,
+    family: str | None = None,
 ) -> list[tuple[str, str]]:
     """Generate n queries, run both engines, return [(sql, reason)] for
     every mismatch (empty list = all matched).  through_session=True
@@ -502,10 +507,15 @@ def run(
     else:
         run_sql = spark.sql
 
+    gen = {
+        None: gen_query,
+        "window": gen_window_query,
+        "grouping": gen_grouping_sets_query,
+    }[family]
     rng = random.Random(seed)
     failures: list[tuple[str, str]] = []
     for i in range(n):
-        sql = gen_query(rng)
+        sql = gen(rng)
         try:
             sp = canon(run_sql(sql).toPandas())
         except Exception as ex:  # noqa: BLE001 — report, keep fuzzing
@@ -532,7 +542,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
-    failures = run(sf_dir, n, seed)
+    family = sys.argv[4] if len(sys.argv) > 4 else None
+    failures = run(sf_dir, n, seed, family=family)
     if failures:
         print(f"\n{len(failures)} MISMATCHES:")
         for sql, why in failures:

@@ -44,6 +44,15 @@ def main():
         if name not in data:
             print(f"{name}: not in artifact, skipping")
             continue
+        # quiet window between children: the previous JVM's threads keep
+        # the 1-min load average inflated for a while after exit — wait
+        # it out (bounded) so the recorded load_before means something
+        import time as _time
+
+        for _ in range(30):
+            if os.getloadavg()[0] <= 2.0:
+                break
+            _time.sleep(20)
         proc = subprocess.run(
             [sys.executable, "-c", CHILD.format(here=HERE, name=name, sf_dir=sf_dir)],
             capture_output=True,
