@@ -118,41 +118,72 @@ def test_windowed_cq_with_watermark_and_late_data(spark, stream_dir):
         result.writeStream.format("memory").queryName("cq_out")
         .outputMode("update").trigger(processingTime="250 milliseconds").start()
     )
+    win0 = t0 - t0 % 60
+
+    def snapshot():
+        rows = spark.sql(
+            "SELECT k, CAST(window.start AS LONG) AS ws, cnt FROM cq_out"
+        ).collect()
+        out = {}
+        for r in rows:
+            out[(r.k, r.ws)] = r.cnt
+        return out
+
     try:
-        deadline = time.time() + 60
+        # gate on the WATERMARK ITSELF advancing past t0+5 (= t0+65 - 1
+        # minute delay), via query progress.  Gating on the sink rows is
+        # racy: the memory sink exposes batch0's rows a beat before the
+        # watermark tracker commits batch0's event-time stats, so a
+        # fast-following b1 could be planned into a micro-batch that
+        # still ran at watermark 0 and KEPT the late row (observed
+        # ~1/10 runs as a pre-win0 window in the output).
+        import datetime
+
+        wm_target = datetime.datetime.fromtimestamp(
+            t0 + 5, datetime.timezone.utc
+        )
+        deadline = time.time() + 90
         while time.time() < deadline:
-            if spark.sql("SELECT * FROM cq_out").count() >= 2:
-                break
+            p = q.lastProgress
+            wm = (p or {}).get("eventTime", {}).get("watermark")
+            if wm:
+                got = datetime.datetime.fromisoformat(
+                    wm.replace("Z", "+00:00")
+                )
+                if got >= wm_target:
+                    break
             time.sleep(0.25)
         # watermark is now t0+65-60; this event is an hour late → dropped
         _write_batch(stream_dir, "b1.json", [
             {"k": "a", "ts": t0 - 3600}, {"k": "b", "ts": t0 + 70},
         ])
-        deadline = time.time() + 60
+        # b1's on-time event bumping (b, win0+60) to 2 proves b1's batch
+        # committed; whether the late row was dropped is then decidable
+        # from the update-mode output itself (a dropped row emits
+        # nothing; a processed one would emit its pre-win0 window).  The
+        # numRowsDroppedByWatermark metric intermittently surfaces late /
+        # is evicted from recentProgress, so it is only a soft check.
+        deadline = time.time() + 90
+        latest = snapshot()
         while time.time() < deadline:
-            done = any(
-                p["stateOperators"] and p["stateOperators"][0].get(
-                    "numRowsDroppedByWatermark", 0) >= 1
-                for p in q.recentProgress
-            )
-            if done:
+            latest = snapshot()
+            if latest.get(("b", win0 + 60)) == 2:
                 break
             time.sleep(0.25)
-        assert done, [p["stateOperators"] for p in q.recentProgress]
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
     finally:
         q.stop()
-    rows = spark.sql(
-        "SELECT k, CAST(window.start AS LONG) AS ws, cnt FROM cq_out"
-    ).collect()
-    latest = {}
-    for r in rows:
-        latest[(r.k, r.ws)] = r.cnt
-    win0 = t0 - t0 % 60
     assert latest[("a", win0)] == 2
-    assert latest[("b", win0 + 60)] == 2
+    assert latest[("b", win0 + 60)] == 2, latest
     # the hour-late event must not have produced its (pre-watermark) window
     late_windows = [k for k in latest if k[0] == "a" and k[1] < win0]
     assert late_windows == []
+    # soft cross-check: when the metric did surface, it agrees
+    assert dropped in (0, 1), dropped
 
 
 def test_stream_stream_join_time_bounded(spark, stream_dir):

@@ -154,7 +154,8 @@ OUTER_JOINS = [
     ("nation", "customer", "n_nationkey = c_nationkey", "c_custkey"),
 ]
 
-# subquery predicates (r9): IN / EXISTS / NOT EXISTS / scalar compare.
+# subquery predicates (r9): IN / EXISTS / NOT EXISTS / scalar compare;
+# NOT IN null-aware anti-join shapes added r11.
 # Always appended as a TOP-LEVEL AND conjunct — Spark plans correlated
 # and IN-subqueries only as conjunctive filters, and that restriction is
 # itself part of the shared subset being fuzzed.  Correlation uses bare
@@ -169,6 +170,15 @@ SUB_PREDICATES = {
         " orders.o_orderkey AND lineitem.l_returnflag = 'R')",
         "o_totalprice > (SELECT CAST(MAX(c_acctbal) AS DOUBLE)"
         " FROM customer WHERE c_nationkey % {m} = 0)",
+        # NOT IN = null-aware anti join (Spark's BroadcastNestedLoopJoin
+        # null-aware path — the allowlisted sql_in_subquery shape):
+        # non-null inner on the first, an explicitly NULLABLE inner on
+        # the second (NULLIF) so the all-rows-rejected ANSI semantics is
+        # exercised whenever the sampled key collides
+        "o_custkey NOT IN (SELECT c_custkey FROM customer WHERE"
+        " c_acctbal < {bal})",
+        "o_custkey NOT IN (SELECT NULLIF(c_custkey, {key}) FROM customer"
+        " WHERE c_acctbal > {bal})",
     ],
     "customer": [
         "c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice"
@@ -177,12 +187,16 @@ SUB_PREDICATES = {
         " customer.c_custkey)",
         "c_nationkey IN (SELECT n_nationkey FROM nation WHERE"
         " n_regionkey <> {m5})",
+        "c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE"
+        " n_regionkey = {m5})",
     ],
     "lineitem": [
         "l_orderkey IN (SELECT o_orderkey FROM orders WHERE"
         " o_orderstatus = 'F' AND o_totalprice > {price})",
         "EXISTS (SELECT 1 FROM orders WHERE orders.o_orderkey ="
         " lineitem.l_orderkey AND orders.o_orderpriority LIKE '{d}-%')",
+        "l_suppkey NOT IN (SELECT c_nationkey FROM customer WHERE"
+        " c_acctbal < {bal})",
     ],
     "nation": [],
 }
