@@ -166,19 +166,27 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
 SELECT YEAR(o_orderdate) AS o_year, o_orderstatus,
-       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_year, o_orderstatus)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money SUM accumulates in exact decimal (lossless for 2-decimal
+    values stored as double, associative → partition-order-independent):
+    the sf10 differential caught the grand-total rollup row a cent off
+    the oracle when summed in double over 1.5M+ rows."""
     t = load_tables(spark, sf_dir, ("orders",))
     return (
         t["orders"]
         .rollup(F.year("o_orderdate").alias("o_year"), F.col("o_orderstatus"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS total"
+            ),
         )
     )
 

@@ -31,12 +31,17 @@ merged AS (
   WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
   UNION ALL
   SELECT * FROM source)
-SELECT o_orderpriority, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM merged GROUP BY o_orderpriority
 """,
 )
 def dml_put_into(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PUT INTO = update-matched + insert-unmatched on the key columns."""
+    """PUT INTO = update-matched + insert-unmatched on the key columns.
+
+    The fingerprint SUM accumulates in decimal (×2 of a 2-decimal value
+    is still an exact 2-decimal value in double, so the cast is
+    lossless): double sums drifted a cent at the sf10 differential."""
     t = load_tables(spark, sf_dir, ("orders",))
     target = t["orders"]
     source = (
@@ -47,7 +52,10 @@ def dml_put_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = mutate.put_into_df(target, source, keys=["o_orderkey"])
     return merged.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)"
+            " AS DOUBLE) AS total"
+        ),
     )
 
 
@@ -60,13 +68,21 @@ WITH updated AS (
               THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
          o_orderdate, o_orderpriority
   FROM orders)
-SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,3))), 2) AS DOUBLE) AS total
 FROM updated GROUP BY o_orderstatus
 """,
 )
 def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE orders SET o_totalprice = o_totalprice * 1.1
-       WHERE o_orderstatus = 'O' AND o_totalprice < 5000."""
+       WHERE o_orderstatus = 'O' AND o_totalprice < 5000.
+
+    The updated values are doubles approximating exact 3-decimal values
+    (2-decimal money × 1.1); the mutation stays in double so each VALUE
+    is IEEE-identical to the oracle's CASE expression, while the
+    fingerprint SUM casts to DECIMAL(15,3) — both engines recover the
+    same 3-decimal value from the same double, and decimal addition is
+    order-independent (double sums drifted a cent at sf10)."""
     t = load_tables(spark, sf_dir, ("orders",))
     updated = mutate.update_df(
         t["orders"],
@@ -75,7 +91,10 @@ def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return updated.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,3))), 2)"
+            " AS DOUBLE) AS total"
+        ),
     )
 
 

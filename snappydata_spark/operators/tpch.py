@@ -73,6 +73,25 @@ def _sum_money(expr, alias: str):
     return F.round(F.sum(expr), 2).cast("double").alias(alias)
 
 
+# SQL-string twins of the decimal helpers, for the hottest (anchor-
+# benchmarked) queries.  Building an expression tree through the Column
+# API costs one Py4J round-trip per node — profiled at ~310 round-trips
+# ≈ 60-100 ms per q06 BUILD, the dominant term of the engine-vs-vanilla
+# anchor gap on sub-second queries.  F.expr parses the whole expression
+# in ONE JVM call; the parsed tree (and thus the physical plan and the
+# value hash) is identical to the Column-API form.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+def _sum_money_sql(term: str, alias: str):
+    """One-JVM-call equivalent of ``_sum_money`` (same decimal rounding
+    discipline — see there)."""
+    return F.expr(f"CAST(ROUND(SUM({term}), 2) AS DOUBLE) AS {alias}")
+
+
 # --------------------------------------------------------------------- Q1
 
 @register(
@@ -104,17 +123,21 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (
         t["lineitem"]
-        .filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .filter("l_shipdate <= TIMESTAMP '1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _sum_money(_dec2("l_quantity"), "sum_qty"),
-            _sum_money(_dec2("l_extendedprice"), "sum_base_price"),
-            _sum_money(_rev_exact(), "sum_disc_price"),
-            _sum_money(_rev_exact() * _one_plus_tax(), "sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
+            _sum_money_sql(
+                "CAST(l_extendedprice AS DECIMAL(12,2))", "sum_base_price"
+            ),
+            _sum_money_sql(_REV_SQL, "sum_disc_price"),
+            _sum_money_sql(
+                f"{_REV_SQL} * CAST(1 + l_tax AS DECIMAL(4,2))", "sum_charge"
+            ),
+            F.expr("ROUND(AVG(l_quantity), 4) AS avg_qty"),
+            F.expr("ROUND(AVG(l_extendedprice), 4) AS avg_price"),
+            F.expr("ROUND(AVG(l_discount), 4) AS avg_disc"),
+            F.expr("COUNT(1) AS count_order"),
         )
     )
 
@@ -171,14 +194,14 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem ⋈ orders shuffles on orderkey (bucket-colocatable); the
     top-10 runs as TakeOrderedAndProject — no global sort at scale."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t["orders"].filter(F.col("o_orderdate") < _ts("1998-07-01"))
-    line = t["lineitem"].filter(F.col("l_shipdate") > _ts("1998-07-01"))
+    cust = t["customer"].filter("c_mktsegment = 'BUILDING'")
+    orders = t["orders"].filter("o_orderdate < TIMESTAMP '1998-07-01'")
+    line = t["lineitem"].filter("l_shipdate > TIMESTAMP '1998-07-01'")
     return (
         line.join(orders, line.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_sum_money(_rev_exact(), "revenue"))
+        .agg(_sum_money_sql(_REV_SQL, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -239,10 +262,10 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
     )
     orders = t["orders"].filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01"))
-        & (F.col("o_orderdate") < _ts("1997-01-01"))
+        "o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1997-01-01'"
     )
-    region = t["region"].filter(F.col("r_name") == "ASIA")
+    region = t["region"].filter("r_name = 'ASIA'")
     nation = t["nation"].join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     )
@@ -259,7 +282,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(_sum_money(_rev_exact(), "revenue"))
+        .agg(_sum_money_sql(_REV_SQL, "revenue"))
     )
 
 
@@ -285,19 +308,18 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .filter(
-            (F.col("l_shipdate") >= _ts("1996-01-01"))
-            & (F.col("l_shipdate") < _ts("1997-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
+            "l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07"
+            " AND l_quantity < 24"
         )
         .agg(
-            _sum_money(
-                _dec2("l_extendedprice")
-                * F.col("l_discount").cast("decimal(4,2)"),
+            _sum_money_sql(
+                "CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(l_discount AS DECIMAL(4,2))",
                 "revenue",
             ),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("COUNT(1) AS n_lines"),
         )
     )
 
@@ -375,18 +397,16 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 profit by nation/year (getQuery9, adapted: no partsupp
     cost term).  part filter pushes down before the join."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
-    promo = t["part"].filter(F.col("p_type") == "PROMO")
+    promo = t["part"].filter("p_type = 'PROMO'")
     return (
         t["lineitem"]
         .join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+            F.expr("n_name AS nation"), F.expr("YEAR(l_shipdate) AS o_year")
         )
-        .agg(
-            F.round(F.sum(_rev_exact()), 2).cast("double").alias("profit")
-        )
+        .agg(_sum_money_sql(_REV_SQL, "profit"))
     )
 
 
@@ -591,8 +611,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 300)
+        .agg(F.expr("SUM(l_quantity) AS q"))
+        .filter("q > 300")
         .select("l_orderkey")
     )
     return (
@@ -602,13 +622,13 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_sum_money(_dec2("l_quantity"), "sum_qty"))
-        .select(
+        .agg(_sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"))
+        .selectExpr(
             "c_name",
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "ROUND(o_totalprice, 2) AS o_totalprice",
             "sum_qty",
         )
     )
