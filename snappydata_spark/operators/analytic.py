@@ -34,17 +34,23 @@ def win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number top-k per group — the window-based top-k the reference
     gets from Spark's WindowExec.  One shuffle on the partition key."""
     t = load_tables(spark, sf_dir, ("orders",))
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    # SQL-string build (3 JVM calls instead of ~25): the Column-API
+    # window spec costs one Py4J round-trip per node, which dominated
+    # this anchor's engine-vs-vanilla residual (see tpch._REV_SQL note)
     return (
         t["orders"]
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
+        .selectExpr(
             "o_orderpriority",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_totalprice",
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority"
+            " ORDER BY o_totalprice DESC, o_orderkey) AS rn",
+        )
+        .filter("rn <= 3")
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderkey",
+            "ROUND(o_totalprice, 2) AS o_totalprice",
             "rn",
         )
     )
@@ -151,10 +157,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("cnt"),
+            F.expr("GROUPING(l_returnflag) AS g_flag"),
+            F.expr("GROUPING(l_linestatus) AS g_status"),
+            F.expr("ROUND(SUM(l_quantity), 2) AS sum_qty"),
+            F.expr("COUNT(1) AS cnt"),
         )
         .select(
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "cnt"

@@ -32,12 +32,12 @@ def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.expr("date_trunc('hour', ts) AS hour_start"),
             F.col("event_type"),
         )
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr("COUNT(1) AS cnt"),
+            F.expr("ROUND(SUM(value), 2) AS total_value"),
         )
     )
 
@@ -98,28 +98,28 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum → per-session rollup.  Single shuffle on user_id; all
     window passes reuse that partitioning."""
     t = load_tables(spark, sf_dir, ("events",))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-precision gap: ts.cast("long") truncates to whole seconds,
     # which flips boundary sessions on sub-second event streams; interval
     # comparison keeps full precision and works for TIMESTAMP and
-    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ)
-    prev = F.lag(F.col("ts")).over(w)
-    flagged = t["events"].withColumn(
-        "new_session",
-        F.when(
-            prev.isNull()
-            | ((F.col("ts") - prev) > F.expr("INTERVAL '30' MINUTE")),
-            1,
-        ).otherwise(0),
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ).  SQL-string build:
+    # the Column-API window tree cost ~40 Py4J round-trips per call,
+    # most of this anchor's engine-vs-vanilla residual.
+    _over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    flagged = t["events"].selectExpr(
+        "*",
+        f"CASE WHEN LAG(ts) {_over}) IS NULL"
+        f" OR ts - LAG(ts) {_over}) > INTERVAL '30' MINUTE"
+        " THEN 1 ELSE 0 END AS new_session",
     )
-    sessions = flagged.withColumn(
-        "session_no",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    sessions = flagged.selectExpr(
+        "*",
+        f"SUM(new_session) {_over}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no",
     )
     return sessions.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.expr("COUNT(1) AS n_events"),
+        F.expr("MIN(ts) AS session_start"),
+        F.expr("MAX(ts) AS session_end"),
     )
 
 
