@@ -144,7 +144,8 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
-       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS cnt
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -159,7 +160,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("GROUPING(l_returnflag) AS g_flag"),
             F.expr("GROUPING(l_linestatus) AS g_status"),
-            F.expr("ROUND(SUM(l_quantity), 2) AS sum_qty"),
+            # decimal accumulation: the cube/rollup/grouping-sets TOTAL
+            # rows sum entire scaling tables, where double sums drift a
+            # cent with partition order (sf10 catch on agg_rollup)
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS sum_qty"
+            ),
             F.expr("COUNT(1) AS cnt"),
         )
         .select(
@@ -201,20 +208,22 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
-       ROUND(SUM(c_acctbal), 2) AS bal
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL entry (same plan as the grammar
-    path in the reference)."""
+    path in the reference).  Money SUM accumulates in exact decimal (see
+    agg_rollup — the () grand-total row sums the whole scaling table)."""
     t = load_tables(spark, sf_dir, ("customer",))
     t["customer"].createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
-               ROUND(SUM(c_acctbal), 2) AS bal
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
@@ -450,7 +459,8 @@ def scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json_funcs",
     oracle="""
 SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
-       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+       COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY k_mod
 """,
@@ -468,7 +478,10 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS total_value"
+            ),
         )
     )
 

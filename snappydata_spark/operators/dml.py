@@ -101,7 +101,8 @@ def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dml_delete_where",
     oracle="""
-SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
 FROM lineitem
 WHERE NOT (l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05)
 GROUP BY l_returnflag
@@ -118,7 +119,10 @@ def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)"
+            " AS DOUBLE) AS qty"
+        ),
     )
 
 

@@ -20,7 +20,8 @@ from snappydata_spark.tables import load_tables
     "ev_tumbling_window",
     oracle="""
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+       COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY hour_start, event_type
 """,
@@ -37,7 +38,13 @@ def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr("COUNT(1) AS cnt"),
-            F.expr("ROUND(SUM(value), 2) AS total_value"),
+            # decimal accumulation — events.value is an exact 2-decimal
+            # amount; per-(hour, type) row counts scale with sf, where
+            # double sums drift a cent with partition order (sf10 catch)
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS total_value"
+            ),
         )
     )
 
@@ -126,7 +133,8 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_top_users",
     oracle="""
-SELECT user_id, COUNT(*) AS purchases, ROUND(SUM(value), 2) AS total_spend
+SELECT user_id, COUNT(*) AS purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_spend
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -135,6 +143,9 @@ LIMIT 10
 """,
 )
 def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total_spend is also the top-10 SORT key, so the SUM must be
+    order-independent (decimal) — a cent of double drift could flip
+    which user holds rank 10."""
     t = load_tables(spark, sf_dir, ("events",))
     return (
         t["events"]
@@ -142,7 +153,10 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("purchases"),
-            F.round(F.sum("value"), 2).alias("total_spend"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS total_spend"
+            ),
         )
         .orderBy(F.col("total_spend").desc(), F.col("user_id"))
         .limit(10)

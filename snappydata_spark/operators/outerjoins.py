@@ -384,7 +384,7 @@ def nw_null_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN r_name IN ('AMERICA', 'EUROPE') THEN 'west'
             WHEN r_name = 'ASIA' THEN 'asia'
             ELSE 'other' END AS region_bucket,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -409,7 +409,12 @@ def nw_case_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(bucket.alias("region_bucket"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # 3 buckets absorb the whole scaling orders table → decimal
+            # accumulation (double sums drift a cent; sf10 catch class)
+            F.expr(
+                "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)"
+                " AS DOUBLE) AS revenue"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -20,7 +20,7 @@ from snappydata_spark.tables import load_tables
 _PLAIN_ORACLE = """
 SELECT c.c_nationkey AS nation,
        COUNT(*) AS n_events,
-       ROUND(SUM(e.value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_nationkey
 """
@@ -35,9 +35,14 @@ def _events_customer(spark: SparkSession, sf_dir: str):
 
 
 def _rollup(joined: DataFrame) -> DataFrame:
+    # decimal accumulation: 25 nation groups absorb the whole scaling
+    # events table, where double sums drift a cent with partition order
     return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)"
+            " AS DOUBLE) AS total_value"
+        ),
     )
 
 

@@ -136,8 +136,10 @@ SELECT o_orderstatus,
        CAST(SUM(CASE WHEN coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'),
                               'UNSPECIFIED') = 'UNSPECIFIED'
                 THEN 1 ELSE 0 END) AS BIGINT) AS unspecified_cnt,
-       ROUND(SUM(greatest(o_totalprice, 10000.0)), 2) AS sum_floor_10k,
-       ROUND(SUM(least(o_totalprice, 50000.0)), 2) AS sum_cap_50k
+       CAST(ROUND(SUM(CAST(greatest(o_totalprice, 10000.0) AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS sum_floor_10k,
+       CAST(ROUND(SUM(CAST(least(o_totalprice, 50000.0) AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS sum_cap_50k
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -155,11 +157,16 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(unspec == "UNSPECIFIED", 1).otherwise(0)).alias(
                 "unspecified_cnt"
             ),
-            F.round(
-                F.sum(F.greatest(F.col("o_totalprice"), F.lit(10000.0))), 2
-            ).alias("sum_floor_10k"),
-            F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(50000.0))), 2).alias(
-                "sum_cap_50k"
+            # decimal accumulation: greatest/least of 2-decimal money is
+            # still exact 2-decimal; status groups absorb the whole
+            # scaling table (double sums drift a cent — sf10 catch class)
+            F.expr(
+                "CAST(ROUND(SUM(CAST(greatest(o_totalprice, 10000.0)"
+                " AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_floor_10k"
+            ),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(least(o_totalprice, 50000.0)"
+                " AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_cap_50k"
             ),
         )
     )
@@ -205,7 +212,9 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_python_registered",
     oracle="""
-SELECT o_orderstatus, ROUND(SUM(ROUND(o_totalprice * 0.07, 2)), 2) AS total_tax
+SELECT o_orderstatus,
+       CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 0.07, 2) AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS total_tax
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -227,7 +236,9 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["orders"].createOrReplaceTempView("orders_udf_v")
     return spark.sql(
         """
-        SELECT o_orderstatus, ROUND(SUM(py_tax(o_totalprice)), 2) AS total_tax
+        SELECT o_orderstatus,
+               CAST(ROUND(SUM(CAST(py_tax(o_totalprice) AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_tax
         FROM orders_udf_v GROUP BY o_orderstatus
         """
     )
@@ -236,7 +247,9 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_pandas_vectorized",
     oracle="""
-SELECT o_orderstatus, ROUND(SUM(ROUND(o_totalprice * 0.07, 2)), 2) AS total_tax
+SELECT o_orderstatus,
+       CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 0.07, 2) AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS total_tax
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -257,7 +270,13 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(F.round(F.sum(pd_tax(F.col("o_totalprice"))), 2).alias("total_tax"))
+        .agg(
+            F.round(
+                F.sum(pd_tax(F.col("o_totalprice")).cast("decimal(12,2)")), 2
+            )
+            .cast("double")
+            .alias("total_tax")
+        )
     )
 
 
