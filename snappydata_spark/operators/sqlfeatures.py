@@ -71,10 +71,14 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
 SELECT l_linenumber,
-       ROUND(SUM(sqrt(l_quantity)), 4) AS sum_sqrt,
-       ROUND(SUM(pow(l_discount, 2)), 6) AS sum_sq,
-       ROUND(SUM(abs(l_extendedprice - 1000)), 2) AS sum_absdev,
-       ROUND(SUM(ln(l_quantity)), 4) AS sum_ln,
+       CAST(ROUND(SUM(CAST(sqrt(l_quantity) AS DECIMAL(28,16))), 4)
+            AS DOUBLE) AS sum_sqrt,
+       CAST(ROUND(SUM(CAST(pow(l_discount, 2) AS DECIMAL(28,16))), 6)
+            AS DOUBLE) AS sum_sq,
+       CAST(ROUND(SUM(CAST(abs(l_extendedprice - 1000) AS DECIMAL(12,2))), 2)
+            AS DOUBLE) AS sum_absdev,
+       CAST(ROUND(SUM(CAST(ln(l_quantity) AS DECIMAL(28,16))), 4)
+            AS DOUBLE) AS sum_ln,
        CAST(SUM(CAST(floor(l_extendedprice / 100) AS BIGINT)) AS BIGINT) AS sum_floor,
        CAST(SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_ceil,
        CAST(SUM(CAST(l_orderkey AS BIGINT) % 97) AS BIGINT) AS sum_mod
@@ -83,18 +87,36 @@ GROUP BY l_linenumber
 """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function family (inherited registry §2.10)."""
+    """Math function family (inherited registry §2.10).
+
+    Sums of IRRATIONAL doubles (sqrt/pow/ln) cannot be made exact, but
+    can be made ORDER-INDEPENDENT: both engines compute the identical
+    IEEE double per row, recover the identical DECIMAL(28,16) from it
+    (per-term error ≤5e-17, immaterial at the rounded output scale),
+    and decimal addition is associative — double sums flipped the last
+    rounded digit at the sf10 differential.  abs(money-1000) is exact
+    2-decimal, so it takes the standard DECIMAL(12,2) path."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (
         t["lineitem"]
         .groupBy("l_linenumber")
         .agg(
-            F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
-            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_sq"),
-            F.round(F.sum(F.abs(F.col("l_extendedprice") - 1000)), 2).alias(
-                "sum_absdev"
+            F.expr(
+                "CAST(ROUND(SUM(CAST(sqrt(l_quantity) AS DECIMAL(28,16))),"
+                " 4) AS DOUBLE) AS sum_sqrt"
             ),
-            F.round(F.sum(F.log(F.col("l_quantity"))), 4).alias("sum_ln"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(pow(l_discount, 2) AS DECIMAL(28,16))),"
+                " 6) AS DOUBLE) AS sum_sq"
+            ),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(abs(l_extendedprice - 1000)"
+                " AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_absdev"
+            ),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(ln(l_quantity) AS DECIMAL(28,16))),"
+                " 4) AS DOUBLE) AS sum_ln"
+            ),
             F.sum(F.floor(F.col("l_extendedprice") / 100).cast("long")).alias(
                 "sum_floor"
             ),
