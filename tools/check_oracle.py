@@ -109,8 +109,15 @@ def main():
             with open(json_out, "w") as f:
                 json.dump(report, f, indent=2)
 
+    # a comma in the filter makes it an exact-name allowlist (used by the
+    # sfN subset sweeps that pick queries data-driven from a prior
+    # decade's measured walls); otherwise substring match as before
+    names = set(name_filter.split(",")) if "," in name_filter else None
     for name, fn in sorted(QUERIES.items()):
-        if name_filter and name_filter not in name:
+        if names is not None:
+            if name not in names:
+                continue
+        elif name_filter and name_filter not in name:
             continue
         t0 = time.time()
         try:
