@@ -216,6 +216,9 @@ def _fill(rng: random.Random, template: str) -> str:
         key25=rng.randrange(3, 25),
         year=rng.randrange(1993, 1998),
         d=rng.randrange(1, 6),
+        seg=rng.choice(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+        ),
     )
 
 
@@ -409,16 +412,91 @@ def gen_grouping_sets_query(rng: random.Random) -> str:
     return sql + f" GROUP BY {grouping}"
 
 
+# correlated-scalar-subquery-in-SELECT shapes (r11): outer table,
+# correlated inner aggregate per SELECT item.  Spark rewrites these to
+# an aggregate + left outer join; DuckDB decorrelates them the same way
+# — the fuzz checks the rewrite is semantically transparent.  Inner
+# aggregates stick to the decimal-exact discipline (no AVG: a binary
+# quotient can land on opposite sides of the 6-dp canon rounding) and
+# COUNT/MIN/MAX of integer keys; empty-group NULLs flow through as
+# NULL on both engines (COUNT gives 0).
+_SCALAR_SUB = [
+    (
+        "nation",
+        "n_nationkey",
+        [
+            "(SELECT COUNT(*) FROM customer WHERE customer.c_nationkey ="
+            " nation.n_nationkey AND c_acctbal > {bal}) AS s_cnt",
+            "(SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+            " FROM customer WHERE customer.c_nationkey = nation.n_nationkey"
+            " AND c_mktsegment = '{seg}') AS s_bal",
+            "(SELECT MAX(c_custkey) FROM customer WHERE"
+            " customer.c_nationkey = nation.n_nationkey) AS s_maxc",
+            # COUNT(*), not COUNT(DISTINCT): Spark cannot decorrelate a
+            # DISTINCT aggregate scalar subquery (AnalysisException)
+            "(SELECT COUNT(*) FROM supplier WHERE"
+            " supplier.s_nationkey = nation.n_nationkey) AS s_supp",
+        ],
+        "n_regionkey <> {m5}",
+    ),
+    (
+        "customer",
+        "c_custkey",
+        [
+            "(SELECT COUNT(*) FROM orders WHERE orders.o_custkey ="
+            " customer.c_custkey AND o_totalprice > {price}) AS s_cnt",
+            "(SELECT MIN(o_orderdate) FROM orders WHERE orders.o_custkey ="
+            " customer.c_custkey) AS s_first",
+            "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))"
+            " AS DOUBLE) FROM orders WHERE orders.o_custkey ="
+            " customer.c_custkey AND o_orderstatus = 'F') AS s_spend",
+        ],
+        "c_custkey % {m} = 0",
+    ),
+    (
+        "supplier",
+        "s_suppkey",
+        [
+            "(SELECT COUNT(*) FROM lineitem WHERE lineitem.l_suppkey ="
+            " supplier.s_suppkey AND l_quantity >= {qty}) AS s_cnt",
+            "(SELECT MAX(l_orderkey) FROM lineitem WHERE"
+            " lineitem.l_suppkey = supplier.s_suppkey) AS s_maxo",
+            "(SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))"
+            " AS DOUBLE) FROM lineitem WHERE lineitem.l_suppkey ="
+            " supplier.s_suppkey AND l_returnflag = 'R') AS s_ret",
+        ],
+        "s_suppkey % {m} = 0",
+    ),
+]
+
+
+def gen_scalar_subquery_query(rng: random.Random) -> str:
+    tbl, pk, subs, filt = rng.choice(_SCALAR_SUB)
+    chosen = rng.sample(subs, rng.randrange(1, min(3, len(subs)) + 1))
+    proj = ", ".join([f"{pk} AS k0"] + [_fill(rng, s) for s in chosen])
+    sql = f"SELECT {proj} FROM {tbl} WHERE " + _fill(rng, filt)
+    if rng.random() < 0.3:
+        # requalify through a derived table: re-filter on a subquery
+        # output (forces the decorrelated join under an outer Filter)
+        alias = chosen[0].rsplit(" AS ", 1)[1]
+        cmp_ = "IS NOT NULL" if alias != "s_cnt" else f"> {rng.randrange(0, 2)}"
+        sql = f"SELECT * FROM ({sql}) d WHERE {alias} {cmp_}"
+    return sql
+
+
 def gen_query(rng: random.Random) -> str:
     """One random query in the shared ANSI subset: grouped aggregation
-    (possibly joined / HAVING / LIMIT), a window-function scan, or a
-    derived-table requalification of an aggregate."""
+    (possibly joined / HAVING / LIMIT), a window-function scan, a
+    correlated-scalar-subquery SELECT, or a derived-table
+    requalification of an aggregate."""
     roll = rng.random()
     if roll < 0.15:
         return gen_window_query(rng)
     if roll < 0.27:
         return gen_grouping_sets_query(rng)
-    if roll < 0.4:
+    if roll < 0.35:
+        return gen_scalar_subquery_query(rng)
+    if roll < 0.45:
         # derived table: aggregate inside, re-filter + re-project outside
         inner = _gen_agg_query(rng, allow_order=False, require_cnt=True)
         return (
@@ -510,7 +588,7 @@ def run(
         from snappydata_spark import get_spark
 
         spark = get_spark("fuzz")
-    for t in TABLES:
+    for t in TABLES + ("supplier",):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     con = duck_connect(sf_dir)
     if through_session:
@@ -525,6 +603,7 @@ def run(
         None: gen_query,
         "window": gen_window_query,
         "grouping": gen_grouping_sets_query,
+        "scalar_sub": gen_scalar_subquery_query,
     }[family]
     rng = random.Random(seed)
     failures: list[tuple[str, str]] = []
