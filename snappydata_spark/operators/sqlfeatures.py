@@ -91,10 +91,14 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sums of IRRATIONAL doubles (sqrt/pow/ln) cannot be made exact, but
     can be made ORDER-INDEPENDENT: both engines compute the identical
-    IEEE double per row, recover the identical DECIMAL(28,16) from it
-    (per-term error ≤5e-17, immaterial at the rounded output scale),
-    and decimal addition is associative — double sums flipped the last
-    rounded digit at the sf10 differential.  abs(money-1000) is exact
+    IEEE double per row, cast it to DECIMAL(28,16), and decimal
+    addition is associative — double sums flipped the last rounded
+    digit at the sf10 differential.  The two engines' double→decimal
+    casts are NOT bit-identical at the 16th digit (DuckDB scales by
+    10^16 in double arithmetic, which overflows 2^53 for values ≥~1,
+    while Spark rounds the decimal string HALF_UP), so per-row decimals
+    can differ by a few ulps at scale 16; the 4-6dp output rounding
+    absorbs that drift, which is what the differential verifies.  abs(money-1000) is exact
     2-decimal, so it takes the standard DECIMAL(12,2) path."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (

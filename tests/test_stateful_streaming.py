@@ -143,6 +143,7 @@ def test_windowed_cq_with_watermark_and_late_data(spark, stream_dir):
             t0 + 5, datetime.timezone.utc
         )
         deadline = time.time() + 90
+        got = None
         while time.time() < deadline:
             p = q.lastProgress
             wm = (p or {}).get("eventTime", {}).get("watermark")
@@ -153,6 +154,13 @@ def test_windowed_cq_with_watermark_and_late_data(spark, stream_dir):
                 if got >= wm_target:
                     break
             time.sleep(0.25)
+        # fail HERE on a gate timeout — writing b1 against a stale
+        # watermark would later fail the late-window assertion with a
+        # misleading message (the exact race this gate eliminates)
+        assert got is not None and got >= wm_target, (
+            f"watermark never reached {wm_target} within 90s "
+            f"(last observed: {got})"
+        )
         # watermark is now t0+65-60; this event is an hour late → dropped
         _write_batch(stream_dir, "b1.json", [
             {"k": "a", "ts": t0 - 3600}, {"k": "b", "ts": t0 + 70},

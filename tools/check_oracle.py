@@ -113,6 +113,13 @@ def main():
     # sfN subset sweeps that pick queries data-driven from a prior
     # decade's measured walls); otherwise substring match as before
     names = set(name_filter.split(",")) if "," in name_filter else None
+    if names is not None:
+        unmatched = sorted(names - set(QUERIES))
+        if unmatched:
+            raise SystemExit(
+                "allowlist names not in QUERIES (typo or renamed query): "
+                + ", ".join(unmatched)
+            )
     for name, fn in sorted(QUERIES.items()):
         if names is not None:
             if name not in names:
