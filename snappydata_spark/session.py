@@ -1302,6 +1302,36 @@ class SnappySession:
         )
         return frozenset(f"key:{r[0]}" for r in rows)
 
+    def _run_exclusive(self, name: str, body):
+        """Run `body()` under the exclusive table lock with in-flight
+        write claims DRAINED first — the @_serialized /
+        _EXCLUSIVE_REQUIRED discipline for mutation paths that don't go
+        through the decorator (MERGE INTO, INSERT OVERWRITE, the
+        create-index clustering rewrite).  A bare table lock is NOT
+        enough for these: a downgraded claim holder runs its rewrite
+        with the lock RELEASED, so a full-rewrite rival that only takes
+        the lock would commit between the holder's read and its commit —
+        the holder's later manifest commit then re-adds rows the rival
+        replaced (lost update / resurrection).  `body` re-runs from
+        scratch after a _MutationRetry, exactly like @_serialized."""
+        scope = _WriteScope(self, name)
+        scope.enter()
+        stack = self._scope_stack()
+        stack.append(scope)
+        try:
+            for _ in range(64):  # livelock backstop; deadline is the gate
+                try:
+                    scope.ensure_exclusive()
+                    return body()
+                except _MutationRetry:
+                    scope.reset_for_retry()
+            raise LockTimeout(
+                f"40XL1: mutation of {name} kept losing claim races"
+            )
+        finally:
+            stack.pop()
+            scope.exit()
+
     # -------------------------------------------------------- registry persist
 
     @property
@@ -3356,10 +3386,14 @@ class SnappySession:
             # legalizes self-referencing overwrites (INSERT OVERWRITE t
             # SELECT ... FROM t — Spark rejects overwrite-while-reading)
             self._resolve_read_access(stmt.source_sql)
-            # same per-table serialization as insert/put/update — an
-            # unlocked overwrite racing a concurrent append could commit
-            # a manifest that tombstones the append's files
-            with self._table_lock(stmt.table.lower()):
+
+            # same per-table serialization as insert/put/update, PLUS a
+            # claims drain (_run_exclusive): an unlocked overwrite racing
+            # a concurrent append could commit a manifest that tombstones
+            # the append's files, and a lock-only overwrite racing a
+            # DOWNGRADED claim holder would be resurrected by the
+            # holder's later commit
+            def _overwrite_body():
                 meta = self.catalog.load_meta(stmt.table.lower())
                 aligned = self._align_source(
                     stmt.table, self.spark.sql(stmt.source_sql)
@@ -3370,6 +3404,8 @@ class SnappySession:
                 if self._referencing_fks(meta.name):
                     self._assert_no_fk_orphans(meta, aligned)
                 self._rewrite(aligned, meta)
+
+            self._run_exclusive(stmt.table.lower(), _overwrite_body)
             return None
         m = re.match(
             r"\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", text, flags=re.I
@@ -5314,8 +5350,9 @@ class SnappySession:
 
         o = stmt.options
         name = stmt.table.lower()
-        with self._table_lock(name):
-            return self._merge_locked(stmt, o, name)
+        return self._run_exclusive(
+            name, lambda: self._merge_locked(stmt, o, name)
+        )
 
     def _merge_locked(self, stmt, o, name) -> None:
         from snappydata_spark.dialect import equi_key_pairs
@@ -5876,11 +5913,17 @@ class SnappySession:
         if self.catalog.exists(name):
             meta = self.catalog.load_meta(name)
             if not self._is_bucketed(meta):
-                with self._table_lock(name):  # serialize with writers
+                # serialize with writers AND drain in-flight claims: the
+                # registration above makes the table claims-ineligible
+                # for NEW writers, but a holder downgraded before it
+                # would commit over this clustering rewrite
+                def _cluster_body():
                     df = self._mutation_target(name, meta)
                     if df is not None and not df.isEmpty():
                         # _rewrite clusters for the just-registered index
                         self._rewrite(df, meta)
+
+                self._run_exclusive(name, _cluster_body)
         return None
 
     def _index_cols(self, name: str) -> list[str] | None:

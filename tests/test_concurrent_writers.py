@@ -290,3 +290,130 @@ def test_flock_pin_survives_release(tmp_path):
     assert lk._fh is not None
     lk.unpin_flock()
     assert lk._fh is None
+
+
+def test_merge_waits_out_claim_holder(snappy, spark):
+    """MERGE INTO must drain in-flight blast-radius claims before its
+    read→rewrite→commit (r12: _merge routed through _run_exclusive).  A
+    lock-only merge racing downgraded writer A would read pre-A state,
+    commit, and then have A's later manifest commit re-add the rows the
+    merge replaced — duplicated keys and a lost update."""
+    from snappydata_spark import SnappySession
+
+    name = _mk_two_file_table(snappy, spark, "cw_mg")
+    store = snappy.catalog.base_dir
+    sa = SnappySession(spark, store_dir=store)
+    sb = SnappySession(spark, store_dir=store)
+
+    a_mid_rewrite = threading.Event()
+    release_a = threading.Event()
+    merge_done = threading.Event()
+    errors = []
+
+    real_replace = type(sa)._replace_files
+
+    def stalling_replace(meta, files, rows):
+        a_mid_rewrite.set()
+        if not release_a.wait(timeout=90):
+            raise AssertionError("test never released writer A")
+        return real_replace(sa, meta, files, rows)
+
+    sa._replace_files = stalling_replace
+
+    def run_a():
+        try:
+            sa.put(name, spark.createDataFrame([(1, 111)], "k long, v long"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(("a", e))
+
+    def run_b():
+        try:
+            assert a_mid_rewrite.wait(timeout=90)
+            sb.sql(
+                f"MERGE INTO {name} t USING (SELECT CAST(1 AS LONG) AS k, "
+                "CAST(222 AS LONG) AS v) s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(("b", e))
+        merge_done.set()
+
+    ta = threading.Thread(target=run_a)
+    tb = threading.Thread(target=run_b)
+    ta.start()
+    tb.start()
+    # the merge must NOT commit while A's intersecting claim is in flight
+    assert a_mid_rewrite.wait(timeout=90)
+    assert not merge_done.wait(timeout=5), (
+        "MERGE committed while an intersecting write claim was in flight"
+    )
+    release_a.set()
+    ta.join(timeout=180)
+    tb.join(timeout=180)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert errors == []
+    final = _vals(snappy, name)
+    assert len(final) == 100, "merge/claim race duplicated rows"
+    assert final[1] == 222  # serial order: A's put, then B's merge
+
+
+def test_insert_overwrite_waits_out_claim_holder(snappy, spark):
+    """INSERT OVERWRITE (full replace) racing a downgraded claim holder
+    must drain the claim first, or the holder's later commit resurrects
+    pre-overwrite rows on top of the replacement."""
+    from snappydata_spark import SnappySession
+
+    name = _mk_two_file_table(snappy, spark, "cw_ow")
+    store = snappy.catalog.base_dir
+    sa = SnappySession(spark, store_dir=store)
+    sb = SnappySession(spark, store_dir=store)
+
+    a_mid_rewrite = threading.Event()
+    release_a = threading.Event()
+    ow_done = threading.Event()
+    errors = []
+
+    real_replace = type(sa)._replace_files
+
+    def stalling_replace(meta, files, rows):
+        a_mid_rewrite.set()
+        if not release_a.wait(timeout=90):
+            raise AssertionError("test never released writer A")
+        return real_replace(sa, meta, files, rows)
+
+    sa._replace_files = stalling_replace
+
+    def run_a():
+        try:
+            sa.put(name, spark.createDataFrame([(1, 111)], "k long, v long"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(("a", e))
+
+    def run_b():
+        try:
+            assert a_mid_rewrite.wait(timeout=90)
+            sb.sql(
+                f"INSERT OVERWRITE {name} "
+                "SELECT CAST(500 AS LONG) AS k, CAST(5000 AS LONG) AS v"
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(("b", e))
+        ow_done.set()
+
+    ta = threading.Thread(target=run_a)
+    tb = threading.Thread(target=run_b)
+    ta.start()
+    tb.start()
+    assert a_mid_rewrite.wait(timeout=90)
+    assert not ow_done.wait(timeout=5), (
+        "INSERT OVERWRITE committed while a write claim was in flight"
+    )
+    release_a.set()
+    ta.join(timeout=180)
+    tb.join(timeout=180)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert errors == []
+    final = _vals(snappy, name)
+    # serial order: A's put applied, then the overwrite replaced ALL rows
+    assert final == {500: 5000}, f"resurrected rows after overwrite: {final}"
