@@ -5366,9 +5366,18 @@ class SnappySession:
         if target is None:  # empty table: only the insert branch can fire
             if o["insert"] is not None:
                 icond, imap = o["insert"]
-                src2 = source.filter(F.expr(icond)) if icond else source
+                # the insert condition/column list reference the source by
+                # its MERGE alias (s.col) — alias the frame or they can't
+                # resolve (caught by the r12 concurrent-mutation fuzzer:
+                # MERGE right after TRUNCATE hit this branch)
+                src2 = source.alias(o["s_alias"]) if o["s_alias"] else source
+                if icond:
+                    src2 = src2.filter(F.expr(icond))
                 if imap:
                     src2 = src2.select(*[F.expr(v).alias(k) for k, v in imap.items()])
+                else:
+                    # INSERT * — drop the alias wrapper back to plain cols
+                    src2 = src2.select(*source.columns)
                 self.insert(name, src2)
             return None
 

@@ -586,3 +586,26 @@ def test_max_delta_rows_auto_flush(snappy, spark):
     assert len(snappy._live_files("noflush_t")) == base + 3
     snappy.drop_table("flush_t")
     snappy.drop_table("noflush_t")
+
+
+def test_merge_insert_column_list_into_empty_table(snappy):
+    """MERGE whose target is EMPTY must still resolve s.col references in
+    the INSERT condition/column list (caught by the r12 concurrent-
+    mutation fuzzer: MERGE right after TRUNCATE hit the empty-target
+    branch, which applied the projection to the un-aliased source)."""
+    snappy.create_table(
+        "mg_empty",
+        options={"key_columns": "k"},
+        df=snappy.spark.createDataFrame([(1, 10)], "k long, v long"),
+    )
+    snappy.truncate_table("mg_empty")
+    snappy.sql(
+        "MERGE INTO mg_empty t USING "
+        "(SELECT k, v FROM VALUES (3L, 30L), (4L, 40L) AS s0(k, v)) s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.v > 35 THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    got = sorted((r.k, r.v) for r in snappy.table("mg_empty").collect())
+    assert got == [(4, 40)]  # s.v>35 filtered, s.* resolved
+    snappy.drop_table("mg_empty")
