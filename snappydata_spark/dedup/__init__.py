@@ -622,32 +622,30 @@ def connected_components(
         .distinct()
         .withColumn("cluster", F.col("node"))
     )
+    # r12 (guide §2.4 — remove shuffles outright): each round is now ONE
+    # join + ONE groupBy (union of neighbor labels with own labels, min
+    # per node) instead of join + groupBy + left-outer re-join — 2
+    # exchanges per round, not 3.  Convergence probes via the label-sum
+    # invariant: min-propagation labels are NON-INCREASING, so the
+    # (exact, decimal) sum of labels strictly decreases until the fix
+    # point — an O(1)-output agg over the checkpointed frame replaces
+    # the old per-round labels⋈labels probe join.
+    prev_sum = None
     for _ in range(max_iter):
-        # candidate label for each node: min label among its neighbors
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(edges.a.alias("node"))
-            .agg(F.min("cluster").alias("nbr_cluster"))
+        neighbor = edges.join(labels, edges.b == labels.node).select(
+            F.col("a").alias("node"), "cluster"
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left_outer")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-                ).alias("cluster"),
-            )
+        labels = (
+            neighbor.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
         ).localCheckpoint(eager=True)  # cut lineage per round, execute once
-        changed = (  # convergence probe runs over the two checkpointed sides
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

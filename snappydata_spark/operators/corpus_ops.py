@@ -696,24 +696,62 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_candidate_pairs(mem: DataFrame, sub_cap: int = SEM_SUB_CAP) -> DataFrame:
     """(src, dst, sim) pairs with src > dst, sub-bucket-bounded within
     clusters: `mem` is (vec_id, cluster, embedding).  Pair count is
-    <= n * sub_cap even on a degenerate single hot cluster."""
+    <= n * sub_cap even on a degenerate single hot cluster.
+
+    r12 (guide §8 / §4.2): pairs are generated AND scored inside ONE
+    applyInPandas per (cluster, sub) group, so each embedding crosses
+    the Arrow boundary once per vector — the former embedding⋈embedding
+    self-join shipped both 64-dim payloads per PAIR and then evaluated
+    V.cosine as ~|pairs|·dims interpreted Catalyst lambdas (the
+    measured 10 s of dedup_semdedup's noop wall at sf0.1).  Cosines are
+    float-exact to V.cosine: products in float64 (float→double widening
+    is exact), sequential left-to-right fold via np.cumsum == the
+    F.aggregate fold, same sqrt/divide IEEE ops."""
     w = W.partitionBy("cluster").orderBy("vec_id")
-    sb = mem.withColumn(
+    sb = mem.select("vec_id", "cluster", "embedding").withColumn(
         "sub", F.floor((F.row_number().over(w) - 1) / sub_cap)
     )
-    x, y = sb.alias("x"), sb.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.sub") == F.col("y.sub"))
-            & (F.col("x.vec_id") > F.col("y.vec_id")),
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
         )
-        .select(
-            F.col("x.vec_id").alias("src"),
-            F.col("y.vec_id").alias("dst"),
-            V.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("sim"),
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        # sequential fold per row (cumsum == the F.aggregate fold)
+        nrm = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+        srcs, dsts, sims = [], [], []
+        for i in range(n):
+            mask = ids[i] > ids
+            if not mask.any():
+                continue
+            d = np.cumsum(vecs[i] * vecs[mask], axis=1)[:, -1]
+            s = d / (nrm[i] * nrm[mask])
+            srcs.append(np.full(int(mask.sum()), ids[i], dtype=np.int64))
+            dsts.append(ids[mask])
+            sims.append(s)
+        if not srcs:
+            return empty
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "sim": np.concatenate(sims),
+            }
         )
+
+    return sb.groupBy("cluster", "sub").applyInPandas(
+        score, "src long, dst long, sim double"
     )
 
 

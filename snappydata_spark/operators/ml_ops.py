@@ -96,22 +96,23 @@ def _update(assigned: DataFrame) -> dict[int, list[float]]:
     # DuckDB sums sequentially); rounding far below data scale makes the
     # next iteration's centroids bit-identical across engines instead of
     # letting a 1-ulp drift flip a near-tie assignment
+    # r12 (guide §2.4): the former second groupBy("cluster") existed only
+    # to assemble per-cluster arrays that were immediately collected —
+    # one extra exchange per Lloyd iteration for a k×dims model frame.
+    # Collect the (cluster, pos, m) cells directly (identical values,
+    # same k×dims model size) and assemble driver-side.
     rows = (
         assigned.select(
             "cluster", F.posexplode("embedding").alias("pos", "v")
         )
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.m,
-            ).alias("ce")
-        )
         .collect()
     )
-    return {r.cluster: list(r.ce) for r in rows}
+    out: dict[int, list[float]] = {}
+    for r in sorted(rows, key=lambda r: (r.cluster, r.pos)):
+        out.setdefault(r.cluster, []).append(r.m)
+    return out
 
 
 def kmeans_train(

@@ -1196,54 +1196,90 @@ FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}"""
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of the shared BM25 blocks (same rounding contract)."""
+    """Spark side of the shared BM25 blocks (same rounding contract).
+
+    r12 shape (guide §2.3/§2.4 — aggregate map-side, remove shuffles
+    outright): with a FIXED literal query, per-doc term frequencies are
+    higher-order-function counts over the token array — no explode, no
+    (doc, term) shuffle, no pivot, no dl join.  One tokenization pass
+    yields a slim persisted (doc_id, dl, tf_0..tf_n) frame; corpus
+    stats (n_docs, avgdl) and per-term document frequencies are two
+    model-sized aggregates over it; idf literals are computed by the
+    SAME Spark expression as before (one row, no data); the final score
+    is a map-side fixed-order sum.  The scored frame has ZERO exchanges
+    upstream of the caller's top-k (was: 3 tokenize passes + ~5
+    shuffles).  Values are float-identical: tf/dl are the same
+    integers, idf/avgdl the same rounded doubles, and the partial/sum
+    expressions compose the identical IEEE ops in the identical order."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
-    dl = tok.select("doc_id", F.size("t").alias("dl"))
-    stats = dl.agg(
+    def _tf(term: str):
+        # NB: a (x, term=term) default-arg lambda would LOOK two-ary to
+        # PySpark's HOF binder, which then passes (element, index)
+        return F.filter(F.col("t"), lambda x: x == F.lit(term))
+
+    tf_cols = [
+        F.size(_tf(term)).alias(f"tf_{i}")
+        for i, term in enumerate(BM25_TERMS)
+    ]
+    per_doc = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.size("t").alias("dl"), *tf_cols)
+        .persist()  # one tokenize pass feeds stats, df, and the scorer
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 9).alias("avgdl"),
-    ).collect()[0]  # 2-value model collect
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    ).collect()[0]  # model collect: 2 + |terms| values
     n_docs, avgdl = stats.n_docs, stats.avgdl
-    tf = (
-        tok.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = df_.select(
-        "term",
-        F.round(
-            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-            9,
-        ).alias("idf"),
-    )
-    partial = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
+    # idf literals via the identical Spark expression as the former
+    # broadcast frame (ROUND semantics must match the JVM, not Python's
+    # round) — a 1-row local relation, no cluster job
+    idf_row = (
+        spark.range(1)
         .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("idf")
-                * F.col("tf")
-                * (BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
-                ),
-                9,
-            ).alias("s"),
+            *[
+                F.round(
+                    F.log(
+                        (F.lit(float(n_docs)) - F.lit(float(stats[f"df_{i}"])) + 0.5)
+                        / (F.lit(float(stats[f"df_{i}"])) + 0.5)
+                        + 1.0
+                    ),
+                    9,
+                ).alias(f"idf_{i}")
+                for i in range(len(BM25_TERMS))
+            ]
         )
+        .collect()[0]
     )
-    pv = partial.groupBy("doc_id").pivot("term", list(BM25_TERMS)).sum("s")
     score = None
-    for t in BM25_TERMS:  # FIXED-ORDER addition, same as the oracle
-        term_s = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
-        score = term_s if score is None else score + term_s
-    return pv.select("doc_id", F.round(score, 6).alias("bm25"))
+    for i in range(len(BM25_TERMS)):  # FIXED-ORDER addition, as the oracle
+        tf = F.col(f"tf_{i}")
+        partial = F.round(
+            F.lit(float(idf_row[f"idf_{i}"]))
+            * tf
+            * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+            ),
+            9,
+        )
+        score = partial if score is None else score + partial
+    # the former tf/pivot path only emitted docs containing >= 1 query
+    # term — keep that contract exactly (a zero-score row could
+    # otherwise pad a top-k list the oracle pads differently)
+    has_term = None
+    for i in range(len(BM25_TERMS)):
+        c = F.col(f"tf_{i}") > 0
+        has_term = c if has_term is None else has_term | c
+    return per_doc.filter(has_term).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
 
 
 @register("txt_bm25_topk", oracle=_bm25_oracle())

@@ -606,23 +606,33 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 large-volume orders: group-having semi-join (getQuery18)."""
+    """TPC-H Q18 large-volume orders: group-having semi-join (getQuery18).
+
+    r12 shape (guide §2.3/§2.4): every reported group key is
+    functionally dependent on o_orderkey (orders' PK), so ONE
+    per-orderkey aggregation over lineitem computes both the HAVING sum
+    (double, as the oracle's) and the reported decimal sum_qty — the
+    former plan scanned lineitem twice, re-joined it against its own
+    aggregate, and re-grouped on the full 5-column key (4 exchanges);
+    this one aggregates lineitem once and attaches orders + customer
+    (1 lineitem exchange; the filtered aggregate is selective, so AQE
+    broadcasts it against orders at bench scale and a key-partitioned
+    join serves 100 TB)."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.expr("SUM(l_quantity) AS q"))
+        .agg(
+            F.expr("SUM(l_quantity) AS q"),
+            _sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
+        )
         .filter("q > 300")
-        .select("l_orderkey")
+        .select("l_orderkey", "sum_qty")
     )
     return (
-        t["lineitem"]
-        .join(big.withColumnRenamed("l_orderkey", "big_key"),
-              F.col("l_orderkey") == F.col("big_key"), "inner")
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"))
         .selectExpr(
             "c_name",
             "c_custkey",
