@@ -144,7 +144,19 @@ def plan_cache_hit_vs_cold(spark, sf_dir):
         sn.sql(q)
     cold = round(_t.time() - t0, 3)
     sn.plan_cache.enabled = True
-    return hit, cold
+    # r12 (verdict item 7): the varied-literal hit path (normalized-key
+    # lookup — the dashboard-refresh shape plan_cache_20_repeats
+    # executes) timed as BUILD only, so the facade budget is a bench row:
+    # profiled 2026-08-17 at ~1.9 ms/call vs 9.9 ms cache-off build and
+    # ~188 ms execution — sql() overhead is noise against execution.
+    t0 = _t.time()
+    for i in range(20):
+        sn.sql(
+            f"SELECT o_orderpriority, COUNT(*) AS n FROM bench_orders "
+            f"WHERE o_totalprice > {2000 + i} GROUP BY o_orderpriority"
+        )
+    varied = round(_t.time() - t0, 3)
+    return hit, cold, varied
 
 
 def colocated_join_delta(spark, sf_dir, reps: int = 1):
@@ -487,13 +499,17 @@ def main() -> None:
     )
 
     load1, contended = _quiet_window("plan_cache_hit_vs_cold")
-    hits, colds = [], []
+    hits, colds, varieds = [], [], []
     for _ in range(REPS):
-        hit, cold = plan_cache_hit_vs_cold(spark, SF_DIR)
+        hit, cold, varied = plan_cache_hit_vs_cold(spark, SF_DIR)
         hits.append(hit)
         colds.append(cold)
+        varieds.append(varied)
     timings["plan_cache_20_hits"] = round(statistics.median(hits), 3)
     timings["plan_cache_20_cold"] = round(statistics.median(colds), 3)
+    timings["plan_cache_20_varied_hits"] = round(
+        statistics.median(varieds), 3
+    )
     spread["plan_cache_20_hits"] = {
         "min": min(hits), "max": max(hits), "load1": load1,
     }
@@ -538,7 +554,12 @@ def main() -> None:
     # the headline total stays the round-1 metric set so BENCH_r{N} totals
     # are comparable across rounds; hit/cold are diagnostics of the SAME
     # 20-query loop already counted in plan_cache_20_repeats
-    diagnostics = {"plan_cache_20_hits", "plan_cache_20_cold", *new_queries}
+    diagnostics = {
+        "plan_cache_20_hits",
+        "plan_cache_20_cold",
+        "plan_cache_20_varied_hits",
+        *new_queries,
+    }
     total = round(
         sum(v for k, v in timings.items() if k not in diagnostics), 3
     )

@@ -144,7 +144,12 @@ def ivf_search(
         .limit(nprobe)
         .select(F.col("cid").alias("cell"))
     )
-    candidates = emb.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
+    # r12 (guide §2.3): prune the assignment by the probe cells BEFORE
+    # attaching embeddings — the emb⋈assign join's build side shrinks to
+    # ~nprobe/C of the corpus (and broadcasts at bench scale) instead of
+    # joining the full assignment and discarding 1-nprobe/C of it after
+    pruned = assign.join(F.broadcast(probe), "cell", "left_semi")
+    candidates = emb.join(pruned, id_col)
     return (
         candidates.join(F.broadcast(query))
         .select(

@@ -176,9 +176,17 @@ def minhash_lsh_candidates(
     # group is a subset of its signature group and text reps are their
     # groups' minima, the sig group's min over text reps IS the global
     # min — member edges are exactly the oracle's (rep, doc) pairs.
+    from pyspark.sql import Window as W
+
+    # r12 (guide §2.4): the text-rep election used groupBy(__fp) + a
+    # fp⋈tmap re-join (two exchanges on the fingerprint) — a MIN window
+    # over the same key computes each doc's rep in ONE exchange, and
+    # the rep id set falls out of the same frame.
     fp = df.select(id_col, F.md5(F.col(text_col)).alias("__fp"))
-    tmap = fp.groupBy("__fp").agg(F.min(id_col).alias("__trep"))
-    doc2trep = fp.join(tmap, "__fp").select(id_col, "__trep")
+    doc2trep = fp.withColumn(
+        "__trep", F.min(id_col).over(W.partitionBy("__fp"))
+    ).select(id_col, "__trep")
+    tmap = doc2trep.filter(F.col(id_col) == F.col("__trep")).select("__trep")
     rep_docs = df.join(
         tmap.select(F.col("__trep").alias(id_col)), id_col, "left_semi"
     )
@@ -191,9 +199,13 @@ def minhash_lsh_candidates(
         rep_docs, text_col, id_col, num_hashes, bands, shingle_n
     ).persist()
     band0 = banded.filter(F.col("band") == 0)
-    smap = band0.groupBy("sig_digest").agg(F.min(id_col).alias("__srep"))
-    trep2srep = band0.join(smap, "sig_digest").select(
-        F.col(id_col).alias("__trep"), "__srep"
+    # same §2.4 move for the signature-rep election: MIN window over
+    # sig_digest replaces groupBy + re-join (one exchange, not two)
+    trep2srep = band0.withColumn(
+        "__srep", F.min(id_col).over(W.partitionBy("sig_digest"))
+    ).select(F.col(id_col).alias("__trep"), "__srep")
+    smap = trep2srep.filter(F.col("__trep") == F.col("__srep")).select(
+        "__srep"
     )
     # inner join drops whole groups whose rep produced no bands (text
     # shorter than one shingle / NULL) — the oracle's len(t) >= 3 gate

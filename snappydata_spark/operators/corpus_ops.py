@@ -962,11 +962,10 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mn, mx = codec_stats(emb, "embedding")
     q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
-    base = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(assign, "vec_id")
-        .join(F.broadcast(probe), "cell", "left_semi")
-    )
+    # r12 (guide §2.3): probe-prune the assignment BEFORE attaching the
+    # embedding payload (same move as ann.ivf_search)
+    pruned = assign.join(F.broadcast(probe), "cell", "left_semi")
+    base = emb.filter(F.col("vec_id") != 0).join(pruned, "vec_id")
     cand = (
         sq8_scores_pandas(
             base,
