@@ -264,20 +264,31 @@ def bm25_topk_batch(
             .collect()[0]
         )
         n_docs, avgdl = stats.n_docs, stats.avgdl
-    # persisted: read for the vocabulary collect and again as the
-    # per-query join side (re-deriving the explode+distinct twice would
-    # re-shuffle the query table per use)
-    qterms = (
-        queries.select(F.col(qid_col), F.explode(terms_col).alias("term"))
-        .distinct()
-        .persist()
-    )
-    # the union vocabulary is bounded by the query set, not the corpus;
-    # when small it pushes as a literal IN so the term-clustered file
-    # layout prunes the postings scan — and the IN filter alone then
-    # restricts hits, saving a broadcast-join job (at huge Q the join
-    # carries instead)
-    vocab = [r.term for r in qterms.select("term").distinct().limit(257).collect()]
+    # r12 (guide §1.2/§5): ONE bounded collect of the exploded query
+    # terms replaces persist + vocabulary-collect + join-side reads (the
+    # former path ran a persist-materialization job AND a distinct
+    # collect job before the scoring plan even started).  The (qid,
+    # term) set is bounded by the query batch, not the corpus; when it
+    # is small it re-enters as a LOCAL relation (broadcast join side
+    # with no job) and the union vocabulary pushes as a literal IN so
+    # the term-clustered file layout prunes the postings scan.  At huge
+    # Q (> cap) the distributed join path carries instead, unchanged.
+    qterms = queries.select(
+        F.col(qid_col), F.explode(terms_col).alias("term")
+    ).distinct()
+    qt_rows = qterms.limit(4097).collect()
+    if len(qt_rows) <= 4096:
+        spark = queries.sparkSession
+        qterms = spark.createDataFrame(
+            qt_rows, schema=qterms.schema
+        )
+        vocab = sorted({r.term for r in qt_rows})
+    else:
+        qterms = qterms.persist()
+        vocab = [
+            r.term
+            for r in qterms.select("term").distinct().limit(257).collect()
+        ]
     if len(vocab) <= 256:
         hits = post.filter(F.col("term").isin(vocab))
     else:

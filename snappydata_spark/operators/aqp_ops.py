@@ -729,14 +729,22 @@ def ev_cms_topk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
 
-    probes = buckets(keyed.select("event_type").distinct())
+    # r12 (guide §2.3/§1.2): the probe keys ARE the exact-count
+    # aggregate's keys — derive probes from the persisted exact frame
+    # instead of a third full events scan (distinct event_type).  The
+    # exact frame is bounded by the event-type domain (sketch-sized,
+    # not data-sized), so persisting it is model state; events is now
+    # scanned twice (sketch + exact) instead of three times.
+    exact = (
+        keyed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .persist()
+    )
+    probes = buckets(exact.select("event_type"))
     est = (
         sketch.join(F.broadcast(probes), ["row_idx", "bucket"])
         .groupBy("event_type")
         .agg(F.min("cnt").alias("est"))
-    )
-    exact = keyed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_cnt")
     )
     return est.join(exact, "event_type").select(
         "event_type",

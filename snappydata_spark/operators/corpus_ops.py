@@ -538,12 +538,24 @@ def pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % B,
     )
+    # r12 (guide §2.3 — aggregate before you shuffle / one pass): the
+    # bucket stats and the per-doc score both reduce the SAME exploded
+    # token stream; counting per (doc_id, lang, b) ONCE and persisting
+    # the slim count frame replaces two full tokenize+md5 passes over
+    # the corpus with one (lang is functionally dependent on doc_id, so
+    # the counts are identical).  Stats then aggregate B rows per
+    # bucket from the counts; exact integer sums — same tc/sc.
+    cnt = (
+        tok.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     stats = {
         r.b: (r.tc, r.sc)
-        for r in tok.groupBy("b")
+        for r in cnt.groupBy("b")
         .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
-            F.count(F.lit(1)).alias("sc"),
+            F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("tc"),
+            F.sum("c").alias("sc"),
         )
         .collect()  # bounded: B rows of model stats
     }
@@ -558,10 +570,10 @@ def pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(B)
     ]
     lr_lit = F.expr("array(" + ", ".join(repr(v) + "D" for v in lr) + ")")
+    # grouping by (doc_id, lang) — lang rides along for free (one value
+    # per doc), so the docs re-join for the lang column is gone too
     per = (
-        tok.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        cnt.groupBy("doc_id", "lang")
         .agg(
             F.sum("c").alias("n_tokens"),
             F.aggregate(
@@ -574,8 +586,7 @@ def pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per.join(docs.select("doc_id", "lang"), "doc_id")
-        .withColumn("_s", F.col("fold") / F.col("n_tokens"))
+        per.withColumn("_s", F.col("fold") / F.col("n_tokens"))
         .orderBy(F.desc("_s"), "doc_id")
         .limit(DSIR_TOPN)
         .select(
@@ -652,7 +663,16 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    words = words.persist()
+    # r12 (guide §1.2): only the BASE word-frequency table is persisted;
+    # each round's merged view is a LAZY chain of map-only string
+    # replaces over it instead of a per-round persist + count
+    # materialization (3 jobs + 3 cache round-trips saved).  Round k's
+    # pair-count job re-applies the k-1 previous replaces map-side —
+    # strictly cheaper than materializing each intermediate at any
+    # scale, because the vocabulary table the replaces run over is
+    # bounded by DISTINCT words, not corpus size.
+    base = words.persist()
+    words = base
     try:
         merges = []
         for step in range(1, BPE_MERGES + 1):
@@ -677,17 +697,14 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair, freq = top[0].pair, int(top[0].freq)
             merged = pair.replace(" ", "")
             merges.append((step, pair, merged, freq))
-            nxt = words.select(
+            words = words.select(
                 F.replace(
                     F.col("ws"), F.lit(f" {pair} "), F.lit(f" {merged} ")
                 ).alias("ws"),
                 "cnt",
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
+            )
     finally:
-        words.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, freq bigint"
     )

@@ -567,18 +567,26 @@ def logreg_fit(emb: DataFrame, with_loss: bool = False):
     only the model returns to the driver."""
     base = _logreg_base(emb).persist()
     try:
-        n = base.count()
+        # r12 (guide §1.2): n rides the FIRST gradient aggregate as one
+        # extra count cell instead of a separate count() job — one
+        # distributed pass per step, exactly LR_STEPS (+1 for loss)
+        # passes total.  The first agg also materializes the persist.
+        n = None
         w = [0.0] * (LR_DIMS + 1)  # w[0] = bias
         for _ in range(LR_STEPS):
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
             err = p - F.col("y")
+            extra = [] if n is not None else [F.count(F.lit(1)).alias("nn")]
             sums = base.agg(
                 F.sum(err).alias("g0"),
                 *[
                     F.sum(err * F.col(f"x{j}")).alias(f"g{j}")
                     for j in range(1, LR_DIMS + 1)
                 ],
+                *extra,
             ).collect()[0]
+            if n is None:
+                n = int(sums["nn"])
             w = [
                 w[j] - LR_RATE * float(sums[f"g{j}"]) / n
                 for j in range(LR_DIMS + 1)

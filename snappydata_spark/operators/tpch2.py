@@ -273,16 +273,33 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
+    # r12 (guide §2.4): the per-order supplier counts come from a WINDOW
+    # over the same l_orderkey partitioning instead of a groupBy + re-join
+    # — the lineitem⋈orders base was computed twice (once per branch) and
+    # shuffled twice; now it is computed once and shuffled once.
+    # size(collect_set(...)) over the window == countDistinct per order
+    # (both ignore NULLs, so the late-only set matches the filtered
+    # countDistinct).  TPC-H orders have bounded line counts, so the
+    # window partitions cannot skew.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey")
+    li2 = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).over(w)
         ),
     )
     return (
-        li.filter(F.col("late") == 1)
-        .join(order_stats, F.col("os_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        li2.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
