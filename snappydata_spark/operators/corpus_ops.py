@@ -189,10 +189,17 @@ def txt_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.x s eager at sf0.1).
     g = sampled_grams(docs).persist()
     g.count()
+    # r12 (guide §2.3): "occurs in >= 2 distinct docs" needs only
+    # min(doc_id) != max(doc_id), not COUNT(DISTINCT doc_id) — the
+    # distinct plan shuffles every (gram, doc_id) pair through TWO
+    # exchanges (partial-dedup + count), while min/max partial-aggregate
+    # map-side to one row per gram per partition and one exchange; a
+    # boilerplate gram shared by k docs collapses before the shuffle
+    # instead of skewing one reducer key.
     dup_grams = (
         g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("gram")
     )
     d = g.join(dup_grams, "gram").select(
@@ -319,13 +326,17 @@ def txt_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eager count() for the same AQE concurrent-stage reason.
     g = sampled_grams(docs).persist()
     g.count()
+    # r12 (guide §2.3): df > 1 ⟺ min(doc_id) != max(doc_id) — same
+    # min/max partial-agg rewrite as the detection variant (one
+    # exchange, map-side collapse, no distinct expansion); `owner` was
+    # already the min.
     own = (
         g.groupBy("gram")
         .agg(
-            F.count_distinct("doc_id").alias("df"),
             F.min("doc_id").alias("owner"),
+            F.max("doc_id").alias("mx"),
         )
-        .filter(F.col("df") > 1)
+        .filter(F.col("owner") != F.col("mx"))
         .select("gram", "owner")
     )
     rem = (

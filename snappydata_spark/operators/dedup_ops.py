@@ -820,59 +820,162 @@ def sim_knn_graph_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, collapse=False)
 
 
-def _knn_topk(emb: DataFrame, k: int = 3) -> DataFrame:
-    """Banded-LSH candidate generation + id-keyed cosine + per-src
-    top-k — the shared core of sim_knn_graph and its collapsed twin."""
+def _knn_scored_pairs(
+    emb: DataFrame,
+    bands: int = 2,
+    target_bucket: int = 32,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    sub_cap: int = 256,
+    dims: int = 64,
+) -> DataFrame:
+    """Scored in-bucket cosine pairs, generated WHERE THE DATA LIVES
+    (r12, guide §8/§4.2 — the semdedup discipline applied to the k-NN
+    graph): instead of emitting id-only candidate pairs and re-attaching
+    both embeddings via two wide shuffle joins (each embedding crossed
+    an exchange once per PAIR occurrence ≈ target_bucket·bands times),
+    the banded rows carry their embedding into the (band, bucket, sub)
+    group and one applyInPandas generates + scores every ordered pair in
+    numpy.  Each embedding crosses the exchange exactly `bands` times.
+    The former plan also re-executed the whole bucketize pipeline
+    (python pass + window + 2 exchanges) once per self-join side —
+    canonicalization does not unify the two MapInPandas subtrees — which
+    this shape does away with entirely.
+
+    Scale disciplines are knn_graph_candidates' own, unchanged:
+    corpus-scaled plane count bp and the hard sub_cap split, so the
+    per-group pandas state is O(sub_cap·dims) and pair count is
+    Θ(n·target_bucket·bands) expected / ≤ n·sub_cap·bands worst-case.
+
+    Bit-exactness: dot and norm are sequential left-to-right folds over
+    float64 (np.cumsum == the Catalyst aggregate fold V.dot/V.norm
+    used before); a pair found by both bands scores IDENTICALLY in each
+    group (same IEEE ops on the same doubles), so the post-score
+    dropDuplicates keeps the same values the pre-score distinct did."""
+    import hashlib
+    import math
+
+    import numpy as np
+
     from pyspark.sql import Window as W
 
-    cand = knn_graph_candidates(emb)
-    vecs = emb.select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
-    pairs = (
-        cand.join(
-            vecs.select(
-                F.col("vec_id").alias("src"),
-                F.col("embedding").alias("emb_l"),
-                F.col("nrm").alias("nrm_l"),
-            ),
-            "src",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("dst"),
-                F.col("embedding").alias("emb_r"),
-                F.col("nrm").alias("nrm_r"),
-            ),
-            "dst",
-        )
+    n = emb.count()
+    bp = min(
+        max_planes,
+        max(min_planes, math.ceil(math.log2(max(n, 1) / float(target_bucket)))),
     )
+    plane_mats = [
+        np.array(
+            [
+                [
+                    int(
+                        hashlib.md5(f"b{band}plane{p}~{d}".encode()).hexdigest()[
+                            :8
+                        ],
+                        16,
+                    )
+                    / float(2**31)
+                    - 1.0
+                    for d in range(dims)
+                ]
+                for p in range(bp)
+            ],
+            dtype=np.float64,
+        )
+        for band in range(bands)
+    ]
 
-    def score(batches):
-        import numpy as np
+    def bucketize(batches):
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            el = np.array(pdf["emb_l"].tolist(), dtype=np.float64)
-            er = np.array(pdf["emb_r"].tolist(), dtype=np.float64)
-            # sequential-fold dot (cumsum prefix semantics == V.dot's
-            # left-to-right fold); nrm columns come from the Catalyst
-            # norm computed once per vector, so sim is bit-identical to
-            # the previous expression
-            dots = np.cumsum(el * er, axis=1)[:, -1]
-            yield pd.DataFrame(
-                {
-                    "src": pdf["src"].values,
-                    "dst": pdf["dst"].values,
-                    "sim": dots
-                    / (pdf["nrm_l"].to_numpy() * pdf["nrm_r"].to_numpy()),
-                }
-            )
+            vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            frames = []
+            for band in range(bands):
+                pm = plane_mats[band]
+                codes = np.zeros(len(pdf), dtype=np.int64)
+                for p in range(bp):
+                    # sequential fold per projection (cumsum prefix
+                    # semantics == the expression fold)
+                    proj = np.cumsum(vecs * pm[p], axis=1)[:, -1]
+                    codes += (proj > 0).astype(np.int64) << p
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].values,
+                            "band": np.full(len(pdf), band, dtype=np.int32),
+                            "bucket": codes,
+                            "embedding": pdf["embedding"].values,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     id_type = dict(emb.dtypes)["vec_id"]
-    pairs = pairs.mapInPandas(
-        score, f"src {id_type}, dst {id_type}, sim double"
+    emb_type = dict(emb.dtypes)["embedding"]
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    banded = (
+        emb.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(
+            bucketize,
+            f"vec_id {id_type}, band int, bucket long, embedding {emb_type}",
+        )
     )
+    # ONE exchange on (band, bucket): the sub_cap window partitioning
+    # also satisfies the applyInPandas grouping (subset rule), so the
+    # group scorer runs in the same exchange.
+    w = W.partitionBy("band", "bucket").orderBy("vec_id")
+    sb = banded.withColumn(
+        "sub", F.floor((F.row_number().over(w) - 1) / sub_cap)
+    )
+
+    def score_group(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+                {"src": "int64", "dst": "int64", "sim": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        # V.norm's fold: sqrt of the left-to-right sum of squares
+        nrms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+        idx = np.arange(m)
+        src, dst, sim = [], [], []
+        for i in range(m):
+            # V.dot's fold per pair; elementwise product is commutative,
+            # so the l/r orientation of the old join is irrelevant
+            dots = np.cumsum(vecs * vecs[i], axis=1)[:, -1]
+            sims = dots / (nrms[i] * nrms)
+            mask = idx != i
+            src.append(np.full(m - 1, ids[i]))
+            dst.append(ids[mask])
+            sim.append(sims[mask])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(src),
+                "dst": np.concatenate(dst),
+                "sim": np.concatenate(sim),
+            }
+        )
+
+    return (
+        sb.groupBy("band", "bucket", "sub")
+        .applyInPandas(score_group, f"src {id_type}, dst {id_type}, sim double")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _knn_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Banded-LSH in-group scored pairs + per-src top-k — the shared
+    core of sim_knn_graph and its member-granularity twin."""
+    from pyspark.sql import Window as W
+
+    pairs = _knn_scored_pairs(emb)
     w = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -261,9 +261,16 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("q") >= 0.55)
     )
+    # r12 (guide §2.3): "keep the min-doc_id row per fingerprint" via
+    # groupBy(fp).min(struct(doc_id, ...)) instead of a MIN window +
+    # keeper filter — doc_id is unique, so the lexicographic struct min
+    # IS that row, and the aggregate partial-aggregates map-side (the
+    # window shuffled and sorted every post-filter row; duplicate-heavy
+    # fingerprints now collapse before the exchange).
     keep = (
-        d.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("keeper"))
+        d.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "tc", "q")).alias("r"))
+        .select("r.source", "r.tc", "r.q")
     )
     return keep.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -753,17 +760,21 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(wt).alias("rt"),
     )
-    top_f = ranked.filter(F.col("rf") <= 5).select("q_id", "vec_id")
-    top_t = (
-        ranked.filter(F.col("rt") <= 5)
-        .select("q_id", "vec_id")
-        .withColumn("hit", F.lit(1))
-    )
-    # left join + count(hit): a query with a disjoint top-5 still rows out
+    # r12 (guide §2.4): the former top_f LEFT JOIN top_t self-join made
+    # Catalyst split the plan into two branches that EACH re-ran the
+    # broadcast-nested-loop scoring pass over the corpus (the rf branch
+    # pruned rt and vice versa), then shuffled both for a SortMergeJoin.
+    # |top_f ∩ top_t| per query is just the count of rows with BOTH
+    # ranks <= 5 — one scoring pass, one q_id exchange, two windows, no
+    # join.  Every q_id keeps >= 5 rf-rows, so queries with disjoint
+    # top-5 sets still row out with n_overlap = 0 (count skips the NULL
+    # `when` branch), exactly as the left join did.
     return (
-        top_f.join(top_t, ["q_id", "vec_id"], "left")
+        ranked.filter(F.col("rf") <= 5)
         .groupBy("q_id")
-        .agg(F.count("hit").alias("n_overlap"))
+        .agg(
+            F.count(F.when(F.col("rt") <= 5, F.lit(1))).alias("n_overlap")
+        )
     )
 
 
@@ -854,10 +865,19 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint(F.col("text")).alias("fp"),
         is_train.alias("is_train"),
     )
+    # r12 (guide §2.3): same min-struct dedup rewrite as
+    # pipeline_corpus_clean — one partial-aggregated exchange on fp
+    # instead of a full-row window sort (doc_id unique ⇒ identical row
+    # survives).
     kept = (
         scal.filter(F.col("q") >= 0.55)
-        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("keeper"))
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "tc", "q", "is_train")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.source", "r.tc", "r.q", "r.is_train")
     )
     # tokens staged into their own column before shingling — inlined
     # tokens() re-splits the text once per element_at (shingles_of doc)

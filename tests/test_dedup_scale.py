@@ -12,7 +12,10 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from snappydata_spark import dedup
-from snappydata_spark.operators.dedup_ops import knn_graph_candidates
+from snappydata_spark.operators.dedup_ops import (
+    _knn_scored_pairs,
+    knn_graph_candidates,
+)
 
 
 def _containment_candidates(snappy_df, **kw):
@@ -73,6 +76,35 @@ def test_knn_hot_bucket_sub_cap(spark):
     # members -> per band at most n * (sub_cap - 1) ordered pairs
     assert cand <= 2 * n * sub_cap
     assert cand < n * (n - 1)  # far from the quadratic fan-out
+
+
+def test_knn_scored_pairs_hot_bucket_sub_cap(spark):
+    """r12: the in-group scored-pair generator (the _knn_topk path since
+    the guide-§8 rewrite) must keep knn_graph_candidates' sub_cap
+    discipline on the same adversarial hot-bucket fixture — identical
+    vectors, one bucket, pair count bounded by ~n·sub_cap·bands — and
+    score the mirrors at cosine 1.0."""
+    n, dims = 400, 8
+    vec = [float(d + 1) for d in range(dims)]
+    emb = spark.createDataFrame([Row(vec_id=i, embedding=vec) for i in range(n)])
+
+    sub_cap = 32
+    pairs = _knn_scored_pairs(
+        emb, bands=2, sub_cap=sub_cap, dims=dims, target_bucket=16
+    )
+    rows = pairs.collect()
+    cand = len(rows)
+    assert cand <= 2 * n * sub_cap
+    assert cand < n * (n - 1)  # far from the quadratic fan-out
+    assert all(abs(r.sim - 1.0) < 1e-12 for r in rows)
+    # pair set matches the id-only candidate generator's exactly
+    cand_ids = {
+        (r.src, r.dst)
+        for r in knn_graph_candidates(
+            emb, bands=2, sub_cap=sub_cap, dims=dims, target_bucket=16
+        ).collect()
+    }
+    assert {(r.src, r.dst) for r in rows} == cand_ids
 
 
 def test_knn_plane_count_scales_with_corpus(spark):
