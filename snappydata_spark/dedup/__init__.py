@@ -94,17 +94,21 @@ def collapse_banded_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFram
     (digest-less pre-r8 band tables): derive the key via collect_list
     (one extra shuffle)."""
     if "sig_digest" in banded.columns:
-        band0 = banded.filter(F.col("band") == 0)
-        reps = band0.groupBy("sig_digest").agg(
-            F.min(id_col).alias("__rep")
+        from pyspark.sql import Window as W
+
+        # r12 (guide §2.4): rep election via a MIN window over the
+        # signature digest instead of groupBy + re-join — one exchange,
+        # not two; the rep id set falls out of the same frame.
+        band0 = banded.filter(F.col("band") == 0).withColumn(
+            "__rep", F.min(id_col).over(W.partitionBy("sig_digest"))
         )
         member_edges = (
-            band0.join(reps, "sig_digest")
-            .filter(F.col(id_col) != F.col("__rep"))
+            band0.filter(F.col(id_col) != F.col("__rep"))
             .select(F.col("__rep").alias("doc1"), F.col(id_col).alias("doc2"))
         )
+        reps = band0.filter(F.col(id_col) == F.col("__rep"))
         rep_bands = banded.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+            reps.select(F.col(id_col)), id_col, "left_semi"
         ).select(id_col, "band", "band_hash")
     else:
         sig = _sig_frame(banded, id_col)
@@ -400,13 +404,21 @@ def simhash_candidates(
     k-1 edges, never k(k-1)/2 pairs, and the transitive closure equals
     the full pair set — connected_components / keep-one results are
     unchanged."""
-    sh = _simhash_frame(df, text_col, id_col).persist()
+    from pyspark.sql import Window as W
+
     # (1) min-id representative per signature; member→rep edges carry
-    # the exact-duplicate groups at hamming 0.
-    groups = sh.groupBy("sh").agg(F.min(id_col).alias("__rep"))
+    # the exact-duplicate groups at hamming 0.  r12 (guide §2.4): the
+    # election is a MIN window over the signature instead of groupBy +
+    # re-join — one exchange, not two — and the distinct-signature
+    # frame is a filter of the same windowed frame.
+    sh = (
+        _simhash_frame(df, text_col, id_col)
+        .withColumn("__rep", F.min(id_col).over(W.partitionBy("sh")))
+        .persist()
+    )
+    groups = sh.filter(F.col(id_col) == F.col("__rep")).select("sh", "__rep")
     member_edges = (
-        sh.join(groups, "sh")
-        .filter(F.col(id_col) != F.col("__rep"))
+        sh.filter(F.col(id_col) != F.col("__rep"))
         .select(
             F.col("__rep").alias("doc1"),
             F.col(id_col).alias("doc2"),
@@ -478,27 +490,32 @@ def ngram_jaccard_pairs(
     k-1 edges, not k(k-1)/2 pairs — the r7 sf10 wedge).  Docs with no
     shingle emit nothing (their pairwise jaccard was NULL and never
     passed the threshold before)."""
+    from pyspark.sql import Window as W
+
     docs = _shingle_string_sets(df, text_col, id_col, shingle_n, block_tokens)
+    # r12 (guide §2.4): rep election via a MIN window over (blk, __sk)
+    # instead of groupBy + re-join — one exchange, not two — and the
+    # representative frame becomes a FILTER of the same windowed frame
+    # instead of a third (left_semi) shuffle join.
     docs = (
         docs.filter(F.size("sh") > 0)
         .withColumn(
             "__sk", F.md5(F.array_join(F.array_sort("sh"), "\x01"))
         )
-        .persist()  # grouping + both join sides read one shingle pass
+        .withColumn(
+            "__rep", F.min(id_col).over(W.partitionBy("blk", "__sk"))
+        )
+        .persist()  # member edges + both join sides read one shingle pass
     )
-    reps = docs.groupBy("blk", "__sk").agg(F.min(id_col).alias("__rep"))
     member_edges = (
-        docs.join(reps, ["blk", "__sk"])
-        .filter(F.col(id_col) != F.col("__rep"))
+        docs.filter(F.col(id_col) != F.col("__rep"))
         .select(
             F.col("__rep").alias("doc1"),
             F.col(id_col).alias("doc2"),
             F.lit(1.0).alias("jaccard"),
         )
     )
-    rep_docs = docs.join(
-        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    )
+    rep_docs = docs.filter(F.col(id_col) == F.col("__rep"))
     a, b = rep_docs.alias("a"), rep_docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -655,7 +672,19 @@ def connected_components(
     # (exact, decimal) sum of labels strictly decreases until the fix
     # point — an O(1)-output agg over the checkpointed frame replaces
     # the old per-round labels⋈labels probe join.
-    prev_sum = None
+    # r12b negative results (guide §1 discipline, measured 5-rep quiet
+    # A/Bs at sf0.1): (a) fusing the probe into a persist()-materializing
+    # agg (one job/round instead of checkpoint+probe) is ~25% WORSE on
+    # the cluster queries — the columnar cache encode/decode per round
+    # costs more than the saved probe job (which reads checkpointed
+    # partitions in ~50 ms); (b) running propagation on the rep-pair
+    # graph only and attaching member stars with one post-loop join
+    # (minhash_lsh_clusters shape) re-pays the corpus fingerprint pass
+    # at every consumption and regressed keep_one ~+40%.  Both reverted;
+    # eager checkpoint + O(1) probe stands.  The sentinel init below is
+    # a robustness fix: an EMPTY edge set sums to NULL, and a None init
+    # would never compare equal — 20 dead rounds on empty input.
+    prev_sum: object = object()  # sentinel: never equal on round 1
     for _ in range(max_iter):
         neighbor = edges.join(labels, edges.b == labels.node).select(
             F.col("a").alias("node"), "cluster"
@@ -668,7 +697,7 @@ def connected_components(
         cur_sum = labels.agg(
             F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels
