@@ -90,6 +90,8 @@ def sq8_scores_pandas(
     q_vec: list,
     from_codes: bool,
     echo_col: str | None = None,
+    cent_rows: list | None = None,
+    probe_cells: set | None = None,
 ) -> DataFrame:
     """Approximate cosine per row in the SQ8-dequantized domain,
     vectorized in numpy via mapInPandas and FLOAT-EXACT to the Catalyst
@@ -106,13 +108,29 @@ def sq8_scores_pandas(
     vector (quantized+dequantized here, exactly as the expression side
     does).  `echo_col` passes one input column through (the composed
     path echoes the raw embedding for the exact rerank).  Replaces a
-    per-row interpreted zip_with/fold chain — the dominant scan cost."""
+    per-row interpreted zip_with/fold chain — the dominant scan cost.
+
+    r12 (guide §2.3/§2.4): `cent_rows` + `probe_cells` fuse the IVF
+    probe prune INTO this scan — each batch assigns its vectors to the
+    nearest centroid with the EXACT numpy ops of
+    ann.ivf_assign_vectorized (normalized matmul + argmax, ties to the
+    first/lowest cid) and keeps only rows whose cell is probed, so the
+    separate assignment pass over the corpus and the two shuffle joins
+    (assign⋈probe semi, emb⋈pruned) disappear; raw-vector path only."""
     import numpy as np
 
     mnv = np.array(mn, dtype=np.float64)
     mxv = np.array(mx, dtype=np.float64)
     span = mxv - mnv
     deg = span == 0.0
+
+    if cent_rows is not None:
+        if from_codes:
+            raise ValueError("cell_filter fusion needs raw vectors")
+        acell = np.array([int(c) for c, _ in cent_rows], dtype=np.int64)
+        amat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+        aprobe = np.array([c in probe_cells for c in acell.tolist()])
 
     def _quantize(vecs):
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -145,6 +163,17 @@ def sq8_scores_pandas(
             if len(pdf) == 0:
                 continue
             arr = np.array(pdf[col].tolist(), dtype=np.float64)
+            if cent_rows is not None:
+                # identical ops to ann.ivf_assign_vectorized: normalized
+                # matmul, argmax (first max ⇒ lowest cid wins ties)
+                norms = np.linalg.norm(arr, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                best = ((arr / norms) @ amat.T).argmax(axis=1)
+                keep = aprobe[best]
+                if not keep.any():
+                    continue
+                pdf = pdf[keep]
+                arr = arr[keep]
             de = _deq(arr) if from_codes else _deq(_quantize(arr))
             num = _seq_sum(de * dq)
             den = np.sqrt(_seq_sum(de * de)) * dq_norm

@@ -966,43 +966,50 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals/closures.  Every stage (training iterations, cell
     assignment, probe list, quantized scores, final ranks) is
     reproduced by the composed CTE oracle."""
-    from snappydata_spark import ann
     from snappydata_spark.operators.ml_ops import kmeans_train
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     centroids, _ = kmeans_train(emb)
-    cent = spark.createDataFrame(
-        sorted((int(cid), ce) for cid, ce in centroids.items()),
-        "cid long, ce array<double>",
-    )
-    assign = ann.ivf_assign_vectorized(emb, ann.collect_centroids(cent))
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
-    )
-    probe = (
-        cent.join(F.broadcast(query))
-        .select("cid", V.cosine(F.col("ce"), F.col("qe")).alias("qc"))
-        .orderBy(F.col("qc").desc(), F.col("cid"))
-        .limit(IVFSQ_NPROBE)
-        .select(F.col("cid").alias("cell"))
     )
     from snappydata_spark.index_ann import codec_stats, sq8_scores_pandas
 
     mn, mx = codec_stats(emb, "embedding")
     q_vec = [float(x) for x in query.limit(1).collect()[0].qe]
-    # r12 (guide §2.3): probe-prune the assignment BEFORE attaching the
-    # embedding payload (same move as ann.ivf_search)
-    pruned = assign.join(F.broadcast(probe), "cell", "left_semi")
-    base = emb.filter(F.col("vec_id") != 0).join(pruned, "vec_id")
+    # r12 (guide §2.3/§2.4): the centroid model is already driver-side,
+    # so the probe list is pure numpy — the SAME sequential-fold cosine
+    # as V.cosine (cumsum prefix semantics), ties to the lower cid, the
+    # exact ORDER BY qc DESC, cid LIMIT nprobe of the oracle — and the
+    # assignment pass FUSES into the scoring scan (sq8_scores_pandas
+    # cell_filter): one corpus pass where there were two, and the
+    # assign⋈probe semi + emb⋈pruned shuffle joins disappear.
+    import numpy as np
+
+    cent_list = sorted(
+        (int(cid), [float(x) for x in ce]) for cid, ce in centroids.items()
+    )
+    cmat = np.array([v for _, v in cent_list], dtype=np.float64)
+    qarr = np.array(q_vec, dtype=np.float64)
+    qc = np.cumsum(cmat * qarr, axis=1)[:, -1] / (
+        np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+        * np.sqrt(np.cumsum(qarr * qarr)[-1])
+    )
+    probe_order = sorted(
+        range(len(cent_list)), key=lambda i: (-qc[i], cent_list[i][0])
+    )
+    probe_cells = {cent_list[i][0] for i in probe_order[:IVFSQ_NPROBE]}
     cand = (
         sq8_scores_pandas(
-            base,
+            emb.filter(F.col("vec_id") != 0),
             col="embedding",
             id_col="vec_id",
             mn=mn,
             mx=mx,
             q_vec=q_vec,
             from_codes=False,
+            cent_rows=cent_list,
+            probe_cells=probe_cells,
         )
         .orderBy(F.desc("acos"), "vec_id")
         .limit(SQ_CAND)
