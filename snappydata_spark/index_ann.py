@@ -172,7 +172,10 @@ def sq8_scores_pandas(
                 keep = aprobe[best]
                 if not keep.any():
                     continue
-                pdf = pdf[keep]
+                # reset_index: the output dict mixes .values arrays with
+                # pandas Series (echo_col) — a gapped index after the
+                # boolean mask would realign against the fresh RangeIndex
+                pdf = pdf[keep].reset_index(drop=True)
                 arr = arr[keep]
             de = _deq(arr) if from_codes else _deq(_quantize(arr))
             num = _seq_sum(de * dq)

@@ -76,6 +76,7 @@ def test_bench_queries_subset_of_registry():
     # queries (plan-cache loops, colocation A/B, cold lane aggregates)
     diagnostics = {
         "plan_cache_20_repeats", "plan_cache_20_hits", "plan_cache_20_cold",
+        "plan_cache_20_varied_hits",  # r12: varied-literal hit budget row
         "colocated_join_plain", "colocated_join_bucketed",
         "join_agg_plain_parquet", "join_agg_colocated_buckets",
         "quickstart_groupby_avg",
