@@ -440,6 +440,15 @@ def main() -> None:
         # duplication-invariant kNN graph twin
         "aqp_topk_range_guaranteed_min",
         "sim_knn_graph_members",
+        # round-13 additions (r12 verdict item 9): the five slowest
+        # r12-optimized queries that had no bench row — driver-tracked
+        # walls instead of builder-self-reported noop medians.
+        # Diagnostics-only: excluded from the headline total below.
+        "dedup_cluster_components",
+        "dedup_keep_one_per_cluster",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "emb_kmeans_train",
     ]
     # the full TPC-H complement (headline already carries 6) and the
     # TPC-DS-shape corpus: per-query throughput evidence at sf0.1,

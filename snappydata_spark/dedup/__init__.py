@@ -684,8 +684,24 @@ def connected_components(
     # eager checkpoint + O(1) probe stands.  The sentinel init below is
     # a robustness fix: an EMPTY edge set sums to NULL, and a None init
     # would never compare equal — 20 dead rounds on empty input.
+    # type guard (r13, r12 verdict What's-wrong #3): the label-sum probe
+    # is only sound when MIN over labels is taken in NUMERIC order — for
+    # string ids the min is lexicographic ("10" < "9"), a label can grow
+    # numerically while shrinking lexicographically, and two rounds'
+    # sums can collide (or, for non-castable ids, both be NULL) — the
+    # loop would exit early with WRONG labels.  Fail loudly instead;
+    # every current caller uses numeric doc ids.
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        if not isinstance(pairs.schema[c].dataType, NumericType):
+            raise ValueError(
+                "connected_components requires numeric node ids for the "
+                f"label-sum convergence probe; column {c!r} is "
+                f"{pairs.schema[c].dataType.simpleString()}"
+            )
     prev_sum: object = object()  # sentinel: never equal on round 1
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor = edges.join(labels, edges.b == labels.node).select(
             F.col("a").alias("node"), "cluster"
         )
@@ -694,9 +710,19 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("cluster").alias("cluster"))
         ).localCheckpoint(eager=True)  # cut lineage per round, execute once
-        cur_sum = labels.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
+        probe = labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        cur_sum = probe.s
+        # second guard: a numeric label that OVERFLOWS decimal(38,0)
+        # (enormous double ids) sums to NULL every round — same silent
+        # early exit; fail loudly on the first probe.
+        if rnd == 0 and probe.n > 0 and cur_sum is None:
+            raise ValueError(
+                "connected_components convergence probe got a NULL label "
+                f"sum over {probe.n} labels (ids overflow decimal(38,0)?)"
+            )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -124,12 +124,20 @@ def sq8_scores_pandas(
     span = mxv - mnv
     deg = span == 0.0
 
+    if (cent_rows is None) != (probe_cells is None):
+        raise ValueError(
+            "cell_filter fusion needs BOTH cent_rows and probe_cells "
+            f"(got cent_rows={'set' if cent_rows is not None else None}, "
+            f"probe_cells={'set' if probe_cells is not None else None})"
+        )
     if cent_rows is not None:
         if from_codes:
             raise ValueError("cell_filter fusion needs raw vectors")
         acell = np.array([int(c) for c, _ in cent_rows], dtype=np.int64)
         amat = np.array([v for _, v in cent_rows], dtype=np.float64)
-        amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+        anorm = np.linalg.norm(amat, axis=1, keepdims=True)
+        anorm[anorm == 0] = 1.0  # zero-norm centroid: same guard as rows
+        amat /= anorm
         aprobe = np.array([c in probe_cells for c in acell.tolist()])
 
     def _quantize(vecs):

@@ -995,8 +995,15 @@ def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
         * np.sqrt(np.cumsum(qarr * qarr)[-1])
     )
+    # NaN qc (zero-norm centroid/query) must mirror Spark's ORDER BY
+    # qc DESC where NaN sorts greatest, i.e. first — map it to +inf so
+    # the python sort cannot produce an inconsistent comparison chain
     probe_order = sorted(
-        range(len(cent_list)), key=lambda i: (-qc[i], cent_list[i][0])
+        range(len(cent_list)),
+        key=lambda i: (
+            -(qc[i] if qc[i] == qc[i] else float("inf")),
+            cent_list[i][0],
+        ),
     )
     probe_cells = {cent_list[i][0] for i in probe_order[:IVFSQ_NPROBE]}
     cand = (

@@ -937,8 +937,14 @@ def _knn_scored_pairs(
 
         m = len(pdf)
         if m < 2:
+            # derive src/dst dtype from the input id column so a non-long
+            # vec_id (int32/string) does not mis-cast on singleton groups
             return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
-                {"src": "int64", "dst": "int64", "sim": "float64"}
+                {
+                    "src": pdf["vec_id"].dtype,
+                    "dst": pdf["vec_id"].dtype,
+                    "sim": "float64",
+                }
             )
         ids = pdf["vec_id"].to_numpy()
         vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)

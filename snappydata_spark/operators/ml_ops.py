@@ -87,26 +87,100 @@ def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> dict[int, list[float]]:
+def _step_cells(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """One Lloyd iteration's assignment AND per-partition partial-mean
+    cells in a SINGLE python pass (r13, guide §4.2/§2.3 — the r12 "Not
+    yet optimized" #1): returns k×dims (cluster, pos, s, n) cells per
+    partition instead of shipping every (vec_id, embedding, cluster)
+    row back across Arrow and posexploding n×dims rows through the JVM
+    hash aggregate.  The shuffle still happens once per iteration, but
+    it now carries k×dims×partitions cells, and the dominant costs —
+    the n×dims Arrow return payload and the n×dims-row partial
+    aggregate — disappear.
+
+    FLOAT-EXACT to the _assign → posexplode → partial-avg path it
+    replaces: distances use the same cumsum sequential fold and
+    first-index argmin (ties to the lowest cid) as _assign; the partial
+    sum folds member rows INTO the running buffer row-by-row in batch
+    order — np.cumsum over [running, v1, v2, ...] — which is exactly
+    the JVM hash aggregate's buffer(group) += v per-row recurrence
+    starting from 0.0, so each partition emits bit-identical partials.
+    The merge of partials across partitions (SUM below) happens in
+    shuffle-fetch order, the same nondeterminism class Spark's own
+    partial-avg merge always had — absorbed by ROUND(mean, 9) exactly
+    as before."""
+    import numpy as np
+
+    cids = sorted(centroids)
+    cmat = np.array([centroids[c] for c in cids], dtype=np.float64)
+    k, d = cmat.shape
+
+    def run(batches):
+        import pandas as pd
+
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            dists = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                diff = vecs - cmat[j]
+                dists[:, j] = np.cumsum(diff * diff, axis=1)[:, -1]
+            best = np.argmin(dists, axis=1)
+            for j in range(k):
+                m = vecs[best == j]
+                if len(m):
+                    sums[j] = np.cumsum(
+                        np.vstack([sums[j][None, :], m]), axis=0
+                    )[-1]
+                    counts[j] += len(m)
+        live = counts > 0
+        if not live.any():
+            yield pd.DataFrame(
+                {"cluster": [], "pos": [], "s": [], "n": []}
+            ).astype(
+                {"cluster": "int32", "pos": "int32", "s": "float64",
+                 "n": "int64"}
+            )
+            return
+        idx = np.nonzero(live)[0]
+        yield pd.DataFrame(
+            {
+                "cluster": np.repeat(
+                    np.array([int(cids[i]) for i in idx]), d
+                ).astype("int32"),
+                "pos": np.tile(np.arange(d, dtype="int32"), len(idx)),
+                "s": sums[idx].reshape(-1),
+                "n": np.repeat(counts[idx], d),
+            }
+        )
+
+    return emb.select("embedding").mapInPandas(
+        run, "cluster int, pos int, s double, n long"
+    )
+
+
+def _update(emb: DataFrame, centroids: dict[int, list[float]]) -> dict[int, list[float]]:
     """New centroids = elementwise member mean — one shuffle on
-    (cluster, pos), then a bounded k*dims-row collect (the model, not the
-    data)."""
+    (cluster, pos) over the k×dims×partitions partial cells, then a
+    bounded k*dims-row collect (the model, not the data)."""
     # ROUND(mean, 9): the mean of arbitrary doubles is summation-order
     # dependent in the last ulps (Spark merges partials in shuffle order,
     # DuckDB sums sequentially); rounding far below data scale makes the
     # next iteration's centroids bit-identical across engines instead of
-    # letting a 1-ulp drift flip a near-tie assignment
-    # r12 (guide §2.4): the former second groupBy("cluster") existed only
-    # to assemble per-cluster arrays that were immediately collected —
-    # one extra exchange per Lloyd iteration for a k×dims model frame.
-    # Collect the (cluster, pos, m) cells directly (identical values,
-    # same k×dims model size) and assemble driver-side.
+    # letting a 1-ulp drift flip a near-tie assignment.  SUM(s)/SUM(n)
+    # is Average.evaluateExpression's own sum / cast(count as double).
     rows = (
-        assigned.select(
-            "cluster", F.posexplode("embedding").alias("pos", "v")
-        )
+        _step_cells(emb, centroids)
         .groupBy("cluster", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 9).alias("m"))
+        .agg(
+            F.round(
+                F.sum("s") / F.sum("n").cast("double"), 9
+            ).alias("m")
+        )
         .collect()
     )
     out: dict[int, list[float]] = {}
@@ -125,7 +199,7 @@ def kmeans_train(
         i: [float(x) for x in r.embedding] for i, r in enumerate(seeds)
     }
     for _ in range(iters):
-        centroids = _update(_assign(emb, centroids))
+        centroids = _update(emb, centroids)
     return centroids, _assign(emb, centroids)
 
 

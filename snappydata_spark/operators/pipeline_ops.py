@@ -266,7 +266,11 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeper filter — doc_id is unique, so the lexicographic struct min
     # IS that row, and the aggregate partial-aggregates map-side (the
     # window shuffled and sorted every post-filter row; duplicate-heavy
-    # fingerprints now collapse before the exchange).
+    # fingerprints now collapse before the exchange).  Assumes doc_id is
+    # NEVER NULL (it is the documents table key): a NULL doc_id would
+    # sort first in the struct comparison and win the group, which the
+    # old window+filter shape dropped.  Same assumption in
+    # pipeline_end_to_end below.
     keep = (
         d.groupBy("fp")
         .agg(F.min(F.struct("doc_id", "source", "tc", "q")).alias("r"))

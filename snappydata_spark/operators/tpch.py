@@ -92,6 +92,65 @@ def _sum_money_sql(term: str, alias: str):
     return F.expr(f"CAST(ROUND(SUM({term}), 2) AS DOUBLE) AS {alias}")
 
 
+# ------------------------------------------------------- bigint-cents sums
+#
+# r13 (r12 verdict item 4; guide §2.2/§2.5 two-level aggregation): wide
+# decimal SUM buffers (precision > 18) are JavaBigDecimal adds per row —
+# the dominant per-row cost of the scan-agg queries.  The money terms are
+# exact integers in cents / 1e-4 / 1e-6 dollar units, so the per-row
+# accumulation can be BIGINT (one machine add), with the exact decimal
+# conversion deferred to the tiny outer aggregate:
+#
+#   inner: per (group keys, scan-partition-id) BIGINT sums.  The
+#     partition id (materialized via withColumn — Catalyst rejects the
+#     nondeterministic expression as a group key) bounds each inner
+#     group to ONE task's rows, so the int64 partials cannot overflow at
+#     ANY corpus size: task rows are input-split-bounded (~1e6 rows per
+#     128 MB split, ~1e7 at 1 GB splits) and the largest per-row term
+#     (charge in 1e-6 units) is < 1.3e11, keeping every partial under
+#     1.3e18 < 2^63.  The exchange still carries exactly one cell per
+#     (group, task) — the same rows the decimal plan's partial
+#     aggregates shipped — so shuffle volume is unchanged at any scale
+#     (a modulo salt would multiply partial rows per task instead).
+#   outer: SUM(CAST(partial AS DECIMAL(38,0))) — an exact decimal sum
+#     over (groups × tasks) cells — then /100 (or 1e4/1e6) in decimal
+#     (result scale ≥ 6, quotient needs ≤ 6 dp ⇒ exact), the same
+#     ROUND(x, 2) HALF_UP, CAST DOUBLE.
+#
+# Equivalence: integer arithmetic is exact, the decimal division is
+# exact (above), and the rounding/conversion expressions are identical —
+# the output double is bit-identical to the decimal path (verified
+# cell-by-cell at sf0.01/0.1/1/10, tools/ab_money_cents.py, plus the
+# oracle hash sweep).  AVG columns ride the same two-level shape as
+# (SUM(x), COUNT(x)) partials — per-task partial sums identical to the
+# decimal plan's partial_avg; only the merge ORDER of partials differs,
+# the same shuffle-fetch nondeterminism Spark's single-level avg always
+# had, absorbed by the existing ROUND(avg, 4).
+#
+# SPARK_GRAFT_MONEY_SUM=decimal restores the r12 single-level decimal
+# aggregates (the proven path) if the cents plan misbehaves on a new
+# Spark version or data profile.
+QTY_C = "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+PRICE_C = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+DISC_H = "CAST(CAST(1 - l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"
+TAX_H = "CAST(CAST(1 + l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)"
+
+
+def _money_cents_mode() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_MONEY_SUM", "cents") != "decimal"
+
+
+def _cents_out(partial: str, unit: int, alias: str):
+    """Exact decimal total from BIGINT integer-unit partials: decimal
+    sum → exact /unit division → identical ROUND/CAST tail."""
+    return F.expr(
+        f"CAST(ROUND(SUM(CAST({partial} AS DECIMAL(38,0))) / {unit}, 2) "
+        f"AS DOUBLE) AS {alias}"
+    )
+
+
 # --------------------------------------------------------------------- Q1
 
 @register(
@@ -119,25 +178,61 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single shuffle on the (tiny) group keys; partial aggregation is
     map-side (Spark plans partial_sum/partial_avg before the exchange),
-    so at 100 TB the shuffle carries ~6 rows per input partition."""
+    so at 100 TB the shuffle carries ~6 rows per input partition.
+
+    r13: money sums accumulate as BIGINT integer-unit partials per
+    (keys, scan partition) with an exact decimal outer sum — see the
+    bigint-cents block above for the overflow bound and the bit-equality
+    argument; SPARK_GRAFT_MONEY_SUM=decimal restores the r12 plan."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return (
-        t["lineitem"]
-        .filter("l_shipdate <= TIMESTAMP '1998-09-02'")
-        .groupBy("l_returnflag", "l_linestatus")
+    base = t["lineitem"].filter("l_shipdate <= TIMESTAMP '1998-09-02'")
+    if not _money_cents_mode():
+        return (
+            base.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
+                _sum_money_sql(
+                    "CAST(l_extendedprice AS DECIMAL(12,2))", "sum_base_price"
+                ),
+                _sum_money_sql(_REV_SQL, "sum_disc_price"),
+                _sum_money_sql(
+                    f"{_REV_SQL} * CAST(1 + l_tax AS DECIMAL(4,2))",
+                    "sum_charge",
+                ),
+                F.expr("ROUND(AVG(l_quantity), 4) AS avg_qty"),
+                F.expr("ROUND(AVG(l_extendedprice), 4) AS avg_price"),
+                F.expr("ROUND(AVG(l_discount), 4) AS avg_disc"),
+                F.expr("COUNT(1) AS count_order"),
+            )
+        )
+    inner = (
+        base.withColumn("__pid", F.spark_partition_id())
+        .groupBy("l_returnflag", "l_linestatus", "__pid")
         .agg(
-            _sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
-            _sum_money_sql(
-                "CAST(l_extendedprice AS DECIMAL(12,2))", "sum_base_price"
-            ),
-            _sum_money_sql(_REV_SQL, "sum_disc_price"),
-            _sum_money_sql(
-                f"{_REV_SQL} * CAST(1 + l_tax AS DECIMAL(4,2))", "sum_charge"
-            ),
-            F.expr("ROUND(AVG(l_quantity), 4) AS avg_qty"),
-            F.expr("ROUND(AVG(l_extendedprice), 4) AS avg_price"),
-            F.expr("ROUND(AVG(l_discount), 4) AS avg_disc"),
-            F.expr("COUNT(1) AS count_order"),
+            F.expr(f"SUM({QTY_C}) AS qty_c"),
+            F.expr(f"SUM({PRICE_C}) AS price_c"),
+            F.expr(f"SUM({PRICE_C} * {DISC_H}) AS rev_u"),
+            F.expr(f"SUM({PRICE_C} * {DISC_H} * {TAX_H}) AS charge_u"),
+            F.expr("SUM(l_quantity) AS qty_s"),
+            F.expr("COUNT(l_quantity) AS qty_n"),
+            F.expr("SUM(l_extendedprice) AS price_s"),
+            F.expr("COUNT(l_extendedprice) AS price_n"),
+            F.expr("SUM(l_discount) AS disc_s"),
+            F.expr("COUNT(l_discount) AS disc_n"),
+            F.expr("COUNT(1) AS n"),
+        )
+    )
+    return (
+        inner.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _cents_out("qty_c", 100, "sum_qty"),
+            _cents_out("price_c", 100, "sum_base_price"),
+            _cents_out("rev_u", 10000, "sum_disc_price"),
+            _cents_out("charge_u", 1000000, "sum_charge"),
+            F.expr("ROUND(SUM(qty_s) / CAST(SUM(qty_n) AS DOUBLE), 4) AS avg_qty"),
+            F.expr("ROUND(SUM(price_s) / CAST(SUM(price_n) AS DOUBLE), 4) AS avg_price"),
+            F.expr("ROUND(SUM(disc_s) / CAST(SUM(disc_n) AS DOUBLE), 4) AS avg_disc"),
+            F.expr("SUM(n) AS count_order"),
         )
     )
 
@@ -619,12 +714,27 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it against orders at bench scale and a key-partitioned
     join serves 100 TB)."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # r13: sum_qty accumulates as BIGINT cents — per-orderkey groups are
+    # line-count-bounded (≤ 7 lineitems per order in TPC-H at any SF, so
+    # qty_c ≤ 7×5000: no overflow and no two-level shape needed); the
+    # decimal conversion + ROUND/CAST tail is the exact same expression,
+    # so the output double is bit-identical (see bigint-cents block).
+    qty_term = (
+        f"SUM({QTY_C})"
+        if _money_cents_mode()
+        else "SUM(CAST(l_quantity AS DECIMAL(12,2)))"
+    )
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(
             F.expr("SUM(l_quantity) AS q"),
-            _sum_money_sql("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty"),
+            F.expr(
+                f"CAST(ROUND(CAST({qty_term} AS DECIMAL(38,0)) / 100, 2) "
+                "AS DOUBLE) AS sum_qty"
+                if _money_cents_mode()
+                else f"CAST(ROUND({qty_term}, 2) AS DOUBLE) AS sum_qty"
+            ),
         )
         .filter("q > 300")
         .select("l_orderkey", "sum_qty")

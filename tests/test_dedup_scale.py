@@ -329,3 +329,36 @@ def test_knn_graph_collapse_negative_zero(spark):
     )
     reps = {r.vec_id: r.n for r in _collapse_reps(emb).collect()}
     assert reps == {1: 2, 3: 1}  # 1 and 2 collapse; min vec_id represents
+
+
+def test_connected_components_string_ids_loud_error(spark):
+    """r12 verdict (What's wrong #3): the label-sum convergence probe is
+    only sound for NUMERIC node ids (string mins are lexicographic, so
+    the sum is not strictly decreasing, and non-castable ids sum to NULL
+    every round) — it used to exit after round 2 with wrong labels.
+    String ids must fail LOUDLY instead of silently mislabeling."""
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC"), ("docX", "docY")],
+        "doc1 string, doc2 string",
+    )
+    with pytest.raises(ValueError, match="numeric node ids"):
+        dedup.connected_components(pairs)
+    # numeric strings are rejected too: "10" < "9" lexicographically, so
+    # even castable strings break the strict-decrease argument
+    numeric_strs = spark.createDataFrame(
+        [("9", "10"), ("10", "11")], "doc1 string, doc2 string"
+    )
+    with pytest.raises(ValueError, match="numeric node ids"):
+        dedup.connected_components(numeric_strs)
+
+
+def test_connected_components_numeric_ids_unchanged(spark):
+    """The guard must not disturb the supported numeric-id path."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "doc1 long, doc2 long"
+    )
+    got = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
