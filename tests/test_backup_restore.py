@@ -8,6 +8,9 @@ re-registration with the bucketing spec) and a minhash-indexed table
 import pytest
 from pyspark.sql import Row, functions as F
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def populated(snappy, spark):

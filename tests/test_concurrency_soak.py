@@ -11,6 +11,9 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 N_KEYS = 12
 DURATION_S = 12
 

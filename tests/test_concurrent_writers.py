@@ -12,6 +12,9 @@ import time
 
 import pytest
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def _mk_two_file_table(snappy, spark, name="cw_t"):
     """Keyed table whose rows land in (at least) two distinct data files:

@@ -14,6 +14,9 @@ import threading
 import pytest
 from pyspark.sql import functions as F
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def test_two_sessions_same_store_serialize_puts(spark, sf_dir):
     from snappydata_spark import SnappySession

@@ -2,6 +2,8 @@
 Spark): top-level splitting, size literals, the GRANT grammar, and the
 WITH ERROR select-list round-trip."""
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from snappydata_spark.dialect import (
@@ -9,6 +11,9 @@ from snappydata_spark.dialect import (
     split_statement,
     split_top_level,
 )
+
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
 
 _KEYWORDS = {
     "select", "from", "where", "group", "by", "order", "limit", "on",

@@ -5,7 +5,12 @@ regression corpus: any engine-config or dialect change that breaks
 cross-engine agreement on the shared ANSI subset fails here before the
 driver's correctness gate can see it."""
 
+import pytest
+
 from tools.fuzz_differential import gen_query, run
+
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
 
 
 def test_fuzzed_queries_match_duckdb(spark, sf_dir):

@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_mutations import run_schedule  # noqa: E402
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize(
     "seed,mode",

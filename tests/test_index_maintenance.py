@@ -15,6 +15,9 @@ import threading
 import pytest
 from pyspark.sql import functions as F
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

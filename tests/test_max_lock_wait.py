@@ -14,6 +14,9 @@ import pytest
 
 from snappydata_spark import LockTimeout
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def _lock_path(sn, table):
     return os.path.join(

@@ -13,6 +13,9 @@ equivalence through the file-pruned copy-on-write path, not scale.
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 keys = st.integers(min_value=0, max_value=7)
 vals = st.integers(min_value=-50, max_value=50)
 

@@ -22,6 +22,9 @@ from audit_plans import audit_text  # noqa: E402
 
 from pyspark.sql import Window, functions as F  # noqa: E402
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def _flags(log):
     out = {}

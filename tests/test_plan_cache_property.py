@@ -10,6 +10,9 @@ literals); this generalizes those regressions into one property."""
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 # literal pool: every entry is a distinct equivalence class of nastiness
 POOL = [
     "plain",

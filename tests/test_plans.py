@@ -36,10 +36,19 @@ def test_q5_dims_broadcast(spark, sf_dir):
 
 
 def test_q1_single_shuffle(spark, sf_dir):
-    from snappydata_spark.operators.tpch import q01
+    from snappydata_spark.operators.tpch import _money_cents_mode, q01
 
     df = q01(spark, sf_dir)
-    assert exchange_count(df) == 1  # partial agg → exchange → final agg
+    if _money_cents_mode():
+        # r13 bigint-cents shape: inner (keys, partition-id) BIGINT agg +
+        # outer exact decimal agg = 2 exchanges, but the first carries
+        # exactly one cell per (group, task) — the same rows the decimal
+        # plan's partial aggregates shipped — and the second carries
+        # groups only (see the bigint-cents block in operators/tpch.py)
+        assert exchange_count(df) == 2
+        assert "spark_partition_id" in physical_plan(df).lower()
+    else:
+        assert exchange_count(df) == 1  # partial agg → exchange → final agg
     plan = physical_plan(df)
     assert "HashAggregate" in plan
 

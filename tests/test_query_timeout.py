@@ -11,6 +11,9 @@ import pytest
 
 from snappydata_spark import QueryCancelled
 
+# r13: excluded from the default (driver) test lane — see pytest.ini
+pytestmark = pytest.mark.slow
+
 
 def _slow_sql(sn, sf_dir):
     """A deliberately runaway statement: triple cross join of lineitem
