@@ -43,6 +43,24 @@ def test_kmeans_matches_numpy(spark):
         assert cents[cid] == pytest.approx(list(ref_cents[j]), rel=1e-9)
 
 
+def test_kmeans_fused_step_partition_invariant(spark):
+    # r13 fused assign+partial-update pass: per-partition (cluster, pos,
+    # s, n) cells must aggregate to the same ROUND(...,9) centroids no
+    # matter how the rows are split across partitions — the exactness
+    # claim behind replacing the JVM partial-avg with python partials
+    rng = np.random.RandomState(11)
+    X = np.round(rng.randn(80, 5), 3)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(80)]
+    outs = []
+    for nparts in (1, 7):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(nparts)
+        cents, _ = kmeans_train(emb, k=4, iters=3)
+        outs.append({c: tuple(v) for c, v in cents.items()})
+    assert outs[0] == outs[1]
+
+
 def test_kmeans_empty_cluster_dropped(spark):
     # two tight groups, k=3 seeded from the first 3 points: one seed
     # loses all members after the first update — the engine must carry
