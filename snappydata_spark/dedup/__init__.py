@@ -625,6 +625,71 @@ def embedding_near_dups(
     )
 
 
+def _cc_local_labels(
+    pairs: DataFrame, src: str, dst: str
+) -> DataFrame | None:
+    """Bounded-collect fast path for connected_components: if the whole
+    candidate-pair set fits under SPARK_GRAFT_CC_COLLECT_CAP rows
+    (default 250k — a few MB of (id, id) rows on the driver, far under
+    spark.driver.maxResultSize), run vectorized min-label propagation
+    with pointer halving in numpy and return the (node, cluster) frame
+    as a local relation.  Returns None (caller falls back to the
+    distributed loop) when the set is over the cap, carries NULL
+    endpoints, or mixes endpoint types.
+
+    Exactness: labels are min-reachable-node-id, the identical fix point
+    the distributed loop computes — per round each node takes the min of
+    its own label, its neighbors' labels, and its label's label (all
+    node ids within its component, each >= the component min), so the
+    sequence is non-increasing, bounded by the component min, and
+    stationary only when every component is uniformly labeled with its
+    min.  np.unique sorts ascending, so compact-index order == id order
+    and index minima == id minima."""
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_CC_COLLECT_CAP", "250000"))
+    if cap <= 0:  # escape hatch: force the distributed loop
+        return None
+    a_type = pairs.schema[src].dataType
+    if a_type != pairs.schema[dst].dataType:
+        return None  # let the distributed path's struct coercion decide
+    head = pairs.select(src, dst).limit(cap + 1).collect()
+    if len(head) > cap:
+        return None
+    import numpy as np
+
+    spark = pairs.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", a_type, False),
+            StructField("cluster", a_type, False),
+        ]
+    )
+    if not head:
+        return spark.createDataFrame([], schema)
+    av = [r[0] for r in head]
+    bv = [r[1] for r in head]
+    if any(v is None for v in av) or any(v is None for v in bv):
+        return None  # NULL endpoints: keep the distributed semantics
+    both = np.array(av + bv)
+    nodes, codes = np.unique(both, return_inverse=True)
+    ea, eb = codes[: len(av)], codes[len(av):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = label.copy()
+        np.minimum.at(nxt, ea, label[eb])
+        np.minimum.at(nxt, eb, label[ea])
+        nxt = np.minimum(nxt, nxt[nxt])  # pointer halving
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    clusters = nodes[label]
+    rows = [(n.item(), c.item()) for n, c in zip(nodes, clusters)]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame, src: str = "doc1", dst: str = "doc2", max_iter: int = 20
 ) -> DataFrame:
@@ -636,7 +701,37 @@ def connected_components(
     O(diameter) rounds, each one shuffle on node id.  Near-dup clusters
     have tiny diameters (pairs/triangles), so this converges in 2-3
     rounds; `max_iter` bounds adversarial chains.  Driver work per round
-    is one count (the convergence check) — no data is collected."""
+    is one count (the convergence check) — no data is collected.
+
+    r13 fast path (guide §1.2/§5 — the candidate-pair set is PAIRS-sized,
+    not corpus-sized): when the whole pair set fits under a bounded
+    collect (SPARK_GRAFT_CC_COLLECT_CAP, default 250k pairs — a few MB on
+    the driver, the same bounded-collect discipline as the bm25 query
+    prep), label propagation runs as one vectorized numpy pass on the
+    driver instead of O(diameter) distributed rounds of
+    join+groupBy+checkpoint+probe.  The labels are identical by
+    construction (min reachable node id); oversized pair sets fall back
+    to the distributed loop unchanged."""
+    # type guard (r13, r12 verdict What's-wrong #3): the label-sum probe
+    # is only sound when MIN over labels is taken in NUMERIC order — for
+    # string ids the min is lexicographic ("10" < "9"), a label can grow
+    # numerically while shrinking lexicographically, and two rounds'
+    # sums can collide (or, for non-castable ids, both be NULL) — the
+    # loop would exit early with WRONG labels.  Fail loudly instead;
+    # every current caller uses numeric doc ids.  (The guard also covers
+    # the local fast path so both paths accept the same inputs.)
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        if not isinstance(pairs.schema[c].dataType, NumericType):
+            raise ValueError(
+                "connected_components requires numeric node ids for the "
+                f"label-sum convergence probe; column {c!r} is "
+                f"{pairs.schema[c].dataType.simpleString()}"
+            )
+    local = _cc_local_labels(pairs, src, dst)
+    if local is not None:
+        return local
     # r12 (guide §2.4): symmetrize map-side with ONE explode instead of a
     # UNION of two selects — the union branches each re-ran the whole
     # candidate-pair pipeline (minhash banding, rep elections, the band
@@ -684,22 +779,6 @@ def connected_components(
     # eager checkpoint + O(1) probe stands.  The sentinel init below is
     # a robustness fix: an EMPTY edge set sums to NULL, and a None init
     # would never compare equal — 20 dead rounds on empty input.
-    # type guard (r13, r12 verdict What's-wrong #3): the label-sum probe
-    # is only sound when MIN over labels is taken in NUMERIC order — for
-    # string ids the min is lexicographic ("10" < "9"), a label can grow
-    # numerically while shrinking lexicographically, and two rounds'
-    # sums can collide (or, for non-castable ids, both be NULL) — the
-    # loop would exit early with WRONG labels.  Fail loudly instead;
-    # every current caller uses numeric doc ids.
-    from pyspark.sql.types import NumericType
-
-    for c in (src, dst):
-        if not isinstance(pairs.schema[c].dataType, NumericType):
-            raise ValueError(
-                "connected_components requires numeric node ids for the "
-                f"label-sum convergence probe; column {c!r} is "
-                f"{pairs.schema[c].dataType.simpleString()}"
-            )
     prev_sum: object = object()  # sentinel: never equal on round 1
     for rnd in range(max_iter):
         neighbor = edges.join(labels, edges.b == labels.node).select(

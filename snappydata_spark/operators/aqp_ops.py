@@ -612,27 +612,15 @@ SELECT row_idx, bucket, COUNT(*)::BIGINT AS cnt
 FROM cells GROUP BY row_idx, bucket"""
 
 
-@register("ev_cms_counters", oracle=_cms_counters_sql())
-def ev_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch STATE, differentially verified cell-for-cell —
-    the sketch behind the reference's TopK structures (vendored
-    clearspring CountMinSketch, core/src/main/java/io/snappydata/util/
-    com/clearspring/analytics/stream/; createApproxTSTopK
-    SnappySession.scala:958-1026).  CMS_D md5-derived hash rows x CMS_W
-    counters; every cell is an integer count, so the cross-engine hash
-    check is exact with zero float risk.
-
-    Scale: one map pass exploding each event into CMS_D (row, bucket)
-    cells + one bounded {CMS_D}x{CMS_W}-key shuffle with additive
-    partial aggregation — CMS merges by cell addition, which is why the
-    reference ships per-partition sketches and merges on the driver."""
-    t = load_tables(spark, sf_dir, ("events",))
-    keyed = t["events"].filter(F.col("event_type").isNotNull())
-    cells = keyed.select(
+def _cms_bucketed(per_type: DataFrame) -> DataFrame:
+    """Explode a per-event-type frame into its CMS_D (row_idx, bucket)
+    probe cells (md5-derived bucket per hash row), carrying any other
+    columns through."""
+    return per_type.select(
+        "*",
         F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_idx"),
-        F.col("event_type"),
     ).select(
-        "row_idx",
+        "*",
         (
             F.conv(
                 F.substring(
@@ -653,9 +641,44 @@ def ev_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         ).alias("bucket"),
     )
-    return cells.groupBy("row_idx", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+
+
+def _cms_sketch_from_type_counts(per_type_counts: DataFrame) -> DataFrame:
+    """CMS sketch from per-event-type exact counts: the cell counter is
+    ADDITIVE over the event types hashing into it (sum of per-type
+    counts == count of contributing event rows), so the sketch derives
+    exactly from the tiny (event-type domain)-sized count frame."""
+    return (
+        _cms_bucketed(per_type_counts.withColumnRenamed("cnt", "type_cnt"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("type_cnt").alias("cnt"))
     )
+
+
+def _cms_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    keyed = t["events"].filter(F.col("event_type").isNotNull())
+    return keyed.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("ev_cms_counters", oracle=_cms_counters_sql())
+def ev_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch STATE, differentially verified cell-for-cell —
+    the sketch behind the reference's TopK structures (vendored
+    clearspring CountMinSketch, core/src/main/java/io/snappydata/util/
+    com/clearspring/analytics/stream/; createApproxTSTopK
+    SnappySession.scala:958-1026).  CMS_D md5-derived hash rows x CMS_W
+    counters; every cell is an integer count, so the cross-engine hash
+    check is exact with zero float risk.
+
+    Scale (r13, guide §2.3 — aggregate before you explode): the old
+    shape exploded EVERY event row into CMS_D cells (n×D rows through
+    md5+conv) before the cell aggregate.  CMS cells are additive over
+    event types, so the per-type counts (a map-side-partial count over
+    the bounded event-type domain) aggregate FIRST and the explode +
+    md5 run over |types|×D rows instead of n×D — the shuffle still
+    carries the same bounded {CMS_D}x{CMS_W} cell set."""
+    return _cms_sketch_from_type_counts(_cms_type_counts(spark, sf_dir))
 
 
 def _cms_estimate_sql() -> str:
@@ -696,51 +719,23 @@ def ev_cms_topk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-min property guarantees est >= exact (overcount >= 0, never
     under), which the exact side of this very query demonstrates.  All
     integers; the min-probe plan is a broadcast join of the tiny probe
-    frame into the {CMS_D}x{CMS_W}-cell sketch."""
-    t = load_tables(spark, sf_dir, ("events",))
-    keyed = t["events"].filter(F.col("event_type").isNotNull())
-    sketch = ev_cms_counters(spark, sf_dir)
+    frame into the {CMS_D}x{CMS_W}-cell sketch.
 
-    def buckets(df):
-        return df.select(
-            F.col("event_type"),
-            F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row_idx"),
-        ).select(
-            "event_type",
-            "row_idx",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("cms"),
-                                F.col("row_idx").cast("string"),
-                                F.lit("~"),
-                                F.col("event_type"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % CMS_W
-            ).alias("bucket"),
-        )
-
-    # r12 (guide §2.3/§1.2): the probe keys ARE the exact-count
-    # aggregate's keys — derive probes from the persisted exact frame
-    # instead of a third full events scan (distinct event_type).  The
-    # exact frame is bounded by the event-type domain (sketch-sized,
-    # not data-sized), so persisting it is model state; events is now
-    # scanned twice (sketch + exact) instead of three times.
+    r13 (guide §2.3, extending the r12 move): the sketch, the probes AND
+    the exact counts all derive from the SAME per-type count aggregate —
+    one events scan total (r12: two — sketch pass + exact pass; r11:
+    three).  The per-type frame is bounded by the event-type domain
+    (sketch-sized model state), so persisting it is cheap; the sketch
+    rebuilds from it by cell addition (see _cms_sketch_from_type_counts)."""
     exact = (
-        keyed.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        _cms_type_counts(spark, sf_dir)
+        .withColumnRenamed("cnt", "exact_cnt")
         .persist()
     )
-    probes = buckets(exact.select("event_type"))
+    sketch = _cms_sketch_from_type_counts(
+        exact.select("event_type", F.col("exact_cnt").alias("cnt"))
+    )
+    probes = _cms_bucketed(exact.select("event_type"))
     est = (
         sketch.join(F.broadcast(probes), ["row_idx", "bucket"])
         .groupBy("event_type")

@@ -4079,11 +4079,25 @@ class SnappySession:
             F.col(key_col),
             *([F.col(freq_col)] if freq_col else []),
         ).filter(F.col(key_col).isNotNull())
+        # r13 (guide §2.3 — aggregate before you explode): CMS cells are
+        # ADDITIVE over keys, so aggregate per (window, key) FIRST (one
+        # map-side-partial shuffle) and build the cells from the
+        # aggregated frame — the ×D explode + md5 then run over distinct
+        # (window, key) rows instead of every event, and the old
+        # SECOND full pass (distinct for the candidate key list) reads
+        # the same aggregate for free.
+        per_key = rows.groupBy("window_start", key_col).agg(
+            (
+                F.sum(F.col(freq_col).cast("long"))
+                if freq_col
+                else F.count(F.lit(1))
+            ).alias("__kcnt")
+        )
         cells = aqp_mod.topk_cms_cells(
-            rows, key_col, "window_start", freq_col=freq_col
+            per_key, key_col, "window_start", freq_col="__kcnt"
         )
         cells = cells.persist()  # candidate build + store read it twice
-        wkeys = rows.select("window_start", key_col).distinct()
+        wkeys = per_key.select("window_start", key_col)
         est = aqp_mod.topk_cms_probe(
             cells, wkeys, key_col, window_col="window_start"
         )

@@ -1081,3 +1081,55 @@ def test_query_topk_with_guarantees(snappy, sf_dir):
     snappy.drop_table("tkg_exact")
     snappy.drop_table("tkg")
     snappy.drop_table("tkg_events")
+
+
+def test_cms_sketch_from_type_counts_matches_per_event_explode(spark):
+    """r13 aggregate-before-explode rewrite: the sketch built from
+    per-type counts must equal the per-event-row explode cell-for-cell
+    (CMS cells are additive over the event types hashing into them)."""
+    from pyspark.sql import functions as F
+
+    from snappydata_spark.operators import aqp_ops
+
+    rows = [(f"type{i % 7}",) for i in range(500)] + [("rare",)] * 3
+    ev = spark.createDataFrame(rows, "event_type string")
+    # old shape: explode every event row into D cells, count per cell
+    cells = ev.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(aqp_ops.CMS_D - 1))
+        ).alias("row_idx"),
+        "event_type",
+    ).select(
+        "row_idx",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("row_idx").cast("string"),
+                            F.lit("~"),
+                            F.col("event_type"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % aqp_ops.CMS_W
+        ).alias("bucket"),
+    )
+    old = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in cells.groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    per_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    new = {
+        (r.row_idx, r.bucket): r.cnt
+        for r in aqp_ops._cms_sketch_from_type_counts(per_type).collect()
+    }
+    assert new == old

@@ -362,3 +362,44 @@ def test_connected_components_numeric_ids_unchanged(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+
+
+def test_connected_components_local_matches_distributed(spark, monkeypatch):
+    """r13 bounded-collect fast path: the numpy union-find labels must be
+    IDENTICAL to the distributed min-label loop's on the same graph —
+    including long chains (multi-round propagation) and singleton-free
+    components — and the cap env var must route between the paths."""
+    # chain 0-1-2-...-9 (diameter 9: exercises multi-round convergence),
+    # a triangle, a 2-cycle duplicate edge, and reversed-order pairs
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(200, 201), (201, 200), (300, 250)]
+    )
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_CAP", "250000")
+    local = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_CAP", "0")  # force the loop
+    dist = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert local == dist
+    assert {(0, 0), (9, 0), (102, 100), (201, 200), (300, 250), (250, 250)} <= local
+
+
+def test_connected_components_cap_falls_back(spark, monkeypatch):
+    """A pair set over the collect cap must take the distributed loop
+    (and still produce correct labels)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(50, 60)], "doc1 long, doc2 long"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_CAP", "5")  # 11 pairs > 5
+    got = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(11)} | {(50, 50), (60, 50)}
