@@ -94,23 +94,76 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     class-1 divergence: at sf0.001 this query's double sums landed on a
     .xx5 rounding boundary with different summation orders — decimal
     addition is associative, so the result is order-independent)."""
+    from snappydata_spark.operators.tpch import (
+        DISC_H,
+        PRICE_C,
+        _money_cents_mode,
+    )
+
     t = load_tables(spark, sf_dir, ("lineitem",))
-    sp = (
-        t["lineitem"]
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_rev().cast("decimal(18,4)")).alias("value_dec"))
-    )
-    # the threshold needs only the GLOBAL sum, and exact decimal addition
-    # is associative: sum over groups == sum over raw rows — so compute it
-    # as a scalar aggregate on lineitem directly instead of re-running the
-    # ~|supp x part|-group hash aggregate a second time (Spark doesn't
-    # reuse the grouped exchange across the broadcast boundary; at scale
-    # this also avoids a second giant hash table)
-    threshold = t["lineitem"].agg(
-        (F.sum(_rev().cast("decimal(18,4)")).cast("double") * 0.00008).alias(
-            "thr"
+    if _money_cents_mode():
+        # r13 (guide §2.2/§2.5, the tpch.py bigint-cents discipline):
+        # both aggregations accumulated decimal(18,4) terms — one
+        # JavaBigDecimal add per row, twice over lineitem.  Accumulate
+        # the revenue term as BIGINT 1e-4 dollar units instead:
+        # - sp: SINGLE-level BIGINT (the q18 shape, not q01's
+        #   partition-id two-level — an A/B showed the extra 591k-cell
+        #   exchange+agg costs more than it saves here): per
+        #   (suppkey, partkey) group rows are join-fanout bounded
+        #   (TPC-H draws each line's pair from partsupp: ~7.5
+        #   rows/pair at EVERY scale factor, pairs scale with the
+        #   corpus), so a group sum stays ~8e9 « 2^63; overflowing
+        #   int64 would take ~8.4e9 rows in ONE pair group.
+        # - threshold: per-scan-partition BIGINT partials + exact
+        #   decimal outer sum (per-task rows are split-bounded, but the
+        #   GLOBAL row count is not — the q01 overflow argument).
+        # /1e4 decimal division is exact (result scale 6 >= needed 4),
+        # so value_dec, the double casts, the ROUND(.,2) tail and the
+        # threshold compare are bit-identical to the decimal plan
+        # (verified cell-by-cell over 590 973 groups at sf0.1).
+        rev_u = f"SUM({PRICE_C} * {DISC_H}) AS rev_u"
+        sp = (
+            t["lineitem"]
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.expr(rev_u))
+            .select(
+                "l_suppkey",
+                "l_partkey",
+                F.expr(
+                    "CAST(rev_u AS DECIMAL(38,0)) / 10000 AS value_dec"
+                ),
+            )
         )
-    )
+        threshold = (
+            t["lineitem"]
+            .withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.expr(rev_u))
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(rev_u AS DECIMAL(38,0))) / 10000 "
+                    "AS DOUBLE) * 0.00008 AS thr"
+                )
+            )
+        )
+    else:
+        sp = (
+            t["lineitem"]
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum(_rev().cast("decimal(18,4)")).alias("value_dec"))
+        )
+        # the threshold needs only the GLOBAL sum, and exact decimal
+        # addition is associative: sum over groups == sum over raw rows —
+        # so compute it as a scalar aggregate on lineitem directly instead
+        # of re-running the ~|supp x part|-group hash aggregate a second
+        # time (Spark doesn't reuse the grouped exchange across the
+        # broadcast boundary; at scale this also avoids a second giant
+        # hash table)
+        threshold = t["lineitem"].agg(
+            (
+                F.sum(_rev().cast("decimal(18,4)")).cast("double") * 0.00008
+            ).alias("thr")
+        )
     return (
         sp.join(F.broadcast(threshold))
         .filter(F.col("value_dec").cast("double") > F.col("thr"))
