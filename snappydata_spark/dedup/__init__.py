@@ -625,17 +625,18 @@ def embedding_near_dups(
     )
 
 
-def _cc_local_labels(
-    pairs: DataFrame, src: str, dst: str
-) -> DataFrame | None:
-    """Bounded-collect fast path for connected_components: if the whole
-    candidate-pair set fits under SPARK_GRAFT_CC_COLLECT_CAP rows
-    (default 250k — a few MB of (id, id) rows on the driver, far under
-    spark.driver.maxResultSize), run vectorized min-label propagation
-    with pointer halving in numpy and return the (node, cluster) frame
-    as a local relation.  Returns None (caller falls back to the
-    distributed loop) when the set is over the cap, carries NULL
-    endpoints, or mixes endpoint types.
+def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
+    """Bounded-collect fast path for connected_components over the
+    already-checkpointed symmetrized edge set: if it holds at most
+    2 x SPARK_GRAFT_CC_COLLECT_CAP rows (cap counts PAIRS, the edge set
+    is symmetrized; default 250k pairs — a few MB of (id, id) rows on
+    the driver, far under spark.driver.maxResultSize), run vectorized
+    min-label propagation with pointer halving in numpy and return the
+    (node, cluster) frame as a local relation.  Returns None (caller
+    falls back to the distributed loop) when the set is over the cap or
+    carries NULL endpoints.  The probe reads CHECKPOINTED partitions —
+    it never re-runs the candidate pipeline, so an over-cap graph pays
+    only the (free) count, not a wasted pass, at any scale.
 
     Exactness: labels are min-reachable-node-id, the identical fix point
     the distributed loop computes — per round each node takes the min of
@@ -648,17 +649,12 @@ def _cc_local_labels(
     import os
 
     cap = int(os.environ.get("SPARK_GRAFT_CC_COLLECT_CAP", "250000"))
-    if cap <= 0:  # escape hatch: force the distributed loop
-        return None
-    a_type = pairs.schema[src].dataType
-    if a_type != pairs.schema[dst].dataType:
-        return None  # let the distributed path's struct coercion decide
-    head = pairs.select(src, dst).limit(cap + 1).collect()
-    if len(head) > cap:
+    if cap <= 0 or n_edges > 2 * cap:  # cap<=0: force the loop
         return None
     import numpy as np
 
-    spark = pairs.sparkSession
+    spark = edges.sparkSession
+    a_type = edges.schema["a"].dataType
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
@@ -667,8 +663,9 @@ def _cc_local_labels(
             StructField("cluster", a_type, False),
         ]
     )
-    if not head:
+    if n_edges == 0:
         return spark.createDataFrame([], schema)
+    head = edges.collect()
     av = [r[0] for r in head]
     bv = [r[1] for r in head]
     if any(v is None for v in av) or any(v is None for v in bv):
@@ -704,14 +701,15 @@ def connected_components(
     is one count (the convergence check) — no data is collected.
 
     r13 fast path (guide §1.2/§5 — the candidate-pair set is PAIRS-sized,
-    not corpus-sized): when the whole pair set fits under a bounded
-    collect (SPARK_GRAFT_CC_COLLECT_CAP, default 250k pairs — a few MB on
-    the driver, the same bounded-collect discipline as the bm25 query
-    prep), label propagation runs as one vectorized numpy pass on the
-    driver instead of O(diameter) distributed rounds of
-    join+groupBy+checkpoint+probe.  The labels are identical by
-    construction (min reachable node id); oversized pair sets fall back
-    to the distributed loop unchanged."""
+    not corpus-sized): when the materialized edge checkpoint fits under
+    a bounded collect (SPARK_GRAFT_CC_COLLECT_CAP, default 250k pairs —
+    a few MB on the driver, the same bounded-collect discipline as the
+    bm25 query prep), label propagation runs as one vectorized numpy
+    pass on the driver instead of O(diameter) distributed rounds of
+    join+groupBy+checkpoint+probe.  The size probe is a count over the
+    ALREADY-checkpointed edges, so an over-cap graph pays nothing extra
+    at any scale; labels are identical by construction (min reachable
+    node id)."""
     # type guard (r13, r12 verdict What's-wrong #3): the label-sum probe
     # is only sound when MIN over labels is taken in NUMERIC order — for
     # string ids the min is lexicographic ("10" < "9"), a label can grow
@@ -729,9 +727,6 @@ def connected_components(
                 f"label-sum convergence probe; column {c!r} is "
                 f"{pairs.schema[c].dataType.simpleString()}"
             )
-    local = _cc_local_labels(pairs, src, dst)
-    if local is not None:
-        return local
     # r12 (guide §2.4): symmetrize map-side with ONE explode instead of a
     # UNION of two selects — the union branches each re-ran the whole
     # candidate-pair pipeline (minhash banding, rep elections, the band
@@ -754,6 +749,11 @@ def connected_components(
         # (minhash etc.) — without this each round re-runs that pipeline
         .localCheckpoint(eager=True)
     )
+    # r13 fast path: the count reads checkpointed partitions (~free);
+    # small graphs label locally, big ones take the loop below.
+    local = _cc_local_labels(edges, edges.count())
+    if local is not None:
+        return local
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
