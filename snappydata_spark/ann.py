@@ -72,10 +72,31 @@ def ivf_assign(
     lowest cid (max_by on (cos, -cid)) so results are deterministic and
     reproducible in ANSI SQL.
     """
-    cc = emb.select(id_col, vec_col).join(F.broadcast(centroids)).select(
+    # r13b (guide §1.2 per-task work): cosine(a, b) factors as
+    # dot(a, b) / (norm(a) * norm(b)) — norm(a) depends only on the row
+    # and norm(b) only on the centroid, yet V.cosine inside the exploded
+    # join recomputed BOTH per (row × centroid) pair, plus a float→double
+    # transform of each array per pair.  Hoist the double-cast and the
+    # norm below the join: one cast + one norm per row (and per
+    # centroid), leaving exactly one zip_with/fold (the dot) per pair —
+    # ~4 array passes per pair become 1.  Float-exact: the same three
+    # sub-expressions combine with the same ops, so cc is bit-identical
+    # (the oracle's argmax sees the identical doubles).
+    left = emb.select(
+        F.col(id_col),
+        V._as_double(F.col(vec_col)).alias("__va"),
+    ).withColumn("__vn", V.norm_of_double(F.col("__va")))
+    cent = centroids.select(
+        "cid",
+        V._as_double(F.col("ce")).alias("__ca"),
+    ).withColumn("__cn", V.norm_of_double(F.col("__ca")))
+    cc = left.join(F.broadcast(cent)).select(
         F.col(id_col),
         F.col("cid"),
-        V.cosine(F.col(vec_col), F.col("ce")).alias("cc"),
+        (
+            V.dot_of_double(F.col("__va"), F.col("__ca"))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("cc"),
     )
     return cc.groupBy(id_col).agg(
         F.max_by("cid", F.struct(F.col("cc"), (-F.col("cid")).alias("neg"))).alias(

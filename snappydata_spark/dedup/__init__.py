@@ -629,8 +629,8 @@ def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
     """Bounded-collect fast path for connected_components over the
     already-checkpointed symmetrized edge set: if it holds at most
     2 x SPARK_GRAFT_CC_COLLECT_CAP rows (cap counts PAIRS, the edge set
-    is symmetrized; default 250k pairs — a few MB of (id, id) rows on
-    the driver, far under spark.driver.maxResultSize), run vectorized
+    is symmetrized; default 4M pairs — ~128 MB of (long, long) Arrow
+    edges, well under spark.driver.maxResultSize), run vectorized
     min-label propagation with pointer halving in numpy and return the
     (node, cluster) frame as a local relation.  Returns None (caller
     falls back to the distributed loop) when the set is over the cap or
@@ -648,7 +648,7 @@ def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
     and index minima == id minima."""
     import os
 
-    cap = int(os.environ.get("SPARK_GRAFT_CC_COLLECT_CAP", "250000"))
+    cap = int(os.environ.get("SPARK_GRAFT_CC_COLLECT_CAP", "4000000"))
     if cap <= 0 or n_edges > 2 * cap:  # cap<=0: force the loop
         return None
     import numpy as np
@@ -665,12 +665,36 @@ def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
     )
     if n_edges == 0:
         return spark.createDataFrame([], schema)
-    head = edges.collect()
-    av = [r[0] for r in head]
-    bv = [r[1] for r in head]
-    if any(v is None for v in av) or any(v is None for v in bv):
-        return None  # NULL endpoints: keep the distributed semantics
-    both = np.array(av + bv)
+    # r13b (guide §6 — Arrow for driver transfers): collect the edge set
+    # via DataFrame.toArrow() and re-enter via createDataFrame(pa.Table).
+    # Both are first-class Spark 4 APIs that move Arrow batches no matter
+    # what session confs are set — no per-row pickling in either
+    # direction.  That is what raised the default cap from 250k pairs
+    # (sized for the pickled path: a 2M-row pickle collect + re-entry
+    # measured ~19 s) to 4M pairs (~128 MB of (long, long) Arrow edges,
+    # well under spark.driver.maxResultSize=1g; the sf10 graph's ~2M
+    # pairs now label locally instead of paying the distributed loop).
+    # Exotic numeric ids (decimal) keep the old row collect — the numpy
+    # pass needs primitive dtypes to vectorize.
+    import pyarrow as pa
+
+    fld = a_type.simpleString()
+    vectorized = fld in ("bigint", "int", "smallint", "tinyint", "double", "float")
+    if vectorized:
+        tbl = edges.toArrow()
+        ca, cb = tbl.column("a"), tbl.column("b")
+        if ca.null_count or cb.null_count:
+            return None  # NULL endpoints: keep the distributed semantics
+        av = ca.to_numpy(zero_copy_only=False)
+        bv = cb.to_numpy(zero_copy_only=False)
+        both = np.concatenate([av, bv])
+    else:
+        head = edges.collect()
+        av = [r[0] for r in head]
+        bv = [r[1] for r in head]
+        if any(v is None for v in av) or any(v is None for v in bv):
+            return None  # NULL endpoints: keep the distributed semantics
+        both = np.array(av + bv)
     nodes, codes = np.unique(both, return_inverse=True)
     ea, eb = codes[: len(av)], codes[len(av):]
     label = np.arange(len(nodes), dtype=np.int64)
@@ -683,6 +707,16 @@ def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
             break
         label = nxt
     clusters = nodes[label]
+    if vectorized:
+        # Arrow re-entry: the same primitive type comes back out
+        # (int64→bigint etc.), no per-row pickling of up to 2×cap rows
+        out = pa.table(
+            {
+                "node": pa.array(nodes, type=tbl.schema.field("a").type),
+                "cluster": pa.array(clusters, type=tbl.schema.field("a").type),
+            }
+        )
+        return spark.createDataFrame(out)
     rows = [(n.item(), c.item()) for n, c in zip(nodes, clusters)]
     return spark.createDataFrame(rows, schema)
 
@@ -702,9 +736,9 @@ def connected_components(
 
     r13 fast path (guide §1.2/§5 — the candidate-pair set is PAIRS-sized,
     not corpus-sized): when the materialized edge checkpoint fits under
-    a bounded collect (SPARK_GRAFT_CC_COLLECT_CAP, default 250k pairs —
-    a few MB on the driver, the same bounded-collect discipline as the
-    bm25 query prep), label propagation runs as one vectorized numpy
+    a bounded collect (SPARK_GRAFT_CC_COLLECT_CAP, default 4M pairs —
+    Arrow both ways since r13b, so the bound is driver memory, not
+    pickling speed), label propagation runs as one vectorized numpy
     pass on the driver instead of O(diameter) distributed rounds of
     join+groupBy+checkpoint+probe.  The size probe is a count over the
     ALREADY-checkpointed edges, so an over-cap graph pays nothing extra

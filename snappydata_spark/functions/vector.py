@@ -35,6 +35,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_of_double(ad: Column, bd: Column) -> Column:
+    """`dot` over arrays ALREADY cast to double (hoist the `_as_double`
+    transform out of a per-pair loop — e.g. an exploded row × centroid
+    join — and pay it once per row instead).  Bit-identical to
+    `dot(a, b)` when `ad`/`bd` are `_as_double(a)`/`_as_double(b)`: the
+    same products fold in the same order."""
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_of_double(ad: Column) -> Column:
+    """`norm` over an array already cast to double; bit-identical to
+    `norm(a)` for `ad = _as_double(a)`."""
+    return F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

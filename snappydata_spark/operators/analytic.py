@@ -153,7 +153,56 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with GROUPING() markers (cubeRollUpGroupingSet grammar
     SnappyParser.scala:559-606; CubeRollupGroupingSetsTest)."""
+    from snappydata_spark.operators.tpch import _money_cents_mode
+
     t = load_tables(spark, sf_dir, ("lineitem",))
+    if _money_cents_mode():
+        # r13b (guide §2.3 — aggregate before you shuffle/Expand): CUBE
+        # physically Expands EVERY input row ×4 (one copy per grouping
+        # set) before the partial aggregate, and the decimal(12,2) SUM
+        # pays a JavaBigDecimal add per expanded row — 4n decimal adds
+        # over the whole scan.  SUM and COUNT are decomposable, so
+        # pre-aggregate per (flag, status, scan-partition) in BIGINT
+        # 0.01-quantity units first (the tpch.py bigint-cents
+        # discipline; per-(keys, task) groups are split-bounded, so the
+        # bigint can't overflow at any scale) and CUBE the ~|6 × tasks|
+        # cell frame instead of the 60M-row scan.  Exactness: the unit
+        # terms are exact integers (quantity has ≤2 dp by the decimal
+        # cast), integer partial sums are exact, the outer
+        # SUM(CAST(.. AS DECIMAL(38,0)))/100 is exact division, and the
+        # ROUND/CAST tail is the identical expression — bit-identical
+        # cells.  GROUPING() markers are computed by the outer CUBE over
+        # the same two columns, so grouping ids, NULL-value vs ALL-cell
+        # distinction, and the result set are unchanged.
+        # SPARK_GRAFT_MONEY_SUM=decimal restores the r12 plan.
+        inner = (
+            t["lineitem"]
+            .withColumn("__pid", F.spark_partition_id())
+            .groupBy("l_returnflag", "l_linestatus", "__pid")
+            .agg(
+                F.expr(
+                    "SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100"
+                    " AS BIGINT)) AS qty_u"
+                ),
+                F.expr("COUNT(1) AS cnt_p"),
+            )
+        )
+        return (
+            inner.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.expr("GROUPING(l_returnflag) AS g_flag"),
+                F.expr("GROUPING(l_linestatus) AS g_status"),
+                F.expr(
+                    "CAST(ROUND(SUM(CAST(qty_u AS DECIMAL(38,0))) / 100, 2)"
+                    " AS DOUBLE) AS sum_qty"
+                ),
+                F.expr("SUM(cnt_p) AS cnt"),
+            )
+            .select(
+                "l_returnflag", "l_linestatus", "g_flag", "g_status",
+                "sum_qty", "cnt",
+            )
+        )
     return (
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")

@@ -134,36 +134,30 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        threshold = (
-            t["lineitem"]
-            .withColumn("__pid", F.spark_partition_id())
-            .groupBy("__pid")
-            .agg(F.expr(rev_u))
-            .agg(
-                F.expr(
-                    "CAST(SUM(CAST(rev_u AS DECIMAL(38,0))) / 10000 "
-                    "AS DOUBLE) * 0.00008 AS thr"
-                )
-            )
-        )
     else:
         sp = (
             t["lineitem"]
             .groupBy("l_suppkey", "l_partkey")
             .agg(F.sum(_rev().cast("decimal(18,4)")).alias("value_dec"))
         )
-        # the threshold needs only the GLOBAL sum, and exact decimal
-        # addition is associative: sum over groups == sum over raw rows —
-        # so compute it as a scalar aggregate on lineitem directly instead
-        # of re-running the ~|supp x part|-group hash aggregate a second
-        # time (Spark doesn't reuse the grouped exchange across the
-        # broadcast boundary; at scale this also avoids a second giant
-        # hash table)
-        threshold = t["lineitem"].agg(
-            (
-                F.sum(_rev().cast("decimal(18,4)")).cast("double") * 0.00008
-            ).alias("thr")
-        )
+    # r13b (guide §2.4 — one lineitem scan, not two): the threshold needs
+    # only the GLOBAL revenue total, and value_dec group sums are EXACT
+    # (bigint integer units /1e4 exact decimal division in cents mode;
+    # associative decimal(18,4) addition in decimal mode), so
+    # SUM(value_dec) over the groups equals the total the old second
+    # lineitem pass computed from raw rows — it is literally the oracle's
+    # own `SELECT SUM(value_dec) FROM sp`, and the double cast of the
+    # identical exact total is bit-identical.  sp is persisted because
+    # BOTH branches of the returned plan consume it (the repo persist
+    # rule: consumed-by-returned-plan frames rely on the session
+    # clearCache, see OPTIMIZATION_r13.md §8); AQE does NOT reuse the
+    # grouped exchange across the broadcast-subquery boundary (verified:
+    # final plan had 3 independent ShuffleQueryStages), so without the
+    # persist the grouped aggregate really ran twice.
+    sp = sp.persist()
+    threshold = sp.agg(
+        (F.sum("value_dec").cast("double") * 0.00008).alias("thr")
+    )
     return (
         sp.join(F.broadcast(threshold))
         .filter(F.col("value_dec").cast("double") > F.col("thr"))
