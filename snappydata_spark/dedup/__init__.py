@@ -717,7 +717,13 @@ def _cc_local_labels(edges: DataFrame, n_edges: int) -> DataFrame | None:
             }
         )
         return spark.createDataFrame(out)
-    rows = [(n.item(), c.item()) for n, c in zip(nodes, clusters)]
+    # non-primitive ids (e.g. Decimal) live in an object-dtype array, so
+    # the elements are plain Python values with no .item()
+    rows = [
+        (n.item() if hasattr(n, "item") else n,
+         c.item() if hasattr(c, "item") else c)
+        for n, c in zip(nodes, clusters)
+    ]
     return spark.createDataFrame(rows, schema)
 
 

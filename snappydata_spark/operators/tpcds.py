@@ -158,29 +158,38 @@ def ds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(customer, channel, year) aggregate is pivoted with
     conditional sums — one shuffle on custkey total."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    base = (
-        _oi(t)
-        .filter(F.year("o_orderdate").isin(1995, 1996))
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.when(F.col("l_returnflag") == "R", "ret").otherwise("sale").alias(
-                "channel"
-            ),
-            F.year("o_orderdate").alias("yr"),
-            F.col("l_quantity").alias("qty"),
-        )
+    # r13b (guide §2.3): channel is line-level but year is order-level,
+    # so the per-(customer, channel, year) slices decompose into
+    # per-ORDER channel sums sliced by the order's year.  Pre-aggregating
+    # lineitem on l_orderkey (a) shrinks the join probe side ~4× and the
+    # custkey exchange likewise, and (b) the groupBy(l_orderkey) exchange
+    # already partitions by the join key, so the orderkey join reuses it.
+    # Exact: integral quantities ⇒ exact double sums; a NULL per-order
+    # channel sum (no lines in that channel) is skipped by the outer SUM
+    # exactly as the absent rows were before.
+    channel = F.when(F.col("l_returnflag") == "R", "ret").otherwise("sale")
+    per_order = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(F.when(channel == "sale", F.col("l_quantity"))).alias("sale_q"),
+        F.sum(F.when(channel == "ret", F.col("l_quantity"))).alias("ret_q"),
+    )
+    base = per_order.join(
+        t["orders"].filter(F.year("o_orderdate").isin(1995, 1996)),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("yr"),
+        "sale_q",
+        "ret_q",
     )
 
-    def _slice(ch, yr):
-        return F.sum(
-            F.when((F.col("channel") == ch) & (F.col("yr") == yr), F.col("qty"))
-        )
+    def _slice(col, yr):
+        return F.sum(F.when(F.col("yr") == yr, F.col(col)))
 
     agg = base.groupBy("custkey").agg(
-        _slice("sale", 1995).alias("s95"),
-        _slice("sale", 1996).alias("s96"),
-        _slice("ret", 1995).alias("r95"),
-        _slice("ret", 1996).alias("r96"),
+        _slice("sale_q", 1995).alias("s95"),
+        _slice("sale_q", 1996).alias("s96"),
+        _slice("ret_q", 1995).alias("r95"),
+        _slice("ret_q", 1996).alias("r96"),
     )
     return (
         agg.filter(
@@ -234,8 +243,17 @@ def ds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("qty"),
         )
     )
-    return facts.rollup("channel", "nation").agg(
+    # r13b (guide §2.3): pre-aggregate per (channel, nation) before the
+    # ROLLUP so the ×3 Expand runs over the ~|2 × nations| cell frame
+    # instead of the year-filtered fact (same proof as
+    # ds_rollup_share_of_nation: integral quantities ⇒ exact double
+    # sums, COUNT decomposes into SUM of partial counts, NULL-valued
+    # keys group identically in both shapes).
+    cells = facts.groupBy("channel", "nation").agg(
         F.sum("qty").alias("qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return cells.rollup("channel", "nation").agg(
+        F.sum("qty").alias("qty"), F.sum("cnt").alias("cnt")
     )
 
 
@@ -275,10 +293,17 @@ def ds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ord") > 10)
         .select("l_partkey")
     )
+    # r13b (guide §2.3): per-order pre-aggregation before the custkey
+    # roll-up, exactly as in ds_net_sales_after_returns (integral
+    # quantities ⇒ exact double sums ⇒ regrouping is bit-identical);
+    # the qualifier join and custkey exchange carry one row per order.
     best = (
-        _oi(t)
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oqty"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .agg(F.sum("oqty").alias("tot_qty"))
         .filter(F.col("tot_qty") > 1200)
         .select("o_custkey")
     )
@@ -614,12 +639,25 @@ def ds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q54 shape: per-customer lifetime aggregate re-bucketed into
     a histogram.  Two aggregates, the second over |customer| rows."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    # r13b (guide §2.3): same per-order pre-aggregation as
+    # ds_net_sales_after_returns — COUNT(DISTINCT o_orderkey) per
+    # customer is exactly the number of per-order rows surviving the
+    # inner join (orderkey → custkey is functional and TPC-H keys are
+    # non-null), and the qty sum decomposes exactly (integral
+    # quantities, all partials « 2^53).  The expensive distinct-expand
+    # over the joined fact disappears; the join and the custkey
+    # exchange carry one row per ORDER instead of per line.
+    per_order = (
+        t["lineitem"].groupBy("l_orderkey").agg(F.sum("l_quantity").alias("oqty"))
+    )
     spend = (
-        _oi(t)
+        per_order.join(
+            t["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .groupBy("o_custkey")
         .agg(
-            F.count_distinct("o_orderkey").alias("n_orders"),
-            F.sum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("oqty").alias("qty"),
         )
     )
     bucket = (
@@ -771,10 +809,23 @@ def ds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity")
         )
     )
+    # r13b (guide §2.3 — aggregate before you shuffle): each orderkey
+    # belongs to exactly one custkey, so the custkey sum decomposes into
+    # per-ORDER nets summed per customer.  Pre-aggregating lineitem on
+    # its own key shrinks the join's probe side ~4× (one row per order
+    # instead of per line) and the custkey exchange likewise.  Exact:
+    # l_quantity is integral (TPC-H quantity ∈ 1..50) and every partial
+    # stays far below 2^53, so all double additions are exact integer
+    # arithmetic — regrouping cannot change a bit.
+    per_order = (
+        t["lineitem"].groupBy("l_orderkey").agg(net.alias("order_net"))
+    )
     return (
-        _oi(t)
+        per_order.join(
+            t["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(net.alias("net_qty"))
+        .agg(F.sum("order_net").alias("net_qty"))
         .filter(F.col("net_qty") > 500)
     )
 
@@ -1024,6 +1075,18 @@ def ds_rollup_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is one pass (Spark expands grouping sets map-side); the
     parent join is |nations|-sized and broadcasts."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer", "nation"))
+    # r13b (guide §2.3/§2.4): two fixes to one pipeline.
+    # (a) ROLLUP physically Expands every input row ×3 (one copy per
+    #     grouping set) before the partial aggregate; SUM of longs is
+    #     associative, so pre-aggregate per (nation, year) first — the
+    #     Expand then runs over the ~|nations × years| cell frame, not
+    #     the full joined fact (NULL-valued keys group identically in
+    #     both shapes, so the rollup's cells are unchanged).
+    # (b) rev is consumed by BOTH branches of the returned plan (d leaf
+    #     rows and p parent rows) — unpersisted, each branch re-ran the
+    #     whole join+rollup pipeline.  Persist the ~200-row rollup
+    #     (repo persist rule: consumed-by-returned-plan, see
+    #     OPTIMIZATION_r13.md §8): the fact pipeline now runs once.
     rev = (
         _oi(t)
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
@@ -1033,8 +1096,11 @@ def ds_rollup_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("y"),
             F.col("l_quantity").cast("long").alias("q"),
         )
+        .groupBy("n_name", "y")
+        .agg(F.sum("q").alias("q"))
         .rollup("n_name", "y")
         .agg(F.sum("q").alias("qty"))
+        .persist()
     )
     d = rev.filter(F.col("n_name").isNotNull() & F.col("y").isNotNull()).select(
         "n_name", F.col("y").cast("long").alias("y"), "qty"

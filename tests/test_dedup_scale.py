@@ -403,3 +403,44 @@ def test_connected_components_cap_falls_back(spark, monkeypatch):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(i, 0) for i in range(11)} | {(50, 50), (60, 50)}
+
+
+def test_connected_components_local_nonlong_numeric_ids(spark, monkeypatch):
+    """r13b Arrow fast path: non-long primitive ids (int, double) go
+    through toArrow/createDataFrame(pa.Table) and must label identically
+    to the distributed loop, preserving the id type; DECIMAL ids (numeric
+    but non-primitive) must take the row-collect branch and still agree."""
+    from decimal import Decimal
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    for typ, conv in (
+        ("int", int),
+        ("double", float),
+        ("decimal(10,0)", Decimal),
+    ):
+        edges = [(conv(a), conv(b)) for a, b in base]
+        pairs = spark.createDataFrame(
+            edges, f"doc1 {typ}, doc2 {typ}"
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_CAP", "250000")
+        local_df = dedup.connected_components(pairs)
+        local = {(r.node, r.cluster) for r in local_df.collect()}
+        monkeypatch.setenv("SPARK_GRAFT_CC_COLLECT_CAP", "0")
+        dist = {
+            (r.node, r.cluster)
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert local == dist, typ
+        assert local_df.schema["node"].dataType == pairs.schema["doc1"].dataType
+
+
+def test_agg_cube_cents_mode_matches_decimal_mode(spark, sf_dir, monkeypatch):
+    """r13b pre-aggregated bigint-unit cube must produce cell-identical
+    rows to the direct decimal CUBE (SPARK_GRAFT_MONEY_SUM=decimal)."""
+    from snappydata_spark.operators.analytic import agg_cube
+
+    monkeypatch.delenv("SPARK_GRAFT_MONEY_SUM", raising=False)
+    cents = {tuple(r) for r in agg_cube(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_MONEY_SUM", "decimal")
+    dec = {tuple(r) for r in agg_cube(spark, sf_dir).collect()}
+    assert cents == dec and len(cents) > 0
