@@ -882,6 +882,14 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
         .select("r.doc_id", "r.source", "r.tc", "r.q", "r.is_train")
+        # r13b (guide §5): kept is consumed by TWO branches of the
+        # returned plan (the decontamination semi-join's train-id probe
+        # and the survivor anti-join) — unpersisted, each consumer re-ran
+        # scal's full text pass (token_count + quality_score +
+        # fingerprint over every document).  The cached frame is the
+        # SCALAR projection only — text never enters the cache (repo
+        # persist rule, OPTIMIZATION_r13.md §8).
+        .persist()
     )
     # tokens staged into their own column before shingling — inlined
     # tokens() re-splits the text once per element_at (shingles_of doc)

@@ -105,6 +105,7 @@ def ds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.weekofyear("l_shipdate").alias("wk"),
         )
         .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
     )
     w1 = wk.filter(F.col("yr") == 1995).select(
         F.col("wk").alias("wk1"), F.col("qty").alias("qty_1995")
@@ -709,6 +710,7 @@ def ds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(isodow.isin(1, 2, 3, 4, 5), 1)).alias("wkday"),
             F.count(F.when(isodow.isin(6, 7), 1)).alias("wkend"),
         )
+        .persist()
     )
     a = d.filter(F.col("yr") == 1995).select(
         "nation", F.col("wkday").alias("wkday95"), F.col("wkend").alias("wkend95")
@@ -765,6 +767,7 @@ def ds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("yr"))
         .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
     )
     prev = y.filter(F.col("yr") == 1995).select(
         F.col("brand").alias("brand_p"), F.col("qty").alias("qty_prev")
